@@ -1,0 +1,138 @@
+package graft.oracle
+
+import graft.etl.{MoodleConfig, RenderMail}
+import graft.fixtures.Fixtures
+import graft.functions.Template
+
+/** DuckDB-dialect SQL fragment builders mirroring the engine's operators,
+  * used to assemble `SparkEntry.oracleSql`. Kept compositional so each
+  * oracle query is built from the same pieces (and the same compiled
+  * [[Template]]s) as the Spark plan it checks.
+  */
+object Duck {
+
+  /** n-th (1-based) whitespace token of a trimmed string, NULL when absent. */
+  def tok(x: String, n: Int): String =
+    s"string_split_regex(trim($x), '\\s+')[$n]"
+
+  /** Title-case a single token the way Python `.title()` does for alpha words. */
+  def titleWord(x: String): String =
+    s"(upper(substr($x, 1, 1)) || lower(substr($x, 2)))"
+
+  /** Title-case every whitespace token (≈ `initcap` / Python `.title()`). */
+  def titleAll(x: String): String =
+    s"array_to_string(list_transform(string_split_regex(trim($x), '\\s+'), w -> ${titleWord("w")}), ' ')"
+
+  /** F3 — first `@`-bearing token after newline→space + `[,\s;]+` split. */
+  def selectEmail(x: String): String = {
+    val cleaned = s"trim(replace($x, chr(10), ' '))"
+    s"coalesce(list_filter(string_split_regex($cleaned, '[,\\s;]+'), t -> contains(t, '@'))[1], $cleaned)"
+  }
+
+  /** F2 — lowercase, delete ` .,'"`, strip accents. */
+  def normalizeUsername(x: String): String =
+    s"strip_accents(translate(lower($x), ' .,''\"', ''))"
+
+  /** F4 — username from nombres/apellidos. */
+  def buildUsername(nombres: String, apellidos: String): String =
+    normalizeUsername(
+      s"(coalesce(${tok(nombres, 1)}, '') || coalesce(${tok(apellidos, 1)}, '') || coalesce(substr(${tok(apellidos, 2)}, 1, 2), ''))")
+
+  /** Python-truthiness NULLIF on the raw value. */
+  def nullIfEmpty(x: String): String = s"nullif($x, '')"
+
+  /** Title-cased email local-part (`app.py:299,304`). */
+  def localPartTitle(email: String): String =
+    titleWord(s"split_part($email, '@', 1)")
+
+  // ------------------------------------------------------- moodle pipeline
+
+  /** Full roster→Moodle oracle query (mirrors `MoodleNormalize`). */
+  def moodleNormalizeSql(cfg: MoodleConfig = MoodleConfig()): String = {
+    val pw = Template.braces(cfg.passwordPattern).sql(Map(
+      "username" -> "username",
+      "year"     -> Template.sqlStringLiteral(cfg.passwordYear.toString),
+      "rut"      -> "rut_t",
+      "email"    -> "email"))
+    s"""WITH roster AS (${Fixtures.rosterSql}),
+participants AS (SELECT * FROM roster WHERE rut IS NOT NULL AND nombres IS NOT NULL),
+stage AS (
+  SELECT
+    ${buildUsername("nombres", "apellidos")} AS username,
+    ${selectEmail("email")} AS email,
+    trim(rut) AS rut_t,
+    nombres, apellidos
+  FROM participants)
+SELECT
+  username,
+  strip_accents($pw) AS password,
+  ${titleWord(tok("nombres", 1))} AS firstname,
+  ${titleAll("apellidos")} AS lastname,
+  email,
+  rut_t AS ${cfg.profileFieldName},
+  1 AS type1,
+  ${Template.sqlStringLiteral(cfg.courseField)} AS course1
+FROM stage
+ORDER BY ${cfg.profileFieldName}"""
+  }
+
+  // --------------------------------------------------- mail normalization
+
+  /** Old-dialect normalization over the old-dialect fixture. */
+  def mailUsersOldSql: String =
+    s"""WITH src AS (${Fixtures.mailOldSql})
+SELECT trim(email) AS email, trim(nombre) AS nombre,
+       trim(usuario) AS usuario, trim(contrasena) AS contrasena
+FROM src
+WHERE length(trim(email)) > 0
+ORDER BY usuario"""
+
+  /** Moodle-dialect normalization chained on the Moodle pipeline output. */
+  def mailUsersMoodleSql(cfg: MoodleConfig = MoodleConfig()): String = {
+    val inner = moodleNormalizeSql(cfg)
+    s"""WITH moodle AS ($inner)
+SELECT trim(email) AS email,
+       coalesce(${nullIfEmpty("trim(trim(firstname) || ' ' || trim(lastname))")},
+                ${localPartTitle("trim(email)")}) AS nombre,
+       trim(username) AS usuario,
+       trim(password) AS contrasena
+FROM moodle
+WHERE length(trim(email)) > 0
+ORDER BY contrasena"""
+  }
+
+  /** Fallback-dialect normalization over the fallback fixture. */
+  def mailUsersFallbackSql: String =
+    s"""WITH src AS (${Fixtures.mailFallbackSql})
+SELECT trim(email) AS email,
+       coalesce(${nullIfEmpty("trim('')")}, ${localPartTitle("trim(email)")}) AS nombre,
+       trim(coalesce(${nullIfEmpty("username")}, split_part(trim(email), '@', 1))) AS usuario,
+       '' AS contrasena
+FROM src
+WHERE length(trim(email)) > 0
+ORDER BY email"""
+
+  /** Rendered-mail oracle chained on the moodle mail users. */
+  def mailRenderSql(courseName: String, aulaUrl: String,
+                    cfg: MoodleConfig = MoodleConfig()): String = {
+    val vars = RenderMail.sqlBindings(courseName, aulaUrl)
+    s"""WITH users AS (${mailUsersMoodleSql(cfg)})
+SELECT email, nombre, usuario, contrasena,
+       ${RenderMail.SubjectTemplate.sql(vars)} AS subject,
+       ${RenderMail.PreheaderTemplate.sql(vars)} AS preheader,
+       ${RenderMail.PlainTemplate.sql(vars)} AS plain_body,
+       ${RenderMail.HtmlTemplate.sql(vars)} AS html_body
+FROM users
+ORDER BY contrasena"""
+  }
+
+  /** W1 — ordinal send plan with remaining-count over the old-dialect users. */
+  def sendPlanSql: String =
+    s"""WITH users AS ($mailUsersOldSql)
+SELECT email, nombre, usuario, contrasena,
+       cast(row_number() OVER (ORDER BY email) AS BIGINT) AS idx,
+       cast(count(*) OVER () AS BIGINT) AS total,
+       cast(count(*) OVER () - row_number() OVER (ORDER BY email) AS BIGINT) AS remaining
+FROM users
+ORDER BY idx"""
+}

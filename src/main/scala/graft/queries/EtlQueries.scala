@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.etl.{MailSource, MoodleConfig, MoodleNormalize, RenderMail}
+import graft.fixtures.Fixtures
+import graft.oracle.Duck
+
+/** Core reference-parity queries (SURVEY.md §2.1-§2.6): the Moodle
+  * normalization pipeline, the three mail-source dialects, template
+  * rendering, and the ordinal send plan. Every query is paired with a
+  * DuckDB oracle assembled from the same compiled templates/fragments.
+  *
+  * All ORDER BYs are on unique ASCII keys so row order (and therefore the
+  * driver's hash) is deterministic in both engines.
+  */
+object EtlQueries {
+
+  /** Password pattern exercising 3 of the 4 placeholders and giving every
+    * row a unique `contrasena` (rut is unique), which downstream queries
+    * use as a total order.
+    */
+  val Cfg: MoodleConfig = MoodleConfig(passwordPattern = "{username}{year}-{rut}")
+
+  val CourseName = "Analitica de Datos 101"
+  val AulaUrl    = "https://aula.example.org/"
+
+  def moodleNormalize(spark: SparkSession, dir: String): DataFrame =
+    MoodleNormalize(Fixtures.roster(spark, dir), Cfg)
+      .orderBy(Cfg.profileFieldName)
+
+  def mailUsersOld(spark: SparkSession, dir: String): DataFrame =
+    MailSource.normalize(Fixtures.mailOld(spark, dir)).orderBy("usuario")
+
+  def mailUsersMoodle(spark: SparkSession, dir: String): DataFrame =
+    MailSource.normalize(MoodleNormalize(Fixtures.roster(spark, dir), Cfg))
+      .orderBy("contrasena")
+
+  def mailUsersFallback(spark: SparkSession, dir: String): DataFrame =
+    MailSource.normalize(Fixtures.mailFallback(spark, dir)).orderBy("email")
+
+  def mailRender(spark: SparkSession, dir: String): DataFrame =
+    RenderMail(
+      MailSource.normalize(MoodleNormalize(Fixtures.roster(spark, dir), Cfg)),
+      CourseName, AulaUrl)
+      .orderBy("contrasena")
+
+  /** W1/A2 — 1-based ordinal + remaining count. The global window is the
+    * POINT of this operator (strictly sequential delivery, `app.py:338-339`)
+    * and is guarded by mail-batch scale; large-scale paths drop order
+    * semantics (SURVEY.md §7.4.1).
+    */
+  def sendPlan(spark: SparkSession, dir: String): DataFrame = {
+    val users = MailSource.normalize(Fixtures.mailOld(spark, dir))
+    val w     = Window.orderBy("email")
+    users
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("total", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .withColumn("remaining", (col("total") - col("idx")).cast("long"))
+      .orderBy("idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "moodle_normalize"    -> (moodleNormalize _),
+    "mail_users_old"      -> (mailUsersOld _),
+    "mail_users_moodle"   -> (mailUsersMoodle _),
+    "mail_users_fallback" -> (mailUsersFallback _),
+    "mail_render"         -> (mailRender _),
+    "send_plan"           -> (sendPlan _))
+
+  val oracle: Map[String, String] = Map(
+    "moodle_normalize"    -> Duck.moodleNormalizeSql(Cfg),
+    "mail_users_old"      -> Duck.mailUsersOldSql,
+    "mail_users_moodle"   -> Duck.mailUsersMoodleSql(Cfg),
+    "mail_users_fallback" -> Duck.mailUsersFallbackSql,
+    "mail_render"         -> Duck.mailRenderSql(CourseName, AulaUrl, Cfg),
+    "send_plan"           -> Duck.sendPlanSql)
+}
