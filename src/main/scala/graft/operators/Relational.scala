@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Reusable relational operators for the north-star analytics surface
+  * (SURVEY.md §7.2.7). All are partition-parallel: windows are keyed (no
+  * global single-partition windows), aggregations get map-side partials,
+  * and float measures go through an exact-decimal path so results are
+  * shuffle-order-independent — the property the DuckDB oracle hash check
+  * depends on, and the property that keeps results stable on a real
+  * cluster where partitioning is nondeterministic.
+  */
+object Relational {
+
+  /** Cast a float measure to an exact decimal so SUM is associative.
+    * 6 fractional digits is far below the generator's 2-decimal intent but
+    * far above double noise (~1e-11 abs), so both engines round to the
+    * same decimal and partial-aggregation order can't change the result.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Exact distributed sum of a float measure, returned as double. */
+  def sumExact(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Deterministic mean: exact sum divided by count, in double. */
+  def avgExact(c: Column): Column = sumExact(c) / count(lit(1))
+
+  /** Top-k rows per group by `order` (descending), ties broken by
+    * `tieBreak` ascending so the result is total-ordered. One shuffle on
+    * the group keys; no global window.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Column,
+                   tieBreak: Column, k: Int, rankCol: String = "rk"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order.desc, tieBreak.asc)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+
+  /** Gap-based sessionization: assign a per-key session ordinal that
+    * increments whenever the gap between consecutive rows (by `orderCol`,
+    * must be unique per key) exceeds `gapMicros` on `tsMicros`.
+    * Two keyed window passes — shuffles once on the key, scales with the
+    * number of keys.
+    */
+  def sessionize(df: DataFrame, keyCol: String, orderCol: String,
+                 tsMicros: Column, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val prev = lag(tsMicros, 1).over(w)
+    val isNew = when(prev.isNull || (tsMicros - prev) > gapMicros, 1L).otherwise(0L)
+    df.withColumn("session_seq",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}

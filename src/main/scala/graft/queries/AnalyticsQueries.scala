@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Relational._
+import graft.sources.Tables
+
+/** North-star relational analytics over the TPC-H-ish corpus
+  * (SURVEY.md §7.2.7): grouped aggregation, multi-way joins with
+  * broadcast dims, semi/anti joins, set ops, keyed windows,
+  * sessionization, and event-time bucketing.
+  *
+  * Scale notes (the 100 TB contract):
+  *  - joins shuffle on their equi-keys; `nation`/`region` are broadcast;
+  *  - all windows are PARTITIONED (keyed) — no global windows here;
+  *  - float aggregation uses the exact-decimal path from [[Relational]]
+  *    so partial-agg order can never change a result;
+  *  - every query's final ORDER BY is only for oracle determinism and is
+  *    a top-level sort of an already-reduced (small) result.
+  */
+object AnalyticsQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------- aggregation
+
+  /** TPC-H Q1-style pricing summary: single shuffle on two low-cardinality
+    * keys, map-side partial aggregation does nearly all the work.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge    = discPrice * (lit(1.0) + col("l_tax"))
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"), // integral values: exact in double
+        sumExact(col("l_extendedprice")).as("sum_base_price"),
+        sumExact(discPrice).as("sum_disc_price"),
+        sumExact(charge).as("sum_charge"),
+        avgExact(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Sql: String = """
+    SELECT l_returnflag, l_linestatus,
+      sum(l_quantity) AS sum_qty,
+      cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      cast(sum(cast((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      cast(sum(cast(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** Grouped order stats incl. exact distinct customers per group. */
+  def aggOrderStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sumExact(col("o_totalprice")).as("sum_total"),
+        avgExact(col("o_totalprice")).as("avg_total"),
+        min("o_totalprice").as("min_total"),
+        max("o_totalprice").as("max_total"),
+        countDistinct("o_custkey").as("n_customers"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  val aggOrderStatsSql: String = """
+    SELECT o_orderstatus, o_orderpriority,
+      count(*) AS n_orders,
+      cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total,
+      cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_total,
+      min(o_totalprice) AS min_total,
+      max(o_totalprice) AS max_total,
+      count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority"""
+
+  // ---------------------------------------------------------------- joins
+
+  /** Q3-style: revenue of BUILDING-segment orders, top 10. Two shuffle
+    * joins on the natural keys; projection is pruned to 2-3 columns per
+    * side before the join so the scan reads only what it needs.
+    */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum("rev").cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String = """
+    SELECT o_orderkey, o_orderdate,
+      cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10"""
+
+  /** Q5-style revenue per nation. `nation` is explicitly broadcast — the
+    * canonical small-dim pattern; fact-fact joins shuffle on their keys.
+    */
+  def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(t(spark, dir, "nation").select("n_nationkey", "n_name"))
+    val c = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("rev").cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  val q5Sql: String = """
+    SELECT n_name,
+      cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
+  /** Left-anti: customers with no OPEN orders (the "already enrolled"
+    * exclusion pattern from the reference's roadmap, SURVEY.md §2.4).
+    * The status filter keeps the result non-degenerate at every sf.
+    */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val joinAntiSql: String = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    ORDER BY c_custkey"""
+
+  /** Left-semi: customers with at least one order. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val joinSemiSql: String = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey"""
+
+  /** Set difference (roster-diff pattern): all customers minus those
+    * with open orders.
+    */
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey").as("custkey"))
+      .except(t(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  val setExceptSql: String = """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY custkey"""
+
+  // -------------------------------------------------------------- windows
+
+  /** Top-3 orders per customer — keyed window, shuffles once on custkey. */
+  def windowTopk(spark: SparkSession, dir: String): DataFrame =
+    topKPerGroup(
+      t(spark, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), col("o_totalprice"), col("o_orderkey"), 3)
+      .orderBy("o_custkey", "rk")
+
+  val windowTopkSql: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        cast(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      FROM orders)
+    WHERE rk <= 3
+    ORDER BY o_custkey, rk"""
+
+  /** Per-user running sum over the event stream — keyed window over an
+    * exact-decimal measure, so the prefix sums are order-exact.
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), dec(col("value")).as("v"))
+      .withColumn("running_value", sum("v").over(w).cast("double"))
+      .select("user_id", "event_id", "running_value")
+      .orderBy("event_id")
+  }
+
+  val windowRunningSql: String = """
+    SELECT user_id, event_id,
+      cast(sum(cast(value AS DECIMAL(18,6))) OVER (
+        PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running_value
+    FROM events
+    ORDER BY event_id"""
+
+  // --------------------------------------------------------------- events
+
+  /** Tumbling 1-hour event-time buckets (`ts` is truncated to micros on
+    * both sides — parquet stores nanos).
+    */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumExact(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val eventsHourlySql: String = """
+    SELECT date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)) AS hour, event_type,
+      count(*) AS n_events,
+      cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type"""
+
+  /** 30-minute-gap sessionization per user, then per-session stats.
+    * Timestamps compared in microseconds so both engines see the same
+    * truncation of the nanosecond source.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionize(
+      Tables.events(spark, dir).select(col("user_id"), col("event_id"), col("ts_us")),
+      "user_id", "event_id", col("ts_us"), 30L * 60 * 1000000)
+    sessions.groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"),
+        ((max("ts_us") - min("ts_us")) / 1000000L).cast("double").as("span_sec"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val eventsSessionizeSql: String = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts_us,
+        CASE WHEN lag(ts_us) OVER w IS NULL
+               OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    sess AS (
+      SELECT user_id, event_id, ts_us,
+        cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM flagged)
+    SELECT user_id, session_seq, count(*) AS n_events,
+      min(event_id) AS first_event,
+      cast((max(ts_us) - min(ts_us)) / 1000000 AS DOUBLE) AS span_sec
+    FROM sess
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq"""
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "agg_order_stats"    -> (aggOrderStats _),
+    "q3_top_revenue"     -> (q3TopRevenue _),
+    "q5_nation_revenue"  -> (q5NationRevenue _),
+    "join_anti"          -> (joinAnti _),
+    "join_semi"          -> (joinSemi _),
+    "set_except"         -> (setExcept _),
+    "window_topk"        -> (windowTopk _),
+    "window_running"     -> (windowRunning _),
+    "events_hourly"      -> (eventsHourly _),
+    "events_sessionize"  -> (eventsSessionize _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "agg_order_stats"    -> aggOrderStatsSql,
+    "q3_top_revenue"     -> q3Sql,
+    "q5_nation_revenue"  -> q5Sql,
+    "join_anti"          -> joinAntiSql,
+    "join_semi"          -> joinSemiSql,
+    "set_except"         -> setExceptSql,
+    "window_topk"        -> windowTopkSql,
+    "window_running"     -> windowRunningSql,
+    "events_hourly"      -> eventsHourlySql,
+    "events_sessionize"  -> eventsSessionizeSql)
+}

@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed readers for the test corpus. The one normalization that matters:
+  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+  * as a timestamp ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw longs
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and derive both a
+  * microsecond-precision `ts` (matching DuckDB's ns→us cast truncation)
+  * and an exact `ts_us` long, in ONE place so every query sees the same
+  * clock.
+  */
+object Tables {
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Events with `ts` normalized to microsecond TimestampType and `ts_us`
+    * as epoch-micros long. Floor division matches DuckDB's
+    * `cast(ts_ns AS TIMESTAMP)` truncation for positive epochs.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      // `div`, not `/`: epoch-nanos (~1.7e18) overflow double's 2^53 exact
+      // integer range, so float division would corrupt the microseconds.
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+}
