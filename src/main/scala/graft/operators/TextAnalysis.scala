@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus curation: tokenization
+  * stats, language ID, quality scoring, and content fingerprinting
+  * (the training-data-pipeline surface, BASELINE.json north star).
+  *
+  * Everything is a narrow per-row projection over built-in/higher-order
+  * functions — no UDFs, no shuffle; these run at scan speed and
+  * column-prune down to (doc_id, text) at the parquet reader.
+  */
+object TextAnalysis {
+
+  /** Whitespace word tokens of a trimmed string. */
+  def wordTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish subword count: word runs plus isolated punctuation. */
+  def regexTokenCount(c: Column): Column =
+    regexp_count(c, lit("\\w+|[^\\w\\s]")).cast("long")
+
+  /** Sum of token lengths via a codegen'd fold (no explode/shuffle). */
+  def totalTokenLength(tokens: Column): Column =
+    aggregate(tokens, lit(0L), (acc, w) => acc + length(w))
+
+  /** Count of tokens that appear in a fixed vocabulary. */
+  def vocabHits(tokens: Column, vocab: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(vocab.map(x => x: Any): _*))).cast("long")
+
+  /** Stopword inventories for the n-gram-heuristic language ID. Disjoint
+    * across languages so scores never double-count.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "que", "un", "una", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "im"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "dans", "pour", "une", "au", "ce"))
+
+  /** Language scores + argmax with a fixed precedence (en>es>de>fr) so
+    * ties are deterministic.
+    */
+  def langScores(tokens: Column): Map[String, Column] =
+    Stopwords.map { case (lang, words) => lang -> vocabHits(tokens, words) }
+
+  def langPredict(s: Map[String, Column]): Column =
+    when(s("en") >= s("es") && s("en") >= s("de") && s("en") >= s("fr"), "en")
+      .when(s("es") >= s("de") && s("es") >= s("fr"), "es")
+      .when(s("de") >= s("fr"), "de")
+      .otherwise("fr")
+
+  /** Punctuation-ish character count (anything not word/space). */
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[^\\w\\s]")).cast("long")
+
+  /** Normalized text for fingerprinting: lowercase alphanumerics only. */
+  def normalizedText(c: Column): Column =
+    regexp_replace(lower(c), "[^a-z0-9]", "")
+
+  /** Content fingerprint: md5 of the normalized text (engine-portable). */
+  def fingerprint(c: Column): Column = md5(normalizedText(c).cast("binary"))
+
+  /** Composite quality score in [0,1]: length, lexical diversity,
+    * stopword density, and word-length sanity. Single-pass, pure doubles
+    * with a fixed operation order so any engine reproduces it bit-exactly.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks     = wordTokens(text)
+    val nChars   = length(text).cast("double")
+    val nWords   = size(toks).cast("double")
+    val nUniq    = size(array_distinct(toks)).cast("double")
+    val avgLen   = totalTokenLength(toks).cast("double") / nWords
+    val stopHits = vocabHits(toks, Stopwords.values.flatten.toSeq).cast("double")
+    val lenScore  = least(lit(1.0), nChars / lit(500.0))
+    val ttr       = nUniq / nWords
+    val stopScore = least(lit(1.0), (stopHits / nWords) * lit(5.0))
+    val lenOk     = when(avgLen >= 3.0 && avgLen <= 12.0, 1.0).otherwise(0.25)
+    round(lenScore * 0.4 + ttr * 0.2 + stopScore * 0.2 + lenOk * 0.2, 6)
+  }
+}

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis._
+
+/** Text-analysis queries over `documents` (doc_id, text, lang, source,
+  * n_chars): stats, language ID, quality scoring, fingerprinting, exact
+  * dedup, and the multimodal binary-column plumbing. All per-row
+  * projections except dedup (one shuffle on the text hash).
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** DuckDB-side token list (mirrors [[wordTokens]]). */
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+
+  // ----------------------------------------------------------- text stats
+
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wordTokens(col("text"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      size(toks).cast("long").as("n_words"),
+      size(array_distinct(toks)).cast("long").as("n_uniq_words"),
+      totalTokenLength(toks).as("sum_word_len"),
+      (totalTokenLength(toks).cast("double") / size(toks)).as("avg_word_len"),
+      punctCount(col("text")).as("n_punct"))
+      .orderBy("doc_id")
+  }
+
+  val textStatsSql: String = s"""
+    SELECT doc_id,
+      cast(length(text) AS BIGINT) AS n_chars_m,
+      cast(len($toksSql) AS BIGINT) AS n_words,
+      cast(len(list_distinct($toksSql)) AS BIGINT) AS n_uniq_words,
+      cast(list_sum(list_transform($toksSql, w -> length(w))) AS BIGINT) AS sum_word_len,
+      cast(list_sum(list_transform($toksSql, w -> length(w))) AS DOUBLE)
+        / len($toksSql) AS avg_word_len,
+      cast(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct
+    FROM documents
+    ORDER BY doc_id"""
+
+  // ---------------------------------------------------------- token count
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(wordTokens(col("text"))).cast("long").as("ws_tokens"),
+      regexTokenCount(col("text")).as("re_tokens"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String = s"""
+    SELECT doc_id,
+      cast(len($toksSql) AS BIGINT) AS ws_tokens,
+      cast(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS re_tokens
+    FROM documents
+    ORDER BY doc_id"""
+
+  // -------------------------------------------------------------- lang id
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks   = wordTokens(lower(col("text")))
+    val scores = langScores(toks)
+    docs(spark, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      scores("en").as("s_en"), scores("es").as("s_es"),
+      scores("de").as("s_de"), scores("fr").as("s_fr"),
+      langPredict(scores).as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val lt = "string_split_regex(trim(lower(text)), '\\s+')"
+    def hits(words: Seq[String]) =
+      s"cast(len(list_filter($lt, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+    val en = hits(Stopwords("en")); val es = hits(Stopwords("es"))
+    val de = hits(Stopwords("de")); val fr = hits(Stopwords("fr"))
+    s"""
+    SELECT doc_id, lang AS labeled_lang,
+      $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr,
+      CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+           WHEN $es >= $de AND $es >= $fr THEN 'es'
+           WHEN $de >= $fr THEN 'de'
+           ELSE 'fr' END AS predicted_lang
+    FROM documents
+    ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------- quality score
+
+  def qualityScoreQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val qualityScoreSql: String = {
+    val allStops = Stopwords.values.flatten.toSeq.map(w => s"'$w'").mkString(", ")
+    s"""
+    SELECT doc_id, round(
+        least(1.0, cast(length(text) AS DOUBLE) / 500.0) * 0.4
+      + (cast(len(list_distinct($toksSql)) AS DOUBLE)
+         / cast(len($toksSql) AS DOUBLE)) * 0.2
+      + least(1.0, (cast(len(list_filter($toksSql, t -> t IN ($allStops))) AS DOUBLE)
+                    / cast(len($toksSql) AS DOUBLE)) * 5.0) * 0.2
+      + (CASE WHEN cast(list_sum(list_transform($toksSql, w -> length(w))) AS DOUBLE)
+                     / cast(len($toksSql) AS DOUBLE) BETWEEN 3.0 AND 12.0
+              THEN 1.0 ELSE 0.25 END) * 0.2, 6) AS quality
+    FROM documents
+    ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------- fingerprints
+
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      substring(fingerprint(col("text")), 1, 16).as("fp16"))
+      .orderBy("doc_id")
+
+  val docFingerprintSql: String = """
+    SELECT doc_id,
+      md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+      substr(md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')), 1, 16) AS fp16
+    FROM documents
+    ORDER BY doc_id"""
+
+  // --------------------------------------------------------- exact dedup
+
+  /** Exact dedup: keep the lowest doc_id per distinct text. One shuffle
+    * keyed by the text (hash-partitioned); at 100 TB you'd key by
+    * md5(text) to bound key width — fp column shows the pattern.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"), md5(col("text").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+
+  val dedupExactSql: String = """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies, md5(text) AS fp
+    FROM documents
+    GROUP BY text
+    ORDER BY doc_id"""
+
+  // ----------------------------------------------- multimodal plumbing
+
+  /** Multimodal column plumbing: the corpus has no real image/audio, so
+    * the binary payload is the utf-8 encoding of `text` — but the
+    * engine-side shape (binary column + typed metadata + content hash)
+    * is exactly what a decode/feature-extract stage consumes
+    * (see graft.operators.Multimodal for the stubbed decode).
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .select(
+        col("doc_id"), col("source"),
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        md5(col("payload")).as("content_md5"))
+      .orderBy("doc_id")
+
+  val multimodalMetaSql: String = """
+    SELECT doc_id, source,
+      cast(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      md5(text) AS content_md5
+    FROM documents
+    ORDER BY doc_id"""
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"      -> (textStats _),
+    "token_count"     -> (tokenCount _),
+    "lang_id"         -> (langId _),
+    "quality_score"   -> (qualityScoreQ _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "dedup_exact"     -> (dedupExact _),
+    "multimodal_meta" -> (multimodalMeta _))
+
+  val oracle: Map[String, String] = Map(
+    "text_stats"      -> textStatsSql,
+    "token_count"     -> tokenCountSql,
+    "lang_id"         -> langIdSql,
+    "quality_score"   -> qualityScoreSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "dedup_exact"     -> dedupExactSql,
+    "multimodal_meta" -> multimodalMetaSql)
+}
