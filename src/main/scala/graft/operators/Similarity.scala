@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity: brute-force cosine top-k (the correctness
+  * baseline) and sign-random-projection LSH (the scale path).
+  *
+  * Vectors are `array<float>` columns cast to double once; dot products
+  * are codegen'd `zip_with` + sequential `aggregate` folds — bit-exact
+  * reproducible (left-to-right order) and UDF-free.
+  *
+  * Scale shape: brute force is a broadcast of the (small) query set — a
+  * map-only scan of the corpus with a per-query top-k, no shuffle of the
+  * corpus itself. The LSH variant buckets both sides and joins on the
+  * bucket key, turning O(|Q|·|C|) into O(collisions).
+  */
+object Similarity {
+
+  /** Sequential dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, an: Column, b: Column, bn: Column): Column =
+    dot(a, b) / (an * bn)
+
+  /** Normalize an embeddings frame: id, v (double array), norm. */
+  def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Brute-force cosine top-k of `corpus` for each row of `queries`
+    * (both prepped). Queries are broadcast; the corpus is scanned once.
+    */
+  def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qn")))
+    val scored = q.join(corpus, col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+    Relational.topKPerGroup(scored, Seq("q_id"), col("cos"), col("n_id"), k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: plane j,
+    * dimension d is a fixed function of (j, d) — reproducible across
+    * sessions with no stored model.
+    */
+  private def hyperplane(j: Int, dim: Int): Seq[Double] = {
+    val rnd = new java.util.Random(0x5EED0000L + j)
+    Seq.fill(dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-random-projection bucket id from `planes` hyperplanes. */
+  def lshBucket(v: Column, dim: Int, planes: Int): Column =
+    (0 until planes).map { j =>
+      val hp = array(hyperplane(j, dim).map(lit): _*)
+      when(dot(v, hp) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates share the query's bucket; top-k within
+    * candidates. Trades recall for a bucket-keyed equi-join. Recall is
+    * measured against [[knnBrute]] in the test suite.
+    */
+  def knnLsh(queries: DataFrame, corpus: DataFrame, k: Int,
+             dim: Int, planes: Int = 8): DataFrame = {
+    val qb = broadcast(queries.select(col("id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qn"), lshBucket(col("v"), dim, planes).as("q_bucket")))
+    val cb = corpus.withColumn("bucket", lshBucket(col("v"), dim, planes))
+    val scored = qb.join(cb, col("q_bucket") === col("bucket") && col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+    Relational.topKPerGroup(scored, Seq("q_id"), col("cos"), col("n_id"), k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
+  }
+
+  /** Embedding near-duplicate pairs within a blocking key (here: equal
+    * `label`), cosine ≥ threshold. Blocked exact search — the oracle-
+    * checkable sibling of the LSH path.
+    */
+  def cosineNearDups(prepped: DataFrame, blockCol: Column,
+                     threshold: Double): DataFrame = {
+    val withBlock = prepped.withColumn("blk", blockCol)
+    withBlock.as("l").join(withBlock.as("r"),
+        col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
+        cosine(col("l.v"), col("l.nrm"), col("r.v"), col("r.nrm")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+  }
+}

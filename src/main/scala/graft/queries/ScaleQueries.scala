@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Scale-path operators: near-dup detection (MinHash-LSH, SimHash,
+  * blocked n-gram Jaccard) and embedding similarity (brute-force knn,
+  * LSH knn, blocked cosine near-dup).
+  *
+  * Oracle coverage: operators whose kernels are engine-portable
+  * (n-gram Jaccard, double-fold cosine) have DuckDB oracles. The
+  * xxhash64-based signatures (MinHash/SimHash buckets) are Spark-specific
+  * by design — those queries get the driver's rows-only check plus
+  * ScalaTest ground-truth suites (recall vs. brute force, planted dups).
+  */
+object ScaleQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  val Dim = 64
+
+  // ------------------------------------------------------------- dedup
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(docs(spark, dir), "doc_id", "text", threshold = 0.5)
+      .orderBy("a_id", "b_id")
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(docs(spark, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("a_id", "b_id")
+
+  /** Word-3-gram Jaccard pairs, blocked by `source` (blocked-exact path;
+    * the LSH path above is the unblocked scale path).
+    */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"),
+      Dedup.wordNgrams(TextAnalysis.wordTokens(col("text")), 3).as("ng"))
+    d.as("a").join(d.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        round(Dedup.jaccard(col("a.ng"), col("b.ng")), 6).as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  val dedupNgramSql: String = """
+    WITH d AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(
+          range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1),
+          i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' '))) AS ng
+      FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      round(cast(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+        / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))), 6) AS jaccard_sim
+    FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE cast(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+        / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))) >= 0.5
+    ORDER BY a_id, b_id"""
+
+  // -------------------------------------------------------- similarity
+
+  /** Every 50th vector queries the rest of the corpus, brute force. */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
+    val queries = prepped.filter(col("id") % 50 === 0)
+    Similarity.knnBrute(queries, prepped, k = 5).orderBy("q_id", "rk")
+  }
+
+  val knnBruteSql: String = """
+    WITH e AS (
+      SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      FROM e q JOIN e c ON q.vec_id % 50 = 0 AND c.vec_id != q.vec_id),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+        cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+      FROM scored)
+    SELECT q_id, n_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY q_id, rk"""
+
+  /** LSH-bucketed ANN over the same query set (recall measured in tests). */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
+    val queries = prepped.filter(col("id") % 50 === 0)
+    Similarity.knnLsh(queries, prepped, k = 5, dim = Dim, planes = 8)
+      .orderBy("q_id", "rk")
+  }
+
+  /** Label-blocked exact cosine near-dup pairs. */
+  def embNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(
+      embs(spark, dir).select(col("vec_id"), col("embedding"), col("label")),
+      "vec_id", "embedding")
+    val withLabel = prepped // prep keeps only id/v/nrm; re-join label
+    val lbl = embs(spark, dir).select(col("vec_id").as("id"), col("label"))
+    Similarity.cosineNearDups(withLabel.join(lbl, "id"), col("label"), 0.4)
+      .orderBy("a_id", "b_id")
+  }
+
+  val embNearDupSql: String = """
+    WITH e AS (
+      SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    ORDER BY a_id, b_id"""
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram"   -> (dedupNgram _),
+    "knn_brute"     -> (knnBrute _),
+    "knn_lsh"       -> (knnLsh _),
+    "emb_near_dup"  -> (embNearDup _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_ngram"  -> dedupNgramSql,
+    "knn_brute"    -> knnBruteSql,
+    "emb_near_dup" -> embNearDupSql)
+}
