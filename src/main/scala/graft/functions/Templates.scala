@@ -39,8 +39,10 @@ final case class Template(segments: List[Either[String, String]], varNames: Set[
   }
 
   /** Plain-Scala render for tests and driver-side previews. */
-  def render(vars: Map[String, String]): String =
+  def render(vars: Map[String, String]): String = {
+    require(varNames.subsetOf(vars.keySet), s"missing vars: ${varNames -- vars.keySet}")
     segments.map { case Left(s) => s; case Right(v) => vars(v) }.mkString
+  }
 }
 
 object Template {

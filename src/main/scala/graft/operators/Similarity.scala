@@ -54,25 +54,42 @@ object Similarity {
     Seq.fill(dim)(rnd.nextGaussian())
   }
 
-  /** Sign-random-projection bucket id from `planes` hyperplanes. */
-  def lshBucket(v: Column, dim: Int, planes: Int): Column =
+  /** Sign-random-projection bucket id from `planes` hyperplanes of hash
+    * table `table` (tables use disjoint plane seeds).
+    */
+  def lshBucket(v: Column, dim: Int, planes: Int, table: Int): Column =
     (0 until planes).map { j =>
-      val hp = array(hyperplane(j, dim).map(lit): _*)
+      val hp = array(hyperplane(table * 1000 + j, dim).map(lit): _*)
       when(dot(v, hp) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed ANN: candidates share the query's bucket; top-k within
-    * candidates. Trades recall for a bucket-keyed equi-join. Recall is
-    * measured against [[knnBrute]] in the test suite.
+  /** All (table, bucket) pairs for a vector, as an exploded-ready array. */
+  def lshBuckets(v: Column, dim: Int, planes: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), lshBucket(v, dim, planes, t).as("bkt"))): _*)
+
+  /** Multi-table LSH ANN: `tables` independent sign-projection tables of
+    * `planes` bits each; a candidate matches if it shares the query's
+    * bucket in ANY table (union via the exploded equi-join + distinct).
+    * More tables raise recall at linear candidate cost; the shuffle stays
+    * keyed by (table, bucket). Recall vs. [[knnBrute]] is measured in the
+    * test suite.
     */
   def knnLsh(queries: DataFrame, corpus: DataFrame, k: Int,
-             dim: Int, planes: Int = 8): DataFrame = {
-    val qb = broadcast(queries.select(col("id").as("q_id"), col("v").as("qv"),
-      col("nrm").as("qn"), lshBucket(col("v"), dim, planes).as("q_bucket")))
-    val cb = corpus.withColumn("bucket", lshBucket(col("v"), dim, planes))
-    val scored = qb.join(cb, col("q_bucket") === col("bucket") && col("id") =!= col("q_id"))
-      .select(col("q_id"), col("id").as("n_id"),
-        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+             dim: Int, planes: Int = 4, tables: Int = 4): DataFrame = {
+    def banded(df: DataFrame, idAs: String) = df
+      .select(col("id").as(idAs), col("v"), col("nrm"),
+        explode(lshBuckets(col("v"), dim, planes, tables)).as("tb"))
+      .select(col(idAs), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val qb = broadcast(banded(queries, "q_id")
+      .withColumnsRenamed(Map("v" -> "qv", "nrm" -> "qn")))
+    val cands = qb.join(banded(corpus, "n_id"),
+        Seq("tbl", "bkt")).filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), col("qv"), col("qn"), col("v"), col("nrm"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = cands.select(col("q_id"), col("n_id"),
+      cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
     Relational.topKPerGroup(scored, Seq("q_id"), col("cos"), col("n_id"), k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
   }

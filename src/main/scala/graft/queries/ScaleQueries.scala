@@ -93,7 +93,7 @@ object ScaleQueries {
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
     val queries = prepped.filter(col("id") % 50 === 0)
-    Similarity.knnLsh(queries, prepped, k = 5, dim = Dim, planes = 8)
+    Similarity.knnLsh(queries, prepped, k = 5, dim = Dim, planes = 4, tables = 8)
       .orderBy("q_id", "rk")
   }
 

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and keeps running through the field"
+
+  private def corpus = Seq(
+    (1L, base),
+    (2L, base + " today"),                                  // near-dup of 1
+    (3L, base.replace("quick", "rapid")),                   // near-dup of 1
+    (4L, "completely different text about spark partitions and shuffles at scale"),
+    (5L, "another unrelated document mentioning joins aggregates and windows"))
+    .toDF("doc_id", "text")
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccard is exact on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(math.abs(df.head().getDouble(0) - 0.5) < 1e-12)
+  }
+
+  test("word ngrams: count and shape") {
+    val ng = Seq("a b c d").toDF("t")
+      .select(Dedup.wordNgrams(split(col("t"), " "), 3).as("ng"))
+      .head().getSeq[String](0)
+    assert(ng == Seq("a b c", "b c d"))
+    // shorter than n falls back to the single full-window gram
+    val short = Seq("a b").toDF("t")
+      .select(Dedup.wordNgrams(split(col("t"), " "), 3).as("ng"))
+      .head().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  // SimHash margins need enough tokens to be stable: with n votes per bit
+  // the margin is ~sqrt(n), so one changed token only flips bits whose
+  // margin is ±1. Use a 200-token doc like a realistic corpus entry.
+  private val longBase = (1 to 200).map(i => s"tok${i % 97}").mkString(" ")
+
+  test("simhash: identical texts collide, one-token edits stay close, distant texts far") {
+    val sigs = Seq(
+      (1L, longBase),
+      (2L, longBase),
+      (3L, longBase + " extra"),
+      (4L, (1 to 200).map(i => s"other${i % 89}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash64(TextAnalysis.wordTokens(col("text"))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 6)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 10)
+  }
+
+  test("simhash near-dup pairs via banding") {
+    val docs = Seq(
+      (1L, longBase),
+      (2L, longBase + " extra"),
+      (3L, (1 to 200).map(i => s"other${i % 89}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash candidate generation is a bucket equi-join, not a cross join") {
+    val plan = Dedup.minhashCandidates(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine kernel is exact on hand-computed vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+      .select(Similarity.dot(
+        transform(col("a"), x => x.cast("double")),
+        transform(col("b"), x => x.cast("double"))).as("d"))
+    assert(math.abs(df.head().getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("brute-force knn returns the true neighbors in rank order") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),   // closest to 0
+      (2L, Seq(0.5f, 0.5f, 0.0f)),   // second
+      (3L, Seq(0.0f, 1.0f, 0.0f)),   // far
+      (4L, Seq(0.0f, 0.0f, 1.0f)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val prepped = Similarity.prep(vecs, "vec_id", "embedding")
+    val res = Similarity.knnBrute(prepped.filter(col("id") === 0L), prepped, k = 3)
+      .orderBy("rk").select("n_id").as[Long].collect().toSeq
+    assert(res == Seq(1L, 2L, 3L))
+  }
+
+  test("lsh knn recall vs brute force on the real sf0.001 embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val prepped = Similarity.prep(embs, "vec_id", "embedding")
+    val queries = prepped.filter(col("id") % 50 === 0)
+    val brute = Similarity.knnBrute(queries, prepped, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.knnLsh(queries, prepped, k = 5, dim = 64, planes = 4, tables = 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"LSH recall too low: $recall")
+    // LSH candidates are a strict subset of the space; every hit must be real
+    assert(lsh.forall { case (q, n) => q != n })
+  }
+
+  test("blocked cosine near-dup finds planted duplicate vectors") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.999f, 0.001f), 0),  // planted near-dup, same block
+      (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 1))      // identical direction, other block
+      .toDF("vec_id", "embedding", "label")
+    val prepped = Similarity.prep(vecs, "vec_id", "embedding")
+      .join(vecs.select(col("vec_id").as("id"), col("label")), "id")
+    val pairs = Similarity.cosineNearDups(prepped, col("label"), 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("brute knn broadcasts the query side (no shuffle of the corpus)") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val prepped = Similarity.prep(embs, "vec_id", "embedding")
+    val plan = Similarity.knnBrute(prepped.filter(col("id") === 0L), prepped, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+}
