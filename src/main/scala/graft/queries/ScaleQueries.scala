@@ -38,12 +38,20 @@ object ScaleQueries {
     * the LSH path above is the unblocked scale path).
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("source"),
-      Dedup.wordNgrams(TextAnalysis.wordTokens(col("text")), 3).as("ng"))
+    // ngrams hashed to longs: Jaccard over fixed-width values (same
+    // result as string sets modulo ~1e-15 collisions; oracle uses strings)
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        Dedup.wordNgrams(TextAnalysis.wordTokens(col("text")), 3).as("g"))
+      .select(col("doc_id"), col("source"), Dedup.hashShingles(col("g")).as("ng"))
     d.as("a").join(d.as("b"),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      // stage the intersection size: computed once per pair, not twice
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        round(Dedup.jaccard(col("a.ng"), col("b.ng")), 6).as("jaccard_sim"))
+        size(array_intersect(col("a.ng"), col("b.ng"))).cast("double").as("inter"),
+        (size(col("a.ng")) + size(col("b.ng"))).cast("double").as("tot"))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard_sim"))
       .filter(col("jaccard_sim") >= 0.5)
       .orderBy("a_id", "b_id")
   }

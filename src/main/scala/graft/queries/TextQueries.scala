@@ -19,18 +19,21 @@ object TextQueries {
 
   // ----------------------------------------------------------- text stats
 
-  def textStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = wordTokens(col("text"))
-    docs(spark, dir).select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars_m"),
-      size(toks).cast("long").as("n_words"),
-      size(array_distinct(toks)).cast("long").as("n_uniq_words"),
-      totalTokenLength(toks).as("sum_word_len"),
-      (totalTokenLength(toks).cast("double") / size(toks)).as("avg_word_len"),
-      punctCount(col("text")).as("n_punct"))
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      // stage the token array once; downstream stats read the column
+      .select(col("doc_id"), col("text"), wordTokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(col("toks")).cast("long").as("n_words"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq_words"),
+        totalTokenLength(col("toks")).as("sum_word_len"),
+        punctCount(col("text")).as("n_punct"))
+      .withColumn("avg_word_len", col("sum_word_len").cast("double") / col("n_words"))
+      .select("doc_id", "n_chars_m", "n_words", "n_uniq_words", "sum_word_len",
+        "avg_word_len", "n_punct")
       .orderBy("doc_id")
-  }
 
   val textStatsSql: String = s"""
     SELECT doc_id,
@@ -116,10 +119,9 @@ object TextQueries {
   // -------------------------------------------------------- fingerprints
 
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
-      col("doc_id"),
-      fingerprint(col("text")).as("fp"),
-      substring(fingerprint(col("text")), 1, 16).as("fp16"))
+    docs(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("fp16", substring(col("fp"), 1, 16))
       .orderBy("doc_id")
 
   val docFingerprintSql: String = """

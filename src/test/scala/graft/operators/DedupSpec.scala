@@ -76,6 +76,17 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("codegen'd agg simhash equals the column-expression simhash") {
+    val docs = Seq((1L, longBase), (2L, base), (3L, "one two three"))
+      .toDF("doc_id", "text")
+    val viaAgg = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val viaCol = docs.select(col("doc_id"),
+      Dedup.simhash64(TextAnalysis.wordTokens(col("text"))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaAgg == viaCol)
+  }
+
   test("minhash candidate generation is a bucket equi-join, not a cross join") {
     val plan = Dedup.minhashCandidates(corpus, "doc_id", "text")
       .queryExecution.executedPlan.toString
