@@ -72,15 +72,33 @@ object Dedup {
   def defaultShingler(text: Column): Column =
     wordNgrams(TextAnalysis.wordTokens(text), 3)
 
-  /** (id, sh) frame with shingles hashed to 64-bit longs — signature
-    * computation and Jaccard verification both run on fixed-width longs,
-    * never re-touching strings. Collision risk at 64 bits is ~1e-15 per
-    * pair: far below the verify threshold's sensitivity.
+  /** Distinct hashed word n-grams, EXPLODED: one (id, gh) row per
+    * distinct n-gram, built entirely from codegen'd expressions.
+    *
+    * Why not an array column of n-grams? Array construction via
+    * `transform(sequence, i -> array_join(slice(...)))` is an interpreted
+    * higher-order function (CodegenFallback) — several seconds per
+    * million grams. Exploding the POSITIONS first and assembling each
+    * gram with `concat_ws`/`get` keeps everything in whole-stage codegen,
+    * and the row form is exactly what the signature aggregation and the
+    * sparse-join Jaccard verification consume. Grams are hashed to 64-bit
+    * longs (collision odds ~1e-15 per pair — far below any threshold).
+    *
+    * Shorter-than-n docs produce their full token window as one gram
+    * (concat_ws skips the missing tail), matching [[wordNgrams]].
     */
-  private def hashedShingleFrame(df: DataFrame, idCol: String, textCol: String,
-                                 shingler: Column => Column): DataFrame =
-    df.select(col(idCol).as("id"), shingler(col(textCol)).as("g"))
-      .select(col("id"), hashShingles(col("g")).as("sh"))
+  def explodedNgrams(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                     keep: Seq[String] = Nil): DataFrame = {
+    val keepCols = keep.map(col)
+    df.select(col(idCol).as("id") +: col(textCol).as("__text") +: keepCols: _*)
+      .select(col("id") +: TextAnalysis.wordTokens(col("__text")).as("t") +: keepCols: _*)
+      .select(col("id") +: col("t") +: explode(
+        sequence(lit(0), greatest(size(col("t")) - n, lit(0)))).as("i") +: keepCols: _*)
+      .select(col("id") +: xxhash64(
+        concat_ws(" ", (0 until n).map(j => get(col("t"), col("i") + j)): _*)).as("gh")
+        +: keepCols: _*)
+      .dropDuplicates(Seq("id", "gh"))
+  }
 
   /** MinHash signatures via explode + grouped min aggregates.
     *
@@ -94,20 +112,18 @@ object Dedup {
     * |docs| × numHashes before the (tiny) shuffle. Same result, ~30×
     * faster, and the explode never amplifies shuffled bytes at scale.
     */
-  def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
-    val exploded = shingled.select(col("id"), explode(col("sh")).as("h"))
-    val aggs = (0 until numHashes).map(s => min(xxhash64(lit(s), col("h"))).as(s"m$s"))
-    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  def minhashSignatures(explodedGrams: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(s => min(xxhash64(lit(s), col("gh"))).as(s"m$s"))
+    explodedGrams.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(s => col(s"m$s")): _*).as("sig"))
   }
 
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        bands: Int = 8, rowsPer: Int = 4,
-                        shingler: Column => Column = defaultShingler): DataFrame =
-    candidatesFromShingles(hashedShingleFrame(df, idCol, textCol, shingler), bands, rowsPer)
+                        bands: Int = 8, rowsPer: Int = 4): DataFrame =
+    candidatesFromGrams(explodedNgrams(df, idCol, textCol), bands, rowsPer)
 
-  private def candidatesFromShingles(shingled: DataFrame, bands: Int, rowsPer: Int): DataFrame = {
-    val banded = minhashSignatures(shingled, bands * rowsPer)
+  private def candidatesFromGrams(grams: DataFrame, bands: Int, rowsPer: Int): DataFrame = {
+    val banded = minhashSignatures(grams, bands * rowsPer)
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPer + lit(1), lit(rowsPer))))))
@@ -119,23 +135,32 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash-LSH near-dup pairs, verified with exact shingle-set
-    * Jaccard ≥ threshold (over the hashed shingles).
+  /** MinHash-LSH near-dup pairs, verified with exact n-gram-set Jaccard
+    * ≥ threshold via the sparse join: a candidate pair's intersection is
+    * counted by joining its two gram sets on the gram hash — no per-pair
+    * set materialization anywhere.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      threshold: Double, bands: Int = 8, rowsPer: Int = 4,
-                      shingler: Column => Column = defaultShingler): DataFrame = {
-    val shingled = hashedShingleFrame(df, idCol, textCol, shingler)
-    val cands = candidatesFromShingles(shingled, bands, rowsPer)
+                      threshold: Double, bands: Int = 8, rowsPer: Int = 4): DataFrame = {
+    val grams = explodedNgrams(df, idCol, textCol)
+    val cands = candidatesFromGrams(grams, bands, rowsPer)
+    verifyJaccard(cands, grams, threshold)
+  }
+
+  /** Exact Jaccard over candidate pairs from an exploded gram frame:
+    * inter(a,b) = |join of a's and b's grams|; sizes from a grouped count.
+    */
+  def verifyJaccard(cands: DataFrame, grams: DataFrame, threshold: Double): DataFrame = {
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).cast("double").as("n"))
     cands
-      .join(shingled.as("sa"), col("a_id") === col("sa.id"))
-      .join(shingled.as("sb"), col("b_id") === col("sb.id"))
-      // stage the intersection size so it is computed once per pair
+      .join(grams.as("ga"), col("a_id") === col("ga.id"))
+      .join(grams.as("gb"), col("b_id") === col("gb.id") && col("ga.gh") === col("gb.gh"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .join(sizes.as("na"), col("a_id") === col("na.id"))
+      .join(sizes.as("nb"), col("b_id") === col("nb.id"))
       .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double").as("inter"),
-        (size(col("sa.sh")) + size(col("sb.sh"))).cast("double").as("tot"))
-      .select(col("a_id"), col("b_id"),
-        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard_sim"))
+        round(col("inter") / (col("na.n") + col("nb.n") - col("inter")), 6).as("jaccard_sim"))
       .filter(col("jaccard_sim") >= threshold)
   }
 
@@ -167,7 +192,8 @@ object Dedup {
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"),
-        explode(transform(TextAnalysis.wordTokens(col(textCol)), t => xxhash64(t))).as("h"))
+        explode(TextAnalysis.wordTokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
     val aggs = (0 until 64).map { i =>
       sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i")
     }

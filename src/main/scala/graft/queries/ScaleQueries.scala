@@ -36,22 +36,28 @@ object ScaleQueries {
 
   /** Word-3-gram Jaccard pairs, blocked by `source` (blocked-exact path;
     * the LSH path above is the unblocked scale path).
+    *
+    * Sparse-join shape: instead of materializing every blocked pair and
+    * intersecting two sets per pair (O(pairs × set)), explode the n-grams
+    * and equi-join on (source, gram) — only pairs sharing ≥1 gram ever
+    * exist, and the whole count is codegen'd joins + aggregates. A 0.5
+    * threshold can't admit zero-overlap pairs, so the result is identical.
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    // ngrams hashed to longs: Jaccard over fixed-width values (same
-    // result as string sets modulo ~1e-15 collisions; oracle uses strings)
-    val d = docs(spark, dir)
-      .select(col("doc_id"), col("source"),
-        Dedup.wordNgrams(TextAnalysis.wordTokens(col("text")), 3).as("g"))
-      .select(col("doc_id"), col("source"), Dedup.hashShingles(col("g")).as("ng"))
-    d.as("a").join(d.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      // stage the intersection size: computed once per pair, not twice
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        size(array_intersect(col("a.ng"), col("b.ng"))).cast("double").as("inter"),
-        (size(col("a.ng")) + size(col("b.ng"))).cast("double").as("tot"))
+    // grams hashed to longs (same Jaccard as string sets modulo ~1e-15
+    // collisions; the oracle intersects the strings)
+    val grams = Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text",
+      n = 3, keep = Seq("source"))
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).cast("double").as("n"))
+    grams.as("a").join(grams.as("b"),
+        col("a.source") === col("b.source") && col("a.gh") === col("b.gh") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .join(sizes.as("na"), col("a_id") === col("na.id"))
+      .join(sizes.as("nb"), col("b_id") === col("nb.id"))
       .select(col("a_id"), col("b_id"),
-        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard_sim"))
+        round(col("inter") / (col("na.n") + col("nb.n") - col("inter")), 6).as("jaccard_sim"))
       .filter(col("jaccard_sim") >= 0.5)
       .orderBy("a_id", "b_id")
   }
