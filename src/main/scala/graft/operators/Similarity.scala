@@ -2,13 +2,14 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorKernels
 
 /** Embedding similarity: brute-force cosine top-k (the correctness
   * baseline) and sign-random-projection LSH (the scale path).
   *
-  * Vectors are `array<float>` columns cast to double once; dot products
-  * are codegen'd `zip_with` + sequential `aggregate` folds — bit-exact
-  * reproducible (left-to-right order) and UDF-free.
+  * Vectors stay as their storage `array<float>`; dot products run through
+  * the custom codegen'd [[graft.functions.DotProduct]] expression — a
+  * strict left-to-right fused loop, bit-exact reproducible and UDF-free.
   *
   * Scale shape: brute force is a broadcast of the (small) query set — a
   * map-only scan of the corpus with a per-query top-k, no shuffle of the
@@ -17,19 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential fused-multiply dot product — the custom codegen'd
+    * [[VectorKernels.DotProduct]] expression (bit-exact equal to the
+    * interpreted `aggregate(zip_with(...))` fold it replaces; asserted
+    * in the test suite).
+    */
+  def dot(a: Column, b: Column): Column = VectorKernels.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, an: Column, b: Column, bn: Column): Column =
     dot(a, b) / (an * bn)
 
-  /** Normalize an embeddings frame: id, v (double array), norm. */
+  /** Normalize an embeddings frame: id, v (kept as the storage float
+    * array — the kernel widens per element, so no interpreted cast pass
+    * or array copy), norm in double.
+    */
   def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
 
   /** Brute-force cosine top-k of `corpus` for each row of `queries`

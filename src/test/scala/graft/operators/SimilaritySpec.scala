@@ -10,10 +10,25 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("cosine kernel is exact on hand-computed vectors") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
-      .select(Similarity.dot(
-        transform(col("a"), x => x.cast("double")),
-        transform(col("b"), x => x.cast("double"))).as("d"))
+      .select(Similarity.dot(col("a"), col("b")).as("d"))
     assert(math.abs(df.head().getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("codegen'd dot product is bit-exact vs the interpreted fold on real embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = embs.as("a").join(embs.as("b"),
+      col("a.vec_id") + 1 === col("b.vec_id"))
+    val viaFold = aggregate(
+      zip_with(
+        transform(col("a.embedding"), x => x.cast("double")),
+        transform(col("b.embedding"), x => x.cast("double")),
+        (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val mismatches = pairs
+      .select(Similarity.dot(col("a.embedding"), col("b.embedding")).as("k"), viaFold.as("f"))
+      .filter(col("k") =!= col("f")).count()
+    assert(mismatches == 0)
   }
 
   test("brute-force knn returns the true neighbors in rank order") {
