@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Relational._
+import graft.sources.Tables
+
+/** Remaining SURVEY.md §2 surface: preview operators (W2/W3), counts
+  * (A1), set-union roster merge, hierarchical rollup, approximate
+  * distinct, and calendar bucketing.
+  */
+object MiscQueries {
+
+  /** W2 — head-N preview, first 8 columns, deterministic order. The
+    * reference caps at 50 rows × 8 cols (`app.py:766-784`); LIMIT over an
+    * ordered scan is a TakeOrderedAndProject — no full sort at scale.
+    */
+  def previewHead(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.read(spark, dir, "customer")
+    c.select(c.columns.take(8).map(col): _*).orderBy("c_custkey").limit(50)
+  }
+
+  val previewHeadSql: String = """
+    SELECT * FROM customer ORDER BY c_custkey LIMIT 50"""
+
+  /** W3 — first-row peek (email-preview pattern, `app.py:890`). */
+  def peekFirst(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "customer").orderBy("c_custkey").limit(1)
+
+  val peekFirstSql: String = """
+    SELECT * FROM customer ORDER BY c_custkey LIMIT 1"""
+
+  /** A1 — table counts (the reference's row/column accounting,
+    * `app.py:779-784`), one row per table.
+    */
+  def tableCounts(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Seq("customer", "orders", "lineitem").map { t =>
+      Tables.read(spark, dir, t).groupBy(lit(t).as("tbl"))
+        .agg(count(lit(1)).as("n_rows"))
+    }
+    counts.reduce(_ unionByName _).orderBy("tbl")
+  }
+
+  val tableCountsSql: String = """
+    SELECT 'customer' AS tbl, count(*) AS n_rows FROM customer
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    ORDER BY tbl"""
+
+  /** Set union with dedup (roster-merge pattern): BUILDING customers ∪
+    * customers with urgent orders.
+    */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.read(spark, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val urgent = Tables.read(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    building.union(urgent).distinct().orderBy("custkey")
+  }
+
+  val setUnionSql: String = """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY custkey"""
+
+  /** ROLLUP hierarchy: status → priority subtotals + grand total.
+    * NULL group markers sort first in both engines via the flag columns.
+    */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sumExact(col("o_totalprice")).as("sum_total"))
+      .orderBy(
+        col("o_orderstatus").isNull.cast("int"), col("o_orderstatus"),
+        col("o_orderpriority").isNull.cast("int"), col("o_orderpriority"))
+
+  val aggRollupSql: String = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY (o_orderstatus IS NULL), o_orderstatus,
+             (o_orderpriority IS NULL), o_orderpriority"""
+
+  /** HLL approximate distinct (sketch-based; engines' sketches differ by
+    * design, so the driver's rows-only check applies — the EXACT variant
+    * `agg_order_stats.n_customers` is the oracle-checked sibling). The
+    * test corpus is small enough that the estimate must land within 5%
+    * of exact, which the spec asserts.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+      .orderBy("o_orderstatus")
+
+  /** Calendar bucketing: orders per ISO weekday × month (date functions
+    * over the ms-precision order dates).
+    */
+  def ordersCalendar(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "orders")
+      .groupBy(
+        month(col("o_orderdate")).cast("long").as("mon"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_orders"), sumExact(col("o_totalprice")).as("sum_total"))
+      .orderBy("mon", "dow")
+
+  /** Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday. */
+  val ordersCalendarSql: String = """
+    SELECT cast(month(o_orderdate) AS BIGINT) AS mon,
+           cast(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           count(*) AS n_orders,
+           cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY mon, dow"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "preview_head"    -> (previewHead _),
+    "peek_first"      -> (peekFirst _),
+    "table_counts"    -> (tableCounts _),
+    "set_union"       -> (setUnion _),
+    "agg_rollup"      -> (aggRollup _),
+    "approx_distinct" -> (approxDistinct _),
+    "orders_calendar" -> (ordersCalendar _))
+
+  val oracle: Map[String, String] = Map(
+    "preview_head"    -> previewHeadSql,
+    "peek_first"      -> peekFirstSql,
+    "table_counts"    -> tableCountsSql,
+    "set_union"       -> setUnionSql,
+    "agg_rollup"      -> aggRollupSql,
+    "orders_calendar" -> ordersCalendarSql)
+}

@@ -1,0 +1,25 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class MiscQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("approx_count_distinct lands within 5% of exact on every group") {
+    val rows = MiscQueries.approxDistinct(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_customers").toDouble
+      val exact  = r.getAs[Long]("exact_customers").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"group ${r.get(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("preview caps at 50 rows and 8 columns") {
+    val df = MiscQueries.previewHead(spark, "/root/testdata/sf0.001")
+    assert(df.columns.length <= 8)
+    assert(df.count() <= 50)
+  }
+}
