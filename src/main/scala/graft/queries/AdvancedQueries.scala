@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{AsofJoin, Relational}
+import graft.operators.Relational._
+import graft.sources.Tables
+
+/** Advanced relational surface: as-of join, pivot, exact percentiles,
+  * JSON extraction, fuzzy string matching, and the salted two-phase
+  * aggregation pattern for skewed keys.
+  */
+object AdvancedQueries {
+
+  /** As-of join: each purchase event matched to the user's most recent
+    * strictly-earlier event of any type, via the union + carry-forward
+    * window (see [[AsofJoin]]). Inner semantics, like DuckDB ASOF JOIN.
+    */
+  def asofJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("s_event"), col("ts_us").as("s_ts"))
+    AsofJoin(purchases, signups.withColumnRenamed("s_user", "user_id"),
+        key = "user_id", leftTs = "ts_us", rightTs = "s_ts", leftSeq = "event_id",
+        rightPayload = Map("s_event" -> "s_event", "s_ts" -> "s_ts"))
+      .select(col("event_id"), col("user_id"), col("s_event"),
+        (col("ts_us") - col("s_ts")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String = """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+    p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+    s AS (SELECT event_id AS s_event, user_id, ts_us AS s_ts FROM e WHERE event_type = 'signup')
+    SELECT p.event_id, p.user_id, s.s_event, p.ts_us - s.s_ts AS gap_us
+    FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts_us > s.s_ts
+    ORDER BY p.event_id"""
+
+  /** Pivot order counts: one column per order status. */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+
+  val pivotStatusSql: String = """
+    SELECT o_orderpriority,
+      cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+      cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+      cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  /** JSON extraction over the events `props` column + aggregation on the
+    * extracted field.
+    */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+      .orderBy("k_mod")
+
+  val eventsJsonSql: String = """
+    SELECT cast(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      count(*) AS n,
+      cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY k_mod"""
+
+  /** Fuzzy match: Levenshtein distance between consecutive customers'
+    * names (blocked pairing — the realistic shape is candidate pairs from
+    * a blocking key, then edit-distance verify).
+    */
+  def fuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.read(spark, dir, "customer").select("c_custkey", "c_name")
+    c.as("a").join(c.as("b"), col("a.c_custkey") + 1 === col("b.c_custkey"))
+      .select(col("a.c_custkey").as("custkey"),
+        levenshtein(col("a.c_name"), col("b.c_name")).cast("long").as("edit_dist"))
+      .orderBy("custkey")
+  }
+
+  val fuzzyNamesSql: String = """
+    SELECT a.c_custkey AS custkey,
+      cast(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey
+    ORDER BY custkey"""
+
+  /** Salted two-phase aggregation: counts/sums by event_type where phase
+    * one fans each hot key across 16 salt buckets and phase two combines.
+    * Identical results to a plain GROUP BY (the oracle), but the first
+    * shuffle spreads a skewed key over 16 reducers — the standard remedy
+    * when one key dominates at cluster scale.
+    */
+  def aggSalted(spark: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.events(spark, dir)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("psum"))
+    salted.groupBy("event_type")
+      .agg(sum("pn").as("n"), sum("psum").cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val aggSaltedSql: String = """
+    SELECT event_type, count(*) AS n,
+      cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
+  /** Exact interpolated percentiles per event type (median + p90). */
+  def percentilesQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        median(col("value")).as("med"),
+        percentile(col("value"), lit(0.9)).as("p90"))
+      .orderBy("event_type")
+
+  val percentilesSql: String = """
+    SELECT event_type, median(value) AS med, quantile_cont(value, 0.9) AS p90
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join"    -> (asofJoinQ _),
+    "pivot_status" -> (pivotStatus _),
+    "events_json"  -> (eventsJson _),
+    "fuzzy_names"  -> (fuzzyNames _),
+    "agg_salted"   -> (aggSalted _),
+    "percentiles"  -> (percentilesQ _))
+
+  val oracle: Map[String, String] = Map(
+    "asof_join"    -> asofJoinSql,
+    "pivot_status" -> pivotStatusSql,
+    "events_json"  -> eventsJsonSql,
+    "fuzzy_names"  -> fuzzyNamesSql,
+    "agg_salted"   -> aggSaltedSql,
+    "percentiles"  -> percentilesSql)
+}

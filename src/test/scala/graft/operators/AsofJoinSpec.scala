@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class AsofJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)]) = {
+    val l = left.toDF("id", "k", "ts")
+    val r = right.toDF("r_id", "k", "r_ts")
+    AsofJoin(l, r, key = "k", leftTs = "ts", rightTs = "r_ts", leftSeq = "id",
+      rightPayload = Map("r_id" -> "r_id", "r_ts" -> "r_ts"))
+      .select("id", "r_id").as[(Long, Long)].collect().toSet
+  }
+
+  test("picks the latest strictly-earlier right row per key") {
+    val got = run(
+      left  = Seq((1L, 7L, 100L), (2L, 7L, 200L), (3L, 7L, 300L)),
+      right = Seq((10L, 7L, 50L), (11L, 7L, 150L), (12L, 7L, 250L)))
+    assert(got == Set((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
+  test("equal timestamps do NOT match (strict inequality)") {
+    val got = run(
+      left  = Seq((1L, 7L, 100L)),
+      right = Seq((10L, 7L, 100L)))
+    assert(got.isEmpty)
+  }
+
+  test("left rows with no earlier right row are dropped (inner as-of)") {
+    val got = run(
+      left  = Seq((1L, 7L, 50L), (2L, 7L, 200L)),
+      right = Seq((10L, 7L, 100L)))
+    assert(got == Set((2L, 10L)))
+  }
+
+  test("keys never cross") {
+    val got = run(
+      left  = Seq((1L, 7L, 200L), (2L, 8L, 200L)),
+      right = Seq((10L, 7L, 100L)))
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("single shuffle on the key: no range or nested-loop join in the plan") {
+    val l = Seq((1L, 7L, 100L)).toDF("id", "k", "ts")
+    val r = Seq((10L, 7L, 50L)).toDF("r_id", "k", "r_ts")
+    val plan = AsofJoin(l, r, "k", "ts", "r_ts", "id",
+      Map("r_id" -> "r_id")).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
