@@ -1,0 +1,23 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("registered custom expressions are callable from SQL") {
+    Graft.register(spark)
+    val row = spark.sql(
+      "SELECT deaccent('Ángel Núñez') AS d, dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS p")
+      .head()
+    assert(row.getString(0) == "Angel Nunez")
+    assert(row.getDouble(1) == 11.0)
+  }
+
+  test("extensions class injects without error at session build time") {
+    // SparkSessionExtensions is a plain public class; applying the
+    // injector must register both functions.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+}

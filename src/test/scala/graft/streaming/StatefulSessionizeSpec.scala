@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class StatefulSessionizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("sessions close when a later event exceeds the gap; state spans micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sess")
+    val raw = spark.readStream.schema("user_id LONG, ts_us LONG")
+      .option("header", "true").csv(dir.toString)
+    val out = StatefulSessionize(raw.as[EventIn], gapUs = 100L)
+
+    val query = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      // batch 1: one open session for user 1 (events 10, 50), user 2 opens at 40
+      Files.writeString(dir.resolve("b1.csv"), "user_id,ts_us\n1,10\n1,50\n2,40\n")
+      query.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // nothing closed yet
+
+      // batch 2: user 1 jumps past the gap -> first session closes;
+      // user 2 stays within the gap -> still open
+      Files.writeString(dir.resolve("b2.csv"), "user_id,ts_us\n1,500\n2,90\n")
+      query.processAllAvailable()
+      val closed = spark.table("sessions")
+        .as[SessionOut].collect().toSet
+      assert(closed == Set(SessionOut(1L, 10L, 50L, 2)))
+
+      // batch 3: both users jump -> both open sessions close
+      Files.writeString(dir.resolve("b3.csv"), "user_id,ts_us\n1,10000\n2,10000\n")
+      query.processAllAvailable()
+      val all = spark.table("sessions").as[SessionOut].collect().toSet
+      assert(all == Set(
+        SessionOut(1L, 10L, 50L, 2),
+        SessionOut(1L, 500L, 500L, 1),
+        SessionOut(2L, 40L, 90L, 2)))
+    } finally query.stop()
+  }
+}
