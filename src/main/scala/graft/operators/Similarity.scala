@@ -100,6 +100,41 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
   }
 
+  /** IVF-flat ANN: partition the corpus into `nCentroids` Voronoi cells
+    * (assignment = highest cosine affinity), probe the query's `nProbe`
+    * nearest cells, exact top-k within the probed candidates.
+    *
+    * Centroids here are a deterministic sample (lowest ids) — the
+    * structural skeleton of IVF without a training job; swap the
+    * centroid frame for k-means output to tighten recall. Assignment is
+    * a broadcast cross-join against ≤nCentroids rows (map-only); the
+    * candidate join is keyed by cell id. Recall vs. [[knnBrute]] is
+    * measured in the test suite.
+    */
+  def knnIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+             nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cent = broadcast(corpus.orderBy("id").limit(nCentroids)
+      .select(col("id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+    def assign(df: DataFrame, probes: Int): DataFrame =
+      Relational.topKPerGroup(
+        df.crossJoin(cent)
+          .select(col("id"), col("v"), col("nrm"), col("c_id"),
+            cosine(col("v"), col("nrm"), col("cv"), col("cn")).as("aff")),
+        Seq("id"), col("aff"), col("c_id"), probes)
+        .drop("aff", "rk")
+    val corpusCells = assign(corpus, 1)
+      .withColumnsRenamed(Map("id" -> "n_id"))
+    val queryCells = assign(queries, nProbe)
+      .withColumnsRenamed(Map("id" -> "q_id", "v" -> "qv", "nrm" -> "qn"))
+    val scored = queryCells.join(corpusCells, Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+    Relational.topKPerGroup(scored, Seq("q_id"), col("cos"), col("n_id"), k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking key (here: equal
     * `label`), cosine ≥ threshold. Blocked exact search — the oracle-
     * checkable sibling of the LSH path.

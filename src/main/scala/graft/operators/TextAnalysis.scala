@@ -60,6 +60,36 @@ object TextAnalysis {
   /** Content fingerprint: md5 of the normalized text (engine-portable). */
   def fingerprint(c: Column): Column = md5(normalizedText(c).cast("binary"))
 
+  /** Winnowing fingerprints (rolling-hash document fingerprinting, à la
+    * MOSS): hash every word n-gram, slide a w-gram window over the
+    * positions, keep the minimum hash of each window, emit the distinct
+    * minima. Robust to local edits: only windows overlapping a change
+    * produce different fingerprints, so shared-substring detection
+    * reduces to an equi-join on (fingerprint).
+    *
+    * Hash = md5 hex string, chosen deliberately: it is computable
+    * bit-identically by any engine (the DuckDB oracle included), and
+    * lexicographic MIN over hex strings is a total order both engines
+    * agree on. Position-aware explode + keyed sliding window — all
+    * codegen'd, one shuffle on the doc id.
+    */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, n: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"), wordTokens(col(textCol)).as("t"))
+    val grams = toks
+      .select(col("id"), col("t"),
+        explode(sequence(lit(0), greatest(size(col("t")) - n, lit(0)))).as("i"))
+      .select(col("id"), col("i"),
+        md5(concat_ws(" ", (0 until n).map(j => get(col("t"), col("i") + j)): _*)
+          .cast("binary")).as("gh"))
+    val win = Window.partitionBy("id").orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .select(col("id"), min("gh").over(win).as("fp"))
+      .distinct()
+  }
+
   /** Composite quality score in [0,1]: length, lexical diversity,
     * stopword density, and word-length sanity. Single-pass, pure doubles
     * with a fixed operation order so any engine reproduces it bit-exactly.

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 
+
 /** Scale-path operators: near-dup detection (MinHash-LSH, SimHash,
   * blocked n-gram Jaccard) and embedding similarity (brute-force knn,
   * LSH knn, blocked cosine near-dup).
@@ -111,6 +112,36 @@ object ScaleQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** IVF-flat ANN over the same query set (recall measured in tests). */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
+    val queries = prepped.filter(col("id") % 50 === 0)
+    Similarity.knnIvf(queries, prepped, k = 5, nCentroids = 16, nProbe = 4)
+      .orderBy("q_id", "rk")
+  }
+
+  /** Winnowing (rolling-hash) fingerprints over documents — engine-
+    * portable md5 gram hashes, so fully oracle-checked.
+    */
+  def fingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(docs(spark, dir), "doc_id", "text", n = 3, w = 4)
+      .withColumnsRenamed(Map("id" -> "doc_id"))
+      .orderBy("doc_id", "fp")
+
+  val fingerprintWinnowSql: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i,
+        md5(array_to_string(t[i+1:i+3], ' ')) AS gh
+      FROM toks, unnest(range(0, greatest(len(t)-3, 0) + 1)) AS u(i)),
+    wins AS (
+      SELECT doc_id, min(gh) OVER (PARTITION BY doc_id ORDER BY i
+        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams)
+    SELECT DISTINCT doc_id, fp FROM wins
+    ORDER BY doc_id, fp"""
+
   /** Label-blocked exact cosine near-dup pairs. */
   def embNearDup(spark: SparkSession, dir: String): DataFrame = {
     val prepped = Similarity.prep(
@@ -141,10 +172,13 @@ object ScaleQueries {
     "dedup_ngram"   -> (dedupNgram _),
     "knn_brute"     -> (knnBrute _),
     "knn_lsh"       -> (knnLsh _),
+    "knn_ivf"       -> (knnIvf _),
+    "fingerprint_winnow" -> (fingerprintWinnow _),
     "emb_near_dup"  -> (embNearDup _))
 
   val oracle: Map[String, String] = Map(
     "dedup_ngram"  -> dedupNgramSql,
+    "fingerprint_winnow" -> fingerprintWinnowSql,
     "knn_brute"    -> knnBruteSql,
     "emb_near_dup" -> embNearDupSql)
 }

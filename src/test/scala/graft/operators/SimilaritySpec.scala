@@ -59,6 +59,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("ivf knn recall vs brute force on the real sf0.001 embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val prepped = Similarity.prep(embs, "vec_id", "embedding")
+    val queries = prepped.filter(col("id") % 50 === 0)
+    val brute = Similarity.knnBrute(queries, prepped, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvf(queries, prepped, k = 5, nCentroids = 16, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("blocked cosine near-dup finds planted duplicate vectors") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f), 0),
