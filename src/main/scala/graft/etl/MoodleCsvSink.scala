@@ -19,12 +19,14 @@ object MoodleCsvSink {
     df.coalesce(1)
       .write.option("header", "true").option("encoding", "UTF-8")
       .mode("overwrite").csv(tmp)
-    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-      .filter(p => p.endsWith(".csv")) match {
-      case Array(one) => Paths.get(one)
-      case other => throw new IllegalStateException(
-        s"expected exactly one part file, got ${other.length}")
-    }
+    val listing = Files.list(Paths.get(tmp))
+    val part = try {
+      listing.toArray.map(_.toString).filter(p => p.endsWith(".csv")) match {
+        case Array(one) => Paths.get(one)
+        case other => throw new IllegalStateException(
+          s"expected exactly one part file, got ${other.length}")
+      }
+    } finally listing.close()
     val target = Paths.get(outPath)
     if (target.getParent != null) Files.createDirectories(target.getParent)
     Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -1,11 +1,19 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** S2 — positional slice + header promotion (`app.py:236-238`): the raw
   * roster sheet carries 3 preamble rows, the 4th row IS the header, data
   * follows. Plus the reference's rename map (`app.py:240-245`), including
   * the infamous trailing-space `"Nombres "` header.
+  *
+  * Two-pass read, because schema inference on a headerless CSV takes the
+  * column count from the FIRST line — and preamble lines are typically
+  * narrower than the header, which would silently truncate every column
+  * past the preamble's width. Pass 1 finds the header row as raw text
+  * and parses just that line; pass 2 re-reads with an explicit all-string
+  * schema of the header's width (short rows pad with NULL).
   *
   * Row order: a single-file CSV read is ordered within its one split, and
   * `zipWithIndex` preserves partition-then-offset order, so the ordinals
@@ -27,16 +35,18 @@ object RosterReader {
     */
   def read(spark: SparkSession, path: String, headerRow: Int = 3,
            renames: Map[String, String] = DefaultRenames): DataFrame = {
-    val raw = spark.read
-      .option("header", "false").option("encoding", "UTF-8").csv(path)
-    val schema  = raw.schema
-    val indexed = raw.rdd.zipWithIndex()
+    import spark.implicits._
 
-    val headerVals = indexed.filter(_._2 == headerRow).map(_._1).collect() match {
-      case Array(row) => row.toSeq.map(v => if (v == null) "" else v.toString)
+    // Pass 1: the header LINE, parsed alone so its width wins.
+    val headerLine = spark.read.textFile(path).rdd.zipWithIndex()
+      .filter(_._2 == headerRow).map(_._1).collect() match {
+      case Array(line) => line
       case _ => throw new IllegalArgumentException(
         s"roster has no row $headerRow to promote to a header")
     }
+    val headerVals = spark.read.csv(Seq(headerLine).toDS())
+      .head().toSeq.map(v => if (v == null) "" else v.toString)
+
     // Uniquify blank/duplicate promoted names so toDF can't collide.
     val seen = scala.collection.mutable.Map.empty[String, Int]
     val names = headerVals.zipWithIndex.map { case (h, i) =>
@@ -46,9 +56,14 @@ object RosterReader {
       if (n == 0) base else s"${base}_$n"
     }
 
-    val data = indexed.filter(_._2 > headerRow).map(_._1)
-    val df   = spark.createDataFrame(data.asInstanceOf[org.apache.spark.rdd.RDD[Row]], schema)
-      .toDF(names: _*)
-    df.withColumnsRenamed(renames)
+    // Pass 2: explicit all-string schema at the header's width; narrow
+    // rows (preamble included) pad with NULLs instead of truncating the
+    // whole frame.
+    val schema = StructType(names.map(n => StructField(n, StringType, nullable = true)))
+    val raw = spark.read.schema(schema)
+      .option("header", "false").option("encoding", "UTF-8")
+      .option("mode", "PERMISSIVE").csv(path)
+    val data = raw.rdd.zipWithIndex().filter(_._2 > headerRow).map(_._1)
+    spark.createDataFrame(data, schema).withColumnsRenamed(renames)
   }
 }

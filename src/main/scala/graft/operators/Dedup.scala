@@ -19,35 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct character k-shingles. Shorter-than-k texts yield their
-    * whole text as the single shingle.
-    */
-  def charShingles(text: Column, k: Int): Column =
-    array_distinct(
-      transform(sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-        i => substr(text, i, lit(k))))
-
   /** Distinct word n-grams (space-joined). */
   def wordNgrams(tokens: Column, n: Int): Column =
     array_distinct(
       transform(sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
         i => array_join(slice(tokens, i, lit(n)), " ")))
-
-  /** Shingles hashed once to 64-bit longs — the signature then permutes
-    * LONGS, never re-touching the strings. Staging this as its own
-    * column matters: an expression inlined into the per-seed lambda
-    * would be re-evaluated once per hash function.
-    */
-  def hashShingles(shingles: Column): Column =
-    transform(shingles, s => xxhash64(s))
-
-  /** MinHash signature over pre-hashed shingles: element s is
-    * min over shingles of xxhash64(seed=s, shingleHash) — a fixed-width
-    * 12-byte hash per element, no string re-reads.
-    */
-  def minhashSignature(hashedShingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(hashedShingles, h => xxhash64(seed, h))))
 
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -62,16 +38,6 @@ object Dedup {
     * @param rowsPer  signature rows per band (bands*rowsPer hashes total)
     * @return distinct (a_id, b_id) with a_id < b_id
     */
-  /** Default shingling for near-dup detection: distinct word 3-grams.
-    * Granularity matters enormously for bucket health: character
-    * shingles of boilerplate-vocabulary corpora overlap at J≈0.2-0.3
-    * between UNRELATED docs, which floods every band bucket and turns
-    * LSH into an O(n²) verify; word n-grams keep unrelated docs at
-    * J≈0.01 so candidates ≈ true near-dups.
-    */
-  def defaultShingler(text: Column): Column =
-    wordNgrams(TextAnalysis.wordTokens(text), 3)
-
   /** Distinct hashed word n-grams, EXPLODED: one (id, gh) row per
     * distinct n-gram, built entirely from codegen'd expressions.
     *
@@ -160,8 +126,9 @@ object Dedup {
       .join(sizes.as("na"), col("a_id") === col("na.id"))
       .join(sizes.as("nb"), col("b_id") === col("nb.id"))
       .select(col("a_id"), col("b_id"),
-        round(col("inter") / (col("na.n") + col("nb.n") - col("inter")), 6).as("jaccard_sim"))
-      .filter(col("jaccard_sim") >= threshold)
+        (col("inter") / (col("na.n") + col("nb.n") - col("inter"))).as("jac_raw"))
+      .filter(col("jac_raw") >= threshold) // threshold on the RAW value
+      .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jaccard_sim"))
   }
 
   /** 64-bit SimHash from PRE-HASHED tokens: each bit's counter is a

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.etl.{MailSource, MoodleConfig, MoodleNormalize, RenderMail}
 import graft.fixtures.Fixtures
@@ -51,15 +50,11 @@ object EtlQueries {
     * and is guarded by mail-batch scale; large-scale paths drop order
     * semantics (SURVEY.md §7.4.1).
     */
-  def sendPlan(spark: SparkSession, dir: String): DataFrame = {
-    val users = MailSource.normalize(Fixtures.mailOld(spark, dir))
-    val w     = Window.orderBy("email")
-    users
-      .withColumn("idx", row_number().over(w).cast("long"))
-      .withColumn("total", count(lit(1)).over(Window.partitionBy()).cast("long"))
+  def sendPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.send.SmtpSink.withOrdinals(
+      MailSource.normalize(Fixtures.mailOld(spark, dir)), "email")
       .withColumn("remaining", (col("total") - col("idx")).cast("long"))
       .orderBy("idx")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "moodle_normalize"    -> (moodleNormalize _),

@@ -35,8 +35,10 @@ object MiscQueries {
     */
   def tableCounts(spark: SparkSession, dir: String): DataFrame = {
     val counts = Seq("customer", "orders", "lineitem").map { t =>
-      Tables.read(spark, dir, t).groupBy(lit(t).as("tbl"))
-        .agg(count(lit(1)).as("n_rows"))
+      // global agg (no groupBy): an empty table still yields its 0 row,
+      // matching the oracle's aggregate-without-GROUP-BY
+      Tables.read(spark, dir, t).agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("tbl"), col("n_rows"))
     }
     counts.reduce(_ unionByName _).orderBy("tbl")
   }

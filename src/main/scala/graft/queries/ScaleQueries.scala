@@ -58,8 +58,9 @@ object ScaleQueries {
       .join(sizes.as("na"), col("a_id") === col("na.id"))
       .join(sizes.as("nb"), col("b_id") === col("nb.id"))
       .select(col("a_id"), col("b_id"),
-        round(col("inter") / (col("na.n") + col("nb.n") - col("inter")), 6).as("jaccard_sim"))
-      .filter(col("jaccard_sim") >= 0.5)
+        (col("inter") / (col("na.n") + col("nb.n") - col("inter"))).as("jac_raw"))
+      .filter(col("jac_raw") >= 0.5) // filter RAW like the oracle; round only for display
+      .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jaccard_sim"))
       .orderBy("a_id", "b_id")
   }
 

@@ -77,6 +77,12 @@ object SmtpSink {
       else {
         val transport = factory.create()
         transport.open()
+        // Close exactly once when the task ends, whether the iterator is
+        // fully drained or cut short downstream (e.g. a limit).
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; transport.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         val out = rows.map { m =>
           var attempt = 0
           var done    = false
@@ -97,12 +103,12 @@ object SmtpSink {
           if (done) SendResult(m.idx, m.email, "sent", attempt, "")
           else SendResult(m.idx, m.email, "failed", attempt, lastErr)
         }
-        // Close the transport after the last row without materializing
-        // the whole partition.
+        // Also close eagerly at exhaustion (idempotent) so batch callers
+        // outside a task context release the connection promptly.
         new Iterator[SendResult] {
           def hasNext: Boolean = {
             val h = out.hasNext
-            if (!h) transport.close()
+            if (!h) closeOnce()
             h
           }
           def next(): SendResult = out.next()

@@ -29,11 +29,21 @@ object StatefulSessionize {
           var open   = state.getOption
           batch.toSeq.sortBy(_.ts_us).foreach { e =>
             open = open match {
-              case Some(s) if e.ts_us - s.last_us <= gapUs =>
-                Some(s.copy(last_us = e.ts_us, n = s.n + 1))
-              case Some(s) =>
+              // distance to the nearest session edge: a late event inside
+              // [start, last] or within the gap of either edge joins the
+              // session WITHOUT regressing last_us (or it would distort
+              // every later gap measurement)
+              case Some(s) if e.ts_us >= s.start_us - gapUs && e.ts_us <= s.last_us + gapUs =>
+                Some(SessState(math.min(s.start_us, e.ts_us),
+                  math.max(s.last_us, e.ts_us), s.n + 1))
+              case Some(s) if e.ts_us > s.last_us =>
                 closed += SessionOut(user, s.start_us, s.last_us, s.n)
                 Some(SessState(e.ts_us, e.ts_us, 1))
+              case Some(s) =>
+                // stale straggler older than start-gap: too late to
+                // attribute, count it as its own (already-closed) session
+                closed += SessionOut(user, e.ts_us, e.ts_us, 1)
+                Some(s)
               case None =>
                 Some(SessState(e.ts_us, e.ts_us, 1))
             }

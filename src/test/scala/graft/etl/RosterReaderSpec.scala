@@ -45,7 +45,10 @@ class RosterReaderSpec extends AnyFunSuite {
     val data = (1 to 200).map(i => s"$i-0,N$i,S$i,n$i@x.cl")
     val path = writeCsv(Seq("p", "p", "p",
       "Rut (con punto y con guión),Nombres ,Apellidos,Correo electrónico") ++ data)
-    val ruts = RosterReader.read(spark, path).collect().map(_.getString(0))
+    val df = RosterReader.read(spark, path)
+    // narrow single-field preamble must NOT truncate the schema
+    assert(df.columns.toSeq == Seq("rut", "nombres", "apellidos", "email"))
+    val ruts = df.collect().map(_.getString(0))
     assert(ruts.toSeq == (1 to 200).map(i => s"$i-0"))
   }
 

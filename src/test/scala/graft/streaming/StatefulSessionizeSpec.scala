@@ -42,4 +42,29 @@ class StatefulSessionizeSpec extends AnyFunSuite {
         SessionOut(2L, 40L, 90L, 2)))
     } finally query.stop()
   }
+
+  test("late cross-batch event joins the open session without regressing its end") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sess2")
+    val raw = spark.readStream.schema("user_id LONG, ts_us LONG")
+      .option("header", "true").csv(dir.toString)
+    val out = StatefulSessionize(raw.as[EventIn], gapUs = 100L)
+    val query = out.writeStream.format("memory").queryName("sessions2")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck3").toString)
+      .start()
+    try {
+      Files.writeString(dir.resolve("b1.csv"), "user_id,ts_us\n1,500\n")
+      query.processAllAvailable()
+      // 480 arrives late (within gap of the open session's span): must
+      // extend start backwards, NOT regress last_us — so the following
+      // 560 still measures its gap from 500.
+      Files.writeString(dir.resolve("b2.csv"), "user_id,ts_us\n1,480\n1,560\n")
+      query.processAllAvailable()
+      Files.writeString(dir.resolve("b3.csv"), "user_id,ts_us\n1,99999\n")
+      query.processAllAvailable()
+      val closed = spark.table("sessions2").as[SessionOut].collect().toSet
+      assert(closed == Set(SessionOut(1L, 480L, 560L, 3)))
+    } finally query.stop()
+  }
 }
