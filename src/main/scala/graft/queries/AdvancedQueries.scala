@@ -115,6 +115,30 @@ object AdvancedQueries {
     GROUP BY event_type
     ORDER BY event_type"""
 
+  /** Skew-salted join: nation revenue via customer ⋈ orders where the
+    * join spreads each customer key over 8 salts (orders side salted by
+    * order key, customers replicated). The oracle is the PLAIN join —
+    * salting must be invisible in the result.
+    */
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.read(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+    val customers = Tables.read(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    graft.operators.Partitioning
+      .skewSaltedJoin(orders, customers, "custkey", salts = 8, col("o_orderkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), sumExact(col("o_totalprice")).as("sum_total"))
+      .orderBy("c_nationkey")
+  }
+
+  val joinSkewSaltedSql: String = """
+    SELECT c_nationkey, count(*) AS n_orders,
+      cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey"""
+
   /** Exact interpolated percentiles per event type (median + p90). */
   def percentilesQ(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -136,6 +160,7 @@ object AdvancedQueries {
     "events_json"  -> (eventsJson _),
     "fuzzy_names"  -> (fuzzyNames _),
     "agg_salted"   -> (aggSalted _),
+    "join_skew_salted" -> (joinSkewSalted _),
     "percentiles"  -> (percentilesQ _))
 
   val oracle: Map[String, String] = Map(
@@ -144,5 +169,6 @@ object AdvancedQueries {
     "events_json"  -> eventsJsonSql,
     "fuzzy_names"  -> fuzzyNamesSql,
     "agg_salted"   -> aggSaltedSql,
+    "join_skew_salted" -> joinSkewSaltedSql,
     "percentiles"  -> percentilesSql)
 }
