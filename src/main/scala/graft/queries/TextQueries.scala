@@ -174,6 +174,47 @@ object TextQueries {
     FROM documents
     ORDER BY doc_id"""
 
+  // -------------------------------------------------- corpus analytics
+
+  /** Token explode → per-source top-3 words (Generator + keyed top-k:
+    * the canonical corpus-vocabulary query; ties broken lexically).
+    */
+  def topWords(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.topKPerGroup(
+      docs(spark, dir)
+        .select(col("source"), explode(wordTokens(lower(col("text")))).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("n")),
+      Seq("source"), col("n"), col("word"), 3)
+      .orderBy("source", "rk")
+
+  val topWordsSql: String = """
+    WITH w AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents),
+    counted AS (
+      SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, word, n,
+        cast(row_number() OVER (PARTITION BY source ORDER BY n DESC, word) AS BIGINT) AS rk
+      FROM counted)
+    SELECT source, word, n, rk FROM ranked WHERE rk <= 3
+    ORDER BY source, rk"""
+
+  /** Regex field extraction: numeric id out of the doc source tag. */
+  def regexExtract(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      regexp_extract(col("source"), "src(\\d+)", 1).cast("long").as("src_num"),
+      regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"))
+      .orderBy("doc_id")
+
+  val regexExtractSql: String = """
+    SELECT doc_id,
+      cast(regexp_extract(source, 'src(\d+)', 1) AS BIGINT) AS src_num,
+      regexp_extract(text, '^(\w+)', 1) AS first_word
+    FROM documents
+    ORDER BY doc_id"""
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -183,7 +224,9 @@ object TextQueries {
     "quality_score"   -> (qualityScoreQ _),
     "doc_fingerprint" -> (docFingerprint _),
     "dedup_exact"     -> (dedupExact _),
-    "multimodal_meta" -> (multimodalMeta _))
+    "multimodal_meta" -> (multimodalMeta _),
+    "top_words"       -> (topWords _),
+    "regex_extract"   -> (regexExtract _))
 
   val oracle: Map[String, String] = Map(
     "text_stats"      -> textStatsSql,
@@ -192,5 +235,7 @@ object TextQueries {
     "quality_score"   -> qualityScoreSql,
     "doc_fingerprint" -> docFingerprintSql,
     "dedup_exact"     -> dedupExactSql,
-    "multimodal_meta" -> multimodalMetaSql)
+    "multimodal_meta" -> multimodalMetaSql,
+    "top_words"       -> topWordsSql,
+    "regex_extract"   -> regexExtractSql)
 }
