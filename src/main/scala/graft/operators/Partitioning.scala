@@ -25,9 +25,13 @@ object Partitioning {
     */
   def skewSaltedJoin(big: DataFrame, small: DataFrame, key: String,
                      salts: Int, bigSaltSrc: Column): DataFrame = {
-    val saltedBig = big.withColumn("__salt", pmod(xxhash64(bigSaltSrc), lit(salts)))
-    val replicatedSmall = small.withColumn("__salt",
+    require(salts > 0, s"salts must be positive, got $salts")
+    val saltCol = "__graft_salt"
+    require(!big.columns.contains(saltCol) && !small.columns.contains(saltCol),
+      s"inputs must not already carry a $saltCol column")
+    val saltedBig = big.withColumn(saltCol, pmod(xxhash64(bigSaltSrc), lit(salts)))
+    val replicatedSmall = small.withColumn(saltCol,
       explode(sequence(lit(0L), lit(salts - 1L))))
-    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+    saltedBig.join(replicatedSmall, Seq(key, saltCol)).drop(saltCol)
   }
 }

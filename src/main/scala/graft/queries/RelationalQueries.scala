@@ -15,7 +15,7 @@ object RelationalQueries {
     * 0-counts for the order-less (null-extension semantics).
     */
   def joinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.read(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val c = Tables.read(spark, dir, "customer").select("c_custkey")
     val o = Tables.read(spark, dir, "orders")
       .filter(col("o_orderstatus") === "O").select("o_custkey", "o_totalprice")
     c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")

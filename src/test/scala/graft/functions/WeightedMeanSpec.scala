@@ -15,8 +15,7 @@ class WeightedMeanSpec extends AnyFunSuite {
     val wm = udaf(WeightedMean)
     val one  = data.toDF("v", "w").coalesce(1)
       .agg(wm($"v", $"w")).head().getDouble(0)
-    val many = spark.createDataFrame(data.map(Tuple2.apply[Double, Double] _ tupled _))
-      .toDF("v", "w").repartition(5)
+    val many = data.toDF("v", "w").repartition(5)
       .agg(wm($"v", $"w")).head().getDouble(0)
 
     assert(math.abs(one - expected) < 1e-9)

@@ -46,10 +46,29 @@ class StreamJoinSpec extends AnyFunSuite {
           |2,2024-01-01 11:00:00
           |""".stripMargin)
       q.processAllAvailable()
+
+      // advance the watermark far past the morning (22:00 - 2h = 20:00
+      // event-time watermark once processed)
+      Files.writeString(clickDir.resolve("c2.csv"),
+        "user_id,click_ts\n5,2024-01-01 22:00:00\n")
+      Files.writeString(buyDir.resolve("b2.csv"),
+        "user_id,buy_ts\n5,2024-01-01 22:10:00\n")
+      q.processAllAvailable()
+
+      // this pair WOULD match by predicate, but both events are far
+      // older than the watermark: state for them was evicted / input
+      // dropped, so no row may appear
+      Files.writeString(clickDir.resolve("c3.csv"),
+        "user_id,click_ts\n9,2024-01-01 09:00:00\n")
+      Files.writeString(buyDir.resolve("b3.csv"),
+        "user_id,buy_ts\n9,2024-01-01 09:10:00\n")
+      q.processAllAvailable()
     } finally q.stop()
 
     val got = spark.table("attrib").select("user_id").collect().map(_.getLong(0)).toSet
-    // user 1: buy 30 min after click -> attributed; user 2: 3 h later -> not
-    assert(got == Set(1L))
+    // user 1: buy 30 min after click -> attributed; user 2: 3 h later ->
+    // not; user 5: in-window pair after watermark advance -> attributed;
+    // user 9: would-match pair behind the watermark -> dropped
+    assert(got == Set(1L, 5L))
   }
 }
