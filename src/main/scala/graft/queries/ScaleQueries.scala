@@ -165,6 +165,24 @@ object ScaleQueries {
     WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
     ORDER BY a_id, b_id"""
 
+  /** Cross-modal join: text-side quality metadata joined with the
+    * vector-side norm for the overlapping ids — the shape of a curation
+    * pass that gates on BOTH text quality and embedding sanity.
+    */
+  def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("n_chars_m"))
+    val e = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
+      .select(col("id").as("doc_id"), round(col("nrm"), 6).as("emb_norm"))
+    d.join(e, "doc_id").orderBy("doc_id")
+  }
+
+  val multimodalJoinSql: String = """
+    SELECT doc_id, lang, cast(length(text) AS BIGINT) AS n_chars_m,
+      round(sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))), 6) AS emb_norm
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    ORDER BY doc_id"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -175,11 +193,13 @@ object ScaleQueries {
     "knn_lsh"       -> (knnLsh _),
     "knn_ivf"       -> (knnIvf _),
     "fingerprint_winnow" -> (fingerprintWinnow _),
+    "multimodal_join" -> (multimodalJoin _),
     "emb_near_dup"  -> (embNearDup _))
 
   val oracle: Map[String, String] = Map(
     "dedup_ngram"  -> dedupNgramSql,
     "fingerprint_winnow" -> fingerprintWinnowSql,
+    "multimodal_join" -> multimodalJoinSql,
     "knn_brute"    -> knnBruteSql,
     "emb_near_dup" -> embNearDupSql)
 }
