@@ -51,6 +51,21 @@ class MailSourceSpec extends AnyFunSuite {
     assert(out.count() == 1)
   }
 
+  test("source with no email column yields an empty queue, not an error") {
+    val out = MailSource.normalize(
+      Seq(("x", "y")).toDF("nombre", "usuario"))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("email", "nombre", "usuario", "contrasena"))
+  }
+
+  test("normalized output never contains a NULL field (dialect coalesce totality)") {
+    val out = MailSource.normalize(
+      Seq(("a@x.cl", ""), ("b@x.cl", "u2")).toDF("email", "username"))
+      .as[MailUser].collect()
+    assert(out.forall(u =>
+      u.email != null && u.nombre != null && u.usuario != null && u.contrasena != null))
+  }
+
   test("uppercase headers are normalized, not dropped (documented divergence, SURVEY §1.3)") {
     val out = MailSource.normalize(
       Seq(("a@x.cl", "Ana", "u1", "p1")).toDF("Email", "Nombre", "Usuario", "Contrasena"))
