@@ -64,4 +64,31 @@ object Multimodal {
         }
       }
   }
+
+  /** Resize stage (STUB kernel, real plumbing): scale the spatial
+    * metadata to fit a bounding box, aspect-preserving. A real codec
+    * would transform pixel buffers here; the typed shape, per-partition
+    * execution, and downstream schema are identical.
+    */
+  def resize(decoded: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { m =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+      m.copy(width = math.max(1, (m.width * scale).toInt),
+        height = math.max(1, (m.height * scale).toInt))
+    })
+  }
+
+  /** Frame-sample stage: every `stride`-th frame index per video row,
+    * exploded to one row per sampled frame. Stills emit frame 0 only.
+    * Row-count amplification happens AFTER the (expensive) decode, which
+    * is the ordering that matters at scale.
+    */
+  def sampleFrames(decoded: Dataset[MediaFeatures], stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    decoded.toDF()
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"), col("kind"), col("frame_idx"), col("width"), col("height"))
+  }
 }

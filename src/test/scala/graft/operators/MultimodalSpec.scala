@@ -27,6 +27,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(0).width == out(1).width)
   }
 
+  test("resize preserves aspect ratio and bounds both dimensions") {
+    val docs = Seq((0L, "s", "some payload text here")).toDF("doc_id", "source", "text")
+    val before = Multimodal.decode(Multimodal.withPayload(docs)).head()
+    val after = Multimodal.resize(
+      Multimodal.decode(Multimodal.withPayload(docs)), 64, 64).head()
+    assert(after.width <= 64 && after.height <= 64)
+    val ratioBefore = before.width.toDouble / before.height
+    val ratioAfter  = after.width.toDouble / after.height
+    assert(math.abs(ratioBefore - ratioAfter) / ratioBefore < 0.1)
+  }
+
+  test("frame sampling emits one row per strided frame; stills emit frame 0") {
+    val docs = Seq(
+      (0L, "s", "img doc"),                  // doc 0 -> image (1 frame)
+      (2L, "s", "video doc with frames"))    // doc 2 -> video (n frames)
+      .toDF("doc_id", "source", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decode(Multimodal.withPayload(docs)), stride = 7)
+      .collect().groupBy(_.getLong(0))
+    assert(frames(0L).map(_.getInt(2)).toSeq == Seq(0))
+    val vidIdx = frames(2L).map(_.getInt(2)).toSeq
+    assert(vidIdx.head == 0 && vidIdx == vidIdx.sorted)
+    assert(vidIdx.zip(vidIdx.tail).forall { case (a, b) => b - a == 7 })
+  }
+
   test("decode runs on the real documents table end-to-end") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = Multimodal.decode(Multimodal.withPayload(docs)).count()
