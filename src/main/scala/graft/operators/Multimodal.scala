@@ -71,11 +71,14 @@ object Multimodal {
     * execution, and downstream schema are identical.
     */
   def resize(decoded: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    require(maxW > 0 && maxH > 0, s"bounding box must be positive, got ${maxW}x$maxH")
     import decoded.sparkSession.implicits._
     decoded.mapPartitions(_.map { m =>
       val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
-      m.copy(width = math.max(1, (m.width * scale).toInt),
-        height = math.max(1, (m.height * scale).toInt))
+      // round (not truncate) and clamp: extreme aspect ratios still land
+      // as close to the true scaled shape as an integer grid allows
+      m.copy(width = math.min(maxW, math.max(1, math.round(m.width * scale).toInt)),
+        height = math.min(maxH, math.max(1, math.round(m.height * scale).toInt)))
     })
   }
 
