@@ -15,11 +15,13 @@ import graft.functions.{DeAccent, DotProduct}
   * other operator composes from Spark built-ins by design (SURVEY.md §7.3).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Graft.functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name, usage), builder))
     }
+    ext.injectOptimizerRule(graft.plans.CollapseDeAccent)
+  }
 }
 
 object Graft {
