@@ -26,11 +26,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object Graft {
 
+  /** Wrong arity surfaces as the standard WRONG_NUM_ARGS analysis error
+    * (like any built-in), not a NoSuchElementException from blind
+    * indexing.
+    */
+  private def arity(name: String, expected: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs =>
+      if (exprs.length == expected) build(exprs)
+      else throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> s"`$name`", "expectedNum" -> expected.toString,
+          "actualNum" -> exprs.length.toString, "docroot" -> "https://spark.apache.org/docs/latest"))
+
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("deaccent", "deaccent(str) - NFKD-decompose and strip combining marks",
-      exprs => DeAccent(exprs.head)),
+      arity("deaccent", 1)(exprs => DeAccent(exprs.head))),
     ("dot_product", "dot_product(a, b) - fused dot product of two numeric arrays",
-      exprs => DotProduct(exprs(0), exprs(1))))
+      arity("dot_product", 2)(exprs => DotProduct(exprs(0), exprs(1)))))
 
   /** Register the custom functions on a live session's registry. */
   def register(spark: SparkSession): Unit =

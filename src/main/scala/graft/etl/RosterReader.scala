@@ -58,10 +58,14 @@ object RosterReader {
 
     // Pass 2: explicit all-string schema at the header's width; narrow
     // rows (preamble included) pad with NULLs instead of truncating the
-    // whole frame.
+    // whole frame. multiLine=false pinned explicitly: pass 1 indexed
+    // PHYSICAL lines, so pass 2's records must be physical lines too — a
+    // quoted embedded newline before the header would otherwise shift
+    // every index and promote the wrong row.
     val schema = StructType(names.map(n => StructField(n, StringType, nullable = true)))
     val raw = spark.read.schema(schema)
       .option("header", "false").option("encoding", "UTF-8")
+      .option("multiLine", "false")
       .option("mode", "PERMISSIVE").csv(path)
     val data = raw.rdd.zipWithIndex().filter(_._2 > headerRow).map(_._1)
     spark.createDataFrame(data, schema).withColumnsRenamed(renames)

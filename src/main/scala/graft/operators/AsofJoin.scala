@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  private val Reserved = Seq("__ts", "__side", "__r", "__rseq", "__match")
+
   /** @param left     left frame
     * @param right    right frame
     * @param key      equi-join key column name (both sides)
@@ -25,12 +27,20 @@ object AsofJoin {
     * @param rightTs  right ordering column name
     * @param leftSeq  unique per-key tiebreak on the left (determinism)
     * @param rightPayload right columns to carry (renamed as given)
+    * @param rightSeq unique per-key tiebreak on the right: when several
+    *                 right rows share (key, ts), the one with the LARGEST
+    *                 seq wins deterministically. Pass None only if such
+    *                 ties are impossible in the input.
     * @return left rows + carried right payload; unmatched left rows are
     *         dropped (inner as-of, like DuckDB's ASOF JOIN default)
     */
   def apply(left: DataFrame, right: DataFrame, key: String,
             leftTs: String, rightTs: String, leftSeq: String,
-            rightPayload: Map[String, String]): DataFrame = {
+            rightPayload: Map[String, String],
+            rightSeq: Option[String] = None): DataFrame = {
+    val clash = (left.columns ++ right.columns).filter(Reserved.contains)
+    require(clash.isEmpty,
+      s"as-of join inputs may not use reserved column names: ${clash.mkString(", ")}")
     val leftCols = left.columns
     val l = left
       .withColumn("__ts", col(leftTs))
@@ -39,15 +49,18 @@ object AsofJoin {
     val r = right
       .select(col(key) +: col(rightTs).as("__ts") +: Seq(
         lit(1).as("__side"),
+        rightSeq.map(col).getOrElse(lit(null).cast("string")).as("__rseq"),
         struct(rightPayload.map { case (from, to) => col(from).as(to) }.toSeq: _*).as("__r")): _*)
     val unioned = l.select(
       (leftCols.map(col) :+ col("__ts") :+ col("__side") :+ col("__r")): _*)
       .unionByName(r, allowMissingColumns = true)
 
     // left rows sort BEFORE right rows at equal __ts (strict <); the
-    // per-key sequence column breaks remaining ties deterministically.
+    // per-side sequence columns break remaining ties deterministically
+    // (left rows all have NULL __rseq; right rows all have NULL leftSeq).
     val w = Window.partitionBy(key)
-      .orderBy(col("__ts"), col("__side"), col(leftSeq).asc_nulls_last)
+      .orderBy(col("__ts"), col("__side"), col(leftSeq).asc_nulls_last,
+        col("__rseq").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))

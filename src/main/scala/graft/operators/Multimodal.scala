@@ -27,8 +27,10 @@ object Multimodal {
     docs.select(
       col("doc_id"), col("source"),
       col("text").cast("binary").as("payload"),
+      // pmod, not %: Spark % keeps the dividend's sign, so a negative
+      // doc_id would index 0/-1 and throw or wrap instead of cycling.
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"))
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"))
 
   /** STUB decode kernel — deterministic fake standing in for a real
     * codec. Replace the body (only) with e.g. javax.imageio / ffmpeg

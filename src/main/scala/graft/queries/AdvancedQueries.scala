@@ -24,7 +24,8 @@ object AdvancedQueries {
       .select(col("user_id").as("s_user"), col("event_id").as("s_event"), col("ts_us").as("s_ts"))
     AsofJoin(purchases, signups.withColumnRenamed("s_user", "user_id"),
         key = "user_id", leftTs = "ts_us", rightTs = "s_ts", leftSeq = "event_id",
-        rightPayload = Map("s_event" -> "s_event", "s_ts" -> "s_ts"))
+        rightPayload = Map("s_event" -> "s_event", "s_ts" -> "s_ts"),
+        rightSeq = Some("s_event"))
       .select(col("event_id"), col("user_id"), col("s_event"),
         (col("ts_us") - col("s_ts")).as("gap_us"))
       .orderBy("event_id")

@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Engine-wide convention: parquet TIMESTAMP(NANOS) columns surface as
+    * raw epoch-nanos longs. Our session builders (Bench/Verify/TestSpark)
+    * set this at construction; for externally-built sessions (the
+    * driver's) this applies it once, only if unset — never flipping a
+    * caller's explicit choice mid-session.
+    */
+  def ensureNanosAsLong(spark: SparkSession): Unit =
+    if (!spark.conf.getOption(NanosFlag).contains("true"))
+      spark.conf.set(NanosFlag, "true")
+
+  val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -21,7 +33,7 @@ object Tables {
     * `cast(ts_ns AS TIMESTAMP)` truncation for positive epochs.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     read(spark, dir, "events")
       // `div`, not `/`: epoch-nanos (~1.7e18) overflow double's 2^53 exact
       // integer range, so float division would corrupt the microseconds.

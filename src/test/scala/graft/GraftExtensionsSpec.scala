@@ -14,6 +14,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(1) == 11.0)
   }
 
+  test("wrong arity raises a clean WRONG_NUM_ARGS analysis error, not an index crash") {
+    Graft.register(spark)
+    for (bad <- Seq("SELECT deaccent('a', 'b')", "SELECT dot_product(array(1.0D))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(bad).head())
+      assert(e.getCondition != null && e.getCondition.startsWith("WRONG_NUM_ARGS"), bad)
+    }
+  }
+
   test("extensions class injects without error at session build time") {
     // SparkSessionExtensions is a plain public class; applying the
     // injector must register both functions.

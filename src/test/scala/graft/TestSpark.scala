@@ -16,6 +16,7 @@ object TestSpark {
         s"jdbc:derby:;databaseName=$wh/metastore_db;create=true")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.sources.Tables.NanosFlag, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -52,6 +52,19 @@ class RosterReaderSpec extends AnyFunSuite {
     assert(ruts.toSeq == (1 to 200).map(i => s"$i-0"))
   }
 
+  test("quoted embedded newline in the preamble does not shift the header index") {
+    // the quoted field spans two PHYSICAL lines; both passes must index
+    // physical lines (multiLine=false) or the header promotion desyncs
+    val path = writeCsv(Seq(
+      "\"Listado", "oficial\",,,",
+      ",,,",
+      "Rut (con punto y con guión),Nombres ,Apellidos,Correo electrónico",
+      "1-9,Ana,Soto,a@x.cl"))
+    val df = RosterReader.read(spark, path)
+    assert(df.columns.toSeq == Seq("rut", "nombres", "apellidos", "email"))
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("Ana"))
+  }
+
   test("missing header row fails fast") {
     val path = writeCsv(Seq("only,one,row"))
     intercept[IllegalArgumentException](RosterReader.read(spark, path))

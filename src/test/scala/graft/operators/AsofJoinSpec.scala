@@ -43,6 +43,27 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L)))
   }
 
+  test("right rows tied on (key, ts) resolve deterministically to the largest rightSeq") {
+    val l = Seq((1L, 7L, 100L)).toDF("id", "k", "ts")
+    // three right rows at the same instant: the seq tiebreak must pick 12
+    val r = Seq((11L, 7L, 50L), (12L, 7L, 50L), (10L, 7L, 50L)).toDF("r_id", "k", "r_ts")
+    (1 to 5).foreach { _ =>
+      val got = AsofJoin(l, r.repartition(4), "k", "ts", "r_ts", "id",
+        Map("r_id" -> "r_id"), rightSeq = Some("r_id"))
+        .select("id", "r_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 12L)))
+    }
+  }
+
+  test("reserved internal column names on either input are rejected") {
+    val l = Seq((1L, 7L, 100L)).toDF("id", "k", "__ts")
+    val r = Seq((10L, 7L, 50L)).toDF("r_id", "k", "r_ts")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin(l, r, "k", "__ts", "r_ts", "id", Map("r_id" -> "r_id"))
+    }
+    assert(e.getMessage.contains("__ts"))
+  }
+
   test("single shuffle on the key: no range or nested-loop join in the plan") {
     val l = Seq((1L, 7L, 100L)).toDF("id", "k", "ts")
     val r = Seq((10L, 7L, 50L)).toDF("r_id", "k", "r_ts")
