@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Scored, TopKAgg}
+import graft.operators.{DupClusters, RangeJoin, TextAnalysis}
+import graft.operators.Relational._
+import graft.sources.Tables
+
+/** Round-2 relational + scale batch: grouping sets, distribution windows,
+  * unpivot, correlated subqueries, deterministic hash sampling, exact
+  * moment statistics, the bucketed range join, the bounded top-k
+  * aggregate, near-dup clustering, and the pure-SQL engine surface.
+  */
+object ExtendedQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** GROUPING SETS with explicitly chosen combinations (finer than CUBE:
+    * only the rollups a report actually needs get computed).
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_returnflag"), col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumExact(col("l_quantity")).as("sum_qty"))
+      .orderBy(
+        col("l_returnflag").isNull.cast("int"), col("l_returnflag"),
+        col("l_linestatus").isNull.cast("int"), col("l_linestatus"))
+
+  val groupingSetsSql: String = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+      cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+    ORDER BY (l_returnflag IS NULL), l_returnflag,
+             (l_linestatus IS NULL), l_linestatus"""
+
+  /** Distribution windows: quartile bucket, percent rank, cumulative
+    * distribution per priority. The orderkey tiebreak makes every rank
+    * (and therefore every derived double) deterministic.
+    */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.read(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
+  val windowNtileSql: String = """
+    SELECT o_orderkey, o_orderpriority,
+      cast(ntile(4) OVER w AS BIGINT) AS quartile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey"""
+
+  /** Wide-to-long unpivot (melt) of per-priority aggregates. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        sumExact(col("o_totalprice")).as("sum_total"))
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("sum_total")), "metric", "value")
+      .orderBy("o_orderpriority", "metric")
+
+  val unpivotMetricsSql: String = """
+    WITH a AS (
+      SELECT o_orderpriority, cast(count(*) AS DOUBLE) AS n_orders,
+        cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+      FROM orders GROUP BY 1)
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM a
+    UNION ALL
+    SELECT o_orderpriority, 'sum_total' AS metric, sum_total AS value FROM a
+    ORDER BY o_orderpriority, metric"""
+
+  /** Correlated EXISTS / NOT EXISTS — Catalyst rewrites both to
+    * semi/anti joins; the SQL text runs verbatim on either engine.
+    */
+  val existsSubquerySql: String = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    ORDER BY c_custkey"""
+
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(existsSubquerySql)
+  }
+
+  /** Scalar subquery in a predicate (exact-decimal mean, so the
+    * threshold is partition-order independent).
+    */
+  val scalarSubquerySql: String = """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT cast(sum(cast(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                         / cast(count(*) AS DOUBLE) FROM customer)
+    ORDER BY c_custkey"""
+
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(scalarSubquerySql)
+  }
+
+  private def registerViews(spark: SparkSession, dir: String): Unit = {
+    Tables.read(spark, dir, "customer").createOrReplaceTempView("customer")
+    Tables.read(spark, dir, "orders").createOrReplaceTempView("orders")
+  }
+
+  /** Deterministic ~10% sample: rows whose md5(key) bucket falls under
+    * the rate. Unlike `TABLESAMPLE`/`df.sample`, the SAME rows are chosen
+    * on every engine, every run, every cluster size — the reproducible-
+    * pipeline way to sample (at production scale swap md5 for xxhash64
+    * and keep the bucket arithmetic).
+    */
+  private def hashBucket(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "customer")
+      .filter(hashBucket(col("c_custkey")) < 10)
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val sampleHashSql: String = """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    ORDER BY c_custkey"""
+
+  /** Stratified deterministic sample: per-stratum rates (20% BUILDING,
+    * 5% elsewhere) off the same hash bucket.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "customer")
+      .filter(hashBucket(col("c_custkey")) <
+        when(col("c_mktsegment") === "BUILDING", 20).otherwise(5))
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val sampleStratifiedSql: String = """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      < (CASE WHEN c_mktsegment = 'BUILDING' THEN 20 ELSE 5 END)
+    ORDER BY c_custkey"""
+
+  /** Correlation / covariance / stddev from exact decimal moments: the
+    * five sums accumulate as DECIMAL (associative, partition-order
+    * independent), and the float math happens once per group in a fixed
+    * expression order — so Spark and the oracle agree bit-for-bit, which
+    * `corr()`-style streaming aggregates cannot guarantee across engines.
+    */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    val moments = Tables.read(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+    val nD = col("n").cast("double")
+    // round(…,6): C++ engines may contract a*b - c*d into an FMA, which
+    // rounds once where the JVM rounds twice — a 1-ulp wobble the
+    // display rounding absorbs.
+    moments.select(col("l_returnflag"), col("n"),
+      round((nD * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+         sqrt(nD * col("syy") - col("sy") * col("sy"))), 6).as("corr_qp"),
+      round((col("sxy") - col("sx") * col("sy") / nD) / (nD - 1), 6).as("covar_qp"),
+      round(sqrt((col("sxx") - col("sx") * col("sx") / nD) / (nD - 1)), 6).as("sd_q"))
+      .orderBy("l_returnflag")
+  }
+
+  val statsMomentsSql: String = """
+    WITH m AS (
+      SELECT l_returnflag, count(*) AS n,
+        cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        cast(sum(cast(l_quantity AS DECIMAL(19,6)) * cast(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        cast(sum(cast(l_extendedprice AS DECIMAL(19,6)) * cast(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+        cast(sum(cast(l_quantity AS DECIMAL(19,6)) * cast(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n,
+      round((cast(n AS DOUBLE) * sxy - sx * sy)
+        / (sqrt(cast(n AS DOUBLE) * sxx - sx * sx) * sqrt(cast(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qp,
+      round((sxy - sx * sy / cast(n AS DOUBLE)) / (cast(n AS DOUBLE) - 1), 6) AS covar_qp,
+      round(sqrt((sxx - sx * sx / cast(n AS DOUBLE)) / (cast(n AS DOUBLE) - 1)), 6) AS sd_q
+    FROM m
+    ORDER BY l_returnflag"""
+
+  /** Bucketed range join ([[RangeJoin]]): every purchase with the count
+    * of the same user's clicks in the strictly-preceding hour.
+    */
+  def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_ts"))
+    val pairs = RangeJoin.before(purchases, clicks, "user_id", "ts_us", "c_ts",
+      windowUs = 3600000000L, rightPayload = Map("c_ts" -> "c_seen"))
+    val counts = pairs.groupBy("event_id").agg(count(lit(1)).as("n_clicks_1h"))
+    purchases.join(counts, Seq("event_id"), "left_outer")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"))
+      .orderBy("event_id")
+  }
+
+  val rangeJoinEventsSql: String = """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+    p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, count(c.ts_us) AS n_clicks_1h
+    FROM p LEFT JOIN c ON p.user_id = c.user_id
+      AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us < p.ts_us
+    GROUP BY p.event_id, p.user_id
+    ORDER BY p.event_id"""
+
+  /** Top-3 orders by price per priority via the k-bounded AGGREGATE
+    * ([[TopKAgg]]): map-side combine caps the shuffle at k rows per
+    * (group, partition) — no global per-group sort, unlike the
+    * row_number window the oracle uses.
+    */
+  def topkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new TopKAgg(3), Encoders.product[Scored])
+    Tables.read(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("t"))
+      .select(col("o_orderpriority"),
+        posexplode(arrays_zip(col("t.scores").as("total"), col("t.ids").as("o_orderkey"))))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.total").as("total"), col("col.o_orderkey").as("o_orderkey"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  val topkAggSql: String = """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice, o_orderkey,
+        row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+    SELECT o_orderpriority, cast(rk AS BIGINT) AS rk,
+      o_totalprice AS total, o_orderkey
+    FROM ranked WHERE rk <= 3
+    ORDER BY o_orderpriority, rk"""
+
+  /** Near-dup clustering: winnow-fingerprint overlap edges (same source)
+    * → connected components → every document labeled with its canonical
+    * (minimum) cluster id. The oracle recomputes the same components via
+    * a recursive CTE.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val wf = TextAnalysis.winnowFingerprints(d, "doc_id", "text", n = 3, w = 4)
+      .join(d.select(col("doc_id").as("id"), col("source")), "id")
+    val edges = wf.as("a").join(wf.as("b"),
+        col("a.source") === col("b.source") && col("a.fp") === col("b.fp") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst")).distinct()
+    DupClusters.connectedComponents(d.select(col("doc_id").as("id")), edges)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val dupClustersSql: String = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, source, i, md5(array_to_string(t[i+1:i+3], ' ')) AS gh
+      FROM toks, unnest(range(0, greatest(len(t)-3, 0) + 1)) AS u(i)),
+    wins AS (
+      SELECT DISTINCT doc_id, source, min(gh) OVER (PARTITION BY doc_id ORDER BY i
+        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM grams),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst FROM wins a
+      JOIN wins b ON a.source = b.source AND a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    r(n, m) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.n, u.dst FROM r JOIN und u ON u.src = r.m)
+    SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n ORDER BY doc_id"""
+
+  /** The engine's SQL surface end-to-end: the username derivation of the
+    * ETL (F2/F4/F8) written as ONE SQL string against a temp view, using
+    * the injected `deaccent` — what a SQL-first user of the library
+    * actually types.
+    */
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.register(spark)
+    graft.fixtures.Fixtures.roster(spark, dir).createOrReplaceTempView("roster_sql")
+    spark.sql("""
+      SELECT rut,
+        deaccent(lower(translate(
+          split(trim(nombres), '\\s+')[0] || split(trim(apellidos), '\\s+')[0],
+          ' .,''"', ''))) AS username
+      FROM roster_sql
+      WHERE rut IS NOT NULL AND nombres IS NOT NULL
+      ORDER BY rut""")
+  }
+
+  val sqlSurfaceSql: String = """
+    WITH roster_sql AS (%s)
+    SELECT rut,
+      strip_accents(lower(translate(
+        string_split_regex(trim(nombres), '\s+')[1] || string_split_regex(trim(apellidos), '\s+')[1],
+        ' .,''"', ''))) AS username
+    FROM roster_sql
+    WHERE rut IS NOT NULL AND nombres IS NOT NULL
+    ORDER BY rut""".format(graft.fixtures.Fixtures.rosterSql)
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "grouping_sets"     -> (groupingSets _),
+    "window_ntile"      -> (windowNtile _),
+    "unpivot_metrics"   -> (unpivotMetrics _),
+    "exists_subquery"   -> (existsSubquery _),
+    "scalar_subquery"   -> (scalarSubquery _),
+    "sample_hash"       -> (sampleHash _),
+    "sample_stratified" -> (sampleStratified _),
+    "stats_moments"     -> (statsMoments _),
+    "range_join_events" -> (rangeJoinEvents _),
+    "topk_agg"          -> (topkAgg _),
+    "dup_clusters"      -> (dupClusters _),
+    "sql_surface"       -> (sqlSurface _))
+
+  val oracle: Map[String, String] = Map(
+    "grouping_sets"     -> groupingSetsSql,
+    "window_ntile"      -> windowNtileSql,
+    "unpivot_metrics"   -> unpivotMetricsSql,
+    "exists_subquery"   -> existsSubquerySql,
+    "scalar_subquery"   -> scalarSubquerySql,
+    "sample_hash"       -> sampleHashSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "stats_moments"     -> statsMomentsSql,
+    "range_join_events" -> rangeJoinEventsSql,
+    "topk_agg"          -> topkAggSql,
+    "dup_clusters"      -> dupClustersSql,
+    "sql_surface"       -> sqlSurfaceSql)
+}
