@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Training-data pipeline operators (the 100 TB curation surface):
+  * overlapping chunking, token-budget sharding, PII scrubbing,
+  * eval-set decontamination, and intra-document repetition scoring.
+  *
+  * Every gram/hash is md5-based so the DuckDB oracle reproduces it
+  * bit-identically; every explode feeds a codegen'd aggregate (no
+  * interpreted higher-order lambdas on the hot path).
+  */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** Overlapping token-window chunking: the standard context-window prep
+    * step. One row per (doc, window); the chunk travels as its md5 (the
+    * row stays narrow; a real pipeline would keep the text column —
+    * identical plumbing).
+    */
+  def textChunk(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")), lit(ChunkStride))).as("start"))
+      .select(col("doc_id"),
+        expr(s"(start - 1) div $ChunkStride").cast("long").as("chunk_idx"),
+        least(lit(ChunkSize), size(col("t")) - col("start") + 1).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("t"), col("start"), lit(ChunkSize))).cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val textChunkSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    SELECT doc_id,
+      cast((s - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+      cast(least($ChunkSize, len(t) - s + 1) AS BIGINT) AS n_tokens,
+      md5(array_to_string(t[s:s + ${ChunkSize - 1}], ' ')) AS chunk_md5
+    FROM toks, unnest(range(1, len(t) + 1, $ChunkStride)) AS u(s)
+    ORDER BY doc_id, chunk_idx"""
+
+  val PackBudget = 512
+
+  /** Token-budget sharding: documents packed into ≤-budget batches by a
+    * per-source running token total — `batch = (cumsum - own) div B`.
+    * Per-source windows keep the prefix sum partitioned (no global
+    * single-partition window on the big path).
+    */
+  def packBatches(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr(s"(cum - n_tok) div $PackBudget").as("batch_id"))
+      .orderBy("doc_id")
+  }
+
+  val packBatchesSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, source,
+        cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents)
+    SELECT doc_id, source, n_tok,
+      (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // $PackBudget AS batch_id
+    FROM t
+    ORDER BY doc_id"""
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val LongNumRe = "[0-9]{7,}"
+
+  /** PII scrubbing: emails and long digit runs replaced with typed
+    * placeholders; counts surfaced for audit. A deterministic enrichment
+    * plants PII on every third document so the operator provably fires
+    * (the corpus itself is synthetic prose).
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@example.com ph 12345678901"))).otherwise(col("text"))
+    docs(spark, dir)
+      .select(col("doc_id"), enriched.as("t2"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t2"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t2"), lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
+        md5(regexp_replace(regexp_replace(col("t2"), EmailRe, "<EMAIL>"),
+          LongNumRe, "<NUM>").cast("binary")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String = s"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+             THEN text || ' contact: user' || cast(doc_id AS VARCHAR) || '@example.com ph 12345678901'
+             ELSE text END AS t2
+      FROM documents)
+    SELECT doc_id,
+      cast(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT) AS n_emails,
+      cast(len(regexp_extract_all(t2, '$LongNumRe')) AS BIGINT) AS n_longnums,
+      md5(regexp_replace(regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g'),
+        '$LongNumRe', '<NUM>', 'g')) AS scrubbed_md5
+    FROM t
+    ORDER BY doc_id"""
+
+  private val DecontN = 5
+
+  /** Eval-set decontamination: drop every training document sharing at
+    * least one word 5-gram with the (small) eval split. The eval gram
+    * set is explicitly broadcast — at 100 TB the train side streams
+    * through a hash-set membership probe, no shuffle of the corpus.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    def grams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), explode(
+        sequence(lit(0), greatest(size(col("t")) - DecontN, lit(0)))).as("i"))
+      .select(col("doc_id"), md5(concat_ws(" ",
+        (0 until DecontN).map(j => get(col("t"), col("i") + j)): _*)
+        .cast("binary")).as("gh"))
+    val d = docs(spark, dir)
+    val evalGrams = grams(d.filter(col("doc_id") % 97 === 0)).select("gh").distinct()
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = grams(train)
+      .join(broadcast(evalGrams), "gh")
+      .select("doc_id").distinct()
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, md5(array_to_string(t[i+1:i+$DecontN], ' ')) AS gh
+      FROM toks, unnest(range(0, greatest(len(t) - $DecontN, 0) + 1)) AS u(i)),
+    ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0),
+    bad AS (SELECT DISTINCT doc_id FROM grams
+            WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM ev))
+    SELECT doc_id FROM documents
+    WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    ORDER BY doc_id"""
+
+  /** Intra-document repetition (Gopher-style quality signal): fraction
+    * of word 3-grams that are repeats of an earlier gram in the same
+    * document.
+    */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), explode(
+        sequence(lit(0), greatest(size(col("t")) - 3, lit(0)))).as("i"))
+      .select(col("doc_id"), md5(concat_ws(" ",
+        (0 until 3).map(j => get(col("t"), col("i") + j)): _*)
+        .cast("binary")).as("gh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("gh")).as("nd"))
+      .select(col("doc_id"), col("n_grams"),
+        round(lit(1.0) - col("nd").cast("double") / col("n_grams").cast("double"), 6)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+
+  val repetitionRatioSql: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, md5(array_to_string(t[i+1:i+3], ' ')) AS gh
+      FROM toks, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i))
+    SELECT doc_id, count(*) AS n_grams,
+      round(1.0 - cast(count(DISTINCT gh) AS DOUBLE) / cast(count(*) AS DOUBLE), 6) AS rep_ratio
+    FROM grams
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk"       -> (textChunk _),
+    "pack_batches"     -> (packBatches _),
+    "pii_scrub"        -> (piiScrub _),
+    "decontaminate"    -> (decontaminate _),
+    "repetition_ratio" -> (repetitionRatio _))
+
+  val oracle: Map[String, String] = Map(
+    "text_chunk"       -> textChunkSql,
+    "pack_batches"     -> packBatchesSql,
+    "pii_scrub"        -> piiScrubSql,
+    "decontaminate"    -> decontaminateSql,
+    "repetition_ratio" -> repetitionRatioSql)
+}
