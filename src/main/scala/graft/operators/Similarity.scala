@@ -100,23 +100,74 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
   }
 
+  /** Distributed Lloyd k-means over a prepped vector frame, cosine
+    * affinity. Init = the k lowest-id vectors (deterministic); each
+    * round assigns every vector to its best centroid (broadcast
+    * cross-join, map-only) and recomputes centroids as element-wise
+    * means via posexplode + codegen'd grouped averages — never a
+    * per-element lambda on the hot path, never vectors on the driver.
+    * Cells that lose all members simply drop out (classic Lloyd).
+    *
+    * @return centroid frame (c_id, cv, cn) for [[knnIvf]]
+    */
+  /** Best (argmax-affinity) cell per vector: `max(struct(aff, c_id))` is
+    * a plain hash aggregate — deterministic (ties → highest c_id), map-
+    * side combined, and crucially NO per-group sort, unlike a
+    * row_number window. `first(v)` is safe: v is functionally dependent
+    * on the group key.
+    */
+  private def assignBestCell(df: DataFrame, cent: DataFrame): DataFrame =
+    df.crossJoin(cent)
+      .select(col("id"), col("v"), col("nrm"), col("c_id"),
+        cosine(col("v"), col("nrm"), col("cv"), col("cn")).as("aff"))
+      .groupBy("id")
+      .agg(max(struct(col("aff"), col("c_id"))).as("best"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("id"), col("v"), col("nrm"), col("best.c_id").as("c_id"))
+
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var cent = corpus.orderBy("id").limit(k)
+      .withColumn("c_id", row_number().over(Window.orderBy("id")).cast("long") - 1)
+      .select(col("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = assignBestCell(corpus, broadcast(cent))
+      cent = assigned
+        .select(col("c_id"), posexplode(col("v")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy("c_id")
+        // struct sort on (pos, m): pos is unique per cell, so the array
+        // comes back in element order; the tiny transform (k·dim
+        // elements total) unwraps it
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_id"), transform(col("pm"), p => p.getField("m")).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
   /** IVF-flat ANN: partition the corpus into `nCentroids` Voronoi cells
     * (assignment = highest cosine affinity), probe the query's `nProbe`
     * nearest cells, exact top-k within the probed candidates.
     *
-    * Centroids here are a deterministic sample (lowest ids) — the
-    * structural skeleton of IVF without a training job; swap the
-    * centroid frame for k-means output to tighten recall. Assignment is
+    * Default centroids are a deterministic sample (lowest ids) — the
+    * structural skeleton of IVF without a training job; pass
+    * [[kmeansCentroids]] output to tighten recall. Assignment is
     * a broadcast cross-join against ≤nCentroids rows (map-only); the
     * candidate join is keyed by cell id. Recall vs. [[knnBrute]] is
     * measured in the test suite.
     */
   def knnIvf(queries: DataFrame, corpus: DataFrame, k: Int,
-             nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cent = broadcast(corpus.orderBy("id").limit(nCentroids)
-      .select(col("id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+             nCentroids: Int = 16, nProbe: Int = 4,
+             centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = broadcast(centroids.getOrElse(corpus.orderBy("id").limit(nCentroids)
+      .select(col("id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))))
     def assign(df: DataFrame, probes: Int): DataFrame =
-      Relational.topKPerGroup(
+      if (probes == 1) assignBestCell(df, cent)
+      else Relational.topKPerGroup(
         df.crossJoin(cent)
           .select(col("id"), col("v"), col("nrm"), col("c_id"),
             cosine(col("v"), col("nrm"), col("cv"), col("cn")).as("aff")),

@@ -113,11 +113,14 @@ object ScaleQueries {
       .orderBy("q_id", "rk")
   }
 
-  /** IVF-flat ANN over the same query set (recall measured in tests). */
+  /** IVF-flat ANN over the same query set, cells from a 2-round
+    * distributed k-means (recall measured in tests).
+    */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
     val queries = prepped.filter(col("id") % 50 === 0)
-    Similarity.knnIvf(queries, prepped, k = 5, nCentroids = 16, nProbe = 4)
+    val cent = Similarity.kmeansCentroids(prepped, k = 16, iters = 2)
+    Similarity.knnIvf(queries, prepped, k = 5, nProbe = 4, centroids = Some(cent))
       .orderBy("q_id", "rk")
   }
 

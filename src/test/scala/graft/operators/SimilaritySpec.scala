@@ -69,6 +69,15 @@ class SimilaritySpec extends AnyFunSuite {
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.3, s"IVF recall too low: $recall")
+
+    // trained cells must not LOSE recall vs the untrained sample skeleton
+    val cent = Similarity.kmeansCentroids(prepped, k = 16, iters = 2)
+    val trained = Similarity.knnIvf(queries, prepped, k = 5, nProbe = 4,
+        centroids = Some(cent))
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val trainedRecall = trained.intersect(brute).size.toDouble / brute.size
+    assert(trainedRecall >= recall - 0.05,
+      s"k-means cells regressed recall: $trainedRecall < $recall")
   }
 
   test("blocked cosine near-dup finds planted duplicate vectors") {

@@ -43,6 +43,36 @@ class StatefulSessionizeSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("event-time timeout closes idle sessions once the watermark passes the gap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sess3")
+    val raw = spark.readStream.schema("user_id LONG, ts_us LONG")
+      .option("header", "true").csv(dir.toString)
+    val out = StatefulSessionize.withEventTimeTimeout(
+      raw, gapUs = 1000000L, watermarkDelay = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("sessions3")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck4").toString)
+      .start()
+    try {
+      // user 1: two events at 10s and 10.5s; session stays open
+      Files.writeString(dir.resolve("b1.csv"), "user_id,ts_us\n1,10000000\n1,10500000\n")
+      query.processAllAvailable()
+      assert(spark.table("sessions3").count() == 0)
+
+      // user 2 at t=100s drives the watermark far past user 1's horizon
+      // (11.5s); the NEXT trigger fires user 1's timeout — no user-1
+      // event ever arrives again, yet the session closes and its state
+      // is evicted
+      Files.writeString(dir.resolve("b2.csv"), "user_id,ts_us\n2,100000000\n")
+      query.processAllAvailable()
+      Files.writeString(dir.resolve("b3.csv"), "user_id,ts_us\n2,101000000\n")
+      query.processAllAvailable()
+      val closed = spark.table("sessions3").as[SessionOut].collect().toSet
+      assert(closed.contains(SessionOut(1L, 10000000L, 10500000L, 2)))
+    } finally query.stop()
+  }
+
   test("late cross-batch event joins the open session without regressing its end") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sess2")
