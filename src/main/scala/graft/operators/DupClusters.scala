@@ -59,6 +59,9 @@ object DupClusters {
     var labels = nodes.select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint(true)
     var prevSum = labelSum(labels)
+    // sum() over zero rows is NULL: an empty node set is already at its
+    // (empty) fixpoint
+    if (prevSum == null) return labels
     var round = 0
     while (round < maxIter) {
       // two hops per materialization: round-trip cost in local/driver

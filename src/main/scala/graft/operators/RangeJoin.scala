@@ -29,10 +29,15 @@ object RangeJoin {
     *                 left event, at most windowUs older)
     * @param rightPayload right columns to carry, renamed as given
     */
+  private val Reserved = Seq("__cell", "__rkey", "__rts")
+
   def before(left: DataFrame, right: DataFrame, key: String,
              leftTs: String, rightTs: String, windowUs: Long,
              rightPayload: Map[String, String]): DataFrame = {
     require(windowUs > 0, s"window must be positive, got $windowUs")
+    val clash = (left.columns ++ right.columns).filter(Reserved.contains)
+    require(clash.isEmpty,
+      s"range join inputs may not use reserved column names: ${clash.mkString(", ")}")
     val l = left.withColumn("__cell", expr(s"$leftTs div ${windowUs}L"))
     val r = right
       .select(col(key).as("__rkey") +: col(rightTs).as("__rts") +:
@@ -42,6 +47,6 @@ object RangeJoin {
           expr(s"__rts div ${windowUs}L") + 1)))
     l.join(r, l(key) === r("__rkey") && l("__cell") === r("__cell") &&
         col("__rts") >= col(leftTs) - windowUs && col("__rts") < col(leftTs))
-      .drop("__cell", "__rkey")
+      .drop("__cell", "__rkey", "__rts")
   }
 }

@@ -136,7 +136,12 @@ object Similarity {
       cent = assigned
         .select(col("c_id"), posexplode(col("v")))
         .groupBy(col("c_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        // exact-decimal mean: the sum is associative, so centroid values
+        // are partition/merge-order independent (plain avg() over doubles
+        // is not, and a boundary vector flipping cells would make the
+        // whole index nondeterministic)
+        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1)).cast("double")).as("m"))
         .groupBy("c_id")
         // struct sort on (pos, m): pos is unique per cell, so the array
         // comes back in element order; the tiny transform (k·dim

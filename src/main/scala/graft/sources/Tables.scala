@@ -16,12 +16,19 @@ object Tables {
   /** Engine-wide convention: parquet TIMESTAMP(NANOS) columns surface as
     * raw epoch-nanos longs. Our session builders (Bench/Verify/TestSpark)
     * set this at construction; for externally-built sessions (the
-    * driver's) this applies it once, only if unset — never flipping a
-    * caller's explicit choice mid-session.
+    * driver's) this applies it once, only if genuinely unset — never
+    * flipping a caller's explicit choice mid-session.
+    *
+    * "Unset" probe: `RuntimeConfig.get(key, fallback)` consults only the
+    * EXPLICITLY-set map before falling back (registered defaults don't
+    * count), so a caller's explicit `false` is visible and respected —
+    * `getOption` can't tell it apart from the default.
     */
   def ensureNanosAsLong(spark: SparkSession): Unit =
-    if (!spark.conf.getOption(NanosFlag).contains("true"))
+    if (spark.conf.get(NanosFlag, Unset) == Unset)
       spark.conf.set(NanosFlag, "true")
+
+  private val Unset = "<graft-unset>"
 
   val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
 

@@ -28,6 +28,10 @@ class DupClustersSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L))
   }
 
+  test("empty node set returns an empty labeling, not a crash") {
+    assert(cc(Seq.empty[Long], Seq.empty[(Long, Long)]).isEmpty)
+  }
+
   test("insufficient iteration budget fails fast instead of mislabeling") {
     val n = 12L
     intercept[IllegalStateException] {

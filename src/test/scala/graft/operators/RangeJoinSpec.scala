@@ -55,6 +55,22 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("output carries only left columns plus the renamed payload — no internals") {
+    val l = Seq((1L, 7L, 1000L)).toDF("event_id", "k", "lts")
+    val r = Seq((7L, 950L)).toDF("k", "rts")
+    val out = RangeJoin.before(l, r, "k", "lts", "rts", W, Map("rts" -> "seen"))
+    assert(out.columns.toSet == Set("event_id", "k", "lts", "seen"))
+  }
+
+  test("reserved internal column names on either input are rejected") {
+    val l = Seq((1L, 7L, 1000L)).toDF("event_id", "__cell", "lts")
+    val r = Seq((7L, 950L)).toDF("k", "rts")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.before(l, r, "__cell", "lts", "rts", W, Map("rts" -> "seen"))
+    }
+    assert(e.getMessage.contains("__cell"))
+  }
+
   test("plans as an equi-join on (key, cell), not a cross product") {
     val l = Seq((1L, 7L, 1000L)).toDF("event_id", "k", "lts")
     val r = Seq((7L, 950L)).toDF("k", "rts")
