@@ -321,6 +321,78 @@ object ExtendedQueries {
     WHERE rut IS NOT NULL AND nombres IS NOT NULL
     ORDER BY rut""".format(graft.fixtures.Fixtures.rosterSql)
 
+  /** Misra-Gries heavy hitters: top words per source via the capacity-
+    * bounded mergeable sketch ([[graft.functions.HeavyHittersAgg]]) —
+    * the constant-memory sibling of the exact `top_words` explode+count.
+    * Sketch counts are arrival-order dependent (inherent to MG; the
+    * guarantee is on the frequent SET and the n/(c+1) error bound, both
+    * spec-checked), so this carries the driver's rows-only check like
+    * the other sketch queries.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val hh = udaf(new graft.functions.HeavyHittersAgg(64), Encoders.STRING)
+    docs(spark, dir)
+      .select(col("source"), explode(TextAnalysis.wordTokens(col("text"))).as("w"))
+      .groupBy("source")
+      .agg(hh(col("w")).as("h"))
+      .select(col("source"),
+        posexplode(arrays_zip(col("h.keys").as("word"), col("h.counts").as("est"))))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.word").as("word"), col("col.est").as("est"))
+      .filter(col("rk") <= 8)
+      .orderBy("source", "rk")
+  }
+
+  /** Date/interval function surface: month truncation, clamped month
+    * arithmetic, month-end, day arithmetic, quarter — the calendar ops a
+    * partition-pruned lake layout leans on. Everything lands as DATE
+    * strings so both engines render identically.
+    */
+  def dateFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("month_start"),
+        add_months(col("o_orderdate").cast("date"), 3).cast("string").as("plus3mo"),
+        last_day(col("o_orderdate")).cast("string").as("month_end"),
+        datediff(col("o_orderdate").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"))
+      .orderBy("o_orderkey")
+
+  val dateFunctionsSql: String = """
+    SELECT o_orderkey,
+      cast(cast(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+      cast(cast(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3mo,
+      cast(last_day(o_orderdate) AS VARCHAR) AS month_end,
+      cast(datediff('day', DATE '2024-01-01', cast(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+      cast(quarter(o_orderdate) AS BIGINT) AS qtr
+    FROM orders
+    ORDER BY o_orderkey"""
+
+  /** Frame-edge window values: first / last / nth over the full per-user
+    * frame (value picks, no arithmetic — engine-exact by construction).
+    */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        first("value").over(w).as("first_v"),
+        last("value").over(w).as("last_v"),
+        nth_value(col("value"), 2).over(w).as("second_v"))
+      .orderBy("event_id")
+  }
+
+  val windowFirstLastSql: String = """
+    SELECT user_id, event_id,
+      first_value(value) OVER w AS first_v,
+      last_value(value) OVER w AS last_v,
+      nth_value(value, 2) OVER w AS second_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY event_id"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -335,7 +407,10 @@ object ExtendedQueries {
     "range_join_events" -> (rangeJoinEvents _),
     "topk_agg"          -> (topkAgg _),
     "dup_clusters"      -> (dupClusters _),
-    "sql_surface"       -> (sqlSurface _))
+    "sql_surface"       -> (sqlSurface _),
+    "date_functions"    -> (dateFunctions _),
+    "window_firstlast"  -> (windowFirstLast _),
+    "heavy_hitters"     -> (heavyHitters _))
 
   val oracle: Map[String, String] = Map(
     "grouping_sets"     -> groupingSetsSql,
@@ -349,5 +424,7 @@ object ExtendedQueries {
     "range_join_events" -> rangeJoinEventsSql,
     "topk_agg"          -> topkAggSql,
     "dup_clusters"      -> dupClustersSql,
-    "sql_surface"       -> sqlSurfaceSql)
+    "sql_surface"       -> sqlSurfaceSql,
+    "date_functions"    -> dateFunctionsSql,
+    "window_firstlast"  -> windowFirstLastSql)
 }
