@@ -60,9 +60,9 @@ object Dedup {
       .select(col("id") +: TextAnalysis.wordTokens(col("__text")).as("t") +: keepCols: _*)
       .select(col("id") +: col("t") +: explode(
         sequence(lit(0), greatest(size(col("t")) - n, lit(0)))).as("i") +: keepCols: _*)
-      .select(col("id") +: xxhash64(
-        concat_ws(" ", (0 until n).map(j => get(col("t"), col("i") + j)): _*)).as("gh")
-        +: keepCols: _*)
+      // fused token-slice hashing (NgramHash): no per-gram string build
+      .select(col("id") +: graft.functions.NgramKernels
+        .ngramHashCol(col("t"), col("i"), n).as("gh") +: keepCols: _*)
       .dropDuplicates(Seq("id", "gh"))
   }
 
