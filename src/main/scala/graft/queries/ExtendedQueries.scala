@@ -343,6 +343,20 @@ object ExtendedQueries {
       .orderBy("source", "rk")
   }
 
+  /** Approximate quantiles (Greenwald-Khanna sketch, accuracy 1000):
+    * the mergeable, bounded-memory sibling of the exact `percentiles`
+    * query — at 100 TB the exact sort-based percentile is the thing you
+    * stop being able to afford. Sketch output is engine-specific →
+    * rows-only check + error-bound spec, like the other sketches.
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90_approx"))
+      .orderBy("event_type")
+
   /** Date/interval function surface: month truncation, clamped month
     * arithmetic, month-end, day arithmetic, quarter — the calendar ops a
     * partition-pruned lake layout leans on. Everything lands as DATE
@@ -410,7 +424,8 @@ object ExtendedQueries {
     "sql_surface"       -> (sqlSurface _),
     "date_functions"    -> (dateFunctions _),
     "window_firstlast"  -> (windowFirstLast _),
-    "heavy_hitters"     -> (heavyHitters _))
+    "heavy_hitters"     -> (heavyHitters _),
+    "approx_quantiles"  -> (approxQuantiles _))
 
   val oracle: Map[String, String] = Map(
     "grouping_sets"     -> groupingSetsSql,
