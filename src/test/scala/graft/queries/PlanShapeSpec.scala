@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** Plan-shape regressions for the flagship queries: these are the
+  * properties `.explain` reviews verified once (PLANS.md) — asserting
+  * them keeps a refactor from silently trading a broadcast for a 100 TB
+  * shuffle or widening a scan.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def planFormatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q5 joins its dimension tables by broadcast, not shuffle") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q1 scans only the columns it aggregates") {
+    val p = planFormatted("q1_pricing_summary")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty)
+    // pricing summary needs flags + 4 measures; the 11-column table must not be read whole
+    assert(read.split(",").length <= 7, s"scan too wide: $read")
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"), read)
+  }
+
+  test("window_topk benefits from rank-limit pushdown (WindowGroupLimit)") {
+    val p = plan("window_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("no query plans a cartesian product or nested-loop join") {
+    for (name <- Seq("q3_top_revenue", "q5_nation_revenue", "asof_join",
+        "range_join_events", "join_skew_salted", "dedup_ngram")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian")
+      // broadcast NLJ is tolerable only for tiny dims; none of these need it
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: BNLJ")
+    }
+  }
+}
