@@ -117,6 +117,29 @@ object SmtpSink {
     }
   }
 
+  /** Ledger-guarded delivery (SURVEY §7.4.5): exclude every message
+    * whose key already appears in the sent ledger, then deliver the
+    * remainder. The ledger is a plain DataFrame — e.g. the accumulated
+    * `status = 'sent'` rows of previous runs persisted to parquet — and
+    * the exclusion is a LEFT ANTI join (a plan, not a driver loop), so
+    * it scales with the ledger like any other join.
+    *
+    * This turns crash-and-rerun into effectively-once ACROSS RUNS; task
+    * retry WITHIN a run keeps the reference's at-least-once exposure
+    * (`app.py:363-375` has the same ambiguous-failure window).
+    */
+  def sendAllDeduped(mails: Dataset[OutgoingMail], factory: TransportFactory,
+                     sentLedger: DataFrame, keyCol: String = "email",
+                     policy: SendPolicy = SendPolicy(),
+                     strictGlobalOrder: Boolean = true,
+                     sleeper: Long => Unit = Thread.sleep): Dataset[SendResult] = {
+    import mails.sparkSession.implicits._
+    val fresh = mails
+      .join(sentLedger.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .as[OutgoingMail]
+    sendAll(fresh, factory, policy, strictGlobalOrder, sleeper)
+  }
+
   /** Attach the 1-based ordinal + total to a rendered-mail frame, by an
     * explicit order column. Global window by design — see sendPlan notes.
     */

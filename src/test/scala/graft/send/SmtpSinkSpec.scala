@@ -75,4 +75,25 @@ class SmtpSinkSpec extends AnyFunSuite {
     assert(res.length == 50 && res.forall(_.status == "sent"))
     assert(FakeTransport.sent.size == 50)
   }
+
+  test("sent-ledger dedup: a rerun after partial delivery sends only the remainder") {
+    import org.apache.spark.sql.functions.col
+    // run 1: message 2 fails terminally, 1 and 3 go through
+    FakeTransport.reset(fail = Map("u2@x.cl" -> 99))
+    val run1 = SmtpSink.sendAll(mails(3), new RecordingFactory,
+      SendPolicy(backoffMillisPerAttempt = 0, throttleMillis = 0), sleeper = recordSleep)
+      .toDF().filter(col("status") === "sent").cache()
+    assert(run1.count() == 2)
+
+    // run 2 (simulated crash-and-rerun over the SAME batch, ledger from
+    // run 1): only the previously-failed message may reach the transport
+    FakeTransport.reset()
+    val res2 = SmtpSink.sendAllDeduped(mails(3), new RecordingFactory,
+      sentLedger = run1,
+      policy = SendPolicy(backoffMillisPerAttempt = 0, throttleMillis = 0),
+      sleeper = recordSleep).collect()
+    run1.unpersist()
+    assert(res2.map(_.email).toSeq == Seq("u2@x.cl"))
+    assert(FakeTransport.sent.toArray.toSeq == Seq("u2@x.cl"))
+  }
 }
