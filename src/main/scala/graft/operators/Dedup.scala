@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *    ONE shuffle keyed by bucket, never an O(n²) cross join;
   *  - exact verification runs only on bucket-collision pairs.
   * Bucket skew (a hot bucket from boilerplate text) is the known failure
-  * mode — AQE skew-join handles moderate cases; pathological buckets
-  * should be count-capped upstream.
+  * mode — AQE skew-join handles moderate cases; pathological buckets are
+  * count-capped via `maxBucket` (run exact dedup FIRST: a clone cluster
+  * is hot in every band, so the cap would drop it wholesale, which is
+  * the right call only once identical copies are already collapsed).
   */
 object Dedup {
 
@@ -85,15 +87,32 @@ object Dedup {
   }
 
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        bands: Int = 8, rowsPer: Int = 4): DataFrame =
-    candidatesFromGrams(explodedNgrams(df, idCol, textCol), bands, rowsPer)
+                        bands: Int = 8, rowsPer: Int = 4,
+                        maxBucket: Int = Int.MaxValue): DataFrame =
+    candidatesFromGrams(explodedNgrams(df, idCol, textCol), bands, rowsPer, maxBucket)
 
-  private def candidatesFromGrams(grams: DataFrame, bands: Int, rowsPer: Int): DataFrame = {
-    val banded = minhashSignatures(grams, bands * rowsPer)
+  /** Drop LSH buckets holding more than `maxBucket` members before the
+    * pair join. A boilerplate bucket of size m yields m·(m−1)/2
+    * candidates — the quadratic failure mode at corpus scale; docs that
+    * really are near-dups still meet in their OTHER, sparser buckets
+    * (multi-band redundancy), so the cap trades a sliver of recall on
+    * boilerplate for a hard bound on join fan-out.
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+      banded.withColumn("__bn", count(lit(1)).over(w))
+        .filter(col("__bn") <= maxBucket).drop("__bn")
+    }
+
+  private def candidatesFromGrams(grams: DataFrame, bands: Int, rowsPer: Int,
+                                  maxBucket: Int = Int.MaxValue): DataFrame = {
+    val banded = capBuckets(minhashSignatures(grams, bands * rowsPer)
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPer + lit(1), lit(rowsPer))))))
-      .toDF("id", "band", "bucket")
+      .toDF("id", "band", "bucket"), maxBucket)
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
@@ -107,9 +126,10 @@ object Dedup {
     * set materialization anywhere.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      threshold: Double, bands: Int = 8, rowsPer: Int = 4): DataFrame = {
+                      threshold: Double, bands: Int = 8, rowsPer: Int = 4,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val grams = explodedNgrams(df, idCol, textCol)
-    val cands = candidatesFromGrams(grams, bands, rowsPer)
+    val cands = candidatesFromGrams(grams, bands, rowsPer, maxBucket)
     verifyJaccard(cands, grams, threshold)
   }
 
@@ -174,12 +194,13 @@ object Dedup {
     * guarantees ≥ 1 identical band), then verify with bit_count(xor).
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val withSig = simhashSignatures(df, idCol, textCol)
-    val banded = withSig.select(col("id"), col("sim"), posexplode(
+    val banded = capBuckets(withSig.select(col("id"), col("sim"), posexplode(
       array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .toDF("id", "sim", "band", "bucket")
+      .toDF("id", "sim", "band", "bucket"), maxBucket)
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))

@@ -93,4 +93,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("maxBucket caps a planted boilerplate bucket without touching sparse pairs") {
+    import spark.implicits._
+    // 40 clones of one boilerplate text (every band hot), plus one
+    // genuine near-dup pair with distinctive vocabulary
+    val boiler = (100L until 140L).map(i =>
+      (i, "terms and conditions apply to all purchases made here"))
+    val pair = Seq(
+      (1L, "unique quantum butterfly poem dances over violet meadows"),
+      (2L, "unique quantum butterfly poem dances over violet meadow"))
+    val df = (boiler ++ pair).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minhashCandidates(df, "doc_id", "text")
+    assert(uncapped.count() >= 40L * 39 / 2) // quadratic fan-out is real
+
+    val capped = Dedup.minhashCandidates(df, "doc_id", "text", maxBucket = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.forall { case (a, b) => a < 100L && b < 100L },
+      s"boilerplate pairs survived the cap: $capped")
+    assert(capped.contains((1L, 2L)), "sparse near-dup pair lost by the cap")
+  }
 }
