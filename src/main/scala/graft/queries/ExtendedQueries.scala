@@ -407,6 +407,56 @@ object ExtendedQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     ORDER BY event_id"""
 
+  /** Multiset (ALL) set operations: duplicates carry multiplicity, so
+    * EXCEPT ALL subtracts occurrence counts instead of set membership.
+    */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.read(spark, dir, "orders").select(col("o_custkey").as("custkey"))
+    val urgent = Tables.read(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    all.exceptAll(urgent)
+      .groupBy("custkey").agg(count(lit(1)).as("n_residual"))
+      .orderBy("custkey")
+  }
+
+  val setExceptAllSql: String = """
+    WITH residual AS (
+      SELECT o_custkey AS custkey FROM orders
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT custkey, count(*) AS n_residual
+    FROM residual
+    GROUP BY custkey
+    ORDER BY custkey"""
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * pair with NULL keys instead of silently dropping — the semantics a
+    * dedup-on-nullable-column pipeline actually wants.
+    */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.read(spark, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_nationkey"))
+          .as("nk"))
+    c.as("a").join(c.as("b"), col("a.nk") <=> col("b.nk") &&
+        col("a.c_custkey") + 1 === col("b.c_custkey"))
+      .select(col("a.c_custkey").as("custkey"),
+        coalesce(col("a.nk"), lit(-1)).cast("long").as("nk_group"))
+      .orderBy("custkey")
+  }
+
+  val joinNullSafeSql: String = """
+    WITH c AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+      FROM customer)
+    SELECT a.c_custkey AS custkey,
+      cast(coalesce(a.nk, -1) AS BIGINT) AS nk_group
+    FROM c a JOIN c b
+      ON a.nk IS NOT DISTINCT FROM b.nk AND a.c_custkey + 1 = b.c_custkey
+    ORDER BY custkey"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -425,7 +475,9 @@ object ExtendedQueries {
     "date_functions"    -> (dateFunctions _),
     "window_firstlast"  -> (windowFirstLast _),
     "heavy_hitters"     -> (heavyHitters _),
-    "approx_quantiles"  -> (approxQuantiles _))
+    "approx_quantiles"  -> (approxQuantiles _),
+    "set_except_all"    -> (setExceptAll _),
+    "join_null_safe"    -> (joinNullSafe _))
 
   val oracle: Map[String, String] = Map(
     "grouping_sets"     -> groupingSetsSql,
@@ -441,5 +493,7 @@ object ExtendedQueries {
     "dup_clusters"      -> dupClustersSql,
     "sql_surface"       -> sqlSurfaceSql,
     "date_functions"    -> dateFunctionsSql,
-    "window_firstlast"  -> windowFirstLastSql)
+    "window_firstlast"  -> windowFirstLastSql,
+    "set_except_all"    -> setExceptAllSql,
+    "join_null_safe"    -> joinNullSafeSql)
 }
