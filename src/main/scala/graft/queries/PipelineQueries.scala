@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis
@@ -185,6 +185,70 @@ object PipelineQueries {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  /** The curation FUNNEL — the composed shape of a real training-data
+    * pipeline: language gate → quality gate → repetition gate → exact
+    * dedup, with surviving-document counts per stage. Every gate reuses
+    * the operator (and its oracle SQL) already verified standalone, so
+    * the funnel is provably the composition of its parts.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis._
+    val d = docs(spark, dir)
+    val toks = wordTokens(col("text"))
+    val rep = repetitionRatio(spark, dir).select(col("doc_id"), col("rep_ratio"))
+    val w = Window.partitionBy("text")
+    val flags = d
+      .select(col("doc_id"), col("text"),
+        (langPredict(langScores(toks)) === "en").as("f1"),
+        (qualityScore(col("text")) >= 0.5).as("f2"),
+        (col("doc_id") === min("doc_id").over(w)).as("f4"))
+      .join(rep, "doc_id")
+      .withColumn("f3", col("rep_ratio") <= 0.2)
+    def surviving(fs: Column*) = sum(when(fs.reduce(_ && _), 1L).otherwise(0L))
+    flags.agg(
+        count(lit(1)).as("n0"),
+        surviving(col("f1")).as("n1"),
+        surviving(col("f1"), col("f2")).as("n2"),
+        surviving(col("f1"), col("f2"), col("f3")).as("n3"),
+        surviving(col("f1"), col("f2"), col("f3"), col("f4")).as("n4"))
+      .selectExpr("""stack(5,
+        0L, 'total',        n0,
+        1L, 'lang_en',      n1,
+        2L, 'quality',      n2,
+        3L, 'repetition',   n3,
+        4L, 'exact_unique', n4) AS (stage_idx, stage, n_docs)""")
+      .orderBy("stage_idx")
+  }
+
+  val curationFunnelSql: String = s"""
+    WITH lang AS (${TextQueries.langIdSql}),
+    q AS (${TextQueries.qualityScoreSql}),
+    rep AS ($repetitionRatioSql),
+    flags AS (
+      SELECT d.doc_id,
+        (l.predicted_lang = 'en') AS f1,
+        (q.quality >= 0.5) AS f2,
+        (r.rep_ratio <= 0.2) AS f3,
+        (d.doc_id = min(d.doc_id) OVER (PARTITION BY d.text)) AS f4
+      FROM documents d
+      JOIN lang l ON d.doc_id = l.doc_id
+      JOIN q ON d.doc_id = q.doc_id
+      JOIN rep r ON d.doc_id = r.doc_id),
+    agg AS (
+      SELECT count(*) AS n0,
+        count(*) FILTER (f1) AS n1,
+        count(*) FILTER (f1 AND f2) AS n2,
+        count(*) FILTER (f1 AND f2 AND f3) AS n3,
+        count(*) FILTER (f1 AND f2 AND f3 AND f4) AS n4
+      FROM flags)
+    SELECT stage_idx, stage, n_docs FROM (
+      SELECT cast(0 AS BIGINT) AS stage_idx, 'total' AS stage, n0 AS n_docs FROM agg
+      UNION ALL SELECT 1, 'lang_en', n1 FROM agg
+      UNION ALL SELECT 2, 'quality', n2 FROM agg
+      UNION ALL SELECT 3, 'repetition', n3 FROM agg
+      UNION ALL SELECT 4, 'exact_unique', n4 FROM agg)
+    ORDER BY stage_idx"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -192,12 +256,14 @@ object PipelineQueries {
     "pack_batches"     -> (packBatches _),
     "pii_scrub"        -> (piiScrub _),
     "decontaminate"    -> (decontaminate _),
-    "repetition_ratio" -> (repetitionRatio _))
+    "repetition_ratio" -> (repetitionRatio _),
+    "curation_funnel"  -> (curationFunnel _))
 
   val oracle: Map[String, String] = Map(
     "text_chunk"       -> textChunkSql,
     "pack_batches"     -> packBatchesSql,
     "pii_scrub"        -> piiScrubSql,
     "decontaminate"    -> decontaminateSql,
-    "repetition_ratio" -> repetitionRatioSql)
+    "repetition_ratio" -> repetitionRatioSql,
+    "curation_funnel"  -> curationFunnelSql)
 }
