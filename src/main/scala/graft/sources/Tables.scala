@@ -21,14 +21,15 @@ object Tables {
     *
     * "Unset" probe: `RuntimeConfig.get(key, fallback)` consults only the
     * EXPLICITLY-set map before falling back (registered defaults don't
-    * count), so a caller's explicit `false` is visible and respected —
-    * `getOption` can't tell it apart from the default.
+    * count) — but the fallback is type-validated for registered confs,
+    * so a string sentinel would throw. Probing with BOTH boolean
+    * fallbacks stays inside the type: an explicitly-set value answers
+    * identically either way; only a genuinely-unset conf echoes back the
+    * two different fallbacks.
     */
   def ensureNanosAsLong(spark: SparkSession): Unit =
-    if (spark.conf.get(NanosFlag, Unset) == Unset)
+    if (spark.conf.get(NanosFlag, "true") != spark.conf.get(NanosFlag, "false"))
       spark.conf.set(NanosFlag, "true")
-
-  private val Unset = "<graft-unset>"
 
   val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
 
