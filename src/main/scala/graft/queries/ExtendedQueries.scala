@@ -457,6 +457,43 @@ object ExtendedQueries {
       ON a.nk IS NOT DISTINCT FROM b.nk AND a.c_custkey + 1 = b.c_custkey
     ORDER BY custkey"""
 
+  /** Built-in session-window aggregation (`session_window`): Spark's
+    * native merging-session operator — a different physical path
+    * (UpdatingSessions) from the island-numbering `events_sessionize`.
+    * The oracle rebuilds the same sessions arithmetically: gap-break
+    * islands, end = last event + gap.
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sumExact(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
+  val sessionWindowAggSql: String = """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
+    m AS (
+      SELECT user_id, ts_us, value,
+        CASE WHEN lag(ts_us) OVER w IS NULL
+               OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+    g AS (
+      SELECT user_id, ts_us, value,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM m)
+    SELECT user_id, min(ts_us) AS start_us, max(ts_us) + 1800000000 AS end_us,
+      count(*) AS n_events,
+      cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM g
+    GROUP BY user_id, sid
+    ORDER BY user_id, start_us"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -477,7 +514,8 @@ object ExtendedQueries {
     "heavy_hitters"     -> (heavyHitters _),
     "approx_quantiles"  -> (approxQuantiles _),
     "set_except_all"    -> (setExceptAll _),
-    "join_null_safe"    -> (joinNullSafe _))
+    "join_null_safe"    -> (joinNullSafe _),
+    "session_window_agg" -> (sessionWindowAgg _))
 
   val oracle: Map[String, String] = Map(
     "grouping_sets"     -> groupingSetsSql,
@@ -495,5 +533,6 @@ object ExtendedQueries {
     "date_functions"    -> dateFunctionsSql,
     "window_firstlast"  -> windowFirstLastSql,
     "set_except_all"    -> setExceptAllSql,
-    "join_null_safe"    -> joinNullSafeSql)
+    "join_null_safe"    -> joinNullSafeSql,
+    "session_window_agg" -> sessionWindowAggSql)
 }
