@@ -439,8 +439,10 @@ object ExtendedQueries {
       .select(col("c_custkey"),
         when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_nationkey"))
           .as("nk"))
+    // +7 stride: custkeys k and k+7 are BOTH ≡0 (mod 7) when k is, so
+    // NULL<=>NULL pairs genuinely occur — the semantics under test
     c.as("a").join(c.as("b"), col("a.nk") <=> col("b.nk") &&
-        col("a.c_custkey") + 1 === col("b.c_custkey"))
+        col("a.c_custkey") + 7 === col("b.c_custkey"))
       .select(col("a.c_custkey").as("custkey"),
         coalesce(col("a.nk"), lit(-1)).cast("long").as("nk_group"))
       .orderBy("custkey")
@@ -454,7 +456,7 @@ object ExtendedQueries {
     SELECT a.c_custkey AS custkey,
       cast(coalesce(a.nk, -1) AS BIGINT) AS nk_group
     FROM c a JOIN c b
-      ON a.nk IS NOT DISTINCT FROM b.nk AND a.c_custkey + 1 = b.c_custkey
+      ON a.nk IS NOT DISTINCT FROM b.nk AND a.c_custkey + 7 = b.c_custkey
     ORDER BY custkey"""
 
   /** Built-in session-window aggregation (`session_window`): Spark's

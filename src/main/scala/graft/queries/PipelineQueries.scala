@@ -194,7 +194,10 @@ object PipelineQueries {
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextAnalysis._
     val d = docs(spark, dir)
-    val toks = wordTokens(col("text"))
+    // lowered tokens, exactly like the standalone lang_id operator (the
+    // oracle lowercases too — raw-case scoring would silently diverge on
+    // any mixed-case corpus)
+    val toks = wordTokens(lower(col("text")))
     val rep = repetitionRatio(spark, dir).select(col("doc_id"), col("rep_ratio"))
     val w = Window.partitionBy("text")
     val flags = d

@@ -26,9 +26,10 @@ class NgramHashSpec extends AnyFunSuite {
   }
 
   test("out-of-range tail positions are skipped, matching concat_ws on short docs") {
-    // window hangs off the end: only the in-range token feeds the hash
-    assert(hashOf(Seq("a", "b"), 1, 3) == hashOf(Seq("x", "b").updated(0, "x"), 1, 3))
-    assert(hashOf(Seq("only"), 0, 3) == hashOf(Seq("only", "x", "y").take(1), 0, 3))
+    // window hangs off the end: only the in-range tokens feed the hash,
+    // so an n=3 window over a tail equals the exact-length window
+    assert(hashOf(Seq("a", "b"), 1, 3) == hashOf(Seq("z", "b"), 1, 3))
+    assert(hashOf(Seq("only"), 0, 3) == hashOf(Seq("only"), 0, 1))
   }
 
   test("interpreted eval agrees with codegen") {
