@@ -56,6 +56,19 @@ object DupClusters {
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
     }
 
+    // pointer jump (path compression): label := label(label). Every
+    // label is a node id (the min over nodes reached so far, and all
+    // nodes carry labels), so the self-join always hits. Compresses
+    // chains geometrically — with the two hops above, long-path
+    // convergence needs ~log rounds instead of ~diameter.
+    def jump(labels: DataFrame): DataFrame = {
+      // fresh attribute ids on the lookup side (plain aliases), so the
+      // self-join of the checkpointed frame resolves unambiguously
+      val lookup = labels.select(col("id").as("jid"), col("cluster_id").as("jlabel"))
+      labels.join(lookup, col("cluster_id") === col("jid"))
+        .select(col("id"), col("jlabel").as("cluster_id"))
+    }
+
     var labels = nodes.select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint(true)
     var prevSum = labelSum(labels)
@@ -68,7 +81,7 @@ object DupClusters {
       // terms is dominated by per-job overhead, not data volume, so
       // halving the checkpoint count near-halves wall-clock while the
       // plan stays a fixed two joins deep
-      val next = hop(hop(labels)).localCheckpoint(true)
+      val next = jump(hop(hop(labels))).localCheckpoint(true)
       val nextSum = labelSum(next)
       labels = next
       round += 1
