@@ -186,6 +186,30 @@ object ScaleQueries {
     FROM documents JOIN embeddings ON doc_id = vec_id
     ORDER BY doc_id"""
 
+  /** Per-label embedding centroids, long format (label, dimension,
+    * mean): posexplode + codegen'd grouped decimal means — the vector
+    * aggregation shape k-means training uses, oracle-checked here.
+    * Floats widen to double BEFORE the decimal cast on both engines, so
+    * the decimal rounding sees identical values.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    embs(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(
+        sum(col("col").cast("double").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("m"))
+      .select(col("label").cast("long").as("label"), col("pos").cast("long").as("pos"), col("m"))
+      .orderBy("label", "pos")
+
+  val labelCentroidsSql: String = """
+    SELECT cast(label AS BIGINT) AS label, cast(i - 1 AS BIGINT) AS pos,
+      round(cast(sum(cast(cast(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        / cast(count(*) AS DOUBLE), 6) AS m
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    GROUP BY label, i
+    ORDER BY label, pos"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -197,12 +221,14 @@ object ScaleQueries {
     "knn_ivf"       -> (knnIvf _),
     "fingerprint_winnow" -> (fingerprintWinnow _),
     "multimodal_join" -> (multimodalJoin _),
-    "emb_near_dup"  -> (embNearDup _))
+    "emb_near_dup"  -> (embNearDup _),
+    "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
     "dedup_ngram"  -> dedupNgramSql,
     "fingerprint_winnow" -> fingerprintWinnowSql,
     "multimodal_join" -> multimodalJoinSql,
     "knn_brute"    -> knnBruteSql,
-    "emb_near_dup" -> embNearDupSql)
+    "emb_near_dup" -> embNearDupSql,
+    "label_centroids" -> labelCentroidsSql)
 }
