@@ -199,7 +199,10 @@ object PipelineQueries {
     // any mixed-case corpus)
     val toks = wordTokens(lower(col("text")))
     val rep = repetitionRatio(spark, dir).select(col("doc_id"), col("rep_ratio"))
-    val w = Window.partitionBy("text")
+    // dedup-window keyed by md5(text), not text: the shuffle carries a
+    // 32-char digest instead of whole documents (same grouping modulo a
+    // ~1e-38 collision — the §2.1 dedup_exact scaling note, applied)
+    val w = Window.partitionBy(md5(col("text").cast("binary")))
     val flags = d
       .select(col("doc_id"), col("text"),
         (langPredict(langScores(toks)) === "en").as("f1"),
