@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+import scala.collection.mutable
+
+/** Property-based coverage for the mergeable aggregation kernels: any
+  * chunking of the input, folded per-chunk and merged in any tree
+  * order, must satisfy the operator's contract — the algebraic fact
+  * that makes map-side combine + arbitrary shuffle merge order safe.
+  */
+object AggregatorProps extends Properties("Aggregators.merge") {
+
+  // random chunking of a list (models arbitrary partitioning)
+  private def chunked[A](xs: List[A]): Gen[List[List[A]]] =
+    if (xs.isEmpty) Gen.const(Nil)
+    else Gen.listOfN(xs.length, Gen.prob(0.15)).map { cuts =>
+      val out = mutable.ListBuffer(mutable.ListBuffer.empty[A])
+      xs.zip(cuts).foreach { case (x, cut) =>
+        if (cut && out.last.nonEmpty) out += mutable.ListBuffer.empty[A]
+        out.last += x
+      }
+      out.map(_.toList).toList
+    }
+
+  private val scoredRows: Gen[List[Scored]] =
+    Gen.listOf(for {
+      s <- Gen.chooseNum(0, 30)
+      id <- Gen.chooseNum(0L, 200L)
+    } yield Scored(s.toDouble, id))
+
+  property("TopKAgg == sorted-take-k under any partitioning/merge order") =
+    Prop.forAll(scoredRows.flatMap(xs => chunked(xs).map(xs -> _))) {
+      case (xs, chunks) =>
+        val agg = new TopKAgg(5)
+        val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        val merged = partials.foldLeft(agg.zero)(agg.merge)
+        val got = agg.finish(merged)
+        val expect = xs.map(s => (-s.score, s.id)).sorted.take(5)
+          .map { case (negS, id) => (-negS, id) }
+        got.scores.zip(got.ids) == expect &&
+          got.scores.lengthIs <= 5
+    }
+
+  private val skewedKeys: Gen[List[String]] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+      4 -> Gen.oneOf((0 until 40).map(i => s"c$i"))))
+
+  property("HeavyHittersAgg: frequent keys survive, counts are bounded underestimates") =
+    Prop.forAll(skewedKeys.flatMap(xs => chunked(xs).map(xs -> _))) {
+      case (xs, chunks) =>
+        val c = 8
+        val agg = new HeavyHittersAgg(c)
+        val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        val merged = partials.foldLeft(agg.zero)(agg.merge)
+        val got = agg.finish(merged)
+        val n = xs.length
+        val err = n / (c + 1)
+        val truth = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        val estimates = got.keys.zip(got.counts).toMap
+        got.keys.lengthIs <= c &&
+          truth.forall { case (k, cnt) => cnt <= err || estimates.contains(k) } &&
+          estimates.forall { case (k, est) =>
+            est <= truth(k) && truth(k) - est <= err }
+    }
+}
