@@ -72,8 +72,9 @@ object PipelineQueries {
         cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
       FROM documents)
     SELECT doc_id, source, n_tok,
-      (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // $PackBudget AS batch_id
+      cast((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // $PackBudget
+        AS BIGINT) AS batch_id
     FROM t
     ORDER BY doc_id"""
 

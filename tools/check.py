@@ -9,13 +9,18 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm_cell(v):
+    """String-normalize like a value-hashing comparator would: int 5 and
+    float 5.0 must NOT compare equal (DuckDB HUGEINT sums come back as
+    float64 and the driver hashes the repr)."""
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
-    return v
+        return repr(float(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -30,9 +35,12 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
+            # fetchdf (pandas) on BOTH sides, like the driver: pandas quirks
+            # (nullable-int → float) then cancel out, while genuine type
+            # divergence (HUGEINT sum → float64 vs engine int64) surfaces.
             got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table().to_pylist()
-            want = con.execute(sql).fetch_arrow_table().to_pylist()
+                f"SELECT * FROM read_parquet({files!r})").fetchdf().to_dict("records")
+            want = con.execute(sql).fetchdf().to_dict("records")
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
