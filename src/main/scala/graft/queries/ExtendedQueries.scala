@@ -262,12 +262,19 @@ object ExtendedQueries {
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
+    // materialize the (md5-heavy) winnow ONCE: a self-join of the raw plan
+    // would recompute every fingerprint twice. Right side rebuilt with
+    // plain aliased selects (fresh exprIds) — .as("a")/.as("b") over a
+    // checkpointed frame trips the AttributeMap analyzer bug.
     val wf = TextAnalysis.winnowFingerprints(d, "doc_id", "text", n = 3, w = 4)
       .join(d.select(col("doc_id").as("id"), col("source")), "id")
-    val edges = wf.as("a").join(wf.as("b"),
-        col("a.source") === col("b.source") && col("a.fp") === col("b.fp") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("src"), col("b.id").as("dst")).distinct()
+      .localCheckpoint(true)
+    val right = wf.select(col("id").as("bid"), col("fp").as("bfp"),
+      col("source").as("bsource"))
+    val edges = wf.join(right,
+        col("source") === col("bsource") && col("fp") === col("bfp") &&
+          col("id") < col("bid"))
+      .select(col("id").as("src"), col("bid").as("dst")).distinct()
     DupClusters.connectedComponents(d.select(col("doc_id").as("id")), edges)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
