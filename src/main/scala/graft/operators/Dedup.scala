@@ -108,15 +108,23 @@ object Dedup {
 
   private def candidatesFromGrams(grams: DataFrame, bands: Int, rowsPer: Int,
                                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    // materialized ONCE: the bucket self-join references the banded frame
+    // twice, and each raw reference would recompute the full signature
+    // aggregation. Right side rebuilt with plain aliased selects (fresh
+    // exprIds) — .as("l")/.as("r") over a checkpointed frame trips the
+    // AttributeMap analyzer bug.
     val banded = capBuckets(minhashSignatures(grams, bands * rowsPer)
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPer + lit(1), lit(rowsPer))))))
       .toDF("id", "band", "bucket"), maxBucket)
-    banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("a_id"), col("r.id").as("b_id"))
+      .localCheckpoint(true)
+    val r = banded.select(col("id").as("rid"),
+      col("band").as("rband"), col("bucket").as("rbucket"))
+    banded.join(r,
+        col("band") === col("rband") && col("bucket") === col("rbucket") &&
+          col("id") < col("rid"))
+      .select(col("id").as("a_id"), col("rid").as("b_id"))
       .distinct()
   }
 
@@ -128,7 +136,9 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, bands: Int = 8, rowsPer: Int = 4,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
-    val grams = explodedNgrams(df, idCol, textCol)
+    // the gram frame feeds signatures AND both sides of the Jaccard
+    // verification — materialize it once instead of three recomputes
+    val grams = explodedNgrams(df, idCol, textCol).localCheckpoint(true)
     val cands = candidatesFromGrams(grams, bands, rowsPer, maxBucket)
     verifyJaccard(cands, grams, threshold)
   }
@@ -137,16 +147,23 @@ object Dedup {
     * inter(a,b) = |join of a's and b's grams|; sizes from a grouped count.
     */
   def verifyJaccard(cands: DataFrame, grams: DataFrame, threshold: Double): DataFrame = {
+    // aliased selects (not .as("x")): `grams` may arrive checkpointed, and
+    // dataset-alias self-joins over a checkpointed frame hit the
+    // AttributeMap analyzer bug; fresh exprIds via plain selects don't
+    val ga = grams.select(col("id").as("ga_id"), col("gh").as("ga_gh"))
+    val gb = grams.select(col("id").as("gb_id"), col("gh").as("gb_gh"))
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).cast("double").as("n"))
+    val na = sizes.select(col("id").as("na_id"), col("n").as("na_n"))
+    val nb = sizes.select(col("id").as("nb_id"), col("n").as("nb_n"))
     cands
-      .join(grams.as("ga"), col("a_id") === col("ga.id"))
-      .join(grams.as("gb"), col("b_id") === col("gb.id") && col("ga.gh") === col("gb.gh"))
+      .join(ga, col("a_id") === col("ga_id"))
+      .join(gb, col("b_id") === col("gb_id") && col("ga_gh") === col("gb_gh"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).cast("double").as("inter"))
-      .join(sizes.as("na"), col("a_id") === col("na.id"))
-      .join(sizes.as("nb"), col("b_id") === col("nb.id"))
+      .join(na, col("a_id") === col("na_id"))
+      .join(nb, col("b_id") === col("nb_id"))
       .select(col("a_id"), col("b_id"),
-        (col("inter") / (col("na.n") + col("nb.n") - col("inter"))).as("jac_raw"))
+        (col("inter") / (col("na_n") + col("nb_n") - col("inter"))).as("jac_raw"))
       .filter(col("jac_raw") >= threshold) // threshold on the RAW value
       .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jaccard_sim"))
   }
@@ -197,15 +214,21 @@ object Dedup {
                       maxHamming: Int = 3,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
     val withSig = simhashSignatures(df, idCol, textCol)
+    // one materialization of the 64-vote signature aggregation; the
+    // band self-join would otherwise run it twice (fresh-exprId right
+    // side for the checkpointed-frame analyzer bug, as elsewhere)
     val banded = capBuckets(withSig.select(col("id"), col("sim"), posexplode(
       array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("id", "sim", "band", "bucket"), maxBucket)
-    banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
-        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).cast("long").as("hamming"))
+      .localCheckpoint(true)
+    val r = banded.select(col("id").as("rid"), col("sim").as("rsim"),
+      col("band").as("rband"), col("bucket").as("rbucket"))
+    banded.join(r,
+        col("band") === col("rband") && col("bucket") === col("rbucket") &&
+          col("id") < col("rid"))
+      .select(col("id").as("a_id"), col("rid").as("b_id"),
+        bit_count(col("sim").bitwiseXOR(col("rsim"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -157,22 +157,29 @@ object PipelineQueries {
   /** Intra-document repetition (Gopher-style quality signal): fraction
     * of word 3-grams that are repeats of an earlier gram in the same
     * document.
+    *
+    * ROW-LOCAL: grams derive from one token array, so gram count and
+    * distinct count are array expressions in the projection — no explode,
+    * no groupBy, no shuffle (the explode+countDistinct form ships every
+    * gram of every document through an aggregation exchange).
     */
   def repetitionRatio(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("t"))
-      .select(col("doc_id"), col("t"), explode(
-        sequence(lit(0), greatest(size(col("t")) - 3, lit(0)))).as("i"))
-      .select(col("doc_id"), md5(concat_ws(" ",
-        (0 until 3).map(j => get(col("t"), col("i") + j)): _*)
-        .cast("binary")).as("gh"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        countDistinct(col("gh")).as("nd"))
-      .select(col("doc_id"), col("n_grams"),
-        round(lit(1.0) - col("nd").cast("double") / col("n_grams").cast("double"), 6)
-          .as("rep_ratio"))
+      .select(col("doc_id") +: repetitionCols(col("text")): _*)
       .orderBy("doc_id")
+
+  /** (n_grams, rep_ratio) columns for a text column — shared between the
+    * standalone query and the curation funnel's inline gate.
+    */
+  private[queries] def repetitionCols(text: Column): Seq[Column] = {
+    val t = TextAnalysis.wordTokens(text)
+    val g = transform(
+      sequence(lit(0), greatest(size(t) - 3, lit(0))),
+      i => md5(concat_ws(" ", slice(t, i + 1, lit(3))).cast("binary")))
+    Seq(size(g).cast("long").as("n_grams"),
+      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"), 6)
+        .as("rep_ratio"))
+  }
 
   val repetitionRatioSql: String = """
     WITH toks AS (
@@ -199,31 +206,39 @@ object PipelineQueries {
     // oracle lowercases too — raw-case scoring would silently diverge on
     // any mixed-case corpus)
     val toks = wordTokens(lower(col("text")))
-    val rep = repetitionRatio(spark, dir).select(col("doc_id"), col("rep_ratio"))
     // dedup-window keyed by md5(text), not text: the shuffle carries a
     // 32-char digest instead of whole documents (same grouping modulo a
     // ~1e-38 collision — the §2.1 dedup_exact scaling note, applied)
     val w = Window.partitionBy(md5(col("text").cast("binary")))
+    // every gate including repetition is a row-local projection, so the
+    // funnel is ONE pass: no join, and the only shuffle is the dedup
+    // window + final agg
     val flags = d
       .select(col("doc_id"), col("text"),
         (langPredict(langScores(toks)) === "en").as("f1"),
         (qualityScore(col("text")) >= 0.5).as("f2"),
-        (col("doc_id") === min("doc_id").over(w)).as("f4"))
-      .join(rep, "doc_id")
+        (col("doc_id") === min("doc_id").over(w)).as("f4"),
+        repetitionCols(col("text")).last.as("rep_ratio"))
       .withColumn("f3", col("rep_ratio") <= 0.2)
-    def surviving(fs: Column*) = sum(when(fs.reduce(_ && _), 1L).otherwise(0L))
-    flags.agg(
-        count(lit(1)).as("n0"),
-        surviving(col("f1")).as("n1"),
-        surviving(col("f1"), col("f2")).as("n2"),
-        surviving(col("f1"), col("f2"), col("f3")).as("n3"),
-        surviving(col("f1"), col("f2"), col("f3"), col("f4")).as("n4"))
-      .selectExpr("""stack(5,
-        0L, 'total',        n0,
-        1L, 'lang_en',      n1,
-        2L, 'quality',      n2,
-        3L, 'repetition',   n3,
-        4L, 'exact_unique', n4) AS (stage_idx, stage, n_docs)""")
+    // ONE depth expression instead of five cumulative-AND aggregates:
+    // aggregate inputs referencing fk would inline (CollapseProject) a
+    // copy of each gate's whole HOF subtree per reference — measured 2×
+    // the entire funnel. As the single groupBy key, every gate evaluates
+    // exactly once per row; survivors-per-stage is then arithmetic on the
+    // ≤5-row depth histogram (n_k = rows with depth ≥ k).
+    val depth = when(not(col("f1")), 0L).when(not(col("f2")), 1L)
+      .when(not(col("f3")), 2L).when(not(col("f4")), 3L).otherwise(4L)
+    val cnts = flags.select(depth.as("depth")).groupBy("depth")
+      .agg(count(lit(1)).as("c"))
+    spark.range(1).selectExpr("""stack(5,
+        0L, 'total',
+        1L, 'lang_en',
+        2L, 'quality',
+        3L, 'repetition',
+        4L, 'exact_unique') AS (stage_idx, stage)""")
+      .join(cnts, col("depth") >= col("stage_idx"), "left")
+      .groupBy("stage_idx", "stage")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_docs"))
       .orderBy("stage_idx")
   }
 

@@ -46,19 +46,27 @@ object ScaleQueries {
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     // grams hashed to longs (same Jaccard as string sets modulo ~1e-15
-    // collisions; the oracle intersects the strings)
+    // collisions; the oracle intersects the strings). Materialized ONCE:
+    // the sparse join + two size joins reference it four times, each of
+    // which would recompute the gram hashing. Fresh-exprId sides (plain
+    // aliased selects) — checkpointed-frame dataset aliases trip the
+    // AttributeMap analyzer bug.
     val grams = Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text",
-      n = 3, keep = Seq("source"))
+      n = 3, keep = Seq("source")).localCheckpoint(true)
+    val a = grams.select(col("id").as("aid"), col("gh").as("agh"), col("source").as("asrc"))
+    val b = grams.select(col("id").as("bid"), col("gh").as("bgh"), col("source").as("bsrc"))
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).cast("double").as("n"))
-    grams.as("a").join(grams.as("b"),
-        col("a.source") === col("b.source") && col("a.gh") === col("b.gh") &&
-          col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    val na = sizes.select(col("id").as("na_id"), col("n").as("na_n"))
+    val nb = sizes.select(col("id").as("nb_id"), col("n").as("nb_n"))
+    a.join(b,
+        col("asrc") === col("bsrc") && col("agh") === col("bgh") &&
+          col("aid") < col("bid"))
+      .groupBy(col("aid").as("a_id"), col("bid").as("b_id"))
       .agg(count(lit(1)).cast("double").as("inter"))
-      .join(sizes.as("na"), col("a_id") === col("na.id"))
-      .join(sizes.as("nb"), col("b_id") === col("nb.id"))
+      .join(na, col("a_id") === col("na_id"))
+      .join(nb, col("b_id") === col("nb_id"))
       .select(col("a_id"), col("b_id"),
-        (col("inter") / (col("na.n") + col("nb.n") - col("inter"))).as("jac_raw"))
+        (col("inter") / (col("na_n") + col("nb_n") - col("inter"))).as("jac_raw"))
       .filter(col("jac_raw") >= 0.5) // filter RAW like the oracle; round only for display
       .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jaccard_sim"))
       .orderBy("a_id", "b_id")
