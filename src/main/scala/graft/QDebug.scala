@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{DupClusters, TextAnalysis}
+import graft.operators.Similarity
 
-/** Scratch phase-timer for the dup_clusters pipeline (dev tool). */
+/** Scratch phase-timer (dev tool). */
 object QDebug {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -19,47 +19,13 @@ object QDebug {
       println(f"PHASE $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
     for (_ <- 1 to 2) {
-      val d = spark.read.parquet(s"$dir/documents.parquet")
-      val wf = t("winnow+ckpt") {
-        TextAnalysis.winnowFingerprints(d, "doc_id", "text", n = 3, w = 4)
-          .join(d.select(col("doc_id").as("id"), col("source")), "id")
-          .localCheckpoint(true)
-      }
-      val right = wf.select(col("id").as("bid"), col("fp").as("bfp"),
-        col("source").as("bsource"))
-      val edges = t("edges") {
-        wf.join(right,
-            col("source") === col("bsource") && col("fp") === col("bfp") &&
-              col("id") < col("bid"))
-          .select(col("id").as("src"), col("bid").as("dst")).distinct()
-          .localCheckpoint(true)
-      }
-      println("edges rows " + edges.count())
-      t("components") {
-        DupClusters.connectedComponents(d.select(col("doc_id").as("id")), edges).count()
-      }
-      // variant B: driver union-find over collected edges, result joined back
-      t("components-uf") {
-        import spark.implicits._
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        edges.select(col("src"), col("dst")).as[(Long, Long)].collect().foreach {
-          case (a, b) =>
-            val (ra, rb) = (find(a), find(b))
-            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
-        val m = parent.keys.map(k => k -> find(k)).toMap
-        val mapDf = m.toSeq.toDF("id", "root")
-        d.select(col("doc_id").as("id"))
-          .join(broadcast(mapDf), Seq("id"), "left")
-          .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
-          .count()
+      val prepped = Similarity.prep(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      val queries = prepped.filter(col("id") % 50 === 0)
+      val cent = t("kmeans") { Similarity.kmeansCentroids(prepped, k = 16, iters = 2) }
+      t("ivf-search") {
+        Similarity.knnIvf(queries, prepped, k = 5, nProbe = 4, centroids = Some(cent))
+          .orderBy("q_id", "rk").count()
       }
     }
     spark.stop()

@@ -136,9 +136,10 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, bands: Int = 8, rowsPer: Int = 4,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
-    // the gram frame feeds signatures AND both sides of the Jaccard
-    // verification — materialize it once instead of three recomputes
-    val grams = explodedNgrams(df, idCol, textCol).localCheckpoint(true)
+    // NOT checkpointed: the gram frame is cheap to recompute (fused
+    // NgramHash, one narrow scan) and wide to store — materializing its
+    // |docs|·|grams| rows measured slower than the three recomputes
+    val grams = explodedNgrams(df, idCol, textCol)
     val cands = candidatesFromGrams(grams, bands, rowsPer, maxBucket)
     verifyJaccard(cands, grams, threshold)
   }

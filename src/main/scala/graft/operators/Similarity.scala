@@ -90,12 +90,14 @@ object Similarity {
         col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val qb = broadcast(banded(queries, "q_id")
       .withColumnsRenamed(Map("v" -> "qv", "nrm" -> "qn")))
-    val cands = qb.join(banded(corpus, "n_id"),
+    // score BEFORE the dedup: a pair colliding in several tables scores
+    // redundantly (cheap, map-side), but the dropDuplicates exchange then
+    // carries (q_id, n_id, cos) — one double — instead of both vectors
+    val scored = qb.join(banded(corpus, "n_id"),
         Seq("tbl", "bkt")).filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"), col("qv"), col("qn"), col("v"), col("nrm"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
       .dropDuplicates("q_id", "n_id")
-    val scored = cands.select(col("q_id"), col("n_id"),
-      cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
     Relational.topKPerGroup(scored, Seq("q_id"), col("cos"), col("n_id"), k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
   }
@@ -182,11 +184,13 @@ object Similarity {
       .withColumnsRenamed(Map("id" -> "n_id"))
     val queryCells = assign(queries, nProbe)
       .withColumnsRenamed(Map("id" -> "q_id", "v" -> "qv", "nrm" -> "qn"))
+    // scored before the dedup, so the exchange carries one double per
+    // candidate pair instead of both vectors (same move as knnLsh)
     val scored = queryCells.join(corpusCells, Seq("c_id"))
       .filter(col("n_id") =!= col("q_id"))
-      .dropDuplicates("q_id", "n_id")
       .select(col("q_id"), col("n_id"),
         cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+      .dropDuplicates("q_id", "n_id")
     Relational.topKPerGroup(scored, Seq("q_id"), col("cos"), col("n_id"), k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
   }

@@ -123,13 +123,17 @@ object PipelineQueries {
     * through a hash-set membership probe, no shuffle of the corpus.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // grams hashed with the fused codegen NgramHash (64-bit, no gram
+    // string allocation): overlap detection only needs the SAME hash on
+    // both sides of this query — the oracle recomputes overlap with its
+    // own md5 grams and compares surviving doc_ids, which agree modulo
+    // ~1e-15 hash-collision odds
     def grams(d: DataFrame): DataFrame = d
       .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"), explode(
         sequence(lit(0), greatest(size(col("t")) - DecontN, lit(0)))).as("i"))
-      .select(col("doc_id"), md5(concat_ws(" ",
-        (0 until DecontN).map(j => get(col("t"), col("i") + j)): _*)
-        .cast("binary")).as("gh"))
+      .select(col("doc_id"), graft.functions.NgramKernels
+        .ngramHashCol(col("t"), col("i"), DecontN).as("gh"))
     val d = docs(spark, dir)
     val evalGrams = grams(d.filter(col("doc_id") % 97 === 0)).select("gh").distinct()
     val train = d.filter(col("doc_id") % 97 =!= 0)
