@@ -31,13 +31,16 @@ object AsofJoin {
     *                 right rows share (key, ts), the one with the LARGEST
     *                 seq wins deterministically. Pass None only if such
     *                 ties are impossible in the input.
-    * @return left rows + carried right payload; unmatched left rows are
-    *         dropped (inner as-of, like DuckDB's ASOF JOIN default)
+    * @param leftOuter keep unmatched left rows with NULL payload (ASOF
+    *                 LEFT JOIN); default drops them (inner, like DuckDB's
+    *                 ASOF JOIN default)
+    * @return left rows + carried right payload
     */
   def apply(left: DataFrame, right: DataFrame, key: String,
             leftTs: String, rightTs: String, leftSeq: String,
             rightPayload: Map[String, String],
-            rightSeq: Option[String] = None): DataFrame = {
+            rightSeq: Option[String] = None,
+            leftOuter: Boolean = false): DataFrame = {
     val clash = (left.columns ++ right.columns).filter(Reserved.contains)
     require(clash.isEmpty,
       s"as-of join inputs may not use reserved column names: ${clash.mkString(", ")}")
@@ -64,7 +67,10 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 0 && col("__match").isNotNull)
+      // left-outer keeps unmatched left rows: field access on the NULL
+      // match struct yields NULL payload columns
+      .filter(col("__side") === 0 &&
+        (if (leftOuter) lit(true) else col("__match").isNotNull))
       .select(leftCols.map(col) :+ col("__match.*"): _*)
   }
 

@@ -39,6 +39,27 @@ object Relational {
       .filter(col(rankCol) <= k)
   }
 
+  /** CDC merge (upsert): rows of `changes` override base rows sharing
+    * their key; unmatched change rows insert. One full-outer sort-merge
+    * join on the key — the shape Delta/Iceberg MERGE INTO lowers to:
+    * shuffle-parallel on the key, no driver involvement, and AQE handles
+    * a skewed key. `changes` must carry the same columns as `base`.
+    */
+  def mergeUpsert(base: DataFrame, changes: DataFrame,
+                  keyCols: Seq[String]): DataFrame = {
+    require(base.columns.sorted.sameElements(changes.columns.sorted),
+      s"merge inputs must share a schema: base ${base.columns.mkString(",")} " +
+        s"vs changes ${changes.columns.mkString(",")}")
+    val payload = base.columns.filterNot(keyCols.contains)
+    val c = changes.select(
+      keyCols.map(col) ++ payload.map(n => col(n).as(s"__c_$n")): _*)
+    // USING-style join coalesces the key columns; payload takes the
+    // change side when present
+    base.join(c, keyCols, "full_outer")
+      .select(keyCols.map(col) ++
+        payload.map(n => coalesce(col(s"__c_$n"), col(n)).as(n)): _*)
+  }
+
   /** Gap-based sessionization: assign a per-key session ordinal that
     * increments whenever the gap between consecutive rows (by `orderCol`,
     * must be unique per key) exceeds `gapMicros` on `tsMicros`.

@@ -39,6 +39,33 @@ object AdvancedQueries {
     FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts_us > s.s_ts
     ORDER BY p.event_id"""
 
+  /** Left-outer as-of: every purchase kept, NULL signup payload when no
+    * signup precedes it (same one-shuffle carry-forward plan; the outer
+    * variant only changes the final filter).
+    */
+  def asofJoinLeftQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("s_event"), col("ts_us").as("s_ts"))
+    AsofJoin(purchases, signups.withColumnRenamed("s_user", "user_id"),
+        key = "user_id", leftTs = "ts_us", rightTs = "s_ts", leftSeq = "event_id",
+        rightPayload = Map("s_event" -> "s_event", "s_ts" -> "s_ts"),
+        rightSeq = Some("s_event"), leftOuter = true)
+      .select(col("event_id"), col("user_id"), col("s_event"),
+        (col("ts_us") - col("s_ts")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinLeftSql: String = """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+    p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+    s AS (SELECT event_id AS s_event, user_id, ts_us AS s_ts FROM e WHERE event_type = 'signup')
+    SELECT p.event_id, p.user_id, s.s_event, p.ts_us - s.s_ts AS gap_us
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_us > s.s_ts
+    ORDER BY p.event_id"""
+
   /** Pivot order counts: one column per order status. */
   def pivotStatus(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "orders")
@@ -157,6 +184,7 @@ object AdvancedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join"    -> (asofJoinQ _),
+    "asof_join_left" -> (asofJoinLeftQ _),
     "pivot_status" -> (pivotStatus _),
     "events_json"  -> (eventsJson _),
     "fuzzy_names"  -> (fuzzyNames _),
@@ -166,6 +194,7 @@ object AdvancedQueries {
 
   val oracle: Map[String, String] = Map(
     "asof_join"    -> asofJoinSql,
+    "asof_join_left" -> asofJoinLeftSql,
     "pivot_status" -> pivotStatusSql,
     "events_json"  -> eventsJsonSql,
     "fuzzy_names"  -> fuzzyNamesSql,

@@ -275,9 +275,40 @@ object PipelineQueries {
       UNION ALL SELECT 4, 'exact_unique', n4 FROM agg)
     ORDER BY stage_idx"""
 
+  /** Deterministic train/val/test split (80/10/10 by md5 bucket of the
+    * doc id): reproducible on any engine, any cluster, any run — the
+    * property random() splits can't give — with per-(source, split)
+    * counts for the audit. xxhash64 buckets at prod scale; md5 here so
+    * the oracle reproduces the exact assignment.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    docs(spark, dir)
+      .select(col("source"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+  }
+
+  val splitAssignSql: String = """
+    WITH assigned AS (
+      SELECT source,
+        CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+             WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents)
+    SELECT source, split, count(*) AS n_docs
+    FROM assigned
+    GROUP BY source, split
+    ORDER BY source, split"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_assign"     -> (splitAssign _),
     "text_chunk"       -> (textChunk _),
     "pack_batches"     -> (packBatches _),
     "pii_scrub"        -> (piiScrub _),
@@ -286,6 +317,7 @@ object PipelineQueries {
     "curation_funnel"  -> (curationFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "split_assign"     -> splitAssignSql,
     "text_chunk"       -> textChunkSql,
     "pack_batches"     -> packBatchesSql,
     "pii_scrub"        -> piiScrubSql,

@@ -215,9 +215,86 @@ object TextQueries {
     FROM documents
     ORDER BY doc_id"""
 
+  // ----------------------------------------------------------- tf-idf
+
+  /** Per-document top-3 TF-IDF terms: term frequencies from an explode +
+    * count, document frequencies as a (vocab-sized, broadcast) side
+    * aggregate, corpus size as a broadcast one-row frame. Ranking uses
+    * the RAW score (both engines compute the identical expression; the
+    * rounded value is for display), term as tiebreak.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = d
+      .select(col("doc_id"), explode(wordTokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))).as("raw"))
+    graft.operators.Relational
+      .topKPerGroup(scored, Seq("doc_id"), col("raw"), col("term"), 3)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("raw"), 6).as("score"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfTopTermsSql: String = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+        tf * ln((n_docs + 1.0) / (df + 1.0)) AS raw
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, raw,
+        cast(row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, term) AS BIGINT) AS rk
+      FROM scored)
+    SELECT doc_id, term, cast(tf AS BIGINT) AS tf, round(raw, 6) AS score, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk"""
+
+  /** Per-source vocabulary statistics (Zipf-tail signal): token total,
+    * distinct vocabulary, and hapax-legomena ratio.
+    */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), explode(wordTokens(lower(col("text")))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        round(col("hapax").cast("double") / col("vocab").cast("double"), 6)
+          .as("hapax_ratio"))
+      .orderBy("source")
+
+  val vocabStatsSql: String = """
+    WITH counts AS (
+      SELECT source, tok, count(*) AS c FROM (
+        SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+      GROUP BY source, tok)
+    SELECT source,
+      cast(sum(c) AS BIGINT) AS n_tokens,
+      count(*) AS vocab,
+      cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      round(cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_ratio
+    FROM counts
+    GROUP BY source
+    ORDER BY source"""
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_top_terms" -> (tfidfTopTerms _),
+    "vocab_stats"     -> (vocabStats _),
     "text_stats"      -> (textStats _),
     "token_count"     -> (tokenCount _),
     "lang_id"         -> (langId _),
@@ -229,6 +306,8 @@ object TextQueries {
     "regex_extract"   -> (regexExtract _))
 
   val oracle: Map[String, String] = Map(
+    "tfidf_top_terms" -> tfidfTopTermsSql,
+    "vocab_stats"     -> vocabStatsSql,
     "text_stats"      -> textStatsSql,
     "token_count"     -> tokenCountSql,
     "lang_id"         -> langIdSql,

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Warehouse-pattern operators beyond the round-2 surface: variable-
+  * length interval merging (gaps-and-islands with a running max), value-
+  * RANGE window frames, CDC merge-upsert, and derived-bound histograms.
+  *
+  * Scale notes: every window here is keyed; the merge is one full-outer
+  * sort-merge join; histogram bounds travel as a broadcast 1-row frame,
+  * never a driver round-trip inside the plan.
+  */
+object WarehouseQueries {
+
+  /** Merge overlapping per-user event intervals (gaps-and-islands).
+    * Interval length varies per event (deterministic function of the id),
+    * so islands need the running MAX of interval ends — the strictly
+    * harder variant of sessionize's lag-gap test (a long early interval
+    * can swallow several later starts).
+    */
+  def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("ts_us") + (pmod(col("event_id"), lit(300)) + 60) * 1000000L).as("end_us"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val prevMax = max("end_us").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = when(prevMax.isNull || col("ts_us") > prevMax, 1L).otherwise(0L)
+    e.withColumn("island",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min("ts_us").as("s"), max("end_us").as("en"), count(lit(1)).as("n_iv"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum("n_iv").as("n_intervals"),
+        sum(col("en") - col("s")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
+  // integer sums cast back to BIGINT: DuckDB promotes sum(BIGINT) to
+  // HUGEINT, which the driver's pandas fetch would hash as float
+  val intervalMergeSql: String = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        epoch_ns(ts) // 1000 + (event_id % 300 + 60) * 1000000 AS end_us
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts_us, end_us,
+        CASE WHEN max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR ts_us > max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    islands AS (
+      SELECT user_id, ts_us, end_us,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged),
+    merged AS (
+      SELECT user_id, island, min(ts_us) AS s, max(end_us) AS en, count(*) AS n_iv
+      FROM islands GROUP BY user_id, island)
+    SELECT user_id, count(*) AS n_islands,
+      cast(sum(n_iv) AS BIGINT) AS n_intervals,
+      cast(sum(en - s) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    ORDER BY user_id"""
+
+  /** Trailing-30-day spend per order via a value-RANGE window frame —
+    * peers at the same day aggregate identically regardless of row
+    * order, which a ROWS frame cannot express.
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.read(spark, dir, "orders")
+      .withColumn("day",
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("day")).rangeBetween(-30, 0)
+    o.select(col("o_orderkey"), col("o_custkey"), col("day"),
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w)
+          .cast("double").as("spend_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  val windowRangeFrameSql: String = """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        date_diff('day', DATE '1970-01-01', cast(o_orderdate AS DATE)) AS day
+      FROM orders)
+    SELECT o_orderkey, o_custkey, cast(day AS BIGINT) AS day,
+      cast(sum(cast(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS spend_30d,
+      cast(count(*) OVER w AS BIGINT) AS n_orders_30d
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey"""
+
+  /** CDC apply: deterministic update + insert sets merged into orders
+    * via [[Relational.mergeUpsert]] (exact-decimal price arithmetic so
+    * both engines agree bit-for-bit).
+    */
+  def mergeUpsertQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.read(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 6)).as("p"))
+    val updates = base.filter(pmod(col("o_orderkey"), lit(13)) === 3)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("p") + 100).cast(DecimalType(18, 6)).as("p"))
+    val inserts = base.filter(pmod(col("o_orderkey"), lit(13)) === 5)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit("I").as("o_orderstatus"), col("p"))
+    Relational.mergeUpsert(base, updates.union(inserts), Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("p").cast("double").as("price"))
+      .orderBy("o_orderkey")
+  }
+
+  val mergeUpsertSql: String = """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, cast(o_totalprice AS DECIMAL(18,6)) AS p
+      FROM orders),
+    changes AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, cast(p + 100 AS DECIMAL(18,6)) AS p
+      FROM base WHERE o_orderkey % 13 = 3
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'I', p FROM base WHERE o_orderkey % 13 = 5)
+    SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+      coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+      cast(coalesce(c.p, b.p) AS DOUBLE) AS price
+    FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    ORDER BY o_orderkey"""
+
+  /** Fixed-width 20-bin price histogram with data-derived bounds: the
+    * (min, max) travel as a broadcast one-row frame into every bin
+    * computation — a second scan, not a driver round-trip, so the plan
+    * stays fully declarative at any scale.
+    */
+  def histogramPrice(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.read(spark, dir, "orders")
+    val bounds = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+    o.crossJoin(broadcast(bounds))
+      .select(least(lit(19L),
+        floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / 20.0))
+          .cast("long")).as("bin"),
+        col("o_totalprice"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), Relational.sumExact(col("o_totalprice")).as("total"))
+      .orderBy("bin")
+  }
+
+  val histogramPriceSql: String = """
+    WITH bounds AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+    SELECT least(19, cast(floor((o_totalprice - mn) / ((mx - mn) / 20.0)) AS BIGINT)) AS bin,
+      count(*) AS n,
+      cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders, bounds
+    GROUP BY 1
+    ORDER BY bin"""
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interval_merge"     -> (intervalMerge _),
+    "window_range_frame" -> (windowRangeFrame _),
+    "merge_upsert"       -> (mergeUpsertQ _),
+    "histogram_price"    -> (histogramPrice _))
+
+  val oracle: Map[String, String] = Map(
+    "interval_merge"     -> intervalMergeSql,
+    "window_range_frame" -> windowRangeFrameSql,
+    "merge_upsert"       -> mergeUpsertSql,
+    "histogram_price"    -> histogramPriceSql)
+}

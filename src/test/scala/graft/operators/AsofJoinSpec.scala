@@ -36,6 +36,15 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == Set((2L, 10L)))
   }
 
+  test("leftOuter keeps unmatched left rows with NULL payload") {
+    val l = Seq((1L, 7L, 50L), (2L, 7L, 200L)).toDF("id", "k", "ts")
+    val r = Seq((10L, 7L, 100L)).toDF("r_id", "k", "r_ts")
+    val got = AsofJoin(l, r, key = "k", leftTs = "ts", rightTs = "r_ts",
+        leftSeq = "id", rightPayload = Map("r_id" -> "r_id"), leftOuter = true)
+      .select("id", "r_id").as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((1L, None), (2L, Some(10L))))
+  }
+
   test("keys never cross") {
     val got = run(
       left  = Seq((1L, 7L, 200L), (2L, 8L, 200L)),
