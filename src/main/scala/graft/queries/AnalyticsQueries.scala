@@ -274,9 +274,73 @@ object AnalyticsQueries {
     GROUP BY user_id, session_seq
     ORDER BY user_id, session_seq"""
 
+  // --------------------------------------------------- cohorts & journeys
+
+  /** Weekly retention cohorts: users bucketed by first-seen week, activity
+    * counted per (cohort, week offset). The user→cohort aggregate and the
+    * activity join share the user_id partitioning, so the second shuffle
+    * is only the (tiny) cohort-matrix aggregation.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_us div 604800000000").as("wk"))
+    val cohorts = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    e.join(cohorts, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  val retentionCohortsSql: String = """
+    WITH e AS (
+      SELECT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS wk FROM events),
+    u AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+    SELECT cohort_wk, wk - cohort_wk AS week_offset,
+      count(DISTINCT e.user_id) AS n_users
+    FROM e JOIN u USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
+  /** Per-user event-sequence paths (MATCH_RECOGNIZE-flavored): the
+    * time-ordered first-letter string of a user's events, fingerprinted,
+    * plus a view-then-purchase conversion flag matched on the path.
+    * `array_sort(collect_list(struct(ts, id, letter)))` gives the
+    * deterministic order WITHOUT a per-group sort exchange — struct sort
+    * keys (ts, unique id) make ties impossible.
+    */
+  def journeyPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("letter"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("letter")))),
+          x => x.getField("letter")), "").as("path"))
+      .select(col("user_id"), col("n_events"),
+        md5(col("path").cast("binary")).as("path_md5"),
+        col("path").rlike("v[^p]*p").as("converted"))
+      .orderBy("user_id")
+
+  val journeyPathsSql: String = """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+        substr(event_type, 1, 1) AS letter
+      FROM events),
+    p AS (
+      SELECT user_id, count(*) AS n_events,
+        string_agg(letter, '' ORDER BY ts_us, event_id) AS path
+      FROM e GROUP BY 1)
+    SELECT user_id, n_events, md5(path) AS path_md5,
+      regexp_matches(path, 'v[^p]*p') AS converted
+    FROM p
+    ORDER BY user_id"""
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retention_cohorts"  -> (retentionCohorts _),
+    "journey_paths"      -> (journeyPaths _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "agg_order_stats"    -> (aggOrderStats _),
     "q3_top_revenue"     -> (q3TopRevenue _),
@@ -290,6 +354,8 @@ object AnalyticsQueries {
     "events_sessionize"  -> (eventsSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "retention_cohorts"  -> retentionCohortsSql,
+    "journey_paths"      -> journeyPathsSql,
     "q1_pricing_summary" -> q1Sql,
     "agg_order_stats"    -> aggOrderStatsSql,
     "q3_top_revenue"     -> q3Sql,

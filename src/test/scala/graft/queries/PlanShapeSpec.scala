@@ -40,11 +40,31 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("no query plans a cartesian product or nested-loop join") {
     for (name <- Seq("q3_top_revenue", "q5_nation_revenue", "asof_join",
-        "range_join_events", "join_skew_salted", "dedup_ngram")) {
+        "range_join_events", "join_skew_salted", "dedup_ngram",
+        "merge_upsert", "retention_cohorts", "interval_merge")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: cartesian")
       // broadcast NLJ is tolerable only for tiny dims; none of these need it
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: BNLJ")
     }
+  }
+
+  test("tfidf document frequencies join by broadcast (vocab ≪ corpus)") {
+    val p = plan("tfidf_top_terms")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("merge_upsert is one key-partitioned join, no driver round-trip") {
+    val p = plan("merge_upsert")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("CollectLimit"), p.take(2000))
+  }
+
+  test("histogram bounds broadcast as a one-row frame (BNLJ is the right shape here)") {
+    val p = plan("histogram_price")
+    // the cross join against the 1-row bounds frame must be broadcast,
+    // not a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 }
