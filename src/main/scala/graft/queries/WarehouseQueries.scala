@@ -162,15 +162,49 @@ object WarehouseQueries {
     GROUP BY 1
     ORDER BY bin"""
 
+  /** Latest-record-per-key compaction (CDC log → current state): one
+    * `max(struct(version, key))` hash aggregate — deterministic argmax
+    * with NO per-group sort and full map-side combine, the shape that
+    * beats a row_number window at any scale.
+    */
+  def latestSnapshot(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "orders")
+      .withColumn("day",
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).cast("long"))
+      .groupBy("o_custkey")
+      .agg(max(struct(col("day"), col("o_orderkey"))).as("last"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"), col("last.o_orderkey").as("last_orderkey"),
+        col("last.day").as("last_day"), col("n_orders"))
+      .orderBy("o_custkey")
+
+  val latestSnapshotSql: String = """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+        date_diff('day', DATE '1970-01-01', cast(o_orderdate AS DATE)) AS day
+      FROM orders),
+    r AS (
+      SELECT o_custkey, o_orderkey, day,
+        row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY day DESC, o_orderkey DESC) AS rn,
+        count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      FROM o)
+    SELECT o_custkey, o_orderkey AS last_orderkey,
+      cast(day AS BIGINT) AS last_day, cast(n_orders AS BIGINT) AS n_orders
+    FROM r WHERE rn = 1
+    ORDER BY o_custkey"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "latest_snapshot"    -> (latestSnapshot _),
     "interval_merge"     -> (intervalMerge _),
     "window_range_frame" -> (windowRangeFrame _),
     "merge_upsert"       -> (mergeUpsertQ _),
     "histogram_price"    -> (histogramPrice _))
 
   val oracle: Map[String, String] = Map(
+    "latest_snapshot"    -> latestSnapshotSql,
     "interval_merge"     -> intervalMergeSql,
     "window_range_frame" -> windowRangeFrameSql,
     "merge_upsert"       -> mergeUpsertSql,
