@@ -102,40 +102,58 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
   }
 
+  /** Centroids as driver-side model parameters: (c_id, cv, cn) rows of a
+    * (≤ nCentroids-row) frame collected into plain Scala — the same move
+    * MLlib's KMeans makes every Lloyd round, and the same pattern as the
+    * literal LSH hyperplanes. k·dim doubles, never corpus data.
+    */
+  private def centArrays(cent: DataFrame): Seq[(Long, Seq[Double], Double)] =
+    cent.select(col("c_id").cast("long"),
+        col("cv").cast("array<double>"), col("cn"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+
+  /** Per-centroid (affinity, c_id) structs for one vector — a pure
+    * projection over literal centroid arrays, so cell assignment runs
+    * map-only: no cross join, no per-vector aggregation exchange.
+    */
+  private def affStructs(v: Column, nrm: Column,
+                         cents: Seq[(Long, Seq[Double], Double)]): Seq[Column] =
+    cents.map { case (cid, cv, cn) =>
+      struct(cosine(v, nrm, array(cv.map(lit): _*), lit(cn)).as("aff"),
+        lit(cid).as("c_id"))
+    }
+
+  /** Argmax cell id, row-local. `greatest` over (aff, c_id) structs =
+    * the old `max(struct)` aggregate semantics: ties take the highest
+    * c_id, deterministically.
+    */
+  private def bestCell(v: Column, nrm: Column,
+                       cents: Seq[(Long, Seq[Double], Double)]): Column =
+    greatest(affStructs(v, nrm, cents): _*).getField("c_id")
+
   /** Distributed Lloyd k-means over a prepped vector frame, cosine
     * affinity. Init = the k lowest-id vectors (deterministic); each
-    * round assigns every vector to its best centroid (broadcast
-    * cross-join, map-only) and recomputes centroids as element-wise
-    * means via posexplode + codegen'd grouped averages — never a
-    * per-element lambda on the hot path, never vectors on the driver.
-    * Cells that lose all members simply drop out (classic Lloyd).
+    * round assigns every vector to its best centroid ROW-LOCALLY against
+    * the literal centroid bank (map-only — the only shuffle per round is
+    * the posexplode mean recompute) and collects the k new centroids
+    * back to the driver. Cells that lose all members drop out (classic
+    * Lloyd).
     *
-    * @return centroid frame (c_id, cv, cn) for [[knnIvf]]
+    * @return centroid frame (c_id, cv, cn) for [[knnIvf]] — zero
+    *         lineage, safe to reference any number of times
     */
-  /** Best (argmax-affinity) cell per vector: `max(struct(aff, c_id))` is
-    * a plain hash aggregate — deterministic (ties → highest c_id), map-
-    * side combined, and crucially NO per-group sort, unlike a
-    * row_number window. `first(v)` is safe: v is functionally dependent
-    * on the group key.
-    */
-  private def assignBestCell(df: DataFrame, cent: DataFrame): DataFrame =
-    df.crossJoin(cent)
-      .select(col("id"), col("v"), col("nrm"), col("c_id"),
-        cosine(col("v"), col("nrm"), col("cv"), col("cn")).as("aff"))
-      .groupBy("id")
-      .agg(max(struct(col("aff"), col("c_id"))).as("best"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      .select(col("id"), col("v"), col("nrm"), col("best.c_id").as("c_id"))
-
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    var cent = corpus.orderBy("id").limit(k)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = centArrays(corpus.orderBy("id").limit(k)
       .withColumn("c_id", row_number().over(Window.orderBy("id")).cast("long") - 1)
-      .select(col("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-      .localCheckpoint(true)
+      .select(col("c_id"), col("v").as("cv"), col("nrm").as("cn")))
     for (_ <- 0 until iters) {
-      val assigned = assignBestCell(corpus, broadcast(cent))
-      cent = assigned
+      val assigned = corpus.select(
+        bestCell(col("v"), col("nrm"), cents).as("c_id"), col("v"))
+      cents = centArrays(assigned
         .select(col("c_id"), posexplode(col("v")))
         .groupBy(col("c_id"), col("pos"))
         // exact-decimal mean: the sum is associative, so centroid values
@@ -150,10 +168,9 @@ object Similarity {
         // elements total) unwraps it
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("c_id"), transform(col("pm"), p => p.getField("m")).as("cv"))
-        .withColumn("cn", norm(col("cv")))
-        .localCheckpoint(true)
+        .withColumn("cn", norm(col("cv"))))
     }
-    cent
+    cents.toDF("c_id", "cv", "cn")
   }
 
   /** IVF-flat ANN: partition the corpus into `nCentroids` Voronoi cells
@@ -170,20 +187,20 @@ object Similarity {
   def knnIvf(queries: DataFrame, corpus: DataFrame, k: Int,
              nCentroids: Int = 16, nProbe: Int = 4,
              centroids: Option[DataFrame] = None): DataFrame = {
-    val cent = broadcast(centroids.getOrElse(corpus.orderBy("id").limit(nCentroids)
+    val cents = centArrays(centroids.getOrElse(corpus.orderBy("id").limit(nCentroids)
       .select(col("id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))))
-    def assign(df: DataFrame, probes: Int): DataFrame =
-      if (probes == 1) assignBestCell(df, cent)
-      else Relational.topKPerGroup(
-        df.crossJoin(cent)
-          .select(col("id"), col("v"), col("nrm"), col("c_id"),
-            cosine(col("v"), col("nrm"), col("cv"), col("cn")).as("aff")),
-        Seq("id"), col("aff"), col("c_id"), probes)
-        .drop("aff", "rk")
-    val corpusCells = assign(corpus, 1)
-      .withColumnsRenamed(Map("id" -> "n_id"))
-    val queryCells = assign(queries, nProbe)
-      .withColumnsRenamed(Map("id" -> "q_id", "v" -> "qv", "nrm" -> "qn"))
+    // both assignments are row-local projections against the literal
+    // centroid bank: corpus side map-only (one cell each), query side
+    // exploding its nProbe nearest cells from an in-row struct sort
+    def probeCells(v: Column, nrm: Column, probes: Int): Column =
+      transform(
+        slice(reverse(array_sort(array(affStructs(v, nrm, cents): _*))), 1, probes),
+        s => s.getField("c_id"))
+    val corpusCells = corpus.select(col("id").as("n_id"), col("v"), col("nrm"),
+      bestCell(col("v"), col("nrm"), cents).as("c_id"))
+    val queryCells = queries.select(col("id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qn"),
+      explode(probeCells(col("v"), col("nrm"), nProbe)).as("c_id"))
     // scored before the dedup, so the exchange carries one double per
     // candidate pair instead of both vectors (same move as knnLsh)
     val scored = queryCells.join(corpusCells, Seq("c_id"))
