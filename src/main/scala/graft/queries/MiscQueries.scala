@@ -122,7 +122,34 @@ object MiscQueries {
     GROUP BY 1, 2
     ORDER BY mon, dow"""
 
+  /** The typed-Aggregator surface, oracle-checked: quantity-weighted
+    * mean price per return flag through [[graft.functions.WeightedMean]].
+    * The UDAF's integer-scaled exact buffer (products rounded HALF_UP at
+    * 6dp, summed in micros, divided as doubles) is reproduced verbatim
+    * in decimal SQL — ×1e6 BEFORE the double casts so both sides round
+    * at the same point. Pre-multiply vs post-multiply rounding coincide
+    * because the corpus values' shortest reprs fit 6dp (checked).
+    */
+  def weightedMeanQ(spark: SparkSession, dir: String): DataFrame = {
+    val wm = udaf(graft.functions.WeightedMean)
+    Tables.read(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(wm(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val weightedMeanSql: String = """
+    SELECT l_returnflag,
+      cast(sum(round(cast(l_extendedprice AS DECIMAL(19,6)) * cast(l_quantity AS DECIMAL(19,6)), 6)) * 1000000 AS DOUBLE)
+      / cast(sum(round(cast(l_quantity AS DECIMAL(19,6)), 6)) * 1000000 AS DOUBLE) AS wavg_price,
+      count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "weighted_mean" -> (weightedMeanQ _),
     "preview_head"    -> (previewHead _),
     "peek_first"      -> (peekFirst _),
     "table_counts"    -> (tableCounts _),
@@ -132,6 +159,7 @@ object MiscQueries {
     "orders_calendar" -> (ordersCalendar _))
 
   val oracle: Map[String, String] = Map(
+    "weighted_mean" -> weightedMeanSql,
     "preview_head"    -> previewHeadSql,
     "peek_first"      -> peekFirstSql,
     "table_counts"    -> tableCountsSql,
