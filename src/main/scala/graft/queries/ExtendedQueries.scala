@@ -305,6 +305,35 @@ object ExtendedQueries {
     * the injected `deaccent` — what a SQL-first user of the library
     * actually types.
     */
+  /** Correlated LATERAL subquery with per-row LIMIT — the SQL-standard
+    * spelling of top-k-per-group, planned by Catalyst as a rewritten
+    * join (no driver loop, no UDF). Same result as the window/aggregate
+    * top-k forms; this entry pins the SQL surface itself.
+    */
+  def lateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.read(spark, dir, "customer").createOrReplaceTempView("customer_lat")
+    Tables.read(spark, dir, "orders").createOrReplaceTempView("orders_lat")
+    spark.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer_lat c,
+      LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders_lat o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+      ) t
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+  }
+
+  val lateralTopkSql: String = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"""
+
   def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
     graft.Graft.register(spark)
     graft.fixtures.Fixtures.roster(spark, dir).createOrReplaceTempView("roster_sql")
@@ -518,6 +547,7 @@ object ExtendedQueries {
     "topk_agg"          -> (topkAgg _),
     "dup_clusters"      -> (dupClusters _),
     "sql_surface"       -> (sqlSurface _),
+    "lateral_topk"      -> (lateralTopk _),
     "date_functions"    -> (dateFunctions _),
     "window_firstlast"  -> (windowFirstLast _),
     "heavy_hitters"     -> (heavyHitters _),
@@ -539,6 +569,7 @@ object ExtendedQueries {
     "topk_agg"          -> topkAggSql,
     "dup_clusters"      -> dupClustersSql,
     "sql_surface"       -> sqlSurfaceSql,
+    "lateral_topk"      -> lateralTopkSql,
     "date_functions"    -> dateFunctionsSql,
     "window_firstlast"  -> windowFirstLastSql,
     "set_except_all"    -> setExceptAllSql,
