@@ -290,11 +290,49 @@ object TextQueries {
     GROUP BY source
     ORDER BY source"""
 
+  /** Character-distribution diversity (Simpson index): 1 − Σ(c/n)² per
+    * document, plus the distinct-character count. A perplexity-proxy
+    * quality gate with PURELY RATIONAL arithmetic — counts are exact
+    * integers and the single double division is IEEE-identical on any
+    * engine, so unlike an entropy (log₂) formulation there is no
+    * transcendental last-ulp risk in the oracle hash.
+    */
+  def charDiversity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_chars_d"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("doc_id"), col("n_chars_d"), col("n_distinct_chars"),
+        round(lit(1.0) - col("s2").cast("double")
+          / (col("n_chars_d") * col("n_chars_d")).cast("double"), 6).as("simpson"))
+      .orderBy("doc_id")
+
+  val charDiversitySql: String = """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars
+      WHERE length(ch) = 1
+      GROUP BY doc_id, ch)
+    SELECT doc_id,
+      cast(sum(c) AS BIGINT) AS n_chars_d,
+      count(*) AS n_distinct_chars,
+      round(1.0 - cast(sum(c * c) AS DOUBLE)
+        / cast(sum(c) * sum(c) AS DOUBLE), 6) AS simpson
+    FROM counts
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "vocab_stats"     -> (vocabStats _),
+    "char_diversity"  -> (charDiversity _),
     "text_stats"      -> (textStats _),
     "token_count"     -> (tokenCount _),
     "lang_id"         -> (langId _),
@@ -308,6 +346,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "vocab_stats"     -> vocabStatsSql,
+    "char_diversity"  -> charDiversitySql,
     "text_stats"      -> textStatsSql,
     "token_count"     -> tokenCountSql,
     "lang_id"         -> langIdSql,
