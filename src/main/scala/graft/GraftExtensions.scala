@@ -43,7 +43,20 @@ object Graft {
     ("deaccent", "deaccent(str) - NFKD-decompose and strip combining marks",
       arity("deaccent", 1)(exprs => DeAccent(exprs.head))),
     ("dot_product", "dot_product(a, b) - fused dot product of two numeric arrays",
-      arity("dot_product", 2)(exprs => DotProduct(exprs(0), exprs(1)))))
+      arity("dot_product", 2)(exprs => DotProduct(exprs(0), exprs(1)))),
+    ("ngram_hash", "ngram_hash(tokens, start, n) - fused xxhash64 of the n-token slice at start (0-based)",
+      arity("ngram_hash", 3)(exprs => {
+        // n parameterizes the generated code, so it must be a compile-time
+        // constant: any foldable int expression qualifies
+        val nExpr = exprs(2)
+        val n = if (nExpr.foldable) nExpr.eval() match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"ngram_hash: n must be an INT literal, got $other")
+        } else throw new IllegalArgumentException(
+          "ngram_hash: n must be a foldable INT literal")
+        graft.functions.NgramHash(exprs(0), exprs(1), n)
+      })))
 
   /** Register the custom functions on a live session's registry. */
   def register(spark: SparkSession): Unit =

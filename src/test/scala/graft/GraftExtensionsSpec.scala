@@ -16,10 +16,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("wrong arity raises a clean WRONG_NUM_ARGS analysis error, not an index crash") {
     Graft.register(spark)
-    for (bad <- Seq("SELECT deaccent('a', 'b')", "SELECT dot_product(array(1.0D))")) {
+    for (bad <- Seq("SELECT deaccent('a', 'b')", "SELECT dot_product(array(1.0D))",
+        "SELECT ngram_hash(array('a'), 0)")) {
       val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(bad).head())
       assert(e.getCondition != null && e.getCondition.startsWith("WRONG_NUM_ARGS"), bad)
     }
+  }
+
+  test("ngram_hash from SQL equals the Column-API kernel; non-literal n rejected") {
+    Graft.register(spark)
+    val viaSql = spark.sql(
+      "SELECT ngram_hash(array('a','b','c'), 0, 2) AS h").head().getLong(0)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaCol = Seq(Tuple1(Seq("a", "b", "c"))).toDF("t")
+      .select(graft.functions.NgramKernels.ngramHashCol(col("t"), lit(0), 2).as("h"))
+      .head().getLong(0)
+    assert(viaSql == viaCol)
+    // the builder's AnalysisException surfaces wrapped in a SparkException
+    val e = intercept[Exception](
+      spark.sql("SELECT ngram_hash(array('a'), 0, cast(rand()*2 AS INT))").head())
+    assert(e.getMessage.contains("foldable"), e.getMessage)
   }
 
   test("extensions class injects without error at session build time") {
