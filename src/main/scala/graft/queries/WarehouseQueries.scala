@@ -194,10 +194,94 @@ object WarehouseQueries {
     FROM r WHERE rn = 1
     ORDER BY o_custkey"""
 
+  /** One-pass table profiling (the warehouse "describe my data" op):
+    * per-column non-null, exact distinct, min, max — computed in a
+    * SINGLE aggregation over one scan, then unpivoted to long format.
+    * Columns kept to string-stable types (bigint/varchar/date) so the
+    * min/max render identically on any engine.
+    */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.read(spark, dir, "orders")
+      .withColumn("o_orderday", col("o_orderdate").cast("date"))
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderday")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    wide.selectExpr("n_rows", s"stack(${cols.length}, $stackArgs) " +
+        "AS (col_name, n_non_null, n_distinct, min_v, max_v)")
+      .select(col("col_name"), col("n_rows"), col("n_non_null"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+      .orderBy("col_name")
+  }
+
+  val profileTableSql: String = """
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        cast(o_orderdate AS DATE) AS o_orderday
+      FROM orders),
+    n AS (SELECT count(*) AS n_rows FROM o)
+    SELECT col_name, n_rows, n_non_null, n_distinct, min_v, max_v FROM (
+      SELECT 'o_orderkey' AS col_name, n.n_rows, count(o_orderkey) AS n_non_null,
+        count(DISTINCT o_orderkey) AS n_distinct,
+        cast(min(o_orderkey) AS VARCHAR) AS min_v, cast(max(o_orderkey) AS VARCHAR) AS max_v
+      FROM o, n GROUP BY n.n_rows
+      UNION ALL
+      SELECT 'o_orderstatus', n.n_rows, count(o_orderstatus), count(DISTINCT o_orderstatus),
+        cast(min(o_orderstatus) AS VARCHAR), cast(max(o_orderstatus) AS VARCHAR)
+      FROM o, n GROUP BY n.n_rows
+      UNION ALL
+      SELECT 'o_orderpriority', n.n_rows, count(o_orderpriority), count(DISTINCT o_orderpriority),
+        cast(min(o_orderpriority) AS VARCHAR), cast(max(o_orderpriority) AS VARCHAR)
+      FROM o, n GROUP BY n.n_rows
+      UNION ALL
+      SELECT 'o_orderday', n.n_rows, count(o_orderday), count(DISTINCT o_orderday),
+        cast(min(o_orderday) AS VARCHAR), cast(max(o_orderday) AS VARCHAR)
+      FROM o, n GROUP BY n.n_rows)
+    ORDER BY col_name"""
+
+  /** Join-key skew diagnostic: the top-5 heaviest keys plus global
+    * distribution stats (max/avg ratio) — the report you run BEFORE
+    * deciding between AQE skew-join and explicit salting. TakeOrdered
+    * top-k over the per-key counts; the stats ride along as a broadcast
+    * one-row frame.
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.read(spark, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(max("cnt").as("max_cnt"),
+      sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    counts.orderBy(col("cnt").desc, col("o_custkey")).limit(5)
+      .crossJoin(broadcast(stats))
+      .select(col("o_custkey"), col("cnt"), col("max_cnt"),
+        round(col("total").cast("double") / col("n_keys").cast("double"), 6).as("avg_cnt"),
+        round(col("max_cnt").cast("double")
+          / (col("total").cast("double") / col("n_keys").cast("double")), 6).as("skew_ratio"))
+      .orderBy(col("cnt").desc, col("o_custkey"))
+  }
+
+  val skewReportSql: String = """
+    WITH counts AS (
+      SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey),
+    stats AS (
+      SELECT max(cnt) AS max_cnt, cast(sum(cnt) AS BIGINT) AS total,
+        count(*) AS n_keys FROM counts)
+    SELECT o_custkey, cnt, max_cnt,
+      round(cast(total AS DOUBLE) / n_keys, 6) AS avg_cnt,
+      round(cast(max_cnt AS DOUBLE) / (cast(total AS DOUBLE) / n_keys), 6) AS skew_ratio
+    FROM (SELECT * FROM counts ORDER BY cnt DESC, o_custkey LIMIT 5), stats
+    ORDER BY cnt DESC, o_custkey"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "latest_snapshot"    -> (latestSnapshot _),
+    "profile_table"      -> (profileTable _),
+    "skew_report"        -> (skewReport _),
     "interval_merge"     -> (intervalMerge _),
     "window_range_frame" -> (windowRangeFrame _),
     "merge_upsert"       -> (mergeUpsertQ _),
@@ -205,6 +289,8 @@ object WarehouseQueries {
 
   val oracle: Map[String, String] = Map(
     "latest_snapshot"    -> latestSnapshotSql,
+    "profile_table"      -> profileTableSql,
+    "skew_report"        -> skewReportSql,
     "interval_merge"     -> intervalMergeSql,
     "window_range_frame" -> windowRangeFrameSql,
     "merge_upsert"       -> mergeUpsertSql,
