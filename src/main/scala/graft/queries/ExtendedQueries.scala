@@ -305,6 +305,55 @@ object ExtendedQueries {
     * the injected `deaccent` — what a SQL-first user of the library
     * actually types.
     */
+  /** Calendar densification via WITH RECURSIVE (Spark 4 supports
+    * recursive CTEs): a weekly spine generated from the data's own
+    * bounds, left-joined against per-week order counts so silent weeks
+    * appear as explicit zeros — the gap-filling shape every time-series
+    * report needs. The identical SQL text runs on DuckDB.
+    */
+  def recursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    Tables.read(spark, dir, "orders").createOrReplaceTempView("orders_rec")
+    spark.sql("""
+      WITH RECURSIVE bounds AS (
+        SELECT min(cast(o_orderdate AS DATE)) AS mn,
+               max(cast(o_orderdate AS DATE)) AS mx
+        FROM orders_rec),
+      spine(wk) MAX RECURSION LEVEL 2000 AS (
+        SELECT mn FROM bounds
+        UNION ALL
+        SELECT date_add(wk, 7) FROM spine, bounds WHERE date_add(wk, 7) <= mx
+      ),
+      counts AS (
+        SELECT date_add(mn, 7 * cast(floor(datediff(cast(o_orderdate AS DATE), mn) / 7.0) AS INT)) AS wk,
+          count(*) AS n
+        FROM orders_rec, bounds
+        GROUP BY 1)
+      SELECT cast(s.wk AS STRING) AS week_start,
+        coalesce(c.n, cast(0 AS BIGINT)) AS n_orders
+      FROM spine s LEFT JOIN counts c ON s.wk = c.wk
+      ORDER BY week_start""")
+  }
+
+  val recursiveSpineSql: String = """
+    WITH RECURSIVE bounds AS (
+      SELECT min(cast(o_orderdate AS DATE)) AS mn,
+             max(cast(o_orderdate AS DATE)) AS mx
+      FROM orders),
+    spine(wk) AS (
+      SELECT mn FROM bounds
+      UNION ALL
+      SELECT wk + INTERVAL 7 DAY FROM spine, bounds WHERE wk + INTERVAL 7 DAY <= mx
+    ),
+    counts AS (
+      SELECT mn + to_days(7 * cast(floor(date_diff('day', mn, cast(o_orderdate AS DATE)) / 7.0) AS INT)) AS wk,
+        count(*) AS n
+      FROM orders, bounds
+      GROUP BY 1)
+    SELECT cast(s.wk AS VARCHAR) AS week_start,
+      coalesce(c.n, cast(0 AS BIGINT)) AS n_orders
+    FROM spine s LEFT JOIN counts c ON s.wk = c.wk
+    ORDER BY week_start"""
+
   /** Correlated LATERAL subquery with per-row LIMIT — the SQL-standard
     * spelling of top-k-per-group, planned by Catalyst as a rewritten
     * join (no driver loop, no UDF). Same result as the window/aggregate
@@ -548,6 +597,7 @@ object ExtendedQueries {
     "dup_clusters"      -> (dupClusters _),
     "sql_surface"       -> (sqlSurface _),
     "lateral_topk"      -> (lateralTopk _),
+    "recursive_spine"   -> (recursiveSpine _),
     "date_functions"    -> (dateFunctions _),
     "window_firstlast"  -> (windowFirstLast _),
     "heavy_hitters"     -> (heavyHitters _),
@@ -570,6 +620,7 @@ object ExtendedQueries {
     "dup_clusters"      -> dupClustersSql,
     "sql_surface"       -> sqlSurfaceSql,
     "lateral_topk"      -> lateralTopkSql,
+    "recursive_spine"   -> recursiveSpineSql,
     "date_functions"    -> dateFunctionsSql,
     "window_firstlast"  -> windowFirstLastSql,
     "set_except_all"    -> setExceptAllSql,
