@@ -305,45 +305,41 @@ object ExtendedQueries {
     * the injected `deaccent` — what a SQL-first user of the library
     * actually types.
     */
-  /** Calendar densification via WITH RECURSIVE (Spark 4 supports
-    * recursive CTEs): a weekly spine generated from the data's own
+  /** Calendar densification: a weekly spine spanning the data's own date
     * bounds, left-joined against per-week order counts so silent weeks
     * appear as explicit zeros — the gap-filling shape every time-series
-    * report needs. The identical SQL text runs on DuckDB.
+    * report needs.
+    *
+    * Deliberately `sequence()` + explode, NOT a recursive CTE: Spark 4
+    * executes WITH RECURSIVE as a driver-iterated loop (one job per
+    * level — measured ~60 s for a 344-week spine), which is the wrong
+    * tool for series generation at any scale. Recursion support itself
+    * is pinned in `RecursiveCteSpec`; the decision is recorded in
+    * SURVEY §7.3.
     */
-  def recursiveSpine(spark: SparkSession, dir: String): DataFrame = {
-    Tables.read(spark, dir, "orders").createOrReplaceTempView("orders_rec")
-    spark.sql("""
-      WITH RECURSIVE bounds AS (
-        SELECT min(cast(o_orderdate AS DATE)) AS mn,
-               max(cast(o_orderdate AS DATE)) AS mx
-        FROM orders_rec),
-      spine(wk) MAX RECURSION LEVEL 2000 AS (
-        SELECT mn FROM bounds
-        UNION ALL
-        SELECT date_add(wk, 7) FROM spine, bounds WHERE date_add(wk, 7) <= mx
-      ),
-      counts AS (
-        SELECT date_add(mn, 7 * cast(floor(datediff(cast(o_orderdate AS DATE), mn) / 7.0) AS INT)) AS wk,
-          count(*) AS n
-        FROM orders_rec, bounds
-        GROUP BY 1)
-      SELECT cast(s.wk AS STRING) AS week_start,
-        coalesce(c.n, cast(0 AS BIGINT)) AS n_orders
-      FROM spine s LEFT JOIN counts c ON s.wk = c.wk
-      ORDER BY week_start""")
+  def calendarFill(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.read(spark, dir, "orders")
+      .agg(min(col("o_orderdate").cast("date")).as("mn"),
+        max(col("o_orderdate").cast("date")).as("mx"))
+    val spine = bounds.select(explode(expr(
+      "sequence(mn, mx, interval 7 days)")).as("wk"))
+    val counts = Tables.read(spark, dir, "orders")
+      .crossJoin(broadcast(bounds.select("mn")))
+      .select(expr("date_add(mn, 7 * cast(floor(datediff(cast(o_orderdate AS DATE), mn) / 7.0) AS INT))").as("wk"))
+      .groupBy("wk").agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq("wk"), "left")
+      .select(col("wk").cast("string").as("week_start"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("week_start")
   }
 
-  val recursiveSpineSql: String = """
-    WITH RECURSIVE bounds AS (
+  val calendarFillSql: String = """
+    WITH bounds AS (
       SELECT min(cast(o_orderdate AS DATE)) AS mn,
              max(cast(o_orderdate AS DATE)) AS mx
       FROM orders),
-    spine(wk) AS (
-      SELECT mn FROM bounds
-      UNION ALL
-      SELECT wk + INTERVAL 7 DAY FROM spine, bounds WHERE wk + INTERVAL 7 DAY <= mx
-    ),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 7 DAY))::DATE AS wk FROM bounds),
     counts AS (
       SELECT mn + to_days(7 * cast(floor(date_diff('day', mn, cast(o_orderdate AS DATE)) / 7.0) AS INT)) AS wk,
         count(*) AS n
@@ -597,7 +593,7 @@ object ExtendedQueries {
     "dup_clusters"      -> (dupClusters _),
     "sql_surface"       -> (sqlSurface _),
     "lateral_topk"      -> (lateralTopk _),
-    "recursive_spine"   -> (recursiveSpine _),
+    "calendar_fill"     -> (calendarFill _),
     "date_functions"    -> (dateFunctions _),
     "window_firstlast"  -> (windowFirstLast _),
     "heavy_hitters"     -> (heavyHitters _),
@@ -620,7 +616,7 @@ object ExtendedQueries {
     "dup_clusters"      -> dupClustersSql,
     "sql_surface"       -> sqlSurfaceSql,
     "lateral_topk"      -> lateralTopkSql,
-    "recursive_spine"   -> recursiveSpineSql,
+    "calendar_fill"     -> calendarFillSql,
     "date_functions"    -> dateFunctionsSql,
     "window_firstlast"  -> windowFirstLastSql,
     "set_except_all"    -> setExceptAllSql,
