@@ -102,6 +102,34 @@ object AdvancedQueries {
     GROUP BY 1
     ORDER BY k_mod"""
 
+  /** Semi-structured props through Spark 4's VARIANT type: parse once,
+    * extract typed fields with `variant_get` — the open-schema path that
+    * replaces per-field JSON string re-parsing (variant is a binary
+    * encoding; repeated extraction doesn't re-tokenize the text).
+    */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_var")
+    spark.sql("""
+      SELECT event_type,
+        count(*) AS n,
+        cast(sum(variant_get(parse_json(props), '$.k', 'long')) AS BIGINT) AS sum_k,
+        cast(min(variant_get(parse_json(props), '$.k', 'long')) AS BIGINT) AS min_k,
+        cast(max(variant_get(parse_json(props), '$.k', 'long')) AS BIGINT) AS max_k
+      FROM events_var
+      GROUP BY event_type
+      ORDER BY event_type""")
+  }
+
+  val variantExtractSql: String = """
+    SELECT event_type,
+      count(*) AS n,
+      cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      min(cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      max(cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
   /** Fuzzy match: Levenshtein distance between consecutive customers'
     * names (blocked pairing — the realistic shape is candidate pairs from
     * a blocking key, then edit-distance verify).
@@ -187,6 +215,7 @@ object AdvancedQueries {
     "asof_join_left" -> (asofJoinLeftQ _),
     "pivot_status" -> (pivotStatus _),
     "events_json"  -> (eventsJson _),
+    "variant_extract" -> (variantExtract _),
     "fuzzy_names"  -> (fuzzyNames _),
     "agg_salted"   -> (aggSalted _),
     "join_skew_salted" -> (joinSkewSalted _),
@@ -197,6 +226,7 @@ object AdvancedQueries {
     "asof_join_left" -> asofJoinLeftSql,
     "pivot_status" -> pivotStatusSql,
     "events_json"  -> eventsJsonSql,
+    "variant_extract" -> variantExtractSql,
     "fuzzy_names"  -> fuzzyNamesSql,
     "agg_salted"   -> aggSaltedSql,
     "join_skew_salted" -> joinSkewSaltedSql,
