@@ -194,9 +194,13 @@ object WarehouseQueries {
     FROM r WHERE rn = 1
     ORDER BY o_custkey"""
 
-  /** One-pass table profiling (the warehouse "describe my data" op):
-    * per-column non-null, exact distinct, min, max — computed in a
-    * SINGLE aggregation over one scan, then unpivoted to long format.
+  /** Table profiling (the warehouse "describe my data" op): per-column
+    * non-null, exact distinct, min, max — one NARROW aggregation per
+    * column, unioned. Deliberately NOT a single multi-distinct
+    * aggregation: Spark plans k exact distincts in one agg via EXPAND
+    * (k copies of every row through the shuffle — measured 4× the
+    * per-column union here), while each union leg scans exactly one
+    * parquet column and plans the cheap single-distinct rewrite.
     * Columns kept to string-stable types (bigint/varchar/date) so the
     * min/max render identically on any engine.
     */
@@ -204,18 +208,16 @@ object WarehouseQueries {
     val o = Tables.read(spark, dir, "orders")
       .withColumn("o_orderday", col("o_orderdate").cast("date"))
     val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderday")
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-      count(col(c)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
-      min(col(c)).cast("string").as(s"mn_$c"),
-      max(col(c)).cast("string").as(s"mx_$c")))
-    val wide = o.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
-    wide.selectExpr("n_rows", s"stack(${cols.length}, $stackArgs) " +
-        "AS (col_name, n_non_null, n_distinct, min_v, max_v)")
-      .select(col("col_name"), col("n_rows"), col("n_non_null"),
-        col("n_distinct"), col("min_v"), col("max_v"))
+    cols.map { c =>
+      o.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_non_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_v"),
+        max(col(c)).cast("string").as("max_v"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_non_null"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    }.reduce(_ unionAll _)
       .orderBy("col_name")
   }
 
