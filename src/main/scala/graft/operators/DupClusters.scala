@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object DupClusters {
 
-  /** @param nodes single-column frame of node ids (column `id`)
+  /** @param nodes single-column frame of node ids (column `id`); must
+    *              cover every id referenced by `edges` — the labeling is
+    *              defined over `nodes`, and the two execution paths only
+    *              coincide under that contract
     * @param edges two-column frame (`src`, `dst`) of undirected edges
     * @param maxIter fail-fast bound on materialized rounds (two
     *                propagation hops each); convergence past it throws

@@ -43,7 +43,9 @@ object Relational {
     * their key; unmatched change rows insert. One full-outer sort-merge
     * join on the key — the shape Delta/Iceberg MERGE INTO lowers to:
     * shuffle-parallel on the key, no driver involvement, and AQE handles
-    * a skewed key. `changes` must carry the same columns as `base`.
+    * a skewed key. `changes` must carry the same columns as `base`, and
+    * at most one change row per key (like MERGE INTO, which errors on
+    * multiple matches; here a duplicate key would fan out the join).
     */
   def mergeUpsert(base: DataFrame, changes: DataFrame,
                   keyCols: Seq[String]): DataFrame = {

@@ -129,8 +129,11 @@ object Similarity {
     * c_id, deterministically.
     */
   private def bestCell(v: Column, nrm: Column,
-                       cents: Seq[(Long, Seq[Double], Double)]): Column =
-    greatest(affStructs(v, nrm, cents): _*).getField("c_id")
+                       cents: Seq[(Long, Seq[Double], Double)]): Column = {
+    val affs = affStructs(v, nrm, cents)
+    // greatest() demands ≥2 args; a single-cell index is its own argmax
+    (if (affs.length == 1) affs.head else greatest(affs: _*)).getField("c_id")
+  }
 
   /** Distributed Lloyd k-means over a prepped vector frame, cosine
     * affinity. Init = the k lowest-id vectors (deterministic); each
