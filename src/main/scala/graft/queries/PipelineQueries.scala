@@ -305,10 +305,81 @@ object PipelineQueries {
     GROUP BY source, split
     ORDER BY source, split"""
 
+  /** Chunk-level exact dedup (RefinedWeb-style): context-window chunks
+    * fingerprinted by md5, then per-source survival stats — how much of
+    * each source remains once repeated chunks collapse to their first
+    * (doc, chunk) occurrence. Composes the verified [[textChunk]] op;
+    * the oracle reuses its SQL as a CTE.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = textChunk(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+    val w = Window.partitionBy(col("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("rk", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("source"), col("n_chunks"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_chunks").cast("double"), 6)
+          .as("survival_rate"))
+      .orderBy("source")
+  }
+
+  val chunkDedupSql: String = s"""
+    WITH chunks AS ($textChunkSql),
+    ranked AS (
+      SELECT d.source, c.chunk_md5,
+        row_number() OVER (PARTITION BY c.chunk_md5
+                           ORDER BY c.doc_id, c.chunk_idx) AS rk
+      FROM chunks c JOIN documents d ON c.doc_id = d.doc_id)
+    SELECT source,
+      count(*) AS n_chunks,
+      cast(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      round(cast(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        AS survival_rate
+    FROM ranked
+    GROUP BY source
+    ORDER BY source"""
+
+  /** Cross-source contamination matrix: for every source pair, how many
+    * winnow fingerprints they share — the provenance overlap report run
+    * before mixing corpora. Distinct (source, fp) pairs first, so the
+    * join counts shared FINGERPRINTS, not document pair blow-up.
+    */
+  def crossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sfp = graft.operators.TextAnalysis
+      .winnowFingerprints(docs(spark, dir), "doc_id", "text", n = 3, w = 4)
+      .join(docs(spark, dir).select(col("doc_id").as("id"), col("source")), "id")
+      .select("source", "fp").distinct()
+    val b = sfp.select(col("source").as("source_b"), col("fp").as("bfp"))
+    sfp.join(b, col("fp") === col("bfp") && col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val crossSourceOverlapSql: String = """
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, source, i, md5(array_to_string(t[i+1:i+3], ' ')) AS gh
+      FROM toks, unnest(range(0, greatest(len(t)-3, 0) + 1)) AS u(i)),
+    wins AS (
+      SELECT DISTINCT source, min(gh) OVER (PARTITION BY doc_id ORDER BY i
+        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM grams)
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_fps
+    FROM wins a JOIN wins b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_assign"     -> (splitAssign _),
+    "chunk_dedup"      -> (chunkDedup _),
+    "cross_source_overlap" -> (crossSourceOverlap _),
     "text_chunk"       -> (textChunk _),
     "pack_batches"     -> (packBatches _),
     "pii_scrub"        -> (piiScrub _),
@@ -318,6 +389,8 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "split_assign"     -> splitAssignSql,
+    "chunk_dedup"      -> chunkDedupSql,
+    "cross_source_overlap" -> crossSourceOverlapSql,
     "text_chunk"       -> textChunkSql,
     "pack_batches"     -> packBatchesSql,
     "pii_scrub"        -> piiScrubSql,
