@@ -349,10 +349,14 @@ object PipelineQueries {
     * join counts shared FINGERPRINTS, not document pair blow-up.
     */
   def crossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // materialized ONCE (small: distinct (source, fp)); the self-join
+    // would otherwise recompute the whole winnow per side. Fresh-exprId
+    // right side, as everywhere with checkpointed self-joins.
     val sfp = graft.operators.TextAnalysis
       .winnowFingerprints(docs(spark, dir), "doc_id", "text", n = 3, w = 4)
       .join(docs(spark, dir).select(col("doc_id").as("id"), col("source")), "id")
       .select("source", "fp").distinct()
+      .localCheckpoint(true)
     val b = sfp.select(col("source").as("source_b"), col("fp").as("bfp"))
     sfp.join(b, col("fp") === col("bfp") && col("source") < col("source_b"))
       .groupBy(col("source").as("source_a"), col("source_b"))
