@@ -274,6 +274,54 @@ object AnalyticsQueries {
     GROUP BY user_id, session_seq
     ORDER BY user_id, session_seq"""
 
+  /** TPC-H Q6-style revenue-change forecast: pure filter + global
+    * aggregate. The whole predicate reaches the parquet scan
+    * (PushedFilters), so at 100 TB the job reads only matching row
+    * groups of three columns.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01" &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.04 && col("l_quantity") < 24)
+      .agg(sumExact(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+
+  val q6Sql: String = """
+    SELECT cast(sum(cast(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24"""
+
+  /** TPC-H Q18-style large-volume customers: HAVING-filtered aggregate
+    * re-joined to its detail rows — aggregate first, then only the
+    * qualifying keys rejoin (never the full fact×fact).
+    */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val big = li.groupBy("l_orderkey")
+      .agg(sumExact(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    big.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("o_day"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  val q18Sql: String = """
+    WITH big AS (
+      SELECT l_orderkey,
+        cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 300)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+      cast(cast(o.o_orderdate AS DATE) AS VARCHAR) AS o_day, b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY total_qty DESC, o_orderkey"""
+
   // --------------------------------------------------- cohorts & journeys
 
   /** Weekly retention cohorts: users bucketed by first-seen week, activity
@@ -341,6 +389,8 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retention_cohorts"  -> (retentionCohorts _),
     "journey_paths"      -> (journeyPaths _),
+    "q6_forecast"        -> (q6Forecast _),
+    "q18_big_orders"     -> (q18BigOrders _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "agg_order_stats"    -> (aggOrderStats _),
     "q3_top_revenue"     -> (q3TopRevenue _),
@@ -356,6 +406,8 @@ object AnalyticsQueries {
   val oracle: Map[String, String] = Map(
     "retention_cohorts"  -> retentionCohortsSql,
     "journey_paths"      -> journeyPathsSql,
+    "q6_forecast"        -> q6Sql,
+    "q18_big_orders"     -> q18Sql,
     "q1_pricing_summary" -> q1Sql,
     "agg_order_stats"    -> aggOrderStatsSql,
     "q3_top_revenue"     -> q3Sql,
