@@ -136,10 +136,11 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, bands: Int = 8, rowsPer: Int = 4,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
-    // NOT checkpointed: the gram frame is cheap to recompute (fused
-    // NgramHash, one narrow scan) and wide to store — materializing its
-    // |docs|·|grams| rows measured slower than the three recomputes
-    val grams = explodedNgrams(df, idCol, textCol)
+    // materialized once: signatures + both Jaccard sides + sizes would
+    // otherwise recompute the gram dedup shuffle four times (local timing
+    // is a wash — 5-run A/B within noise — but one exchange vs four is
+    // the scale-correct shape)
+    val grams = explodedNgrams(df, idCol, textCol).localCheckpoint(true)
     val cands = candidatesFromGrams(grams, bands, rowsPer, maxBucket)
     verifyJaccard(cands, grams, threshold)
   }
