@@ -350,6 +350,32 @@ object ExtendedQueries {
     FROM spine s LEFT JOIN counts c ON s.wk = c.wk
     ORDER BY week_start"""
 
+  /** Spark 4's SQL pipe syntax (`|>`): the linear FROM→filter→aggregate→
+    * having→sort spelling of a grouped report. Same Catalyst plan as the
+    * nested form — this entry pins the surface; the oracle states the
+    * equivalent ANSI.
+    */
+  def pipeSyntax(spark: SparkSession, dir: String): DataFrame = {
+    Tables.read(spark, dir, "orders").createOrReplaceTempView("orders_pipe")
+    spark.sql("""
+      FROM orders_pipe
+      |> WHERE o_orderstatus = 'O'
+      |> AGGREGATE count(*) AS n,
+           cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+           GROUP BY o_orderpriority
+      |> WHERE n > 10
+      |> ORDER BY o_orderpriority""")
+  }
+
+  val pipeSyntaxSql: String = """
+    SELECT o_orderpriority, count(*) AS n,
+      cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    HAVING count(*) > 10
+    ORDER BY o_orderpriority"""
+
   /** Correlated LATERAL subquery with per-row LIMIT — the SQL-standard
     * spelling of top-k-per-group, planned by Catalyst as a rewritten
     * join (no driver loop, no UDF). Same result as the window/aggregate
@@ -593,6 +619,7 @@ object ExtendedQueries {
     "dup_clusters"      -> (dupClusters _),
     "sql_surface"       -> (sqlSurface _),
     "lateral_topk"      -> (lateralTopk _),
+    "pipe_syntax"       -> (pipeSyntax _),
     "calendar_fill"     -> (calendarFill _),
     "date_functions"    -> (dateFunctions _),
     "window_firstlast"  -> (windowFirstLast _),
@@ -616,6 +643,7 @@ object ExtendedQueries {
     "dup_clusters"      -> dupClustersSql,
     "sql_surface"       -> sqlSurfaceSql,
     "lateral_topk"      -> lateralTopkSql,
+    "pipe_syntax"       -> pipeSyntaxSql,
     "calendar_fill"     -> calendarFillSql,
     "date_functions"    -> dateFunctionsSql,
     "window_firstlast"  -> windowFirstLastSql,
