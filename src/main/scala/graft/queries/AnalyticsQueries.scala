@@ -384,11 +384,29 @@ object AnalyticsQueries {
     FROM p
     ORDER BY user_id"""
 
+  /** FIFO view→purchase attribution over the event log (rows-only check:
+    * the online queue semantics — an unmatched purchase shifts every
+    * later pairing — are not SQL-expressible; ground truth lives in
+    * `FifoMatchSpec`).
+    */
+  def fifoMatchQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{FifoMatch, TimelineEvent}
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type").as("kind"))
+      .as[TimelineEvent]
+    FifoMatch.pairs(ev).toDF()
+      .orderBy("user_id", "view_event")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retention_cohorts"  -> (retentionCohorts _),
     "journey_paths"      -> (journeyPaths _),
+    "fifo_match"         -> (fifoMatchQ _),
     "q6_forecast"        -> (q6Forecast _),
     "q18_big_orders"     -> (q18BigOrders _),
     "q1_pricing_summary" -> (q1PricingSummary _),
