@@ -58,10 +58,16 @@ object Graft {
         graft.functions.NgramHash(exprs(0), exprs(1), n)
       })))
 
-  /** Register the custom functions on a live session's registry. */
-  def register(spark: SparkSession): Unit =
+  /** Register the custom functions on a live session's registry —
+    * scalar expressions plus the typed aggregator surface
+    * (`weighted_mean(value, weight)`).
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    spark.udf.register("weighted_mean",
+      org.apache.spark.sql.functions.udaf(graft.functions.WeightedMean))
+  }
 }

@@ -39,6 +39,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("foldable"), e.getMessage)
   }
 
+  test("weighted_mean UDAF is callable from SQL after register") {
+    Graft.register(spark)
+    val got = spark.sql(
+      "SELECT weighted_mean(v, w) AS wm FROM VALUES (1.0D, 1.0D), (3.0D, 3.0D) AS t(v, w)")
+      .head().getDouble(0)
+    assert(got == 2.5) // (1*1 + 3*3) / (1 + 3)
+  }
+
   test("extensions class injects without error at session build time") {
     // SparkSessionExtensions is a plain public class; applying the
     // injector must register both functions.
