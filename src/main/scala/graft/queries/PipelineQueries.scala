@@ -349,17 +349,23 @@ object PipelineQueries {
     * join counts shared FINGERPRINTS, not document pair blow-up.
     */
   def crossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    // materialized ONCE (small: distinct (source, fp)); the self-join
-    // would otherwise recompute the whole winnow per side. Fresh-exprId
-    // right side, as everywhere with checkpointed self-joins.
+    // NOT a self-join: group each fingerprint's source set, expand the
+    // (≤ |sources|²) ordered pairs ROW-LOCALLY, and count — one
+    // aggregation exchange instead of reshuffling both join sides by fp.
+    // Safe because the per-fp set is bounded by the (small) source count,
+    // never by the corpus.
     val sfp = graft.operators.TextAnalysis
       .winnowFingerprints(docs(spark, dir), "doc_id", "text", n = 3, w = 4)
       .join(docs(spark, dir).select(col("doc_id").as("id"), col("source")), "id")
       .select("source", "fp").distinct()
-      .localCheckpoint(true)
-    val b = sfp.select(col("source").as("source_b"), col("fp").as("bfp"))
-    sfp.join(b, col("fp") === col("bfp") && col("source") < col("source_b"))
-      .groupBy(col("source").as("source_a"), col("source_b"))
+    val ss = sort_array(collect_set(col("source")))
+    val pairs = flatten(transform(col("ss"), (a, i) =>
+      transform(slice(col("ss"), i + 2, size(col("ss"))), b =>
+        struct(a.as("source_a"), b.as("source_b")))))
+    sfp.groupBy("fp").agg(ss.as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .orderBy("source_a", "source_b")
   }
