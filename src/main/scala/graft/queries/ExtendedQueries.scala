@@ -350,6 +350,33 @@ object ExtendedQueries {
     FROM spine s LEFT JOIN counts c ON s.wk = c.wk
     ORDER BY week_start"""
 
+  /** Spark 4 collations: case-insensitive grouping via a UTF8_LCASE
+    * collated key (planted mixed-case values so the collation provably
+    * merges them). The representative value a collated group returns is
+    * order-dependent, so the output key is explicitly lowercased — and
+    * the oracle states the equivalent lower() grouping, which UTF8_LCASE
+    * equality coincides with on this ASCII data.
+    */
+  def collatedGroup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.read(spark, dir, "customer").createOrReplaceTempView("customer_coll")
+    spark.sql("""
+      SELECT lower(k) AS segment, n FROM (
+        SELECT collate(seg_mixed, 'UTF8_LCASE') AS k, count(*) AS n
+        FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                          ELSE lower(c_mktsegment) END AS seg_mixed
+              FROM customer_coll)
+        GROUP BY collate(seg_mixed, 'UTF8_LCASE'))
+      ORDER BY segment""")
+  }
+
+  val collatedGroupSql: String = """
+    SELECT lower(seg_mixed) AS segment, count(*) AS n
+    FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                      ELSE lower(c_mktsegment) END AS seg_mixed
+          FROM customer)
+    GROUP BY lower(seg_mixed)
+    ORDER BY segment"""
+
   /** Spark 4's SQL pipe syntax (`|>`): the linear FROM→filter→aggregate→
     * having→sort spelling of a grouped report. Same Catalyst plan as the
     * nested form — this entry pins the surface; the oracle states the
@@ -620,6 +647,7 @@ object ExtendedQueries {
     "sql_surface"       -> (sqlSurface _),
     "lateral_topk"      -> (lateralTopk _),
     "pipe_syntax"       -> (pipeSyntax _),
+    "collated_group"    -> (collatedGroup _),
     "calendar_fill"     -> (calendarFill _),
     "date_functions"    -> (dateFunctions _),
     "window_firstlast"  -> (windowFirstLast _),
@@ -644,6 +672,7 @@ object ExtendedQueries {
     "sql_surface"       -> sqlSurfaceSql,
     "lateral_topk"      -> lateralTopkSql,
     "pipe_syntax"       -> pipeSyntaxSql,
+    "collated_group"    -> collatedGroupSql,
     "calendar_fill"     -> calendarFillSql,
     "date_functions"    -> dateFunctionsSql,
     "window_firstlast"  -> windowFirstLastSql,
