@@ -9,7 +9,7 @@ object DetSweep {
       .config(graft.sources.Tables.NanosFlag, "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SWEEP_SF", "/root/testdata/sf0.01")
     var bad = 0
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
