@@ -278,10 +278,76 @@ object WarehouseQueries {
     FROM (SELECT * FROM counts ORDER BY cnt DESC, o_custkey LIMIT 5), stats
     ORDER BY cnt DESC, o_custkey"""
 
+  /** Statistical mode per group with a deterministic tie-break (the
+    * smallest value among the most frequent): count + struct argmax —
+    * two narrow aggregations, no window sort. The long-keyed negation
+    * trick turns "max count then MIN status" into one `max(struct)`.
+    */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+      // ascii(status) is single-char here; negate so max() picks the
+      // lexicographically smallest status among equal counts
+      .groupBy("o_orderpriority")
+      .agg(max(struct(col("cnt"), (-ascii(col("o_orderstatus"))).as("neg"),
+        col("o_orderstatus"))).as("m"))
+      .select(col("o_orderpriority"), col("m.o_orderstatus").as("mode_status"),
+        col("m.cnt").as("cnt"))
+      .orderBy("o_orderpriority")
+
+  val modePerGroupSql: String = """
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT o_orderpriority, o_orderstatus, cnt,
+        row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY cnt DESC, o_orderstatus) AS rn
+      FROM c)
+    SELECT o_orderpriority, o_orderstatus AS mode_status, cnt
+    FROM r WHERE rn = 1
+    ORDER BY o_orderpriority"""
+
+  /** Keep-best exact dedup: among documents with identical text, keep
+    * the HIGHEST quality score (ties → lowest doc_id) — the curation
+    * variant of dedup_exact's keep-first. One `max(struct)` argmax per
+    * content hash, no per-group sort.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    d.select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
+        graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+      .groupBy("h")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("neg"), col("doc_id"))).as("m"),
+        count(lit(1)).as("n_copies"))
+      .select(col("m.doc_id").as("kept_doc"), round(col("m.q"), 6).as("quality"),
+        col("n_copies"))
+      .orderBy("kept_doc")
+  }
+
+  // reuses the standalone quality gate's VERIFIED SQL as a CTE (same
+  // pattern as the curation funnel) — no second transcription to drift
+  val dedupKeepBestSql: String = s"""
+    WITH q AS (${TextQueries.qualityScoreSql}),
+    scored AS (
+      SELECT d.doc_id, md5(d.text) AS h, q.quality AS q
+      FROM documents d JOIN q ON d.doc_id = q.doc_id),
+    r AS (
+      SELECT doc_id, h, q,
+        row_number() OVER (PARTITION BY h ORDER BY q DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY h) AS n_copies
+      FROM scored)
+    SELECT doc_id AS kept_doc, q AS quality, cast(n_copies AS BIGINT) AS n_copies
+    FROM r WHERE rn = 1
+    ORDER BY kept_doc"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "latest_snapshot"    -> (latestSnapshot _),
+    "mode_per_group"     -> (modePerGroup _),
+    "dedup_keep_best"    -> (dedupKeepBest _),
     "profile_table"      -> (profileTable _),
     "skew_report"        -> (skewReport _),
     "interval_merge"     -> (intervalMerge _),
@@ -291,6 +357,8 @@ object WarehouseQueries {
 
   val oracle: Map[String, String] = Map(
     "latest_snapshot"    -> latestSnapshotSql,
+    "mode_per_group"     -> modePerGroupSql,
+    "dedup_keep_best"    -> dedupKeepBestSql,
     "profile_table"      -> profileTableSql,
     "skew_report"        -> skewReportSql,
     "interval_merge"     -> intervalMergeSql,
