@@ -60,6 +60,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CollectLimit"), p.take(2000))
   }
 
+  test("argmax queries plan as aggregates, not window sorts") {
+    for (name <- Seq("latest_snapshot", "mode_per_group", "dedup_keep_best")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name planned a window: ${p.take(1500)}")
+    }
+  }
+
   test("histogram bounds broadcast as a one-row frame (BNLJ is the right shape here)") {
     val p = plan("histogram_price")
     // the cross join against the 1-row bounds frame must be broadcast,
