@@ -7,6 +7,9 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.sources.Tables.NanosFlag, "true")
+      // plan-only consumer: keep operator-internal materialization out of
+      // DataFrame construction (no jobs, no pinned blocks)
+      .config(graft.operators.Materialize.Key, "none")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"

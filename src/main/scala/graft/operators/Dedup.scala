@@ -108,17 +108,16 @@ object Dedup {
 
   private def candidatesFromGrams(grams: DataFrame, bands: Int, rowsPer: Int,
                                   maxBucket: Int = Int.MaxValue): DataFrame = {
-    // materialized ONCE: the bucket self-join references the banded frame
-    // twice, and each raw reference would recompute the full signature
-    // aggregation. Right side rebuilt with plain aliased selects (fresh
-    // exprIds) — .as("l")/.as("r") over a checkpointed frame trips the
-    // AttributeMap analyzer bug.
-    val banded = capBuckets(minhashSignatures(grams, bands * rowsPer)
+    // materialized ONCE (strategy via [[Materialize]]): the bucket
+    // self-join references the banded frame twice, and each raw reference
+    // would recompute the full signature aggregation. Right side rebuilt
+    // with plain aliased selects (fresh exprIds) — .as("l")/.as("r") over
+    // a checkpointed frame trips the AttributeMap analyzer bug.
+    val banded = Materialize(capBuckets(minhashSignatures(grams, bands * rowsPer)
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPer + lit(1), lit(rowsPer))))))
-      .toDF("id", "band", "bucket"), maxBucket)
-      .localCheckpoint(true)
+      .toDF("id", "band", "bucket"), maxBucket))
     val r = banded.select(col("id").as("rid"),
       col("band").as("rband"), col("bucket").as("rbucket"))
     banded.join(r,
@@ -136,11 +135,11 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, bands: Int = 8, rowsPer: Int = 4,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
-    // materialized once: signatures + both Jaccard sides + sizes would
-    // otherwise recompute the gram dedup shuffle four times (local timing
-    // is a wash — 5-run A/B within noise — but one exchange vs four is
-    // the scale-correct shape)
-    val grams = explodedNgrams(df, idCol, textCol).localCheckpoint(true)
+    // materialized once (strategy via [[Materialize]]): signatures + both
+    // Jaccard sides + sizes would otherwise recompute the gram dedup
+    // shuffle four times (local timing is a wash — 5-run A/B within noise
+    // — but one exchange vs four is the scale-correct shape)
+    val grams = Materialize(explodedNgrams(df, idCol, textCol))
     val cands = candidatesFromGrams(grams, bands, rowsPer, maxBucket)
     verifyJaccard(cands, grams, threshold)
   }
@@ -216,14 +215,14 @@ object Dedup {
                       maxHamming: Int = 3,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
     val withSig = simhashSignatures(df, idCol, textCol)
-    // one materialization of the 64-vote signature aggregation; the
-    // band self-join would otherwise run it twice (fresh-exprId right
-    // side for the checkpointed-frame analyzer bug, as elsewhere)
-    val banded = capBuckets(withSig.select(col("id"), col("sim"), posexplode(
+    // one materialization of the 64-vote signature aggregation (strategy
+    // via [[Materialize]]); the band self-join would otherwise run it
+    // twice (fresh-exprId right side for the checkpointed-frame analyzer
+    // bug, as elsewhere)
+    val banded = Materialize(capBuckets(withSig.select(col("id"), col("sim"), posexplode(
       array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .toDF("id", "sim", "band", "bucket"), maxBucket)
-      .localCheckpoint(true)
+      .toDF("id", "sim", "band", "bucket"), maxBucket))
     val r = banded.select(col("id").as("rid"), col("sim").as("rsim"),
       col("band").as("rband"), col("bucket").as("rbucket"))
     banded.join(r,

@@ -32,16 +32,21 @@ object DupClusters {
     *                rather than silently returning a half-propagated
     *                labeling
     * @param smallGraphMaxEdges edge-count ceiling for the driver-side
-    *                union-find fast path (same design as the broadcast-
-    *                join threshold: a near-dup graph is orders of
-    *                magnitude smaller than its corpus, so the common case
-    *                fits the driver with room to spare; bigger graphs take
-    *                the distributed loop). 0 disables the fast path.
+    *                union-find fast path. Driver cost is explicit and
+    *                linear: collect() materializes one boxed (Long,Long)
+    *                per edge (~56 B each, freed after the fold) and the
+    *    	          union-find LongMap holds ≤ 2·edges entries (~24 B
+    *                each open-addressed) — the 100k default costs the
+    *                driver ~10 MB peak, the same order as a broadcast-join
+    *                threshold, and is safe on a default 1g driver. Callers
+    *                who know their driver heap can opt in to a larger cap
+    *                (each +1M edges ≈ +100 MB peak); 0 disables the fast
+    *                path entirely. Bigger graphs take the distributed loop.
     * @return (id, cluster_id) — cluster_id = min node id in the component
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 25,
-                          smallGraphMaxEdges: Long = 4_000_000L): DataFrame = {
+                          smallGraphMaxEdges: Long = 100_000L): DataFrame = {
     // materialize the (possibly expensive) edge plan ONCE — the
     // direction-swapped union below references it twice, and an
     // unmaterialized plan would be fully recomputed per reference.
@@ -123,7 +128,9 @@ object DupClusters {
   private def smallGraphComponents(nodes: DataFrame, e: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    // LongMap: unboxed open-addressed keys, no per-entry Entry objects —
+    // the driver-heap bound documented on smallGraphMaxEdges assumes it
+    val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)

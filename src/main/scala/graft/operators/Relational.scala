@@ -40,12 +40,15 @@ object Relational {
   }
 
   /** CDC merge (upsert): rows of `changes` override base rows sharing
-    * their key; unmatched change rows insert. One full-outer sort-merge
-    * join on the key — the shape Delta/Iceberg MERGE INTO lowers to:
-    * shuffle-parallel on the key, no driver involvement, and AQE handles
-    * a skewed key. `changes` must carry the same columns as `base`, and
-    * at most one change row per key (like MERGE INTO, which errors on
-    * multiple matches; here a duplicate key would fan out the join).
+    * their key ROW-WISE — a matched change row replaces every payload
+    * column, including columns it carries as NULL (the Delta/Iceberg
+    * MERGE INTO `UPDATE SET *` contract). Unmatched change rows insert.
+    * One full-outer sort-merge join on the key — the shape MERGE INTO
+    * lowers to: shuffle-parallel on the key, no driver involvement, and
+    * AQE handles a skewed key. `changes` must carry the same columns as
+    * `base`, and at most one change row per key (like MERGE INTO, which
+    * errors on multiple matches; here a duplicate key would fan out the
+    * join).
     */
   def mergeUpsert(base: DataFrame, changes: DataFrame,
                   keyCols: Seq[String]): DataFrame = {
@@ -53,13 +56,17 @@ object Relational {
       s"merge inputs must share a schema: base ${base.columns.mkString(",")} " +
         s"vs changes ${changes.columns.mkString(",")}")
     val payload = base.columns.filterNot(keyCols.contains)
+    // the whole change payload rides in ONE struct: a struct over
+    // (possibly NULL) fields is itself non-NULL exactly when the change
+    // row exists, so `__c IS NOT NULL` is a true row-match test and a
+    // NULL payload column overrides base with NULL instead of silently
+    // coalescing back to the base value
     val c = changes.select(
-      keyCols.map(col) ++ payload.map(n => col(n).as(s"__c_$n")): _*)
-    // USING-style join coalesces the key columns; payload takes the
-    // change side when present
+      keyCols.map(col) :+ struct(payload.map(col): _*).as("__c"): _*)
     base.join(c, keyCols, "full_outer")
       .select(keyCols.map(col) ++
-        payload.map(n => coalesce(col(s"__c_$n"), col(n)).as(n)): _*)
+        payload.map(n =>
+          when(col("__c").isNotNull, col("__c")(n)).otherwise(col(n)).as(n)): _*)
   }
 
   /** Gap-based sessionization: assign a per-key session ordinal that

@@ -194,10 +194,16 @@ object Similarity {
       .select(col("id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))))
     // both assignments are row-local projections against the literal
     // centroid bank: corpus side map-only (one cell each), query side
-    // exploding its nProbe nearest cells from an in-row struct sort
+    // exploding its nProbe nearest cells from an in-row struct sort.
+    // Sorted ascending on (-aff, c_id) — NOT reverse(sort on (aff, c_id))
+    // — so exact-affinity ties break toward the LOWEST c_id, matching the
+    // tie-break of the original topKPerGroup probe selection.
     def probeCells(v: Column, nrm: Column, probes: Int): Column =
       transform(
-        slice(reverse(array_sort(array(affStructs(v, nrm, cents): _*))), 1, probes),
+        slice(array_sort(array(cents.map { case (cid, cv, cn) =>
+          struct((-cosine(v, nrm, array(cv.map(lit): _*), lit(cn))).as("negaff"),
+            lit(cid).as("c_id"))
+        }: _*)), 1, probes),
         s => s.getField("c_id"))
     val corpusCells = corpus.select(col("id").as("n_id"), col("v"), col("nrm"),
       bestCell(col("v"), col("nrm"), cents).as("c_id"))

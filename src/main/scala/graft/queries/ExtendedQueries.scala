@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Scored, TopKAgg}
-import graft.operators.{DupClusters, RangeJoin, TextAnalysis}
+import graft.operators.{DupClusters, Materialize, RangeJoin, TextAnalysis}
 import graft.operators.Relational._
 import graft.sources.Tables
 
@@ -266,16 +266,21 @@ object ExtendedQueries {
     // would recompute every fingerprint twice. Right side rebuilt with
     // plain aliased selects (fresh exprIds) — .as("a")/.as("b") over a
     // checkpointed frame trips the AttributeMap analyzer bug.
-    val wf = TextAnalysis.winnowFingerprints(d, "doc_id", "text", n = 3, w = 4)
-      .join(d.select(col("doc_id").as("id"), col("source")), "id")
-      .localCheckpoint(true)
+    val wf = Materialize(
+      TextAnalysis.winnowFingerprints(d, "doc_id", "text", n = 3, w = 4)
+        .join(d.select(col("doc_id").as("id"), col("source")), "id"))
     val right = wf.select(col("id").as("bid"), col("fp").as("bfp"),
       col("source").as("bsource"))
     val edges = wf.join(right,
         col("source") === col("bsource") && col("fp") === col("bfp") &&
           col("id") < col("bid"))
       .select(col("id").as("src"), col("bid").as("dst")).distinct()
-    DupClusters.connectedComponents(d.select(col("doc_id").as("id")), edges)
+    // opt-in above the 100k default: this harness drives a 128 GiB
+    // single-JVM driver, so 2M edges (~200 MB peak per the operator's
+    // documented bound) is comfortably affordable and keeps the 8×
+    // fast path through the bench scales
+    DupClusters.connectedComponents(d.select(col("doc_id").as("id")), edges,
+      smallGraphMaxEdges = 2_000_000L)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
   }

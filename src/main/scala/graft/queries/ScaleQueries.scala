@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Materialize, Similarity, TextAnalysis}
 
 
 /** Scale-path operators: near-dup detection (MinHash-LSH, SimHash,
@@ -51,8 +51,8 @@ object ScaleQueries {
     // which would recompute the gram hashing. Fresh-exprId sides (plain
     // aliased selects) — checkpointed-frame dataset aliases trip the
     // AttributeMap analyzer bug.
-    val grams = Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text",
-      n = 3, keep = Seq("source")).localCheckpoint(true)
+    val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text",
+      n = 3, keep = Seq("source")))
     val a = grams.select(col("id").as("aid"), col("gh").as("agh"), col("source").as("asrc"))
     val b = grams.select(col("id").as("bid"), col("gh").as("bgh"), col("source").as("bsrc"))
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).cast("double").as("n"))

@@ -39,15 +39,22 @@ class MergeUpsertSpec extends AnyFunSuite {
     }
   }
 
-  test("change columns win even when NULL would coalesce differently per column") {
+  test("NULL change payload columns override base (row-wise MERGE semantics)") {
     // a change row with a NULL payload column must NOT resurrect the base
-    // value for that column if another column changed — MERGE semantics
-    // are row-wise... but coalesce-based merge is column-wise by design;
-    // document the contract: NULL change payloads fall back to base.
+    // value for that column — the change row replaces the base row
+    // wholesale, exactly like MERGE INTO ... UPDATE SET *.
     val base = Seq((1L, Some("old"), Some(10.0))).toDF("k", "status", "amt")
     val changes = Seq((1L, None: Option[String], Some(99.0))).toDF("k", "status", "amt")
     val got = Relational.mergeUpsert(base, changes, Seq("k"))
       .as[(Long, Option[String], Option[Double])].collect().toSet
-    assert(got == Set((1L, Some("old"), Some(99.0))))
+    assert(got == Set((1L, None, Some(99.0))))
+  }
+
+  test("base rows missing from changes keep their NULLs; inserts keep theirs") {
+    val base = Seq((1L, None: Option[String], Some(10.0))).toDF("k", "status", "amt")
+    val changes = Seq((2L, Some("ins"), None: Option[Double])).toDF("k", "status", "amt")
+    val got = Relational.mergeUpsert(base, changes, Seq("k"))
+      .as[(Long, Option[String], Option[Double])].collect().toSet
+    assert(got == Set((1L, None, Some(10.0)), (2L, Some("ins"), None)))
   }
 }
