@@ -12,13 +12,21 @@ final case class MediaFeatures(
   * `binary` columns with typed metadata; decode / feature-extract runs
   * partition-batched on executors.
   *
-  * The actual codec is STUBBED — this container has no image/audio
-  * libraries — with a deterministic fake keyed on the payload bytes, so
-  * the Spark-side shape (binary column in, typed Dataset out, per-
-  * partition batching, no driver collect) is real and tested while the
-  * kernel is swappable for a JNI/Pandas-UDF codec in production.
+  * The IMAGE branch is a real decoder: JDK-only `javax.imageio`
+  * (PNG/JPEG/GIF/BMP) yields true dimensions plus pixel statistics —
+  * per-channel means and a 4-bin luminance histogram — with no external
+  * dependency. Payloads that aren't a decodable image (the synthetic
+  * corpus stores utf-8 text in the binary column) fall back to the
+  * deterministic fake, so the plumbing stays runnable on any input.
+  * AUDIO/VIDEO stay stubbed (no codec ships with the JDK); their fake is
+  * deterministic on the payload bytes, and the kernel is swappable for a
+  * JNI/ffmpeg codec in production with an identical call-site shape.
   */
 object Multimodal {
+
+  // ImageIO defaults to a disk-backed stream cache; executors decoding
+  // small in-memory payloads want the heap path (set once per JVM).
+  private lazy val imageIoReady: Unit = javax.imageio.ImageIO.setUseCache(false)
 
   /** Attach a binary payload column (here: utf-8 of `text` — the corpus
     * has no real media) plus kind metadata derived from the source id.
@@ -32,9 +40,47 @@ object Multimodal {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"))
 
-  /** STUB decode kernel — deterministic fake standing in for a real
-    * codec. Replace the body (only) with e.g. javax.imageio / ffmpeg
-    * bindings; signature and call-site shape stay identical.
+  /** Real image decode via JDK `javax.imageio`: true (width, height) and
+    * an 8-dim feature vector — mean R, G, B, A in [0,1] and a 4-bin
+    * luminance histogram as pixel fractions. None when the bytes aren't a
+    * format ImageIO can read (caller falls back to the stub).
+    */
+  private[operators] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      imageIoReady
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val feats = new Array[Float](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val argb = img.getRGB(x, y) // sRGB regardless of storage model
+            val r = (argb >>> 16) & 0xFF
+            val g = (argb >>> 8) & 0xFF
+            val b = argb & 0xFF
+            feats(0) += r; feats(1) += g; feats(2) += b; feats(3) += (argb >>> 24) & 0xFF
+            // integer Rec.601 luma, bucketed into 4 bins of 64
+            feats(4 + (((r * 299 + g * 587 + b * 114) / 1000) >> 6)) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var i = 0
+        while (i < 4) { feats(i) /= n * 255f; i += 1 }
+        while (i < 8) { feats(i) /= n; i += 1 }
+        Some((w, h, feats))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB decode kernel — deterministic fake standing in for the codecs
+    * the JDK lacks (audio/video), and the fallback for undecodable image
+    * bytes. Replace the body (only) with e.g. ffmpeg bindings; signature
+    * and call-site shape stay identical.
     */
   private[operators] def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val len = payload.length
@@ -61,7 +107,12 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, payload) =>
-          val (w, h, f, feats) = decodeStub(kind, payload)
+          val (w, h, f, feats) =
+            if (kind == "image") decodeImage(payload) match {
+              case Some((w, h, fs)) => (w, h, 1, fs)
+              case None             => decodeStub(kind, payload)
+            }
+            else decodeStub(kind, payload)
           MediaFeatures(id, kind, payload.length.toLong, w, h, f, feats)
         }
       }

@@ -52,6 +52,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(vidIdx.zip(vidIdx.tail).forall { case (a, b) => b - a == 7 })
   }
 
+  test("image branch decodes a real PNG: dimensions round-trip, features are pixel stats") {
+    import java.awt.image.BufferedImage
+    // 37x21 red/blue checkerboard — odd dims so the two colors split 389/388
+    val img = new BufferedImage(37, 21, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 21; x <- 0 until 37)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFF0000 else 0x0000FF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val bytes = baos.toByteArray
+    val out = Multimodal.decode(
+      Seq((42L, "image", bytes)).toDF("doc_id", "kind", "payload")).head()
+    assert(out.width == 37 && out.height == 21 && out.n_frames == 1)
+    assert(out.byte_len == bytes.length)
+    // red and blue means ~0.5 each, green exactly 0, alpha exactly 1
+    assert(out.features(1) == 0f && out.features(3) == 1f)
+    assert(math.abs(out.features(0) - 0.5f) < 0.01f)
+    assert(math.abs(out.features(2) - 0.5f) < 0.01f)
+    // every pixel lands in a luminance bin; bins sum to 1
+    assert(math.abs(out.features.drop(4).sum - 1f) < 1e-5f)
+  }
+
+  test("jpeg decodes too; undecodable image bytes fall back to the deterministic stub") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(8, 5, BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val jpeg = Multimodal.decode(
+      Seq((0L, "image", baos.toByteArray)).toDF("doc_id", "kind", "payload")).head()
+    assert(jpeg.width == 8 && jpeg.height == 5)
+
+    val textBytes = "not an image at all".getBytes("UTF-8")
+    val fake = Multimodal.decode(
+      Seq((1L, "image", textBytes)).toDF("doc_id", "kind", "payload")).head()
+    val (w, h, f, feats) = Multimodal.decodeStub("image", textBytes)
+    assert(fake.width == w && fake.height == h && fake.n_frames == f)
+    assert(fake.features.toSeq == feats.toSeq)
+  }
+
   test("decode runs on the real documents table end-to-end") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = Multimodal.decode(Multimodal.withPayload(docs)).count()
