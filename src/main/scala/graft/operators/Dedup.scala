@@ -86,6 +86,29 @@ object Dedup {
       .select(col("id"), array((0 until numHashes).map(s => col(s"m$s")): _*).as("sig"))
   }
 
+  /** Drop grams whose document frequency (within `keyCols` + the gram
+    * hash) exceeds `maxDocFreq` — the exact-Jaccard sibling of
+    * [[capBuckets]]. A boilerplate gram shared by m same-key docs turns
+    * the gram-equality pair join quadratic (m·(m−1)/2 rows from that one
+    * gram); rare-gram Jaccard is the standard fix. The hot set is found
+    * with one grouped count (map-side combined — the shuffle carries
+    * distinct grams, not gram occurrences) and removed with a BROADCAST
+    * anti-join, so the gram frame itself never reshuffles. Sizes must be
+    * computed from the capped frame (callers here do), keeping the
+    * Jaccard a true rare-gram Jaccard rather than a biased estimate.
+    */
+  def capGramDocFreq(grams: DataFrame, maxDocFreq: Int,
+                     keyCols: Seq[String] = Nil): DataFrame =
+    if (maxDocFreq == Int.MaxValue) grams
+    else {
+      val keys = keyCols :+ "gh"
+      val hot = grams.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDocFreq)
+        .select(keys.map(k => col(k).as(s"__hot_$k")): _*)
+      grams.join(broadcast(hot),
+        keys.map(k => col(k) === col(s"__hot_$k")).reduce(_ && _), "left_anti")
+    }
+
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         bands: Int = 8, rowsPer: Int = 4,
                         maxBucket: Int = Int.MaxValue): DataFrame =
@@ -134,12 +157,16 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, bands: Int = 8, rowsPer: Int = 4,
-                      maxBucket: Int = Int.MaxValue): DataFrame = {
+                      maxBucket: Int = Int.MaxValue,
+                      maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // materialized once (strategy via [[Materialize]]): signatures + both
     // Jaccard sides + sizes would otherwise recompute the gram dedup
     // shuffle four times (local timing is a wash — 5-run A/B within noise
-    // — but one exchange vs four is the scale-correct shape)
-    val grams = Materialize(explodedNgrams(df, idCol, textCol))
+    // — but one exchange vs four is the scale-correct shape). The doc-
+    // frequency cap applies BEFORE signatures so the whole pipeline —
+    // buckets, intersections, sizes — sees the same rare-gram universe.
+    val grams = Materialize(
+      capGramDocFreq(explodedNgrams(df, idCol, textCol), maxDocFreq))
     val cands = candidatesFromGrams(grams, bands, rowsPer, maxBucket)
     verifyJaccard(cands, grams, threshold)
   }

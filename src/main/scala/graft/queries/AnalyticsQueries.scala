@@ -384,10 +384,16 @@ object AnalyticsQueries {
     FROM p
     ORDER BY user_id"""
 
-  /** FIFO view→purchase attribution over the event log (rows-only check:
-    * the online queue semantics — an unmatched purchase shifts every
-    * later pairing — are not SQL-expressible; ground truth lives in
-    * `FifoMatchSpec`).
+  /** FIFO view→purchase attribution over the event log. The ENGINE side
+    * is the justified typed-API operator ([[graft.operators.FifoMatch]]
+    * — Spark's windows/joins can't run the online queue). The ORACLE side
+    * exploits a closed form that plain window SQL CAN express: treat
+    * views as +1 and purchases as −1; the pending-queue depth before an
+    * event is its prefix sum minus the clipped running minimum (the
+    * reflected random walk), so a purchase is matched iff that depth > 0,
+    * and — because FIFO consumes views in arrival order — the j-th
+    * matched purchase pairs with the j-th view. Ground truth also in
+    * `FifoMatchSpec`.
     */
   def fifoMatchQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -400,6 +406,36 @@ object AnalyticsQueries {
     FifoMatch.pairs(ev).toDF()
       .orderBy("user_id", "view_event")
   }
+
+  val fifoMatchSql: String = """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type,
+        CASE WHEN event_type = 'view' THEN 1 ELSE -1 END AS x
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    pre AS (
+      SELECT *, sum(x) OVER w AS ps
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    m AS (
+      SELECT *,
+        coalesce(sum(x) OVER wp, 0) AS ps_prev,
+        coalesce(min(ps) OVER wp, 0) AS minps_prev
+      FROM pre
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    mp AS (
+      SELECT user_id, event_id AS purchase_event, ts_us AS p_ts,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS j
+      FROM m
+      WHERE event_type = 'purchase' AND ps_prev - least(minps_prev, 0) > 0),
+    v AS (
+      SELECT user_id, event_id AS view_event, ts_us AS v_ts,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS j
+      FROM ev WHERE event_type = 'view')
+    SELECT v.user_id AS user_id, v.view_event, mp.purchase_event,
+      mp.p_ts - v.v_ts AS wait_us
+    FROM mp JOIN v ON mp.user_id = v.user_id AND mp.j = v.j
+    ORDER BY v.user_id, v.view_event"""
 
   // ------------------------------------------------------------- registry
 
@@ -422,6 +458,7 @@ object AnalyticsQueries {
     "events_sessionize"  -> (eventsSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "fifo_match"         -> fifoMatchSql,
     "retention_cohorts"  -> retentionCohortsSql,
     "journey_paths"      -> journeyPathsSql,
     "q6_forecast"        -> q6Sql,

@@ -485,16 +485,42 @@ object ExtendedQueries {
   /** Approximate quantiles (Greenwald-Khanna sketch, accuracy 1000):
     * the mergeable, bounded-memory sibling of the exact `percentiles`
     * query — at 100 TB the exact sort-based percentile is the thing you
-    * stop being able to afford. Sketch output is engine-specific →
-    * rows-only check + error-bound spec, like the other sketches.
+    * stop being able to afford. TOLERANCE-oracled: the sketch value is
+    * engine-specific, but GK guarantees RANK error ≤ 1/accuracy, so the
+    * query emits the exact interpolated p50/p90 (cross-engine checkable,
+    * same contract as `percentiles`) plus 0/1 flags asserting the sketch
+    * landed between the exact p45..p55 / p85..p95 values — 50× the
+    * guaranteed rank slack. The oracle recomputes the exact quantiles and
+    * expects 1s; a drifting sketch flips a flag and fails the hash.
     */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
-        percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90_approx"))
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50a"),
+        percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90a"),
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.50)").as("p50"),
+        expr("percentile(value, 0.55)").as("p55"),
+        expr("percentile(value, 0.85)").as("p85"),
+        expr("percentile(value, 0.90)").as("p90"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .select(col("event_type"),
+        round(col("p50"), 6).as("p50_exact"),
+        round(col("p90"), 6).as("p90_exact"),
+        (col("p50a") >= col("p45") && col("p50a") <= col("p55")).cast("long").as("p50_in_bounds"),
+        (col("p90a") >= col("p85") && col("p90a") <= col("p95")).cast("long").as("p90_in_bounds"))
       .orderBy("event_type")
+
+  val approxQuantilesSql: String = """
+    SELECT event_type,
+      round(quantile_cont(value, 0.5), 6) AS p50_exact,
+      round(quantile_cont(value, 0.9), 6) AS p90_exact,
+      cast(1 AS BIGINT) AS p50_in_bounds,
+      cast(1 AS BIGINT) AS p90_in_bounds
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
 
   /** Date/interval function surface: month truncation, clamped month
     * arithmetic, month-end, day arithmetic, quarter — the calendar ops a
@@ -663,6 +689,7 @@ object ExtendedQueries {
     "session_window_agg" -> (sessionWindowAgg _))
 
   val oracle: Map[String, String] = Map(
+    "approx_quantiles"  -> approxQuantilesSql,
     "grouping_sets"     -> groupingSetsSql,
     "window_ntile"      -> windowNtileSql,
     "unpivot_metrics"   -> unpivotMetricsSql,

@@ -87,19 +87,36 @@ object MiscQueries {
     ORDER BY (o_orderstatus IS NULL), o_orderstatus,
              (o_orderpriority IS NULL), o_orderpriority"""
 
-  /** HLL approximate distinct (sketch-based; engines' sketches differ by
-    * design, so the driver's rows-only check applies — the EXACT variant
-    * `agg_order_stats.n_customers` is the oracle-checked sibling). The
-    * test corpus is small enough that the estimate must land within 5%
-    * of exact, which the spec asserts.
+  /** HLL approximate distinct, TOLERANCE-oracled: engines' sketches
+    * differ by design, so instead of hashing the estimate itself the
+    * query emits the exact count (cross-engine checkable) plus a 0/1 flag
+    * asserting the HLL estimate landed within 5% of it. The sketch runs
+    * at rsd 0.01 so the 5% gate sits 5 sigma out (the default rsd 0.05
+    * is ONE sigma — it measurably tripped the gate at sf0.01). The
+    * oracle recomputes the exact count and expects the
+    * flag to be 1 — so a drifting sketch flips the flag and FAILS the
+    * hash compare, upgrading this from the driver's rows-only check to a
+    * real oracle row. Emitted as BIGINT, not BOOLEAN: both engines render
+    * integers identically through the driver's pandas normalization.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"),
         countDistinct(col("o_custkey")).as("exact_customers"))
+      .select(col("o_orderstatus"), col("exact_customers"),
+        (abs(col("approx_customers") - col("exact_customers")).cast("double")
+          <= col("exact_customers").cast("double") * 0.05).cast("long").as("within_5pct"))
       .orderBy("o_orderstatus")
+
+  val approxDistinctSql: String = """
+    SELECT o_orderstatus,
+      count(DISTINCT o_custkey) AS exact_customers,
+      cast(1 AS BIGINT) AS within_5pct
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus"""
 
   /** Calendar bucketing: orders per ISO weekday × month (date functions
     * over the ms-precision order dates).
@@ -165,5 +182,6 @@ object MiscQueries {
     "table_counts"    -> tableCountsSql,
     "set_union"       -> setUnionSql,
     "agg_rollup"      -> aggRollupSql,
+    "approx_distinct" -> approxDistinctSql,
     "orders_calendar" -> ordersCalendarSql)
 }

@@ -50,9 +50,15 @@ object ScaleQueries {
     // the sparse join + two size joins reference it four times, each of
     // which would recompute the gram hashing. Fresh-exprId sides (plain
     // aliased selects) — checkpointed-frame dataset aliases trip the
-    // AttributeMap analyzer bug.
-    val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text",
-      n = 3, keep = Seq("source")))
+    // AttributeMap analyzer bug. Doc-frequency cap (rare-gram Jaccard):
+    // a gram in > 20 same-source docs is boilerplate and would alone
+    // contribute O(m²) rows to the gram-equality join below — dropped
+    // before pairing AND before sizing, mirrored as a QUALIFY in the
+    // oracle, so both engines score the same rare-gram universe.
+    val grams = Materialize(Dedup.capGramDocFreq(
+      Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text",
+        n = 3, keep = Seq("source")),
+      maxDocFreq = 20, keyCols = Seq("source")))
     val a = grams.select(col("id").as("aid"), col("gh").as("agh"), col("source").as("asrc"))
     val b = grams.select(col("id").as("bid"), col("gh").as("bgh"), col("source").as("bsrc"))
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).cast("double").as("n"))
@@ -73,18 +79,26 @@ object ScaleQueries {
   }
 
   val dedupNgramSql: String = """
-    WITH d AS (
-      SELECT doc_id, source,
-        list_distinct(list_transform(
-          range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1),
-          i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' '))) AS ng
-      FROM documents)
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      round(cast(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
-        / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))), 6) AS jaccard_sim
-    FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE cast(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
-        / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))) >= 0.5
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source, array_to_string(t[i:i+2], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+    kept AS (
+      SELECT doc_id, source, g FROM grams
+      QUALIFY count(*) OVER (PARTITION BY source, g) <= 20),
+    sizes AS (
+      SELECT doc_id, cast(count(*) AS DOUBLE) AS n FROM kept GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, cast(count(*) AS DOUBLE) AS i
+      FROM kept a JOIN kept b
+        ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT a_id, b_id, round(i / (na.n + nb.n - i), 6) AS jaccard_sim
+    FROM inter
+    JOIN sizes na ON inter.a_id = na.doc_id
+    JOIN sizes nb ON inter.b_id = nb.doc_id
+    WHERE i / (na.n + nb.n - i) >= 0.5
     ORDER BY a_id, b_id"""
 
   // -------------------------------------------------------- similarity

@@ -114,4 +114,45 @@ class DedupSpec extends AnyFunSuite {
       s"boilerplate pairs survived the cap: $capped")
     assert(capped.contains((1L, 2L)), "sparse near-dup pair lost by the cap")
   }
+
+  test("capGramDocFreq drops only grams above the doc-frequency cap") {
+    // one gram ("shared common boilerplate") planted in 30 docs; each doc
+    // also carries rare grams from its unique tail
+    val df = (0L until 30L).map(i =>
+      (i, s"shared common boilerplate unique$i tail$i words$i"))
+      .toDF("doc_id", "text")
+    val grams = Dedup.explodedNgrams(df, "doc_id", "text")
+    val total = grams.count()
+    val capped = Dedup.capGramDocFreq(grams, maxDocFreq = 10)
+    // exactly one gram hash has df = 30 (the shared prefix); every other
+    // gram includes a unique token, so df = 1 and survives
+    assert(capped.count() == total - 30)
+    // cap off is the identity, no join in the plan
+    assert(Dedup.capGramDocFreq(grams, Int.MaxValue) eq grams)
+  }
+
+  test("doc-frequency cap bounds the exact-Jaccard pair join fan-out") {
+    // 30 docs sharing ONLY boilerplate: uncapped, the gram-equality join
+    // emits a quadratic candidate set; capped, those pairs never form.
+    // Two docs with rare shared vocabulary must survive the cap.
+    val boiler = (100L until 130L).map(i =>
+      (i, s"terms and conditions apply everywhere uniq$i"))
+    val pair = Seq(
+      (1L, "unique quantum butterfly poem dances over violet meadows"),
+      (2L, "unique quantum butterfly poem dances over violet meadow"))
+    val df = (boiler ++ pair).toDF("doc_id", "text")
+
+    def pairsWith(maxDocFreq: Int): Set[(Long, Long)] =
+      Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.1,
+        bands = 8, rowsPer = 4, maxDocFreq = maxDocFreq)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    val uncapped = pairsWith(Int.MaxValue)
+    assert(uncapped.exists { case (a, b) => a >= 100L && b >= 100L },
+      "expected boilerplate pairs without a cap")
+    val capped = pairsWith(10)
+    assert(capped.forall { case (a, b) => a < 100L && b < 100L },
+      s"boilerplate-only pairs survived the doc-frequency cap: $capped")
+    assert(capped.contains((1L, 2L)), "rare-vocabulary pair lost by the cap")
+  }
 }

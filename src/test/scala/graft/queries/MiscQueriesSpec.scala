@@ -10,10 +10,9 @@ class MiscQueriesSpec extends AnyFunSuite {
     val rows = MiscQueries.approxDistinct(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_customers").toDouble
-      val exact  = r.getAs[Long]("exact_customers").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"group ${r.get(0)}: approx $approx vs exact $exact")
+      assert(r.getAs[Long]("exact_customers") > 0)
+      assert(r.getAs[Long]("within_5pct") == 1L,
+        s"group ${r.get(0)}: HLL estimate outside 5% of ${r.get(1)}")
     }
   }
 
