@@ -46,15 +46,7 @@ object RosterReader {
     }
     val headerVals = spark.read.csv(Seq(headerLine).toDS())
       .head().toSeq.map(v => if (v == null) "" else v.toString)
-
-    // Uniquify blank/duplicate promoted names so toDF can't collide.
-    val seen = scala.collection.mutable.Map.empty[String, Int]
-    val names = headerVals.zipWithIndex.map { case (h, i) =>
-      val base = if (h.trim.isEmpty) s"_c$i" else h
-      val n    = seen.getOrElse(base, 0)
-      seen(base) = n + 1
-      if (n == 0) base else s"${base}_$n"
-    }
+    val names = promoteNames(headerVals)
 
     // Pass 2: explicit all-string schema at the header's width; narrow
     // rows (preamble included) pad with NULLs instead of truncating the
@@ -69,5 +61,42 @@ object RosterReader {
       .option("mode", "PERMISSIVE").csv(path)
     val data = raw.rdd.zipWithIndex().filter(_._2 > headerRow).map(_._1)
     spark.createDataFrame(data, schema).withColumnsRenamed(renames)
+  }
+
+  /** The reference's ACTUAL source format (`pd.read_excel`,
+    * `app.py:234`): first worksheet of an .xlsx via the JDK-only
+    * [[graft.sources.Xlsx]] reader, then the identical positional
+    * header-promotion contract as [[read]] — sheet row `headerRow` (0-
+    * based) becomes the schema, earlier rows are preamble, narrow rows
+    * pad with NULL and wide rows truncate to the header's width. Parsing
+    * is driver-side: the positional contract is inherently for human-
+    * sized roster files (class doc), exactly like the CSV path's
+    * driver-collected header line.
+    */
+  def readXlsx(spark: SparkSession, path: String, headerRow: Int = 3,
+               renames: Map[String, String] = DefaultRenames): DataFrame = {
+    val rows = graft.sources.Xlsx.readRows(path)
+    if (rows.length <= headerRow) throw new IllegalArgumentException(
+      s"roster has no row $headerRow to promote to a header")
+    val names = promoteNames(rows(headerRow).map(v => if (v == null) "" else v))
+    val width = names.length
+    val schema = StructType(names.map(n => StructField(n, StringType, nullable = true)))
+    val data = rows.drop(headerRow + 1).map(r =>
+      org.apache.spark.sql.Row.fromSeq(r.padTo(width, null).take(width)))
+    spark.createDataFrame(spark.sparkContext.parallelize(data), schema)
+      .withColumnsRenamed(renames)
+  }
+
+  /** Uniquify blank/duplicate promoted header names so toDF can't
+    * collide (shared by the CSV and xlsx paths).
+    */
+  private def promoteNames(headerVals: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    headerVals.zipWithIndex.map { case (h, i) =>
+      val base = if (h.trim.isEmpty) s"_c$i" else h
+      val n    = seen.getOrElse(base, 0)
+      seen(base) = n + 1
+      if (n == 0) base else s"${base}_$n"
+    }
   }
 }
