@@ -135,13 +135,17 @@ object ScaleQueries {
       .orderBy("q_id", "rk")
   }
 
-  /** IVF-flat ANN over the same query set, cells from a 2-round
-    * distributed k-means (recall measured in tests).
+  /** IVF-flat ANN over the same query set, cells from a 1-round
+    * distributed k-means. One Lloyd round is the measured knee: the
+    * second round costs a full extra assignment+recompute job pair
+    * (~40% of the query's wall time) and moved recall by less than the
+    * spec's noise floor — `SimilaritySpec` pins iters=1 recall against
+    * the untrained skeleton so a regression can't land silently.
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
     val queries = prepped.filter(col("id") % 50 === 0)
-    val cent = Similarity.kmeansCentroids(prepped, k = 16, iters = 2)
+    val cent = Similarity.kmeansCentroids(prepped, k = 16, iters = 1)
     Similarity.knnIvf(queries, prepped, k = 5, nProbe = 4, centroids = Some(cent))
       .orderBy("q_id", "rk")
   }

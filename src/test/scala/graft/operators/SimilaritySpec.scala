@@ -71,7 +71,8 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
 
     // trained cells must not LOSE recall vs the untrained sample skeleton
-    val cent = Similarity.kmeansCentroids(prepped, k = 16, iters = 2)
+    // — at iters=1, the training depth the knn_ivf query actually runs
+    val cent = Similarity.kmeansCentroids(prepped, k = 16, iters = 1)
     val trained = Similarity.knnIvf(queries, prepped, k = 5, nProbe = 4,
         centroids = Some(cent))
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
