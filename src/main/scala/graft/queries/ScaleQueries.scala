@@ -54,11 +54,14 @@ object ScaleQueries {
     // a gram in > 20 same-source docs is boilerplate and would alone
     // contribute O(m²) rows to the gram-equality join below — dropped
     // before pairing AND before sizing, mirrored as a QUALIFY in the
-    // oracle, so both engines score the same rare-gram universe.
-    val grams = Materialize(Dedup.capGramDocFreq(
-      Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text",
-        n = 3, keep = Seq("source")),
-      maxDocFreq = 20, keyCols = Seq("source")))
+    // oracle, so both engines score the same rare-gram universe. The RAW
+    // gram frame materializes first: the cap reads it twice (hot-count
+    // aggregate + anti-join input), and capping an unmaterialized frame
+    // would re-run the gram hashing for each.
+    val raw = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text",
+      n = 3, keep = Seq("source")))
+    val grams = Materialize(
+      Dedup.capGramDocFreq(raw, maxDocFreq = 20, keyCols = Seq("source")))
     val a = grams.select(col("id").as("aid"), col("gh").as("agh"), col("source").as("asrc"))
     val b = grams.select(col("id").as("bid"), col("gh").as("bgh"), col("source").as("bsrc"))
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).cast("double").as("n"))
