@@ -239,6 +239,41 @@ object ScaleQueries {
     GROUP BY label, i
     ORDER BY label, pos"""
 
+  /** Symmetric int8 embedding quantization, long format: per-vector
+    * scale = 127 / max|v|, q = round-half-up(v·scale) — the compression
+    * step an ANN index at 100 TB actually ships (4× smaller vectors, dot
+    * products in integer SIMD). Row-local except the final sort: the
+    * scale is an in-row array fold, quantized elements posexplode from
+    * the row — no shuffle touches vector data.
+    *
+    * Cross-engine determinism: both sides round via floor(x + 0.5)
+    * (identical double arithmetic; library round() differs on .5 ties
+    * between engines), and the max|v| comparison happens on exact float
+    * values before one double division.
+    */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame =
+    embs(spark, dir)
+      .select(col("vec_id"),
+        (lit(127.0) / greatest(
+          array_max(transform(col("embedding"), x => abs(x))).cast("double"),
+          lit(1e-12))).as("scale"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        floor(col("col").cast("double") * col("scale") + 0.5).cast("long").as("q"),
+        round(col("scale"), 6).as("scale"))
+      .orderBy("vec_id", "pos")
+
+  val embQuantizeSql: String = """
+    WITH s AS (
+      SELECT vec_id, embedding,
+        127.0 / greatest(cast(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE), 1e-12) AS scale
+      FROM embeddings)
+    SELECT vec_id, cast(i - 1 AS BIGINT) AS pos,
+      cast(floor(cast(embedding[i] AS DOUBLE) * scale + 0.5) AS BIGINT) AS q,
+      round(scale, 6) AS scale
+    FROM s, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ORDER BY vec_id, pos"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -251,6 +286,7 @@ object ScaleQueries {
     "fingerprint_winnow" -> (fingerprintWinnow _),
     "multimodal_join" -> (multimodalJoin _),
     "emb_near_dup"  -> (embNearDup _),
+    "emb_quantize"  -> (embQuantize _),
     "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
@@ -259,5 +295,6 @@ object ScaleQueries {
     "multimodal_join" -> multimodalJoinSql,
     "knn_brute"    -> knnBruteSql,
     "emb_near_dup" -> embNearDupSql,
+    "emb_quantize" -> embQuantizeSql,
     "label_centroids" -> labelCentroidsSql)
 }

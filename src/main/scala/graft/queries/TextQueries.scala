@@ -174,6 +174,52 @@ object TextQueries {
     FROM documents
     ORDER BY doc_id"""
 
+  /** Corpus-statistics rarity score: per document, the mean and max
+    * document-frequency ratio of its DISTINCT tokens — the signal for
+    * "this doc is made entirely of ubiquitous tokens" (template/
+    * boilerplate pages) vs "this doc has distinctive vocabulary", the
+    * frequency-based cousin of TF-IDF used as a curation gate.
+    *
+    * Scale shape: distinct (doc, token) pairs shuffle once; the token
+    * document-frequency aggregate is map-side combined (one row per
+    * token on the wire); the join back is keyed by token and carries no
+    * amplification (df frame is 1 row/token). The corpus size joins as a
+    * broadcast one-row frame — no driver round-trip. All arithmetic is
+    * exact integers until one final double division per output cell.
+    */
+  def tokenRarity(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = graft.operators.Materialize(
+      d.select(col("doc_id"), explode(wordTokens(col("text"))).as("tok")).distinct())
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val total = broadcast(d.agg(count(lit(1)).as("n_docs")))
+    toks.join(dfreq, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("df")).as("sum_df"),
+        max(col("df")).as("max_df"))
+      .crossJoin(total)
+      .select(col("doc_id"), col("n_distinct"),
+        round(col("sum_df").cast("double")
+          / (col("n_distinct") * col("n_docs")).cast("double"), 6).as("mean_df_ratio"),
+        round(col("max_df").cast("double") / col("n_docs").cast("double"), 6).as("max_df_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val tokenRaritySql: String = s"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest($toksSql) AS tok FROM documents),
+    total AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
+    SELECT doc_id, count(*) AS n_distinct,
+      round(cast(sum(df) AS DOUBLE)
+        / cast(count(*) * (SELECT n_docs FROM total) AS DOUBLE), 6) AS mean_df_ratio,
+      round(cast(max(df) AS DOUBLE)
+        / cast((SELECT n_docs FROM total) AS DOUBLE), 6) AS max_df_ratio
+    FROM toks JOIN df USING (tok)
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   // -------------------------------------------------- corpus analytics
 
   /** Token explode → per-source top-3 words (Generator + keyed top-k:
@@ -341,6 +387,7 @@ object TextQueries {
     "dedup_exact"     -> (dedupExact _),
     "multimodal_meta" -> (multimodalMeta _),
     "top_words"       -> (topWords _),
+    "token_rarity"    -> (tokenRarity _),
     "regex_extract"   -> (regexExtract _))
 
   val oracle: Map[String, String] = Map(
@@ -355,5 +402,6 @@ object TextQueries {
     "dedup_exact"     -> dedupExactSql,
     "multimodal_meta" -> multimodalMetaSql,
     "top_words"       -> topWordsSql,
+    "token_rarity"    -> tokenRaritySql,
     "regex_extract"   -> regexExtractSql)
 }
