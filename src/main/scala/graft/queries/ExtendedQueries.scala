@@ -305,6 +305,43 @@ object ExtendedQueries {
       SELECT r.n, u.dst FROM r JOIN und u ON u.src = r.m)
     SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n ORDER BY doc_id"""
 
+  /** Per-cluster representative selection — the step that actually
+    * COLLAPSES a near-dup corpus: each connected component keeps its
+    * highest-quality member (ties → lowest doc_id). Composes the
+    * verified dup_clusters labeling with the verified quality score; the
+    * argmax is one `max(struct)` aggregate (map-side combined, no
+    * per-group sort — the `latest_snapshot` pattern). Oracle nests the
+    * recursive-CTE clustering and the quality CTE, argmax via
+    * row_number.
+    */
+  def clusterRep(spark: SparkSession, dir: String): DataFrame = {
+    val quality = docs(spark, dir).select(col("doc_id"),
+      graft.operators.TextAnalysis.qualityScore(col("text")).as("quality"))
+    dupClusters(spark, dir).join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        // quality desc, then LOWEST doc_id: negate the id inside the
+        // struct-max (exact for longs far below overflow)
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.negid")).as("rep_doc"), col("best.q").as("rep_quality"))
+      .orderBy("cluster_id")
+  }
+
+  val clusterRepSql: String = s"""
+    WITH clusters AS ($dupClustersSql),
+    q AS (${TextQueries.qualityScoreSql}),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.quality,
+        row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY q.quality DESC, c.doc_id) AS rk,
+        count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+    SELECT cluster_id, cast(n_members AS BIGINT) AS n_members,
+      doc_id AS rep_doc, quality AS rep_quality
+    FROM ranked WHERE rk = 1
+    ORDER BY cluster_id"""
+
   /** The engine's SQL surface end-to-end: the username derivation of the
     * ETL (F2/F4/F8) written as ONE SQL string against a temp view, using
     * the injected `deaccent` — what a SQL-first user of the library
@@ -684,12 +721,14 @@ object ExtendedQueries {
     "window_firstlast"  -> (windowFirstLast _),
     "heavy_hitters"     -> (heavyHitters _),
     "approx_quantiles"  -> (approxQuantiles _),
+    "cluster_rep"       -> (clusterRep _),
     "set_except_all"    -> (setExceptAll _),
     "join_null_safe"    -> (joinNullSafe _),
     "session_window_agg" -> (sessionWindowAgg _))
 
   val oracle: Map[String, String] = Map(
     "approx_quantiles"  -> approxQuantilesSql,
+    "cluster_rep"       -> clusterRepSql,
     "grouping_sets"     -> groupingSetsSql,
     "window_ntile"      -> windowNtileSql,
     "unpivot_metrics"   -> unpivotMetricsSql,
