@@ -111,6 +111,47 @@ object AnalyticsQueries {
     ORDER BY revenue DESC, o_orderkey
     LIMIT 10"""
 
+  /** TPC-H Q10-style returned-item reporting: customers ranked by
+    * revenue lost to returns in one quarter. The classic 3-fact-plus-dim
+    * shape — orders pruned by the date predicate AT THE SCAN (pushed
+    * filter), lineitem pruned by return flag, nation broadcast, revenue
+    * in exact decimal, top-20 via the sorted limit of an
+    * already-reduced aggregate.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(t(spark, dir, "nation").select("n_nationkey", "n_name"))
+    val c = t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum("rev").cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String = """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+      cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20"""
+
   /** Q5-style revenue per nation. `nation` is explicitly broadcast — the
     * canonical small-dim pattern; fact-fact joins shuffle on their keys.
     */
@@ -445,6 +486,7 @@ object AnalyticsQueries {
     "fifo_match"         -> (fifoMatchQ _),
     "q6_forecast"        -> (q6Forecast _),
     "q18_big_orders"     -> (q18BigOrders _),
+    "q10_returned_items" -> (q10ReturnedItems _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "agg_order_stats"    -> (aggOrderStats _),
     "q3_top_revenue"     -> (q3TopRevenue _),
@@ -463,6 +505,7 @@ object AnalyticsQueries {
     "journey_paths"      -> journeyPathsSql,
     "q6_forecast"        -> q6Sql,
     "q18_big_orders"     -> q18Sql,
+    "q10_returned_items" -> q10Sql,
     "q1_pricing_summary" -> q1Sql,
     "agg_order_stats"    -> aggOrderStatsSql,
     "q3_top_revenue"     -> q3Sql,

@@ -246,6 +246,39 @@ object PipelineQueries {
       .orderBy("stage_idx")
   }
 
+  /** Incremental-ingest dedup: a new batch (one source) checked against
+    * the fingerprint ledger of the existing corpus — the production
+    * shape of dedup at 100 TB, where you never re-cluster the whole
+    * corpus, you anti-check the day's arrivals against what's already
+    * in. The ledger side reduces to DISTINCT fingerprints (map-side
+    * combined) before the join; the join is keyed by fingerprint and the
+    * (small) batch side is broadcast-eligible. Emits an is_dup audit
+    * flag rather than silently dropping, so the gate is observable.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val batch = d.filter(col("source") === "src19")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val ledger = d.filter(col("source") =!= "src19")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct().withColumn("hit", lit(1L))
+    batch.join(ledger, Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String = """
+    WITH f AS (
+      SELECT doc_id, source,
+        md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents),
+    ledger AS (SELECT DISTINCT fp FROM f WHERE source != 'src19')
+    SELECT b.doc_id,
+      cast(CASE WHEN l.fp IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+    FROM (SELECT doc_id, fp FROM f WHERE source = 'src19') b
+    LEFT JOIN ledger l ON b.fp = l.fp
+    ORDER BY b.doc_id"""
+
   val curationFunnelSql: String = s"""
     WITH lang AS (${TextQueries.langIdSql}),
     q AS (${TextQueries.qualityScoreSql}),
@@ -395,6 +428,7 @@ object PipelineQueries {
     "pii_scrub"        -> (piiScrub _),
     "decontaminate"    -> (decontaminate _),
     "repetition_ratio" -> (repetitionRatio _),
+    "dedup_incremental" -> (dedupIncremental _),
     "curation_funnel"  -> (curationFunnel _))
 
   val oracle: Map[String, String] = Map(
@@ -406,5 +440,6 @@ object PipelineQueries {
     "pii_scrub"        -> piiScrubSql,
     "decontaminate"    -> decontaminateSql,
     "repetition_ratio" -> repetitionRatioSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "curation_funnel"  -> curationFunnelSql)
 }
