@@ -16,7 +16,11 @@ class DeterminismSpec extends AnyFunSuite {
   // float-aggregating, window-ranking, and sketch-free representative mix
   private val picks = Seq(
     "q1_pricing_summary", "stats_moments", "weighted_mean", "agg_salted",
-    "window_topk", "latest_snapshot", "dup_clusters", "curation_funnel")
+    "window_topk", "latest_snapshot", "dup_clusters", "curation_funnel",
+    // TPC-H batch: double-equality on an aggregate (q15), conditional
+    // ratio (q8), and a float-heavy 6-way join (q7) — the shapes where
+    // partial-agg order would show first
+    "q7_volume_shipping", "q8_market_share", "q15_top_supplier")
 
   test("results are identical at 3 and 17 shuffle partitions") {
     for (name <- picks) {
