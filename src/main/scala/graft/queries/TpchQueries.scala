@@ -349,11 +349,15 @@ object TpchQueries {
     * shuffle; part is broadcast.
     */
   def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
-    val bridge = t(spark, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     val p = broadcast(t(spark, dir, "part")
       .filter(col("p_brand") =!= "Brand#45" &&
         col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
       .select("p_partkey", "p_brand", "p_type", "p_size"))
+    // semi-filter BEFORE the distinct: the dedup shuffle carries only the
+    // selected parts' rows, not the whole fact table
+    val bridge = t(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(p.select("p_partkey"), col("l_partkey") === col("p_partkey"), "left_semi")
+      .distinct()
     bridge.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))
@@ -471,9 +475,13 @@ object TpchQueries {
 
   /** TPC-H Q21: NATION_3 suppliers who were the ONLY late supplier on a
     * finished multi-supplier order ("late" = shipped >90 days after the
-    * order date). The EXISTS / NOT EXISTS pair becomes a semi join + an
-    * anti join against the distinct (order, supplier) projections — both
-    * hash on orderkey with the supplier inequality riding along.
+    * order date). The EXISTS / NOT EXISTS pair is evaluated as per-order
+    * COUNTS instead of inequality-riding self-joins: "another supplier
+    * exists" ⟺ the order's distinct-supplier count ≥ 2, "no other late
+    * supplier" ⟺ the order's late-supplier count = 1. Both counts are
+    * map-side-combined aggregations keyed on orderkey — at 100 TB that
+    * ships two small per-order frames instead of re-shuffling the whole
+    * (order, supplier) projection twice through semi/anti probes.
     */
   def q21LateSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
@@ -483,20 +491,22 @@ object TpchQueries {
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .select("l_orderkey", "l_suppkey").distinct()
-    val allPairs = t(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("a_order"), col("l_suppkey").as("a_supp")).distinct()
-    val latePairs = late
-      .select(col("l_orderkey").as("b_order"), col("l_suppkey").as("b_supp"))
-    val only = late
-      .join(allPairs, col("l_orderkey") === col("a_order") &&
-        col("l_suppkey") =!= col("a_supp"), "left_semi")
-      .join(latePairs, col("l_orderkey") === col("b_order") &&
-        col("l_suppkey") =!= col("b_supp"), "left_anti")
+    val nSupp = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey").distinct()
+      .groupBy(col("l_orderkey").as("ns_order"))
+      .agg(count(lit(1)).as("n_supp"))
+      .filter(col("n_supp") >= 2)
+    val nLate = late.groupBy(col("l_orderkey").as("nl_order"))
+      .agg(count(lit(1)).as("n_late"))
+      .filter(col("n_late") === 1)
     val s = broadcast(t(spark, dir, "supplier")
       .join(broadcast(t(spark, dir, "nation")).filter(col("n_name") === "NATION_3"),
         col("s_nationkey") === col("n_nationkey"), "left_semi")
       .select("s_suppkey", "s_name"))
-    only.join(s, col("l_suppkey") === col("s_suppkey"))
+    late
+      .join(nSupp, col("l_orderkey") === col("ns_order"), "left_semi")
+      .join(nLate, col("l_orderkey") === col("nl_order"), "left_semi")
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy(desc("numwait"), col("s_name"))
@@ -575,7 +585,11 @@ object TpchQueries {
           .select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
-    val bridge = t(spark, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    // semi-filter BEFORE the distinct — same reasoning as Q16: the dedup
+    // shuffle sees only lineitems of the ~selectivity-filtered parts
+    val bridge = t(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(p.select("p_partkey"), col("l_partkey") === col("p_partkey"), "left_semi")
+      .distinct()
     val w = Window.partitionBy("p_partkey").orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
     bridge.join(p, col("l_partkey") === col("p_partkey"))
       .join(s, col("l_suppkey") === col("s_suppkey"))

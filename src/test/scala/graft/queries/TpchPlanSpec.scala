@@ -52,10 +52,17 @@ class TpchPlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
-  test("q4 and q21 run their EXISTS as semi/anti hash joins, not subquery rescans") {
+  test("q4 runs its EXISTS as a semi hash join, not a subquery rescan") {
     assert(plan("q4_priority_late").contains("LeftSemi"), plan("q4_priority_late").take(1500))
+  }
+
+  test("q21 evaluates EXISTS/NOT-EXISTS as per-order count aggregates") {
+    // the rewrite ships two small per-order frames (partial-aggregated
+    // counts) instead of re-shuffling the (order, supplier) projection
+    // through inequality semi/anti probes
     val p21 = plan("q21_late_suppliers")
-    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"), p21.take(2000))
+    assert(p21.contains("LeftSemi") && !p21.contains("LeftAnti"), p21.take(2000))
+    assert(p21.contains("partial_count"), p21.take(2000))
   }
 
   test("q13 plans two hash aggregations, no window") {
