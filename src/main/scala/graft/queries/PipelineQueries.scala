@@ -417,6 +417,79 @@ object PipelineQueries {
     GROUP BY 1, 2
     ORDER BY source_a, source_b"""
 
+  /** Domain-mixture sampling: deterministic hash sampling toward TARGET
+    * mixture weights under a total budget — the corpus-reweighting step
+    * of a training-data pipeline (upweight scarce high-quality sources,
+    * downweight bulk crawl). Per-source rate = min(1, budget·w_s / (W·n_s))
+    * — derived from the DATA (per-source counts), not hardcoded — then
+    * rows are kept by the same md5-bucket rule as [[ExtendedQueries
+    * .sampleHash]], so the selection is reproducible on any engine and
+    * cluster size. The counts frame is |sources| rows: one aggregation
+    * exchange, a broadcast join, and a map-side filter — nothing here
+    * grows with the corpus.
+    */
+  def mixSample(spark: SparkSession, dir: String): DataFrame = {
+    val budget = lit(20.0)
+    val w = when(col("source") === "src0", 40.0)
+      .when(col("source").isin("src1", "src2"), 20.0)
+      .otherwise(1.0)
+    val counts = docs(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n")).withColumn("w", w)
+    val totalW = counts.agg(sum("w").as("total_w"))
+    val rates = counts.crossJoin(broadcast(totalW))
+      .select(col("source").as("r_source"),
+        least(lit(1.0), budget * col("w") / (col("total_w") * col("n"))).as("rate"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000
+    docs(spark, dir).select("doc_id", "source", "n_chars")
+      .join(broadcast(rates), col("source") === col("r_source"))
+      .filter(bucket < floor(col("rate") * 10000))
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val mixSampleSql: String = """
+    WITH c AS (
+      SELECT source, count(*) AS n,
+        CASE WHEN source = 'src0' THEN 40.0
+             WHEN source IN ('src1', 'src2') THEN 20.0
+             ELSE 1.0 END AS w
+      FROM documents GROUP BY source),
+    r AS (
+      SELECT source, least(1.0, 20.0 * w / ((SELECT sum(w) FROM c) * n)) AS rate
+      FROM c)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10000 < floor(rate * 10000)
+    ORDER BY d.doc_id"""
+
+  /** Exact k-per-group deterministic sample (quota sampling): the
+    * balanced-eval-set builder — every source contributes at most 5
+    * documents, chosen by hash rank so the pick is reproducible and
+    * unbiased by ingestion order. One shuffle on `source`; Spark's
+    * rank-limit pushdown (WindowGroupLimit) truncates each partition to
+    * its top-k BEFORE the exchange, so a hot source never floods the
+    * window executor at scale.
+    */
+  def sampleQuota(spark: SparkSession, dir: String): DataFrame = {
+    val wq = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(spark, dir).select("doc_id", "source")
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("source", "rk")
+  }
+
+  val sampleQuotaSql: String = """
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+        cast(row_number() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      FROM documents)
+    WHERE rk <= 5
+    ORDER BY source, rk"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -429,6 +502,8 @@ object PipelineQueries {
     "decontaminate"    -> (decontaminate _),
     "repetition_ratio" -> (repetitionRatio _),
     "dedup_incremental" -> (dedupIncremental _),
+    "mix_sample"       -> (mixSample _),
+    "sample_quota"     -> (sampleQuota _),
     "curation_funnel"  -> (curationFunnel _))
 
   val oracle: Map[String, String] = Map(
@@ -441,5 +516,7 @@ object PipelineQueries {
     "decontaminate"    -> decontaminateSql,
     "repetition_ratio" -> repetitionRatioSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "mix_sample"       -> mixSampleSql,
+    "sample_quota"     -> sampleQuotaSql,
     "curation_funnel"  -> curationFunnelSql)
 }
