@@ -274,6 +274,46 @@ object ScaleQueries {
     FROM s, unnest(range(1, len(embedding) + 1)) AS u(i)
     ORDER BY vec_id, pos"""
 
+  /** Z-order layout quality report: Morton-code lineitem on
+    * (l_partkey, l_suppkey), cut the curve into segments (code >> 20),
+    * and show each segment's bounding box in both dimensions. The boxes
+    * being TIGHT in part AND supplier simultaneously is the property
+    * that makes a z-ordered write prunable on either predicate at
+    * 100 TB ([[graft.operators.ZOrder]]); a lexicographic sort would
+    * show tight partkey ranges but full-width suppkey ranges. Pure
+    * bitwise arithmetic — bit-identical in the DuckDB oracle.
+    */
+  def zorderBuckets(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"),
+        graft.operators.ZOrder.mortonCode(col("l_partkey"), col("l_suppkey")).as("z"))
+      .groupBy(shiftright(col("z"), 20).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+      .orderBy("z_bucket")
+
+  val zorderBucketsSql: String = """
+    WITH g AS (
+      SELECT l_partkey, l_suppkey,
+        (l_partkey & 65535) AS gx, (l_suppkey & 65535) AS gy
+      FROM lineitem),
+    s1 AS (SELECT *, ((gx | (gx << 8)) & 16711935) AS ax,
+                     ((gy | (gy << 8)) & 16711935) AS ay FROM g),
+    s2 AS (SELECT *, ((ax | (ax << 4)) & 252645135) AS bx,
+                     ((ay | (ay << 4)) & 252645135) AS by FROM s1),
+    s3 AS (SELECT *, ((bx | (bx << 2)) & 858993459) AS cx,
+                     ((by | (by << 2)) & 858993459) AS cy FROM s2),
+    s4 AS (SELECT *, ((cx | (cx << 1)) & 1431655765) AS dx,
+                     ((cy | (cy << 1)) & 1431655765) AS dy FROM s3),
+    z AS (SELECT l_partkey, l_suppkey, (dx | (dy << 1)) AS z FROM s4)
+    SELECT (z >> 20) AS z_bucket, count(*) AS n,
+      min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+      min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+    FROM z
+    GROUP BY 1
+    ORDER BY z_bucket"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -287,6 +327,7 @@ object ScaleQueries {
     "multimodal_join" -> (multimodalJoin _),
     "emb_near_dup"  -> (embNearDup _),
     "emb_quantize"  -> (embQuantize _),
+    "zorder_buckets" -> (zorderBuckets _),
     "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
@@ -296,5 +337,6 @@ object ScaleQueries {
     "knn_brute"    -> knnBruteSql,
     "emb_near_dup" -> embNearDupSql,
     "emb_quantize" -> embQuantizeSql,
+    "zorder_buckets" -> zorderBucketsSql,
     "label_centroids" -> labelCentroidsSql)
 }
