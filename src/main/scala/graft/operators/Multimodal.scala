@@ -18,7 +18,10 @@ final case class MediaFeatures(
   * dependency. Payloads that aren't a decodable image (the synthetic
   * corpus stores utf-8 text in the binary column) fall back to the
   * deterministic fake, so the plumbing stays runnable on any input.
-  * AUDIO/VIDEO stay stubbed (no codec ships with the JDK); their fake is
+  * The AUDIO branch is real too: JDK-only `javax.sound.sampled`
+  * (WAV/AIFF/AU containers, PCM payloads) yields the true sample rate,
+  * channel count and frame count plus an 8-segment RMS envelope.
+  * VIDEO stays stubbed (genuinely no codec in the JDK); its fake is
   * deterministic on the payload bytes, and the kernel is swappable for a
   * JNI/ffmpeg codec in production with an identical call-site shape.
   */
@@ -77,10 +80,80 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** STUB decode kernel — deterministic fake standing in for the codecs
-    * the JDK lacks (audio/video), and the fallback for undecodable image
-    * bytes. Replace the body (only) with e.g. ffmpeg bindings; signature
-    * and call-site shape stay identical.
+  /** Real audio decode via JDK `javax.sound.sampled`: WAV/AIFF/AU
+    * containers with 8-bit or 16-bit PCM. Returns (sampleRate, channels,
+    * frames, features) where features is the 8-segment RMS envelope of
+    * the mono-folded signal in [0,1] — the cheap length-stable fingerprint
+    * a curation pipeline filters on (silence, clipping, uniform noise).
+    * None when the bytes aren't a JDK-readable audio container/encoding
+    * (caller falls back to the stub).
+    */
+  private[operators] def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
+          (bits == 8 || bits == 16)
+        if (!ok) None
+        else {
+          val data = ais.readAllBytes()
+          val channels = fmt.getChannels
+          val bytesPerFrame = (bits / 8) * channels
+          val frames = data.length / bytesPerFrame
+          if (frames == 0) None
+          else {
+            // mono-fold each frame to one amplitude in [-1,1], accumulate
+            // squared sums into 8 equal time segments
+            val sums = new Array[Double](8)
+            val counts = new Array[Long](8)
+            var f = 0
+            while (f < frames) {
+              val seg = ((f.toLong * 8) / frames).toInt
+              var c = 0
+              var acc = 0.0
+              while (c < channels) {
+                val base = f * bytesPerFrame + c * (bits / 8)
+                val sample =
+                  if (bits == 8) {
+                    if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                      data(base).toDouble / 128.0
+                    else ((data(base) & 0xFF) - 128).toDouble / 128.0
+                  } else {
+                    val v = if (fmt.isBigEndian)
+                        (data(base).toInt << 8) | (data(base + 1) & 0xFF)
+                      else (data(base + 1).toInt << 8) | (data(base) & 0xFF)
+                    v.toShort.toDouble / 32768.0
+                  }
+                acc += sample
+                c += 1
+              }
+              val mono = acc / channels
+              sums(seg) += mono * mono
+              counts(seg) += 1
+              f += 1
+            }
+            val feats = new Array[Float](8)
+            var i = 0
+            while (i < 8) {
+              feats(i) = if (counts(i) == 0) 0f
+                else math.sqrt(sums(i) / counts(i)).toFloat
+              i += 1
+            }
+            Some((fmt.getSampleRate.toInt, channels, frames, feats))
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB decode kernel — deterministic fake standing in for the one
+    * codec family the JDK lacks (video), and the fallback for
+    * undecodable image/audio bytes. Replace the body (only) with e.g.
+    * ffmpeg bindings; signature and call-site shape stay identical.
     */
   private[operators] def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val len = payload.length
@@ -111,6 +184,11 @@ object Multimodal {
             if (kind == "image") decodeImage(payload) match {
               case Some((w, h, fs)) => (w, h, 1, fs)
               case None             => decodeStub(kind, payload)
+            }
+            else if (kind == "audio") decodeAudio(payload) match {
+              // audio maps (rate, channels, frames) onto the spatial slots
+              case Some((rate, ch, fr, fs)) => (rate, ch, fr, fs)
+              case None                     => decodeStub(kind, payload)
             }
             else decodeStub(kind, payload)
           MediaFeatures(id, kind, payload.length.toLong, w, h, f, feats)

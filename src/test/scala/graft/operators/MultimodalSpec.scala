@@ -90,6 +90,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fake.features.toSeq == feats.toSeq)
   }
 
+  test("audio branch decodes a real WAV: rate/channels/frames round-trip, RMS envelope") {
+    import javax.sound.sampled._
+    // 8 kHz mono 16-bit PCM, 1600 frames: first half silence, second
+    // half a full-scale square wave -> RMS envelope 0,0,0,0,1,1,1,1
+    val rate = 8000f
+    val frames = 1600
+    val pcm = new Array[Byte](frames * 2)
+    for (f <- frames / 2 until frames) {
+      val v: Short = if (f % 2 == 0) 32767 else -32768
+      pcm(f * 2) = (v & 0xFF).toByte
+      pcm(f * 2 + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val bytes = baos.toByteArray
+
+    val out = Multimodal.decode(
+      Seq((7L, "audio", bytes)).toDF("doc_id", "kind", "payload")).head()
+    assert(out.width == 8000 && out.height == 1 && out.n_frames == 1600)
+    assert(out.byte_len == bytes.length)
+    val env = out.features
+    assert(env.take(4).forall(_ < 0.01f), env.toSeq.toString)
+    assert(env.drop(4).forall(v => math.abs(v - 1f) < 0.01f), env.toSeq.toString)
+
+    // non-audio bytes under kind=audio fall back to the stub
+    val textBytes = "definitely not a wav".getBytes("UTF-8")
+    val fake = Multimodal.decode(
+      Seq((8L, "audio", textBytes)).toDF("doc_id", "kind", "payload")).head()
+    val (w, h, f, feats) = Multimodal.decodeStub("audio", textBytes)
+    assert(fake.width == w && fake.height == h && fake.n_frames == f)
+    assert(fake.features.toSeq == feats.toSeq)
+  }
+
   test("decode runs on the real documents table end-to-end") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = Multimodal.decode(Multimodal.withPayload(docs)).count()
