@@ -274,6 +274,51 @@ object ScaleQueries {
     FROM s, unnest(range(1, len(embedding) + 1)) AS u(i)
     ORDER BY vec_id, pos"""
 
+  /** Random-projection dimensionality reduction (64 → 16 dims): the
+    * Johnson–Lindenstrauss prefilter an ANN stack runs before exact
+    * rescoring — 4× less data per distance, distances preserved within
+    * the JL bound. The ±1 projection matrix derives from md5 parity, so
+    * BOTH engines rebuild the identical matrix from nothing (no
+    * side-channel state); it rides as a 1024-row broadcast (model
+    * parameters, like the IVF centroid banks). Terms go through the
+    * exact-decimal path so the 64-term sums are shuffle-order-free.
+    */
+  def embProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Int = {
+      val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xFF}%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+    val matrix = broadcast(
+      (for (i <- 0 until Dim; j <- 0 until 16) yield (i, j, sign(i, j)))
+        .toDF("i", "j", "sign"))
+    embs(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .join(matrix, col("pos") === col("i"))
+      .groupBy(col("vec_id"), col("j").cast("long").as("dim"))
+      .agg(sum((col("col").cast("double") * col("sign")).cast("decimal(18,6)"))
+        .cast("double").as("p"))
+      .orderBy("vec_id", "dim")
+  }
+
+  val embProjectSql: String = """
+    WITH m AS (
+      SELECT r1.range AS i, r2.range AS j,
+        CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(r1.range AS VARCHAR),
+               '_', CAST(r2.range AS VARCHAR))), 1, 8)) AS BIGINT) % 2 = 0
+             THEN 1 ELSE -1 END AS sign
+      FROM range(0, 64) r1, range(0, 16) r2),
+    e AS (
+      SELECT vec_id, k - 1 AS i, cast(embedding[k] AS DOUBLE) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(k))
+    SELECT vec_id, cast(j AS BIGINT) AS dim,
+      cast(sum(cast(v * sign AS DECIMAL(18,6))) AS DOUBLE) AS p
+    FROM e JOIN m ON e.i = m.i
+    GROUP BY vec_id, j
+    ORDER BY vec_id, dim"""
+
   /** Z-order layout quality report: Morton-code lineitem on
     * (l_partkey, l_suppkey), cut the curve into segments (code >> 20),
     * and show each segment's bounding box in both dimensions. The boxes
@@ -328,6 +373,7 @@ object ScaleQueries {
     "emb_near_dup"  -> (embNearDup _),
     "emb_quantize"  -> (embQuantize _),
     "zorder_buckets" -> (zorderBuckets _),
+    "emb_project"   -> (embProject _),
     "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
@@ -338,5 +384,6 @@ object ScaleQueries {
     "emb_near_dup" -> embNearDupSql,
     "emb_quantize" -> embQuantizeSql,
     "zorder_buckets" -> zorderBucketsSql,
+    "emb_project"   -> embProjectSql,
     "label_centroids" -> labelCentroidsSql)
 }

@@ -342,6 +342,42 @@ object WarehouseQueries {
     FROM r WHERE rn = 1
     ORDER BY kept_doc"""
 
+  /** Partial-aggregate MERGE — the incremental-rollup identity every
+    * 100 TB pipeline leans on: daily partial states (counts + exact-
+    * decimal sums) roll up to months by SUMMING STATES, never re-reading
+    * detail rows. The oracle aggregates the detail DIRECTLY per month,
+    * so the hash match is a proof that merge(partials) == direct — which
+    * only holds because the partial states are associative (decimal
+    * sums + counts; a double sum or a stored average would break it).
+    * At scale the daily frame is what you'd persist; each new day
+    * appends one partial and the rollup touches |days| rows, not the
+    * fact table.
+    */
+  def aggMerge(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.read(spark, dir, "lineitem")
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(Relational.dec(col("l_quantity"))).as("sum_qty_d"),
+        sum(Relational.dec(col("l_extendedprice"))).as("sum_price_d"))
+    daily
+      .groupBy(date_trunc("month", col("day")).cast("date").cast("string").as("month"),
+        col("l_returnflag"))
+      .agg(sum("n").as("n"),
+        sum("sum_qty_d").cast("double").as("sum_qty"),
+        (sum("sum_price_d").cast("double") / sum("n")).as("avg_price"))
+      .orderBy("month", "l_returnflag")
+  }
+
+  val aggMergeSql: String = """
+    SELECT cast(cast(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR) AS month,
+      l_returnflag,
+      count(*) AS n,
+      cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY month, l_returnflag"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -353,6 +389,7 @@ object WarehouseQueries {
     "interval_merge"     -> (intervalMerge _),
     "window_range_frame" -> (windowRangeFrame _),
     "merge_upsert"       -> (mergeUpsertQ _),
+    "agg_merge"          -> (aggMerge _),
     "histogram_price"    -> (histogramPrice _))
 
   val oracle: Map[String, String] = Map(
@@ -364,5 +401,6 @@ object WarehouseQueries {
     "interval_merge"     -> intervalMergeSql,
     "window_range_frame" -> windowRangeFrameSql,
     "merge_upsert"       -> mergeUpsertSql,
+    "agg_merge"          -> aggMergeSql,
     "histogram_price"    -> histogramPriceSql)
 }
