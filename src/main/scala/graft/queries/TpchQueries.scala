@@ -249,6 +249,40 @@ object TpchQueries {
           0.001 * (SELECT cast(sum(value_dec) AS DOUBLE) FROM v)
     ORDER BY value DESC, partkey"""
 
+  /** TPC-H Q12: late-shipment accounting by line status (standing in
+    * for the absent l_shipmode), split into high- vs low-priority
+    * counts — the join-then-conditional-count shape. The ship-year
+    * predicate is pushed to the lineitem scan; the lateness predicate
+    * (cross-table) rides the orderkey join.
+    */
+  def q12LateLines(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_shipdate", "l_linestatus")
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!isHigh, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val q12Sql: String = """
+    SELECT l_linestatus,
+      cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus"""
+
   /** TPC-H Q13: distribution of per-customer order counts (excluding
     * 5-LOW orders) — the outer-join-then-histogram pattern. The orders
     * filter lands in the join, customers with nothing left count 0.
@@ -623,6 +657,7 @@ object TpchQueries {
     "q8_market_share"      -> (q8MarketShare _),
     "q9_product_profit"    -> (q9ProductProfit _),
     "q11_important_parts"  -> (q11ImportantParts _),
+    "q12_late_lines"       -> (q12LateLines _),
     "q13_custdist"         -> (q13CustDist _),
     "q14_promo_revenue"    -> (q14PromoRevenue _),
     "q15_top_supplier"     -> (q15TopSupplier _),
@@ -640,6 +675,7 @@ object TpchQueries {
     "q8_market_share"      -> q8Sql,
     "q9_product_profit"    -> q9Sql,
     "q11_important_parts"  -> q11Sql,
+    "q12_late_lines"       -> q12Sql,
     "q13_custdist"         -> q13Sql,
     "q14_promo_revenue"    -> q14Sql,
     "q15_top_supplier"     -> q15Sql,
