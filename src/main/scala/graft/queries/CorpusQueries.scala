@@ -1,0 +1,447 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.{Dedup, Materialize, TextAnalysis}
+import graft.sources.Tables
+
+/** Corpus-scale operators, round-6 continuation: exact duplicated-span
+  * detection (substring dedup), prefix-filtered set-similarity join,
+  * iterative PageRank, BPE pair counting, robust outlier detection,
+  * sliding-window aggregation, and the per-source data card.
+  *
+  * Everything here is oracle-checked (md5/integer arithmetic only on
+  * the comparison surface) and shaped for the 100 TB path: candidate
+  * generation is always an equi-join on a derived key, iteration state
+  * is a keyed frame, and no driver-side data collects anywhere.
+  */
+object CorpusQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // -------------------------------------------------------- dup spans
+
+  /** Window size for duplicated-span detection (tokens). */
+  val SpanK = 8
+
+  /** Exact duplicated-SPAN detection (the substring-dedup shape of
+    * "Deduplicating Training Data Makes Language Models Better" — span
+    * level, not document level): hash every stride-1 window of
+    * [[SpanK]] tokens, mark windows whose hash occurs in ≥ 2 distinct
+    * documents, and merge each document's marked positions into maximal
+    * spans (interval union). Output per affected document: span count,
+    * tokens covered by duplicated spans, and the covered fraction.
+    *
+    * Scale shape: the window frame is (doc, pos, hash) rows — one
+    * shuffle keyed by hash for the distinct-doc count, one hash-keyed
+    * join back, and one per-document window for the interval merge
+    * (partitioned by doc, never global). A suffix-array build — the
+    * paper's single-node approach — does not distribute; stride-1
+    * window hashing is the standard cluster re-expression and finds
+    * exactly the ≥ K-token shared substrings (any shared span of
+    * length ≥ K contains a shared K-window, and merged K-window runs
+    * reconstruct the span).
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"), col("t"))
+    // md5 window hashes (engine-portable); short docs contribute their
+    // whole token array as one clamped window, like the other gram ops
+    val g = toks
+      .select(col("doc_id"), col("n_tok"), col("t"),
+        explode(sequence(lit(0), greatest(size(col("t")) - SpanK, lit(0)))).as("i"))
+      .select(col("doc_id"), col("n_tok"), col("i"),
+        md5(concat_ws(" ", slice(col("t"), col("i") + 1, lit(SpanK))).cast("binary")).as("gh"))
+    // hashes seen in >= 2 DISTINCT docs; the distinct collapses a doc's
+    // internal repeats before the count (map-side combined both stages)
+    val dup = g.select("gh", "doc_id").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val hits = g.join(dup, "gh").select("doc_id", "n_tok", "i")
+    // interval union per doc: window at i covers [i, i+K-1]; starts are
+    // sorted, so ends are monotone and a new island begins exactly when
+    // the gap to the previous start exceeds K
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val isl = hits
+      .withColumn("prev", lag("i", 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("i") - col("prev") > SpanK, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(w))
+    val spans = isl.groupBy("doc_id", "n_tok", "island")
+      .agg(min("i").cast("long").as("s"), max("i").cast("long").as("e"))
+    spans.groupBy("doc_id", "n_tok")
+      .agg(count(lit(1)).as("n_spans"),
+        // least() clamps the short-doc case where the single clamped
+        // window nominally extends past the token count
+        sum(least(col("e") + SpanK, col("n_tok")) - col("s")).as("dup_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tok"), 6).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val dupSpansSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    g AS (
+      SELECT doc_id, cast(len(t) AS BIGINT) AS n_tok, i,
+        md5(array_to_string(t[i+1:i+$SpanK], ' ')) AS gh
+      FROM toks, unnest(range(0, greatest(len(t) - $SpanK, 0) + 1)) AS u(i)),
+    dup AS (
+      SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g)
+      GROUP BY gh HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, n_tok, i FROM g WHERE gh IN (SELECT gh FROM dup)),
+    isl AS (
+      SELECT doc_id, n_tok, i,
+        sum(CASE WHEN prev IS NULL OR i - prev > $SpanK THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM (SELECT doc_id, n_tok, i,
+              lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM hits)),
+    spans AS (
+      SELECT doc_id, n_tok, island,
+        cast(min(i) AS BIGINT) AS s, cast(max(i) AS BIGINT) AS e
+      FROM isl GROUP BY 1, 2, 3)
+    SELECT doc_id, count(*) AS n_spans,
+      cast(sum(least(e + $SpanK, n_tok) - s) AS BIGINT) AS dup_tokens,
+      round(cast(sum(least(e + $SpanK, n_tok) - s) AS DOUBLE) / n_tok, 6) AS dup_ratio
+    FROM spans
+    GROUP BY doc_id, n_tok
+    ORDER BY doc_id"""
+
+  // ---------------------------------------------- prefix-filtered join
+
+  /** Prefix-filtered exact set-similarity self-join (the PPJoin/
+    * all-pairs family, Bayardo et al. WWW'07) at Jaccard ≥ 0.5 over
+    * word-3-gram sets — UNBLOCKED: unlike [[ScaleQueries.dedupNgram]]
+    * (which blocks by source), this is the global-corpus exact join,
+    * made tractable by indexing only each document's PREFIX.
+    *
+    * The filter: order every document's grams by ascending global
+    * document frequency (rarest first, gram hash as the tie-break —
+    * any total order works, see below); J(x,y) ≥ t forces
+    * |x∩y| ≥ ⌈t·|x|⌉, so a match must share at least one gram in x's
+    * first |x| − ⌈t·|x|⌉ + 1 grams (pigeonhole). At t = 0.5 the prefix
+    * is ~half of each doc, made of its RAREST grams — so hot
+    * boilerplate grams almost never reach an index prefix and the
+    * candidate join stays sparse without any frequency cap. A length
+    * filter (max size ≤ 2 · min size, the t = 0.5 bound) prunes the
+    * rest before verification.
+    *
+    * Oracle note: the two engines order ties differently (xxhash64 here,
+    * gram strings there) and therefore index different prefixes — but
+    * the theorem makes the candidate set a superset of the true result
+    * under ANY consistent order, and exact verification filters both
+    * down to the identical pair set, so the query hash-matches.
+    */
+  def dedupPrefix(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once: doc-frequency, sizes, ranking, and verification
+    // all read the gram frame (same rationale as dedup_ngram)
+    val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text", n = 3))
+    val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val ranked = grams.join(dfreq, "gh").join(sizes, "id")
+      .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("df", "gh")))
+    // prefix length |x| - ceil(0.5|x|) + 1 = |x| div 2 + 1, exact in
+    // integer arithmetic on both engines
+    val prefix = ranked.filter(col("rk") <= expr("sz div 2 + 1"))
+      .select("id", "gh", "sz")
+    val pa = prefix.select(col("id").as("a_id"), col("gh").as("agh"), col("sz").as("asz"))
+    val pb = prefix.select(col("id").as("b_id"), col("gh").as("bgh"), col("sz").as("bsz"))
+    val cands = pa.join(pb,
+        col("agh") === col("bgh") && col("a_id") < col("b_id") &&
+          greatest(col("asz"), col("bsz")) <= lit(2) * least(col("asz"), col("bsz")))
+      .select("a_id", "b_id").distinct()
+    Dedup.verifyJaccard(cands, grams, 0.5).orderBy("a_id", "b_id")
+  }
+
+  val dedupPrefixSql: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+    ranked AS (
+      SELECT gr.doc_id, gr.g, s.sz,
+        row_number() OVER (PARTITION BY gr.doc_id ORDER BY d.df, gr.g) AS rk
+      FROM grams gr JOIN dfreq d USING (g) JOIN sizes s USING (doc_id)),
+    prefix AS (SELECT doc_id, g, sz FROM ranked WHERE rk <= sz // 2 + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM prefix a JOIN prefix b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+       AND greatest(a.sz, b.sz) <= 2 * least(a.sz, b.sz)),
+    inter AS (
+      SELECT c.a_id, c.b_id, cast(count(*) AS DOUBLE) AS i
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.a_id
+      JOIN grams gb ON gb.doc_id = c.b_id AND ga.g = gb.g
+      GROUP BY 1, 2)
+    SELECT a_id, b_id,
+      round(i / (na.sz + nb.sz - i), 6) AS jaccard_sim
+    FROM inter
+    JOIN sizes na ON inter.a_id = na.doc_id
+    JOIN sizes nb ON inter.b_id = nb.doc_id
+    WHERE i / (na.sz + nb.sz - i) >= 0.5
+    ORDER BY a_id, b_id"""
+
+  // ---------------------------------------------------------- pagerank
+
+  /** PageRank iterations; fixed (not converged) so both engines replay
+    * the identical computation.
+    */
+  val PrIters = 3
+
+  /** Fixed-iteration PageRank over the part co-purchase graph (parts
+    * linked when they appear in the same order; edges both directions).
+    * Top-100 by final rank.
+    *
+    * Determinism discipline: ranks live as BIGINT micro-units
+    * (1e6 = 1.0) and every step is integer arithmetic — contribution =
+    * pr div outdeg, update = 150000 + 85·Σ div 100 — so Spark and the
+    * oracle agree bit-for-bit regardless of aggregation order (float
+    * PageRank sums would drift by shuffle order). The floor-division
+    * mass loss and the dropped dangling mass are part of the operator's
+    * documented semantics, identical on both engines.
+    *
+    * Scale shape: edges + out-degrees materialize ONCE and every
+    * iteration is one join keyed by src and one aggregation keyed by
+    * dst — the standard distributed PageRank step. No collects, no
+    * driver state; at cluster scale you'd pre-partition edges by src
+    * and reuse that partitioning across all iterations.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val lj = li.select(col("l_orderkey").as("o2"), col("l_partkey").as("dst"))
+    val edges = li.join(lj, col("l_orderkey") === col("o2") && col("l_partkey") =!= col("dst"))
+      .select(col("l_partkey").as("src"), col("dst")).distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    val esrc = Materialize(edges.join(outdeg, "src"))
+    val nodes = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey").as("node"))
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to PrIters) {
+      val contrib = esrc
+        .join(pr.select(col("node").as("src"), col("pr")), "src")
+        .select(col("dst").as("node"), expr("pr div od").as("c"))
+        .groupBy("node").agg(sum("c").as("cs"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr("cast(150000 as bigint) + (85 * coalesce(cs, cast(0 as bigint))) div 100").as("pr"))
+    }
+    pr.orderBy(col("pr").desc, col("node")).limit(100)
+      .select(col("node").as("p_partkey"), col("pr"))
+  }
+
+  val pagerankSql: String = {
+    val base = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+    p0 AS (SELECT p_partkey AS node, cast(1000000 AS BIGINT) AS pr FROM part)"""
+    val iters = (1 to PrIters).map { k =>
+      s"""
+    c$k AS (
+      SELECT e.dst AS node, sum(p.pr // o.od) AS cs
+      FROM e JOIN od o ON e.src = o.src JOIN p${k - 1} p ON e.src = p.node
+      GROUP BY e.dst),
+    p$k AS (
+      SELECT n.node,
+        cast(150000 + (85 * coalesce(c.cs, 0)) // 100 AS BIGINT) AS pr
+      FROM p${k - 1} n LEFT JOIN c$k c ON n.node = c.node)"""
+    }.mkString(",")
+    s"""$base,$iters
+    SELECT node AS p_partkey, pr FROM p$PrIters
+    ORDER BY pr DESC, node LIMIT 100"""
+  }
+
+  // --------------------------------------------------------- bpe pairs
+
+  /** Corpus-level adjacent-token-pair counts — the inner step of BPE
+    * vocabulary induction (the most frequent pair is the next merge).
+    * Top-20 with deterministic (count desc, pair asc) tie-break.
+    *
+    * Row-local pair extraction (explode positions of ONE array), one
+    * map-side-combined aggregation — the frequency table never carries
+    * more than |vocab|² keys regardless of corpus size.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(TextAnalysis.wordTokens(lower(col("text"))).as("t"))
+      // guard: sequence(1, 0) would generate a DESCENDING range
+      .filter(size(col("t")) >= 2)
+      .select(col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2")).limit(20)
+
+  val bpePairsSql: String = """
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+    p AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i))
+    SELECT w1, w2, count(*) AS n
+    FROM p GROUP BY w1, w2
+    ORDER BY n DESC, w1, w2 LIMIT 20"""
+
+  // ------------------------------------------------------- outlier MAD
+
+  /** Robust per-source outlier detection on document length: median +
+    * MAD (median absolute deviation), flagging |x − med| > 3·MAD — the
+    * quality-gate variant that, unlike mean/stddev z-scores, a few
+    * giant documents cannot drag. Exact percentiles with linear
+    * interpolation on both engines (the `percentiles` query pins that
+    * equivalence); halves are exact in binary floating point, so the
+    * comparison surface is drift-free.
+    *
+    * Three narrow aggregations over a two-column projection — the
+    * extra passes scan (source, n_chars) only, never the text.
+    */
+  def outlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("source"), col("n_chars"))
+    val med = d.groupBy("source").agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val mad = d.join(med, "source")
+      .groupBy(col("source"), col("med"))
+      .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+    d.join(mad, "source")
+      .groupBy(col("source"), col("med"), col("mad"))
+      .agg(sum(when(abs(col("n_chars") - col("med")) > lit(3.0) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col("source"), round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"), col("n_outliers"))
+      .orderBy("source")
+  }
+
+  val outlierMadSql: String = """
+    WITH med AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY source),
+    mad AS (
+      SELECT d.source, any_value(m.med) AS med,
+        quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+      FROM documents d JOIN med m ON d.source = m.source
+      GROUP BY d.source)
+    SELECT d.source, round(any_value(m.med), 6) AS med,
+      round(any_value(m.mad), 6) AS mad,
+      cast(sum(CASE WHEN abs(d.n_chars - m.med) > 3.0 * m.mad
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM documents d JOIN mad m ON d.source = m.source
+    GROUP BY d.source
+    ORDER BY d.source"""
+
+  // --------------------------------------------------- sliding windows
+
+  /** Sliding-window event aggregation: 1-hour windows every 15 minutes
+    * (each event lands in exactly 4 overlapping windows) — the
+    * trailing-hour dashboard shape tumbling windows can't express.
+    * Spark's `window(slide)` generates the window copies row-locally
+    * before ONE aggregation; the oracle expands the same 4 windows per
+    * event arithmetically. Value sums ride the exact-decimal path so
+    * neither engine's shuffle order shows in the doubles.
+    */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Relational.sumExact(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  val eventsSlidingSql: String = """
+    WITH e AS (
+      SELECT epoch_ns(ts) // 1000 AS us, event_type, value FROM events),
+    w AS (
+      SELECT event_type, value,
+        make_timestamp((us // 900000000) * 900000000 - k * 900000000) AS w_start
+      FROM e, unnest(range(0, 4)) AS u(k))
+    SELECT w_start, event_type, count(*) AS n_events,
+      cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM w
+    GROUP BY w_start, event_type
+    ORDER BY w_start, event_type"""
+
+  // ---------------------------------------------------------- data card
+
+  /** Per-source dataset report ("data card"): document and token
+    * volume, mean quality, English share, and exact-duplicate count —
+    * the at-a-glance table a corpus release ships. Composes the
+    * verified quality / language / fingerprint operators in ONE pass
+    * over the text (each gate is a row-local projection; the only
+    * shuffles are the dedup window keyed by fingerprint and the final
+    * per-source aggregation — same discipline as the curation funnel).
+    * Mean quality sums decimals (order-free), not doubles.
+    */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    import TextAnalysis._
+    val toks = wordTokens(lower(col("text")))
+    val w = Window.partitionBy(fingerprint(col("text")))
+    docs(spark, dir)
+      .select(col("source"),
+        size(wordTokens(col("text"))).cast("long").as("n_tok"),
+        qualityScore(col("text")).as("q"),
+        (langPredict(langScores(toks)) === "en").as("is_en"),
+        (col("doc_id") === min("doc_id").over(w)).as("is_first"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        round(sum(col("q").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
+          .as("mean_quality"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("n_english"),
+        sum(when(col("is_first"), 0L).otherwise(1L)).as("n_dups"))
+      .orderBy("source")
+  }
+
+  val dataCardSql: String = s"""
+    WITH q AS (${TextQueries.qualityScoreSql}),
+    l AS (${TextQueries.langIdSql}),
+    f AS (
+      SELECT doc_id, source,
+        cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+        (doc_id = min(doc_id) OVER (PARTITION BY
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))) AS is_first
+      FROM documents)
+    SELECT f.source, count(*) AS n_docs,
+      cast(sum(f.n_tok) AS BIGINT) AS n_tokens,
+      round(cast(sum(cast(q.quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        AS mean_quality,
+      cast(sum(CASE WHEN l.predicted_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_english,
+      cast(sum(CASE WHEN f.is_first THEN 0 ELSE 1 END) AS BIGINT) AS n_dups
+    FROM f
+    JOIN q ON f.doc_id = q.doc_id
+    JOIN l ON f.doc_id = l.doc_id
+    GROUP BY f.source
+    ORDER BY source"""
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dup_spans"      -> (dupSpans _),
+    "dedup_prefix"   -> (dedupPrefix _),
+    "pagerank"       -> (pagerank _),
+    "bpe_pairs"      -> (bpePairs _),
+    "outlier_mad"    -> (outlierMad _),
+    "events_sliding" -> (eventsSliding _),
+    "data_card"      -> (dataCard _))
+
+  val oracle: Map[String, String] = Map(
+    "dup_spans"      -> dupSpansSql,
+    "dedup_prefix"   -> dedupPrefixSql,
+    "pagerank"       -> pagerankSql,
+    "bpe_pairs"      -> bpePairsSql,
+    "outlier_mad"    -> outlierMadSql,
+    "events_sliding" -> eventsSlidingSql,
+    "data_card"      -> dataCardSql)
+}
