@@ -11,11 +11,19 @@ import org.apache.spark.sql.SparkSession
   * the per-query MIN. The min discards transient host noise (GC pause,
   * co-tenant load) and reports steady-state operator throughput, which
   * is the quantity comparable across rounds.
+  *
+  * SPARK_GRAFT_ONLY (optional, comma-separated query names) restricts
+  * the run — the single-query iteration loop while tuning a plan.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    def selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,11 +34,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     for (warmDir <- Seq("/root/testdata/sf0.001", sfDir))
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }
 
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def timedPass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       // a failed query reports -1.0, never a misleadingly fast time

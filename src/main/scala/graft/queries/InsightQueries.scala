@@ -1,0 +1,421 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{DupClusters, Materialize, TextAnalysis, ZOrder}
+import graft.sources.Tables
+
+/** Graph, warehouse-ops, and corpus-insight operators: triangle
+  * counting (degree-ordered), entity resolution (fuzzy edges →
+  * components), SCD Type-2 dimension build, rolling anomaly flags,
+  * vocabulary dictionary encoding, source-distribution distance, and
+  * the data-skipping report that quantifies the Z-order layout win.
+  *
+  * Determinism discipline throughout: integer/decimal arithmetic on
+  * every comparison surface (the anomaly test is the squared-z
+  * inequality in pure integers; the distribution distance cross-
+  * multiplies counts before the single final division).
+  */
+object InsightQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ----------------------------------------------------- triangle count
+
+  /** Triangle count on the BULK part co-purchase graph (parts sharing
+    * an order with quantity ≥ 45 on both lines), via degree-ordered
+    * orientation: each undirected edge points from its lower-(degree,
+    * id) endpoint to the higher one, making the graph acyclic with
+    * out-degrees bounded by O(√m) on skewed graphs — the standard
+    * distributed-triangle trick (wedge fan-out is bounded by
+    * out-degree, so one boilerplate hub node cannot go quadratic).
+    * Each triangle u<v<w (in the orientation order) is counted exactly
+    * once: as the wedge u→v→w closed by the edge u→w.
+    *
+    * The quantity filter is the operator's selectivity knob, not a
+    * dodge: co-occurrence graphs densify quadratically with basket
+    * size, and the wedge count — the true cost driver — grows ~m^1.5
+    * even oriented. Thresholding to the analytically interesting
+    * subgraph (bulk co-purchases) is exactly what a 100 TB deployment
+    * does before an all-triangles pass.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val lj = li.select(col("l_orderkey").as("o2"), col("l_partkey").as("b"))
+    val und = Materialize(
+      li.join(lj, col("l_orderkey") === col("o2") && col("l_partkey") < col("b"))
+        .select(col("l_partkey").as("a"), col("b")).distinct())
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = Materialize(withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v")))
+    val e2 = oriented.select(col("u").as("v2"), col("v").as("w"))
+    val wedges = Materialize(
+      oriented.join(e2, col("v") === col("v2")).select(col("u"), col("v"), col("w")))
+    val e3 = oriented.select(col("u").as("u3"), col("v").as("w3"))
+    val tri = wedges.join(e3, col("u") === col("u3") && col("w") === col("w3"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  val triangleCountSql: String = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_quantity >= 45),
+    und AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+      GROUP BY n),
+    o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS v
+      FROM und JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n),
+    w AS (SELECT e1.u, e1.v, e2.v AS w FROM o e1 JOIN o e2 ON e1.v = e2.u)
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM und) AS n_edges,
+           (SELECT count(*) FROM w) AS n_wedges,
+           (SELECT count(*) FROM w JOIN o ON w.u = o.u AND w.w = o.v) AS n_triangles"""
+
+  // ---------------------------------------------------- entity resolve
+
+  /** Entity resolution over supplier names: candidate pairs from a
+    * blocking key (name minus its last two characters), verified by
+    * edit distance ≤ 1, then connected components assign each supplier
+    * a canonical entity id (minimum member key). The blocking-then-
+    * verify-then-cluster shape is the production ER pipeline; the
+    * components reuse the verified [[DupClusters.connectedComponents]]
+    * (driver union-find under the gate, distributed min-label above).
+    */
+  def entityResolve(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_name"),
+        expr("substring(s_name, 1, length(s_name) - 2)").as("blk"))
+    val right = s.select(col("s_suppkey").as("bkey"), col("s_name").as("bname"),
+      col("blk").as("bblk"))
+    val edges = s.join(right,
+        col("blk") === col("bblk") && col("s_suppkey") < col("bkey") &&
+          levenshtein(col("s_name"), col("bname")) <= 1)
+      .select(col("s_suppkey").as("src"), col("bkey").as("dst"))
+    DupClusters.connectedComponents(
+        s.select(col("s_suppkey").as("id")), edges)
+      .select(col("id").as("s_suppkey"), col("cluster_id").as("entity_id"))
+      .orderBy("s_suppkey")
+  }
+
+  val entityResolveSql: String = """
+    WITH RECURSIVE blk AS (
+      SELECT s_suppkey, s_name,
+        substring(s_name, 1, length(s_name) - 2) AS b
+      FROM supplier),
+    edges AS (
+      SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+      FROM blk a JOIN blk b
+        ON a.b = b.b AND a.s_suppkey < b.s_suppkey
+       AND levenshtein(a.s_name, b.s_name) <= 1),
+    und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    r(n, m) AS (
+      SELECT s_suppkey, s_suppkey FROM supplier
+      UNION
+      SELECT r.n, u.dst FROM r JOIN und u ON u.src = r.m)
+    SELECT n AS s_suppkey, min(m) AS entity_id
+    FROM r GROUP BY n ORDER BY s_suppkey"""
+
+  // -------------------------------------------------------- SCD type 2
+
+  /** SCD Type-2 dimension build from the event stream: each user's
+    * event_type becomes a slowly-changing attribute with validity
+    * intervals — keep rows where the value CHANGES (vs the previous
+    * event in (ts, event_id) order), close each version at the next
+    * version's start − 1 µs, leave the current version open (NULL).
+    * One shuffle keyed by user; microsecond longs on the comparison
+    * surface (no timestamp-format drift).
+    */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val changed = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+    val wv = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changed
+      .withColumn("version", row_number().over(wv).cast("long"))
+      .withColumn("valid_to_us", lead("ts_us", 1).over(wv) - 1L)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy("user_id", "version")
+  }
+
+  val scd2BuildSql: String = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+      FROM events),
+    changed AS (
+      SELECT user_id, event_id, ts_us, event_type
+      FROM (SELECT *, lag(event_type) OVER
+              (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+            FROM e)
+      WHERE prev_type IS NULL OR event_type <> prev_type)
+    SELECT user_id,
+      cast(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        AS BIGINT) AS version,
+      event_type,
+      ts_us AS valid_from_us,
+      lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - 1
+        AS valid_to_us
+    FROM changed
+    ORDER BY user_id, version"""
+
+  // ------------------------------------------------------- ts anomaly
+
+  /** Rolling anomaly flags on hourly event counts: per event_type, a
+    * trailing-24-hour RANGE frame supplies count/sum/sum-of-squares,
+    * and the 3-sigma test runs as the cross-multiplied integer
+    * inequality (n_w·x − S)² > 9·(n_w·S2 − S²) — algebraically
+    * identical to z² > 9 but with NO division and NO sqrt, so both
+    * engines evaluate exact integers (a float z-score would hash-drift
+    * on aggregation order). Warm-up windows (< 12 hours of history)
+    * never flag.
+    */
+  def tsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_us div 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hr").rangeBetween(-23, 0)
+    hourly
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("s", sum("n").over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .select(col("event_type"), col("hr"), col("n"), col("nw"),
+        when(col("nw") >= 12 &&
+          (col("nw") * col("n") - col("s")) * (col("nw") * col("n") - col("s")) >
+            lit(9L) * (col("nw") * col("s2") - col("s") * col("s")), 1L)
+          .otherwise(0L).as("is_anomaly"))
+      .orderBy("event_type", "hr")
+  }
+
+  val tsAnomalySql: String = """
+    WITH hourly AS (
+      SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS hr,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    win AS (
+      SELECT event_type, hr, n,
+        count(*) OVER tw AS nw,
+        sum(n) OVER tw AS s,
+        sum(n * n) OVER tw AS s2
+      FROM hourly
+      WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+                    RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT event_type, hr, n, nw,
+      cast(CASE WHEN nw >= 12 AND
+                     (nw * n - s) * (nw * n - s) > 9 * (nw * s2 - s * s)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM win
+    ORDER BY event_type, hr"""
+
+  // ----------------------------------------------------- vocab encode
+
+  /** Vocabulary size and encoded prefix length. */
+  val VocabSize = 1000
+  val EncodeLen = 32
+
+  /** Dictionary encoding (the tokenizer-apply step): build the
+    * top-[[VocabSize]] vocabulary by corpus frequency (rank =
+    * frequency desc, token asc — fully deterministic), then encode
+    * each document's first [[EncodeLen]] tokens as ids, 0 for
+    * out-of-vocabulary. The vocabulary is model parameters — a
+    * broadcast dict — so encoding is map-only over the corpus; rank
+    * truncation pushes down as WindowGroupLimit before the (tiny)
+    * global sort.
+    */
+  def vocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.wordTokens(lower(col("text"))).as("t"))
+    val tf = toks.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val vocab = tf
+      .withColumn("tid", row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("long"))
+      .filter(col("tid") <= VocabSize)
+      .select("tok", "tid")
+    toks
+      .select(col("doc_id"), posexplode(slice(col("t"), 1, EncodeLen)))
+      .withColumnRenamed("col", "tok")
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("tid"), lit(0L)).as("tid"))
+      .orderBy("doc_id", "pos")
+  }
+
+  val vocabEncodeSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    tf AS (
+      SELECT tok, count(*) AS n
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+    vocab AS (
+      SELECT tok, cast(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS tid
+      FROM tf QUALIFY tid <= $VocabSize),
+    enc AS (
+      SELECT doc_id, i, t[i] AS tok
+      FROM toks, unnest(range(1, least(len(t), $EncodeLen) + 1)) AS u(i))
+    SELECT e.doc_id, cast(e.i - 1 AS BIGINT) AS pos,
+      coalesce(v.tid, 0) AS tid
+    FROM enc e LEFT JOIN vocab v USING (tok)
+    ORDER BY doc_id, pos"""
+
+  // ----------------------------------------------- source similarity
+
+  /** Top-k shared vocabulary for the distribution distance. */
+  val SimVocab = 100
+
+  /** Pairwise corpus-distribution distance between sources: L1 distance
+    * of unigram proportions over the global top-[[SimVocab]] tokens —
+    * the "how different are these two corpora" report run before
+    * mixing. Exactness: per-term |c_a·N_b − c_b·N_a| cross-multiplies
+    * integer counts (no per-term division), sums exactly, and divides
+    * ONCE at the end — so the doubles are identical on any engine and
+    * any aggregation order. Work is bounded by |sources|²·k, never by
+    * corpus size (counts aggregate map-side first).
+    */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("source"), explode(TextAnalysis.wordTokens(lower(col("text")))).as("tok"))
+    val cnt = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val totals = toks.groupBy("source").agg(count(lit(1)).as("nt"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+      .filter(col("rk") <= SimVocab).select("tok")
+    val grid = totals.crossJoin(broadcast(top))
+    val filled = grid.join(cnt, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"), col("nt"), coalesce(col("c"), lit(0L)).as("c"))
+    val a = filled.select(col("source").as("source_a"), col("tok"),
+      col("nt").as("na"), col("c").as("ca"))
+    val b = filled.select(col("source").as("source_b"), col("tok").as("tokb"),
+      col("nt").as("nb"), col("c").as("cb"))
+    a.join(b, col("tok") === col("tokb") && col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b", "na", "nb")
+      .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("num"))
+      .select(col("source_a"), col("source_b"),
+        round(col("num").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")), 6).as("l1_dist"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceSimilaritySql: String = s"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    cnt AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    totals AS (SELECT source, count(*) AS nt FROM toks GROUP BY 1),
+    top AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+        FROM toks GROUP BY tok)
+      WHERE rk <= $SimVocab),
+    filled AS (
+      SELECT t.source, v.tok, t.nt, coalesce(c.c, 0) AS c
+      FROM totals t CROSS JOIN top v
+      LEFT JOIN cnt c ON c.source = t.source AND c.tok = v.tok)
+    SELECT a.source AS source_a, b.source AS source_b,
+      round(cast(sum(abs(a.c * b.nt - b.c * a.nt)) AS DOUBLE)
+        / (cast(a.nt AS DOUBLE) * cast(b.nt AS DOUBLE)), 6) AS l1_dist
+    FROM filled a JOIN filled b
+      ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source, a.nt, b.nt
+    ORDER BY source_a, source_b"""
+
+  // -------------------------------------------------------- zorder skip
+
+  /** Data-skipping report: for a mid-range partkey predicate, how many
+    * file-sized buckets could be pruned by min/max statistics under (a)
+    * the Z-order layout ([[ZOrder.mortonCode]] segments) vs (b) a
+    * hash-scattered layout (orderkey mod 64) — the quantified argument
+    * for why the Z-order write matters at 100 TB: scattered layouts
+    * give every bucket a full-width partkey range, so NOTHING skips.
+    * Predicate bounds derive from the data (2/5..1/2 of max partkey,
+    * integer arithmetic), so the query is scale-free.
+    */
+  def zorderSkip(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+    val bounds = li.agg(max("l_partkey").as("mx"))
+    def report(layout: String, bucket: org.apache.spark.sql.Column): DataFrame =
+      li.groupBy(bucket.as("bucket"))
+        .agg(min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
+        .crossJoin(broadcast(bounds))
+        .select(lit(layout).as("layout"),
+          when(col("max_part") < expr("mx * 2 div 5") ||
+               col("min_part") > expr("mx div 2"), 1L).otherwise(0L).as("skip"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_buckets"), sum("skip").as("n_skipped"))
+    report("hash", pmod(col("l_orderkey"), lit(64)))
+      .union(report("zorder",
+        shiftright(ZOrder.mortonCode(col("l_partkey"), col("l_suppkey")), 20)))
+      .orderBy("layout")
+  }
+
+  val zorderSkipSql: String = """
+    WITH g AS (
+      SELECT l_partkey, l_suppkey, l_orderkey,
+        (l_partkey & 65535) AS gx, (l_suppkey & 65535) AS gy
+      FROM lineitem),
+    s1 AS (SELECT *, ((gx | (gx << 8)) & 16711935) AS ax,
+                     ((gy | (gy << 8)) & 16711935) AS ay FROM g),
+    s2 AS (SELECT *, ((ax | (ax << 4)) & 252645135) AS bx,
+                     ((ay | (ay << 4)) & 252645135) AS by FROM s1),
+    s3 AS (SELECT *, ((bx | (bx << 2)) & 858993459) AS cx,
+                     ((by | (by << 2)) & 858993459) AS cy FROM s2),
+    s4 AS (SELECT *, ((cx | (cx << 1)) & 1431655765) AS dx,
+                     ((cy | (cy << 1)) & 1431655765) AS dy FROM s3),
+    z AS (SELECT l_partkey, l_orderkey, (dx | (dy << 1)) AS z FROM s4),
+    mx AS (SELECT max(l_partkey) AS mx FROM lineitem),
+    b AS (
+      SELECT 'hash' AS layout, l_orderkey % 64 AS bucket,
+        min(l_partkey) AS min_part, max(l_partkey) AS max_part
+      FROM z GROUP BY 1, 2
+      UNION ALL
+      SELECT 'zorder', z >> 20,
+        min(l_partkey), max(l_partkey)
+      FROM z GROUP BY 1, 2)
+    SELECT layout, count(*) AS n_buckets,
+      cast(sum(CASE WHEN max_part < (mx.mx * 2) // 5 OR min_part > mx.mx // 2
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped
+    FROM b, mx
+    GROUP BY layout
+    ORDER BY layout"""
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "triangle_count"    -> (triangleCount _),
+    "entity_resolve"    -> (entityResolve _),
+    "scd2_build"        -> (scd2Build _),
+    "ts_anomaly"        -> (tsAnomaly _),
+    "vocab_encode"      -> (vocabEncode _),
+    "source_similarity" -> (sourceSimilarity _),
+    "zorder_skip"       -> (zorderSkip _))
+
+  val oracle: Map[String, String] = Map(
+    "triangle_count"    -> triangleCountSql,
+    "entity_resolve"    -> entityResolveSql,
+    "scd2_build"        -> scd2BuildSql,
+    "ts_anomaly"        -> tsAnomalySql,
+    "vocab_encode"      -> vocabEncodeSql,
+    "source_similarity" -> sourceSimilaritySql,
+    "zorder_skip"       -> zorderSkipSql)
+}
