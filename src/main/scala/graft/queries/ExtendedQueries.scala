@@ -497,27 +497,54 @@ object ExtendedQueries {
     WHERE rut IS NOT NULL AND nombres IS NOT NULL
     ORDER BY rut""".format(graft.fixtures.Fixtures.rosterSql)
 
-  /** Misra-Gries heavy hitters: top words per source via the capacity-
-    * bounded mergeable sketch ([[graft.functions.HeavyHittersAgg]]) —
-    * the constant-memory sibling of the exact `top_words` explode+count.
-    * Sketch counts are arrival-order dependent (inherent to MG; the
-    * guarantee is on the frequent SET and the n/(c+1) error bound, both
-    * spec-checked), so this carries the driver's rows-only check like
-    * the other sketch queries.
+  /** Misra-Gries heavy hitters: frequent words per source via the
+    * capacity-bounded mergeable sketch
+    * ([[graft.functions.HeavyHittersAgg]], c=64) — the constant-memory
+    * sibling of the exact `top_words` explode+count. Raw sketch counts
+    * are arrival-order dependent (inherent to MG), but the sketch's
+    * GUARANTEES are deterministic: every word with true count
+    * f > n/(c+1) must be present, with estimate in [f − n/(c+1), f].
+    * TOLERANCE-oracled on exactly that contract (same pattern as
+    * `approx_distinct`/`approx_quantiles`): the query joins the sketch
+    * against the exact per-word counts, keeps the guaranteed-hot set
+    * (65·f > n, integer math), and emits 0/1 presence/in-bounds flags.
+    * The oracle recomputes the hot set exactly and expects all-1 flags —
+    * a sketch that drops a guaranteed key or overcounts fails the hash.
+    * The exact count side is itself one cheap hash aggregation; at
+    * 100 TB the sketch is the survivor (bounded state per group), and
+    * the verification join stays keyed on (source, word).
     */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val hh = udaf(new graft.functions.HeavyHittersAgg(64), Encoders.STRING)
-    docs(spark, dir)
+    val toks = docs(spark, dir)
       .select(col("source"), explode(TextAnalysis.wordTokens(col("text"))).as("w"))
-      .groupBy("source")
-      .agg(hh(col("w")).as("h"))
-      .select(col("source"),
-        posexplode(arrays_zip(col("h.keys").as("word"), col("h.counts").as("est"))))
-      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
-        col("col.word").as("word"), col("col.est").as("est"))
-      .filter(col("rk") <= 8)
-      .orderBy("source", "rk")
+    val sk = toks.groupBy("source")
+      .agg(hh(col("w")).as("h"), count(lit(1)).as("n"))
+    val est = sk.select(col("source"), col("n"),
+        explode(arrays_zip(col("h.keys").as("word"), col("h.counts").as("e"))).as("z"))
+      .select(col("source"), col("z.word").as("w"), col("z.e").as("est"))
+    val hot = toks.groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      .join(sk.select("source", "n"), Seq("source"))
+      .filter(col("cnt") * 65 > col("n")) // f > n/(c+1) ⇒ guaranteed in sketch
+    hot.join(est, Seq("source", "w"), "left")
+      .select(col("source"), col("w").as("word"), col("cnt"),
+        col("est").isNotNull.cast("long").as("present"),
+        (col("est").isNotNull && col("est") <= col("cnt") &&
+          (col("cnt") - col("est")) * 65 <= col("n")).cast("long").as("est_in_bounds"))
+      .orderBy("source", "word")
   }
+
+  val heavyHittersSql: String = """
+    WITH w AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents),
+    tot AS (SELECT source, count(*) AS n FROM w GROUP BY 1),
+    cnts AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY 1, 2)
+    SELECT c.source, c.word, c.cnt,
+      CAST(1 AS BIGINT) AS present, CAST(1 AS BIGINT) AS est_in_bounds
+    FROM cnts c JOIN tot t USING (source)
+    WHERE c.cnt * 65 > t.n
+    ORDER BY c.source, c.word"""
 
   /** Approximate quantiles (Greenwald-Khanna sketch, accuracy 1000):
     * the mergeable, bounded-memory sibling of the exact `percentiles`
@@ -727,6 +754,7 @@ object ExtendedQueries {
     "session_window_agg" -> (sessionWindowAgg _))
 
   val oracle: Map[String, String] = Map(
+    "heavy_hitters"     -> heavyHittersSql,
     "approx_quantiles"  -> approxQuantilesSql,
     "cluster_rep"       -> clusterRepSql,
     "grouping_sets"     -> groupingSetsSql,
