@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Materialize
+
+/** Community/mixture operators: synchronous label propagation over the
+  * co-purchase graph, temperature-scaled source mixture weights,
+  * cross-source quantile normalization, and interleaved curriculum
+  * ordering — the "how do I weight, calibrate, and order what I kept"
+  * stage of a corpus pipeline.
+  */
+object CommunityQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ----------------------------------------------- label propagation
+
+  /** Fixed iteration count — both engines replay the identical rounds
+    * (convergence-stopped LPA would need a driver loop on both sides).
+    */
+  val LpIters = 3
+
+  /** Synchronous label propagation (community detection) on the BULK
+    * part co-purchase graph (same subgraph as `triangle_count`): seed
+    * label = node id; each round every node adopts its neighbors' MODE
+    * label, smallest label on ties — fully deterministic, so the final
+    * labeling is oracle-checkable (the oracle unrolls the same rounds
+    * as CTEs).
+    *
+    * Scale shape: edges expand ROW-LOCALLY from per-order part sets
+    * (one aggregation exchange, no orderkey self-join) and materialize
+    * once; each round is one join keyed by dst + one (node, label)
+    * aggregation + a per-node window — all hash-partitioned by node,
+    * nothing global, no driver state. The standard distributed LPA
+    * step.
+    */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") >= 45)
+      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+    val edges = Materialize(perOrder
+      .select(col("ps"), explode(col("ps")).as("src"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    val w = Window.partitionBy("node").orderBy(col("c").desc, col("lab"))
+    for (_ <- 1 to LpIters) {
+      lbl = edges
+        .join(lbl.select(col("node").as("dst"), col("lab")), "dst")
+        .groupBy(col("src").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "lab")
+    }
+    lbl.orderBy("node")
+  }
+
+  val labelPropSql: String = {
+    val base = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_quantity >= 45),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e)"""
+    val iters = (1 to LpIters).map { k =>
+      s"""
+    c$k AS (
+      SELECT e.src AS node, l.lab, count(*) AS c
+      FROM e JOIN l${k - 1} l ON e.dst = l.node
+      GROUP BY 1, 2),
+    l$k AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+          row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+        FROM c$k) WHERE rn = 1)"""
+    }.mkString(",")
+    s"$base,$iters\n    SELECT node, lab FROM l$LpIters ORDER BY node"
+  }
+
+  // ------------------------------------------------- mixture weights
+
+  /** Sampling temperature and token budget for the mixture. */
+  val MixAlpha = 0.3
+  val MixBudget = 100000L
+
+  /** Temperature-scaled multinomial mixture weights per source:
+    * w_i = n_i^α / Σ_j n_j^α (α < 1 upsamples small sources — the
+    * multilingual-pretraining recipe), plus the per-source duplication
+    * factor a budget of [[MixBudget]] docs implies (epochs > 1 on
+    * small sources = repeated data; the signal this report exists to
+    * surface). The Σ spans one double per SOURCE (a handful), and both
+    * final ratios are rounded to 6.
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = docs(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("p", pow(col("n_docs").cast("double"), lit(MixAlpha)))
+    val tot = cnt.agg(sum("p").as("tot"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("p") / col("tot"), 6).as("weight"),
+        round(lit(MixBudget) * (col("p") / col("tot")) / col("n_docs"), 6)
+          .as("epochs"))
+      .orderBy("source")
+  }
+
+  val mixWeightsSql: String = s"""
+    WITH cnt AS (
+      SELECT source, count(*) AS n_docs,
+        pow(CAST(count(*) AS DOUBLE), $MixAlpha) AS p
+      FROM documents GROUP BY 1),
+    tot AS (SELECT sum(p) AS tot FROM cnt)
+    SELECT source, n_docs,
+      round(p / tot, 6) AS weight,
+      round($MixBudget * (p / tot) / n_docs, 6) AS epochs
+    FROM cnt CROSS JOIN tot ORDER BY source"""
+
+  // --------------------------------------------- quantile normalization
+
+  /** Cross-source quantile normalization of a per-doc score (n_chars):
+    * each document's within-source rank maps to the GLOBAL score at the
+    * same quantile position — the rank-based calibration that makes
+    * heterogeneous quality scores comparable before a global filter.
+    *
+    * Exactness: the quantile index is one agreed double expression
+    * floored to an integer (idx = ⌊(r−0.5)/m·N⌋+1, clamped), and the
+    * value lookup is INTEGER interval containment — no interpolated
+    * doubles reach the output. Scale shape: per-doc work is two
+    * hash-partitioned windows (by source) and a broadcast range join
+    * against the value-frequency table, which is |distinct score|-sized
+    * (its running-total window runs over that small frame, never over
+    * data).
+    */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val ranked = d
+      .withColumn("r", row_number().over(ws).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("source")))
+    val vals = d.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      .withColumn("hi", sum("cnt").over(
+        Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .select(col("n_chars").as("gval"), col("lo"), col("hi"))
+    val n = d.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("idx", least(greatest(
+        (floor((col("r") - lit(0.5)) / col("m") * col("n_total")) + lit(1)).cast("long"),
+        lit(1L)), col("n_total")))
+      .join(broadcast(vals), col("idx") >= col("lo") && col("idx") <= col("hi"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("gval").as("norm"))
+      .orderBy("doc_id")
+  }
+
+  val quantileNormSql: String = """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+        cast(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+        count(*) OVER (PARTITION BY source) AS m
+      FROM documents),
+    vals AS (
+      SELECT n_chars AS gval, cnt,
+        sum(cnt) OVER (ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1)),
+    v2 AS (SELECT gval, hi - cnt + 1 AS lo, hi FROM vals),
+    n AS (SELECT count(*) AS n_total FROM documents),
+    idxed AS (
+      SELECT doc_id, source, n_chars,
+        least(greatest(cast(floor((r - 0.5) / m * n_total) + 1 AS BIGINT), 1),
+              n_total) AS idx
+      FROM ranked CROSS JOIN n)
+    SELECT i.doc_id, i.source, i.n_chars, v.gval AS norm
+    FROM idxed i JOIN v2 v ON i.idx >= v.lo AND i.idx <= v.hi
+    ORDER BY i.doc_id"""
+
+  // ------------------------------------------------ curriculum order
+
+  /** Difficulty-bucket width (chars) and cap for the curriculum. */
+  val CurrWidth = 100L
+  val CurrBuckets = 5L
+
+  /** Interleaved curriculum ordering: documents fall into difficulty
+    * buckets (length as the proxy), are shuffled WITHIN each bucket by
+    * a deterministic hash, and the final training order round-robins
+    * the buckets (order by (within-bucket rank, bucket)) — every
+    * training window sees the full difficulty mix, reproducibly on any
+    * engine/cluster. Per-bucket windows are hash-partitioned; the
+    * output sort is the query's result contract, not a processing
+    * stage.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val b = least(col("n_chars") / lit(CurrWidth), lit(CurrBuckets - 1)).cast("long")
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    val wb = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    docs(spark, dir)
+      .select(col("doc_id"), b.as("bucket"), h.as("h"))
+      .withColumn("rk", row_number().over(wb).cast("long"))
+      .select("doc_id", "bucket", "rk")
+      .orderBy("rk", "bucket")
+  }
+
+  val curriculumOrderSql: String = s"""
+    WITH b AS (
+      SELECT doc_id,
+        least(n_chars // $CurrWidth, ${CurrBuckets - 1}) AS bucket,
+        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM documents)
+    SELECT doc_id, bucket,
+      cast(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS BIGINT) AS rk
+    FROM b
+    ORDER BY rk, bucket"""
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "label_prop"       -> (labelProp _),
+    "mix_weights"      -> (mixWeights _),
+    "quantile_norm"    -> (quantileNorm _),
+    "curriculum_order" -> (curriculumOrder _))
+
+  val oracle: Map[String, String] = Map(
+    "label_prop"       -> labelPropSql,
+    "mix_weights"      -> mixWeightsSql,
+    "quantile_norm"    -> quantileNormSql,
+    "curriculum_order" -> curriculumOrderSql)
+}
