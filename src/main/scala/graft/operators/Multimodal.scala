@@ -168,6 +168,90 @@ object Multimodal {
     (width, height, frames, feats)
   }
 
+  /** Perceptual average-hash of a real decoded image: area-average the
+    * luma plane onto an 8×8 grid, then one bit per cell — set iff the
+    * cell is strictly brighter than the grid mean (compared as
+    * `cell·64 > total`, exact integers — no float mean to disagree
+    * about). Near-identical images differ in a few bits; unrelated
+    * images differ in ~32. None when the bytes aren't a decodable
+    * image.
+    */
+  private[operators] def aHash(payload: Array[Byte]): Option[Long] =
+    try {
+      imageIoReady
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        // integer luma sum and pixel count per 8x8 target cell
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val argb = img.getRGB(x, y)
+            val r = (argb >>> 16) & 0xFF
+            val g = (argb >>> 8) & 0xFF
+            val b = argb & 0xFF
+            val cell = cy * 8 + x * 8 / w
+            sums(cell) += (r * 299 + g * 587 + b * 114) / 1000
+            cnts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        // per-cell average scaled to a common denominator (lcm-free:
+        // compare cell_i/cnt_i against mean via cross-multiplication)
+        val cells = new Array[Long](64)
+        var i = 0
+        while (i < 64) { cells(i) = if (cnts(i) == 0) 0L else sums(i) * 1000 / cnts(i); i += 1 }
+        val total = cells.sum
+        var hash = 0L
+        i = 0
+        while (i < 64) {
+          if (cells(i) * 64 > total) hash |= (1L << (63 - i))
+          i += 1
+        }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Image near-duplicate pairs by perceptual hash: decode → aHash per
+    * row (executor-local), then the same banded-bucket shape as SimHash
+    * dedup — 4 bands of 16 bits, pigeonhole-complete for Hamming ≤ 3
+    * (any pair within the radius agrees on ≥1 whole band), candidate
+    * join keyed by (band, slice), exact `bit_count(xor)` verification.
+    * Never an all-pairs comparison; undecodable payloads drop out
+    * before the join.
+    */
+  def imageNearDups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4x16 banding is complete only to Hamming 3, got $maxHamming")
+    import withPayloads.sparkSession.implicits._
+    val hashed = withPayloads
+      .filter(col("kind") === "image")
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => aHash(p).map(h => (id, h)) })
+      .toDF("doc_id", "ahash")
+    val banded = hashed.select(col("doc_id"), col("ahash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("slice",
+        expr("shiftright(ahash, band * 16)").bitwiseAND(lit(0xFFFFL)))
+    val right = banded.select(col("doc_id").as("b_id"), col("ahash").as("b_hash"),
+      col("band").as("b_band"), col("slice").as("b_slice"))
+    banded.join(right,
+        col("band") === col("b_band") && col("slice") === col("b_slice") &&
+          col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"),
+        bit_count(col("ahash").bitwiseXOR(col("b_hash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Decode stage: binary column in, typed Dataset out. Runs per
     * partition on executors — at 100 TB this is the stage you'd size
     * `maxPartitionBytes` around, and the decode batch never leaves the

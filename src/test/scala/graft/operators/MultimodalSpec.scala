@@ -131,4 +131,47 @@ class MultimodalSpec extends AnyFunSuite {
     val n = Multimodal.decode(Multimodal.withPayload(docs)).count()
     assert(n == docs.count())
   }
+
+  private def gradientPng(tweak: Boolean, invert: Boolean): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v0 = (x * 255) / 63             // left-to-right ramp
+      val v = if (invert) 255 - v0 else v0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    // near-dup: blow out ONE dark 8x8 cell to white — flips that cell's
+    // bit (and at most a borderline neighbor via the shifted mean), the
+    // "small local edit" a perceptual hash is built to keep close
+    if (tweak) for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("aHash: near-identical images land within Hamming 3 of each other; " +
+       "an inverted image does not") {
+    val base = Multimodal.aHash(gradientPng(tweak = false, invert = false)).get
+    val near = Multimodal.aHash(gradientPng(tweak = true, invert = false)).get
+    val far  = Multimodal.aHash(gradientPng(tweak = false, invert = true)).get
+    val d = java.lang.Long.bitCount(base ^ near)
+    assert(d >= 1 && d <= 3) // visible but small — the near-dup band
+    assert(java.lang.Long.bitCount(base ^ far) > 16)
+    assert(Multimodal.aHash("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageNearDups finds exactly the planted perceptual pair via the " +
+       "banded bucket join, never comparing unrelated images") {
+    val rows = Seq(
+      (1L, "image", gradientPng(tweak = false, invert = false)),
+      (2L, "image", gradientPng(tweak = true, invert = false)),
+      (3L, "image", gradientPng(tweak = false, invert = true)),
+      (4L, "image", "undecodable".getBytes("UTF-8")), // drops out pre-join
+      (5L, "audio", gradientPng(tweak = false, invert = false))) // wrong kind
+      .toDF("doc_id", "kind", "payload")
+    val out = Multimodal.imageNearDups(rows, maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
 }
