@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Monitoring/experimentation operators: day-over-day distribution
+  * drift, Gini concentration, winsorized robust means, and a hash-
+  * bucketed A/B lift report — the ops a pipeline runs CONTINUOUSLY
+  * over what it ingests rather than once over what it keeps.
+  *
+  * Same exactness discipline as everywhere else: comparison surfaces
+  * are exact integers (cross-multiplied proportions, micro-unit sums,
+  * discrete order statistics); each emitted double is ONE agreed
+  * expression over them, rounded for display.
+  */
+object ExperimentQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // -------------------------------------------------------- topic drift
+
+  /** Day-over-day drift of the event-type distribution: L1 distance
+    * between consecutive days' type proportions — the cheap canary that
+    * pages before a broken producer poisons a week of training data.
+    * Per-term |c_d·t_prev − c_prev·t_d| cross-multiplies exact counts;
+    * ONE division at the end (the `source_similarity` trick). Missing
+    * types are zero-filled from a broadcast (day × type) grid, so a
+    * type that disappears entirely still contributes its full mass.
+    */
+  def topicDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("ts").cast("date").as("day"), col("event_type"))
+    val cnt = e.groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+    val days = e.groupBy("day").agg(count(lit(1)).as("t"))
+    val types = e.select("event_type").distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(cnt, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), col("t"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val prev = grid.select(col("day").as("pday"), col("event_type").as("ptype"),
+      col("t").as("pt"), col("c").as("pc"))
+    grid.join(prev,
+        col("event_type") === col("ptype") &&
+          col("day") === date_add(col("pday"), 1))
+      .groupBy("day", "t", "pt")
+      .agg(sum(abs(col("c") * col("pt") - col("pc") * col("t"))).as("num"))
+      .select(col("day"),
+        round(col("num").cast("double") /
+          (col("t").cast("double") * col("pt").cast("double")), 6).as("l1_drift"))
+      .orderBy("day")
+  }
+
+  val topicDriftSql: String = """
+    WITH e AS (SELECT cast(ts AS DATE) AS day, event_type FROM events),
+    cnt AS (SELECT day, event_type, count(*) AS c FROM e GROUP BY 1, 2),
+    days AS (SELECT day, count(*) AS t FROM e GROUP BY 1),
+    types AS (SELECT DISTINCT event_type FROM e),
+    grid AS (
+      SELECT d.day, ty.event_type, d.t, coalesce(c.c, 0) AS c
+      FROM days d CROSS JOIN types ty
+      LEFT JOIN cnt c ON c.day = d.day AND c.event_type = ty.event_type)
+    SELECT g.day,
+      round(CAST(sum(abs(g.c * p.t - p.c * g.t)) AS DOUBLE)
+        / (CAST(g.t AS DOUBLE) * CAST(p.t AS DOUBLE)), 6) AS l1_drift
+    FROM grid g JOIN grid p
+      ON g.event_type = p.event_type AND g.day = p.day + INTERVAL 1 DAY
+    GROUP BY g.day, g.t, p.t
+    ORDER BY g.day"""
+
+  // -------------------------------------------------- gini concentration
+
+  /** Per-source Gini coefficient of document lengths — "is this source
+    * a few giant pages plus crumbs, or evenly sized?" Mean-difference
+    * form over ranked values: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx),
+    * every term an exact integer (rank ties share a value, so the sum
+    * is order-free), one final division.
+    */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    docs(spark, dir)
+      .withColumn("r", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("s"),
+        sum(col("r") * col("n_chars")).as("rx"))
+      .select(col("source"), col("n_docs"),
+        round((lit(2) * col("rx") - (col("n_docs") + lit(1)) * col("s")).cast("double") /
+          (col("n_docs") * col("s")).cast("double"), 6).as("gini"))
+      .orderBy("source")
+  }
+
+  val giniConcentrationSql: String = """
+    WITH ranked AS (
+      SELECT source, n_chars,
+        cast(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS r
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+      round(CAST(2 * sum(r * n_chars) - (count(*) + 1) * sum(n_chars) AS DOUBLE)
+        / CAST(count(*) * sum(n_chars) AS DOUBLE), 6) AS gini
+    FROM ranked GROUP BY source ORDER BY source"""
+
+  // ---------------------------------------------------- winsorized mean
+
+  /** Winsorized mean of line quantity per returnflag: values clamp to
+    * the DISCRETE p10/p90 order statistics (rank ⌈q·m⌉ — integers, no
+    * interpolation) before averaging — the robust location estimate
+    * that shrugs off fat tails where a plain mean chases them. Bounds
+    * come from a conditional aggregation over a per-group rank window;
+    * the clamped sum is exact.
+    */
+  def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.read(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("q"))
+    val w = Window.partitionBy("flag").orderBy("q")
+    val ranked = li
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("flag")))
+    val bounds = ranked.groupBy("flag").agg(
+      max(when(col("rk") === ceil(col("m") * 0.1), col("q"))).as("lo"),
+      max(when(col("rk") === ceil(col("m") * 0.9), col("q"))).as("hi"))
+    li.join(broadcast(bounds), "flag")
+      .select(col("flag"), col("lo"), col("hi"),
+        least(greatest(col("q"), col("lo")), col("hi")).as("cq"))
+      .groupBy("flag", "lo", "hi")
+      .agg(count(lit(1)).as("n"), sum("cq").as("s"))
+      .select(col("flag"), col("n"), col("lo"), col("hi"),
+        round(col("s").cast("double") / col("n"), 6).as("wmean"))
+      .orderBy("flag")
+  }
+
+  val winsorizedMeanSql: String = """
+    WITH li AS (
+      SELECT l_returnflag AS flag, cast(l_quantity AS BIGINT) AS q FROM lineitem),
+    ranked AS (
+      SELECT flag, q,
+        cast(row_number() OVER (PARTITION BY flag ORDER BY q) AS BIGINT) AS rk,
+        count(*) OVER (PARTITION BY flag) AS m
+      FROM li),
+    bounds AS (
+      SELECT flag,
+        max(CASE WHEN rk = ceil(m * 0.1) THEN q END) AS lo,
+        max(CASE WHEN rk = ceil(m * 0.9) THEN q END) AS hi
+      FROM ranked GROUP BY flag)
+    SELECT li.flag, count(*) AS n, b.lo, b.hi,
+      round(CAST(sum(least(greatest(li.q, b.lo), b.hi)) AS DOUBLE) / count(*), 6) AS wmean
+    FROM li JOIN bounds b USING (flag)
+    GROUP BY li.flag, b.lo, b.hi
+    ORDER BY li.flag"""
+
+  // ------------------------------------------------------------ A/B lift
+
+  /** Hash-bucketed A/B report: users split 50/50 by the reproducible
+    * md5 bucket (same assignment on every engine/run/cluster), compared
+    * on event value. Values become exact micro-unit integers before any
+    * sum; mean, lift, and the Welch z-score are then single agreed
+    * double expressions over (n, Σx, Σx²). The z against ±1.96 is the
+    * "did this experiment move anything" gate.
+    */
+  def abLift(spark: SparkSession, dir: String): DataFrame = {
+    val arm = when(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 2 === 0, "A").otherwise("B")
+    val e = Tables.events(spark, dir)
+      .select(arm.as("arm"), round(col("value") * 1e6).cast("long").as("v"))
+    val sums = e.groupBy("arm").agg(
+      count(lit(1)).as("n"), sum("v").as("s"),
+      sum(col("v").cast("decimal(38,0)") * col("v").cast("decimal(38,0)")).as("ss"))
+    val a = sums.filter(col("arm") === "A")
+      .select(col("n").as("na"), col("s").as("sa"), col("ss").as("ssa"))
+    val b = sums.filter(col("arm") === "B")
+      .select(col("n").as("nb"), col("s").as("sb"), col("ss").as("ssb"))
+    val meanA = col("sa").cast("double") / col("na")
+    val meanB = col("sb").cast("double") / col("nb")
+    val varA = (col("ssa").cast("double") - (col("sa").cast("double") * col("sa").cast("double")) / col("na")) / (col("na") - 1)
+    val varB = (col("ssb").cast("double") - (col("sb").cast("double") * col("sb").cast("double")) / col("nb")) / (col("nb") - 1)
+    a.crossJoin(b).select(
+      col("na"), col("nb"),
+      round(meanA / 1e6, 6).as("mean_a"),
+      round(meanB / 1e6, 6).as("mean_b"),
+      round((meanB - meanA) / meanA, 6).as("rel_lift"),
+      round((meanB - meanA) / sqrt(varA / col("na") + varB / col("nb")), 6).as("z"))
+  }
+
+  val abLiftSql: String = """
+    WITH e AS (
+      SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+        cast(round(value * 1e6) AS BIGINT) AS v
+      FROM events),
+    sums AS (
+      SELECT arm, count(*) AS n, sum(v) AS s,
+        sum(cast(v AS HUGEINT) * cast(v AS HUGEINT)) AS ss
+      FROM e GROUP BY arm),
+    a AS (SELECT n AS na, s AS sa, ss AS ssa FROM sums WHERE arm = 'A'),
+    b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM sums WHERE arm = 'B')
+    SELECT na, nb,
+      round((CAST(sa AS DOUBLE) / na) / 1e6, 6) AS mean_a,
+      round((CAST(sb AS DOUBLE) / nb) / 1e6, 6) AS mean_b,
+      round((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+            / (CAST(sa AS DOUBLE) / na), 6) AS rel_lift,
+      round((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+            / sqrt((CAST(ssa AS DOUBLE) - (CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / na) / (na - 1) / na
+                 + (CAST(ssb AS DOUBLE) - (CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / nb) / (nb - 1) / nb), 6) AS z
+    FROM a CROSS JOIN b"""
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topic_drift"     -> (topicDrift _),
+    "gini_source"     -> (giniConcentration _),
+    "winsorized_mean" -> (winsorizedMean _),
+    "ab_lift"         -> (abLift _))
+
+  val oracle: Map[String, String] = Map(
+    "topic_drift"     -> topicDriftSql,
+    "gini_source"     -> giniConcentrationSql,
+    "winsorized_mean" -> winsorizedMeanSql,
+    "ab_lift"         -> abLiftSql)
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Ground truth for the monitoring/experimentation operators: planted
+  * distributions with hand-computable drift/Gini/winsorized values and
+  * the A/B identity laws.
+  */
+class ExperimentQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-exp").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("topic_drift: identical days drift 0; a vanished type contributes " +
+       "its full proportion") {
+    val day = 86400L * 1000000000L // ns
+    // day 1: 2×a 2×b; day 2: 2×a 2×b (same) -> drift 0
+    // day 3: 4×a (b vanished) -> |1-0.5| + |0-0.5| = 1.0
+    val rows = Seq(
+      (1L, 1 * day, 1L, "a"), (2L, 1 * day + 1, 1L, "b"),
+      (3L, 1 * day + 2, 2L, "a"), (4L, 1 * day + 3, 2L, "b"),
+      (5L, 2 * day, 1L, "a"), (6L, 2 * day + 1, 1L, "b"),
+      (7L, 2 * day + 2, 2L, "a"), (8L, 2 * day + 3, 2L, "b"),
+      (9L, 3 * day, 1L, "a"), (10L, 3 * day + 1, 1L, "a"),
+      (11L, 3 * day + 2, 2L, "a"), (12L, 3 * day + 3, 2L, "a"))
+      .map { case (id, ts, u, t) => (id, ts, u, t, 1.0) }
+    val out = ExperimentQueries.topicDrift(spark, eventsDir(rows))
+      .select("l1_drift").as[Double].collect().toList
+    assert(out == List(0.0, 1.0))
+  }
+
+  test("gini_source: equal lengths give 0; extreme concentration approaches " +
+       "(n-1)/n") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gini").toString
+    val rows =
+      (1 to 10).map(i => (i.toLong, "t", "en", "equal", 100L)) ++
+      ((1 to 9).map(i => (100L + i, "t", "en", "skewed", 1L)) :+
+        (110L, "t", "en", "skewed", 10000L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val g = ExperimentQueries.giniConcentration(spark, dir)
+      .select("source", "gini").as[(String, Double)].collect().toMap
+    assert(g("equal") == 0.0)
+    assert(g("skewed") > 0.85 && g("skewed") < 0.9) // (n-1)/n = 0.9 limit
+  }
+
+  test("winsorized_mean clamps to the discrete p10/p90 and ignores an " +
+       "outlier a plain mean chases") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-win").toString
+    // flag X: 1..9 plus one huge outlier 1000; p10 = rank 1 -> 1,
+    // p90 = rank 9 -> 9; clamped sum = 45 + 9 = 54 -> wmean 5.4
+    ((1 to 9).map(q => ("X", q.toDouble)) :+ ("X", 1000.0))
+      .zipWithIndex.map { case ((f, q), i) => (i.toLong, 1L, f, "O", q) }
+      .toDF("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus", "l_quantity")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = ExperimentQueries.winsorizedMean(spark, dir)
+      .select("flag", "lo", "hi", "wmean").as[(String, Long, Long, Double)].collect().toList
+    assert(out == List(("X", 1L, 9L, 5.4)))
+  }
+
+  test("ab_lift: identical arms yield lift 0 / z 0, and a planted shift is " +
+       "detected with positive z") {
+    // find user ids hashing to each arm, then give both arms identical values
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def armOf(u: Long): String = {
+      val hex = md.digest(u.toString.getBytes).map("%02x".format(_)).mkString.take(8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
+    }
+    val as = (1L to 200L).filter(armOf(_) == "A").take(50)
+    val bs = (1L to 200L).filter(armOf(_) == "B").take(50)
+    val vals = (1 to 50).map(_.toDouble)
+    val same = (as.zip(vals) ++ bs.zip(vals)).zipWithIndex.map {
+      case ((u, v), i) => (i.toLong, 1000000L + i, u, "e", v) }
+    val out = ExperimentQueries.abLift(spark, eventsDir(same))
+      .select("rel_lift", "z").as[(Double, Double)].head()
+    assert(out == ((0.0, 0.0)))
+
+    val shifted = (as.zip(vals) ++ bs.zip(vals.map(_ + 10.0))).zipWithIndex.map {
+      case ((u, v), i) => (i.toLong, 1000000L + i, u, "e", v) }
+    val out2 = ExperimentQueries.abLift(spark, eventsDir(shifted))
+      .select("rel_lift", "z").as[(Double, Double)].head()
+    assert(out2._1 > 0.3 && out2._2 > 1.96)
+  }
+}
