@@ -106,20 +106,27 @@ object ExperimentQueries {
   /** Winsorized mean of line quantity per returnflag: values clamp to
     * the DISCRETE p10/p90 order statistics (rank ⌈q·m⌉ — integers, no
     * interpolation) before averaging — the robust location estimate
-    * that shrugs off fat tails where a plain mean chases them. Bounds
-    * come from a conditional aggregation over a per-group rank window;
-    * the clamped sum is exact.
+    * that shrugs off fat tails where a plain mean chases them.
+    *
+    * The order statistics come from a VALUE-FREQUENCY HISTOGRAM, not a
+    * per-row rank window: the rank-⌈q·m⌉ element is the smallest value
+    * whose cumulative count reaches the rank, so the running-total
+    * window only ever sees the (group × distinct-value) frame — a
+    * per-row rank window partitioned by 3 flags would pull 1/3 of the
+    * table into each of 3 sort partitions, the classic low-cardinality
+    * window cliff. The clamped sum is exact integers.
     */
   def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.read(spark, dir, "lineitem")
       .select(col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("q"))
-    val w = Window.partitionBy("flag").orderBy("q")
-    val ranked = li
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy("flag")))
-    val bounds = ranked.groupBy("flag").agg(
-      max(when(col("rk") === ceil(col("m") * 0.1), col("q"))).as("lo"),
-      max(when(col("rk") === ceil(col("m") * 0.9), col("q"))).as("hi"))
+    val hist = li.groupBy("flag", "q").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("flag").orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("m", sum("c").over(Window.partitionBy("flag")))
+    val bounds = hist.groupBy("flag").agg(
+      min(when(col("cum") >= ceil(col("m") * 0.1), col("q"))).as("lo"),
+      min(when(col("cum") >= ceil(col("m") * 0.9), col("q"))).as("hi"))
     li.join(broadcast(bounds), "flag")
       .select(col("flag"), col("lo"), col("hi"),
         least(greatest(col("q"), col("lo")), col("hi")).as("cq"))
@@ -133,16 +140,19 @@ object ExperimentQueries {
   val winsorizedMeanSql: String = """
     WITH li AS (
       SELECT l_returnflag AS flag, cast(l_quantity AS BIGINT) AS q FROM lineitem),
-    ranked AS (
+    hist AS (
+      SELECT flag, q, count(*) AS c FROM li GROUP BY 1, 2),
+    cums AS (
       SELECT flag, q,
-        cast(row_number() OVER (PARTITION BY flag ORDER BY q) AS BIGINT) AS rk,
-        count(*) OVER (PARTITION BY flag) AS m
-      FROM li),
+        sum(c) OVER (PARTITION BY flag ORDER BY q
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(c) OVER (PARTITION BY flag) AS m
+      FROM hist),
     bounds AS (
       SELECT flag,
-        max(CASE WHEN rk = ceil(m * 0.1) THEN q END) AS lo,
-        max(CASE WHEN rk = ceil(m * 0.9) THEN q END) AS hi
-      FROM ranked GROUP BY flag)
+        min(CASE WHEN cum >= ceil(m * 0.1) THEN q END) AS lo,
+        min(CASE WHEN cum >= ceil(m * 0.9) THEN q END) AS hi
+      FROM cums GROUP BY flag)
     SELECT li.flag, count(*) AS n, b.lo, b.hi,
       round(CAST(sum(least(greatest(li.q, b.lo), b.hi)) AS DOUBLE) / count(*), 6) AS wmean
     FROM li JOIN bounds b USING (flag)
