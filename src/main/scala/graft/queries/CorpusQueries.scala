@@ -214,6 +214,91 @@ object CorpusQueries {
     WHERE i / (na.sz + nb.sz - i) >= 0.5
     ORDER BY a_id, b_id"""
 
+  // ------------------------------------------------- containment join
+
+  /** Containment threshold as an exact rational (4/5): integer prefix
+    * arithmetic on both engines.
+    */
+  val ContainNum = 4
+  val ContainDen = 5
+
+  /** Directional containment join: pairs (a, b) where ≥ 80% of a's
+    * word-3-gram set appears in b — the asymmetric cousin of the
+    * Jaccard join that Jaccard MISSES when |b| ≫ |a| (a quoted reply
+    * inside a thread, a paragraph inside its wrapper page scores
+    * J ≈ |a|/|b| ≈ 0 but containment ≈ 1). The pigeonhole prefix works
+    * one-sided: c(a,b) ≥ t forces a shared gram among a's first
+    * |a| − ⌈t·|a|⌉ + 1 RAREST grams, so only that prefix of the
+    * contained side is indexed; the containing side joins with its full
+    * (already materialized) gram frame. |b| ≥ t·|a| (exact integers:
+    * den·|b| ≥ num·|a|) prunes before verification; exact intersection
+    * verifies. Same ANY-consistent-tie-order soundness argument as
+    * `dedup_prefix`, so the xxhash64-ranked engine and the string-ranked
+    * oracle converge on the identical verified pair set.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text", n = 3))
+    val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val ranked = grams.join(dfreq, "gh").join(sizes, "id")
+      .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("df", "gh")))
+    val prefix = ranked
+      .filter(col("rk") <= expr(s"sz - ($ContainNum * sz + $ContainNum) div $ContainDen + 1"))
+      .select(col("id").as("a_id"), col("gh").as("agh"), col("sz").as("asz"))
+    val full = grams.join(sizes, "id")
+      .select(col("id").as("b_id"), col("gh").as("bgh"), col("sz").as("bsz"))
+    val cands = prefix.join(full,
+        col("agh") === col("bgh") && col("a_id") =!= col("b_id") &&
+          col("bsz") * ContainDen >= col("asz") * ContainNum)
+      .select("a_id", "b_id").distinct()
+    val ga = grams.select(col("id").as("ga_id"), col("gh").as("ga_gh"))
+    val gb = grams.select(col("id").as("gb_id"), col("gh").as("gb_gh"))
+    cands
+      .join(ga, col("a_id") === col("ga_id"))
+      .join(gb, col("b_id") === col("gb_id") && col("ga_gh") === col("gb_gh"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("a_id"), col("sz").as("na")), "a_id")
+      .filter(col("inter").cast("double") / col("na") >=
+        ContainNum.toDouble / ContainDen)
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") / col("na"), 6).as("containment"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val dedupContainmentSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+    ranked AS (
+      SELECT gr.doc_id, gr.g, s.sz,
+        row_number() OVER (PARTITION BY gr.doc_id ORDER BY d.df, gr.g) AS rk
+      FROM grams gr JOIN dfreq d USING (g) JOIN sizes s USING (doc_id)),
+    prefix AS (
+      SELECT doc_id, g, sz FROM ranked
+      WHERE rk <= sz - ($ContainNum * sz + $ContainNum) // $ContainDen + 1),
+    full_g AS (
+      SELECT gr.doc_id, gr.g, s.sz FROM grams gr JOIN sizes s USING (doc_id)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM prefix a JOIN full_g b
+        ON a.g = b.g AND a.doc_id != b.doc_id
+       AND b.sz * $ContainDen >= a.sz * $ContainNum),
+    inter AS (
+      SELECT c.a_id, c.b_id, count(*) AS i
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.a_id
+      JOIN grams gb ON gb.doc_id = c.b_id AND ga.g = gb.g
+      GROUP BY 1, 2)
+    SELECT a_id, b_id, round(CAST(i AS DOUBLE) / s.sz, 6) AS containment
+    FROM inter JOIN sizes s ON inter.a_id = s.doc_id
+    WHERE CAST(i AS DOUBLE) / s.sz >= ${ContainNum.toDouble / ContainDen}
+    ORDER BY a_id, b_id"""
+
   // ---------------------------------------------------------- pagerank
 
   /** PageRank iterations; fixed (not converged) so both engines replay
@@ -467,6 +552,7 @@ object CorpusQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dup_spans"      -> (dupSpans _),
     "dedup_prefix"   -> (dedupPrefix _),
+    "dedup_contain"  -> (dedupContainment _),
     "pagerank"       -> (pagerank _),
     "bpe_pairs"      -> (bpePairs _),
     "outlier_mad"    -> (outlierMad _),
@@ -476,6 +562,7 @@ object CorpusQueries {
   val oracle: Map[String, String] = Map(
     "dup_spans"      -> dupSpansSql,
     "dedup_prefix"   -> dedupPrefixSql,
+    "dedup_contain"  -> dedupContainmentSql,
     "pagerank"       -> pagerankSql,
     "bpe_pairs"      -> bpePairsSql,
     "outlier_mad"    -> outlierMadSql,
