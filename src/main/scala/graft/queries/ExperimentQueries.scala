@@ -214,17 +214,105 @@ object ExperimentQueries {
                  + (CAST(ssb AS DOUBLE) - (CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / nb) / (nb - 1) / nb), 6) AS z
     FROM a CROSS JOIN b"""
 
+  // -------------------------------------------------------- bootstrap CI
+
+  /** Bootstrap replicate count. */
+  val BootReps = 20
+
+  /** Poisson-bootstrap confidence band for the per-source mean document
+    * length: every (doc, replicate) pair draws a deterministic
+    * Poisson(1) weight from its hash (the scale-out bootstrap — no
+    * resampling pass, no driver randomness, reproducible everywhere),
+    * each replicate's mean is a ratio of exact integer sums, and the
+    * band is the DISCRETE (min, max-rank) order statistics of the 20
+    * replicate means. The error bar a data card should carry.
+    *
+    * Work is rows × [[BootReps]] inside one map stage feeding one
+    * aggregation keyed (source, rep); the rank window sees
+    * |sources|·B rows.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val u = (conv(substring(md5(concat_ws("_", col("doc_id"), col("rep"))), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    // inverse-CDF Poisson(1): P(0)=.3679, P(<=1)=.7358, P(<=2)=.9197, P(<=3)=.9810
+    val w = when(u < 0.36787944117144233, 0L).when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L).when(u < 0.9810118431238462, 3L).otherwise(4L)
+    val reps = d.select(col("source"), col("doc_id"), col("n_chars"),
+        explode(sequence(lit(1), lit(BootReps))).as("rep"))
+      .select(col("source"), col("rep"), w.as("w"), col("n_chars"))
+      .groupBy("source", "rep")
+      .agg(sum(col("w") * col("n_chars")).as("sw"), sum("w").as("nw"))
+      .filter(col("nw") > 0)
+      .select(col("source"), col("rep"),
+        (col("sw").cast("double") / col("nw")).as("m"))
+    val wr = Window.partitionBy("source").orderBy("m", "rep")
+    val banded = reps
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .withColumn("b", count(lit(1)).over(Window.partitionBy("source")))
+    val base = docs(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("s"))
+    base.join(
+        banded.groupBy("source").agg(
+          max(when(col("rk") === 1, col("m"))).as("lo"),
+          max(when(col("rk") === col("b") - 1, col("m"))).as("hi")),
+        "source")
+      .select(col("source"), col("n_docs"),
+        round(col("s").cast("double") / col("n_docs"), 6).as("mean_chars"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+      .orderBy("source")
+  }
+
+  val bootstrapCiSql: String = s"""
+    WITH reps AS (
+      SELECT source, rep,
+        CASE
+          WHEN u < 0.36787944117144233 THEN 0
+          WHEN u < 0.7357588823428847 THEN 1
+          WHEN u < 0.9196986029286058 THEN 2
+          WHEN u < 0.9810118431238462 THEN 3
+          ELSE 4 END AS w,
+        n_chars
+      FROM (
+        SELECT source, doc_id, n_chars, rep,
+          (CAST(concat('0x', substr(md5(concat_ws('_', CAST(doc_id AS VARCHAR), CAST(rep AS VARCHAR))), 1, 8)) AS BIGINT) + 0.5)
+            / 4294967296.0 AS u
+        FROM documents, unnest(range(1, $BootReps + 1)) AS t(rep))),
+    means AS (
+      SELECT source, rep, CAST(sum(w * n_chars) AS DOUBLE) / sum(w) AS m
+      FROM reps GROUP BY 1, 2 HAVING sum(w) > 0),
+    banded AS (
+      SELECT source, m,
+        cast(row_number() OVER (PARTITION BY source ORDER BY m, rep) AS BIGINT) AS rk,
+        count(*) OVER (PARTITION BY source) AS b
+      FROM means),
+    band AS (
+      SELECT source,
+        max(CASE WHEN rk = 1 THEN m END) AS lo,
+        max(CASE WHEN rk = b - 1 THEN m END) AS hi
+      FROM banded GROUP BY source),
+    base AS (
+      SELECT source, count(*) AS n_docs, sum(n_chars) AS s
+      FROM documents GROUP BY source)
+    SELECT base.source, base.n_docs,
+      round(CAST(base.s AS DOUBLE) / base.n_docs, 6) AS mean_chars,
+      round(band.lo, 6) AS ci_lo, round(band.hi, 6) AS ci_hi
+    FROM base JOIN band USING (source)
+    ORDER BY source"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "topic_drift"     -> (topicDrift _),
     "gini_source"     -> (giniConcentration _),
     "winsorized_mean" -> (winsorizedMean _),
-    "ab_lift"         -> (abLift _))
+    "ab_lift"         -> (abLift _),
+    "bootstrap_ci"    -> (bootstrapCi _))
 
   val oracle: Map[String, String] = Map(
     "topic_drift"     -> topicDriftSql,
     "gini_source"     -> giniConcentrationSql,
     "winsorized_mean" -> winsorizedMeanSql,
-    "ab_lift"         -> abLiftSql)
+    "ab_lift"         -> abLiftSql,
+    "bootstrap_ci"    -> bootstrapCiSql)
 }

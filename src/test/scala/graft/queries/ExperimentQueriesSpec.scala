@@ -67,6 +67,27 @@ class ExperimentQueriesSpec extends AnyFunSuite {
     assert(out == List(("X", 1L, 9L, 5.4)))
   }
 
+  test("bootstrap_ci: a constant source collapses to a zero-width band at " +
+       "the value; a mixed source brackets plausibly and deterministically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-boot").toString
+    val rows = (1 to 30).map(i => (i.toLong, "t", "en", "const", 100L)) ++
+      (31 to 90).map(i => (i.toLong, "t", "en", "mixed", (i % 10 + 1) * 50L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ExperimentQueries.bootstrapCi(spark, dir)
+      .select("source", "mean_chars", "ci_lo", "ci_hi")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, cm, clo, chi) = out("const")
+    assert(cm == 100.0 && clo == 100.0 && chi == 100.0)
+    val (_, mm, mlo, mhi) = out("mixed")
+    assert(mlo <= mhi && mlo >= 50.0 && mhi <= 550.0)
+    assert(mlo < mm + 50 && mhi > mm - 50) // band sits around the mean
+    val again = ExperimentQueries.bootstrapCi(spark, dir)
+      .select("ci_lo", "ci_hi").as[(Double, Double)].collect().toSet
+    assert(again == out.values.map(r => (r._3, r._4)).toSet)
+  }
+
   test("ab_lift: identical arms yield lift 0 / z 0, and a planted shift is " +
        "detected with positive z") {
     // find user ids hashing to each arm, then give both arms identical values
