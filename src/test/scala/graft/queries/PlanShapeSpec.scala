@@ -74,4 +74,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("bm25 ranks via TakeOrderedAndProject, never a global sort of the corpus") {
+    val p = plan("bm25_score")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000)) // df/dl side frames
+  }
+
+  test("pareto_front joins the domain-sized frontier back by broadcast") {
+    val p = plan("pareto_front")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("iterative graph ops (label_prop, pagerank) stay equi-join keyed — " +
+       "no cartesians, no nested loops, no driver collects") {
+    for (name <- Seq("label_prop", "pagerank")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: BNLJ")
+      assert(!p.contains("CollectLimit"), s"$name: driver collect")
+    }
+  }
+
+  test("containment join verifies through hash equi-joins only") {
+    val p = plan("dedup_contain")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
 }
