@@ -299,6 +299,74 @@ object CorpusQueries {
     WHERE CAST(i AS DOUBLE) / s.sz >= ${ContainNum.toDouble / ContainDen}
     ORDER BY a_id, b_id"""
 
+  // -------------------------------------------- source minhash similarity
+
+  /** Seeds for the source-level signature; tolerance gate for the
+    * estimate (sd ≈ √(J(1−J)/128) ≤ 0.045, so 0.25 is far outside
+    * noise).
+    */
+  val SrcMinhashSeeds = 128
+  val SrcMinhashGate = 0.25
+
+  /** Source-pair similarity two ways: the EXACT word-3-gram Jaccard
+    * (oracle-checked) next to its MinHash estimate, emitted as an
+    * in-bounds flag — the tolerance-oracle pattern. The point is the
+    * sketch ALGEBRA: a source's signature is the element-wise min of
+    * its documents' signatures (proven in spec), so per-doc sketches
+    * computed once merge upward to any grouping without touching raw
+    * text again — at 100 TB the estimate costs |sources|·128 longs
+    * after the one gram scan, while the exact join reshuffles grams;
+    * this query carries both so the estimate is auditable.
+    */
+  def sourceMinhashSim(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Materialize(
+      Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text", n = 3,
+          keep = Seq("source"))
+        .select(col("source"), col("gh")).distinct())
+    val sigs = Dedup.minhashSignatures(
+      grams.select(col("source").as("id"), col("gh")), SrcMinhashSeeds)
+    val est = sigs.select(col("id").as("source_a"), col("sig").as("siga"))
+      .crossJoin(broadcast(sigs.select(col("id").as("source_b"), col("sig").as("sigb"))))
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (aggregate(zip_with(col("siga"), col("sigb"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / SrcMinhashSeeds).as("est"))
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    val gb = grams.select(col("source").as("sb"), col("gh").as("ghb"))
+    val inter = grams.join(gb, col("gh") === col("ghb") && col("source") < col("sb"))
+      .groupBy(col("source").as("source_a"), col("sb").as("source_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .select(col("source_a"), col("source_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jac"))
+      .join(est, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), round(col("jac"), 6).as("jaccard"),
+        (abs(col("est") - col("jac")) <= SrcMinhashGate).cast("long").as("in_bounds"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceMinhashSimSql: String = """
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+    sizes AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b,
+      round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard,
+      cast(1 AS BIGINT) AS in_bounds
+    FROM inter
+    JOIN sizes na ON inter.source_a = na.source
+    JOIN sizes nb ON inter.source_b = nb.source
+    ORDER BY source_a, source_b"""
+
   // ---------------------------------------------------------- pagerank
 
   /** PageRank iterations; fixed (not converged) so both engines replay
@@ -553,6 +621,7 @@ object CorpusQueries {
     "dup_spans"      -> (dupSpans _),
     "dedup_prefix"   -> (dedupPrefix _),
     "dedup_contain"  -> (dedupContainment _),
+    "source_minhash" -> (sourceMinhashSim _),
     "pagerank"       -> (pagerank _),
     "bpe_pairs"      -> (bpePairs _),
     "outlier_mad"    -> (outlierMad _),
@@ -563,6 +632,7 @@ object CorpusQueries {
     "dup_spans"      -> dupSpansSql,
     "dedup_prefix"   -> dedupPrefixSql,
     "dedup_contain"  -> dedupContainmentSql,
+    "source_minhash" -> sourceMinhashSimSql,
     "pagerank"       -> pagerankSql,
     "bpe_pairs"      -> bpePairsSql,
     "outlier_mad"    -> outlierMadSql,

@@ -60,6 +60,54 @@ class ContainmentSpec extends AnyFunSuite {
   }
 }
 
+/** The sketch algebra behind `source_minhash`: group-level signatures
+  * must equal the element-wise min of member signatures (mergeability),
+  * and identical gram sets must estimate J = 1.
+  */
+class SourceMinhashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("source signature is the element-wise min of its docs' signatures, " +
+       "and identical sources report jaccard 1 in-bounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-srcmh").toString
+    val textA = (1 to 30).map(i => s"a$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"b$i").mkString(" ")
+    Seq((1L, textA, "s1"), (2L, textB, "s1"),
+        (3L, textA, "s2"), (4L, textB, "s2"), // s2 = same gram set as s1
+        (5L, (1 to 30).map(i => s"c$i").mkString(" "), "s3"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // mergeability: per-source sig == element-wise min over per-doc sigs
+    val grams = graft.operators.Dedup.explodedNgrams(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3,
+      keep = Seq("source"))
+    val docSigs = graft.operators.Dedup.minhashSignatures(grams, 16)
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("id"), col("source")), "id")
+      .select("source", "sig").as[(String, Seq[Long])].collect()
+      .groupBy(_._1).map { case (s, gs) =>
+        s -> gs.map(_._2).reduce((x, y) => x.zip(y).map(p => math.min(p._1, p._2)))
+      }
+    val srcSigs = graft.operators.Dedup.minhashSignatures(
+      grams.select(col("source").as("id"), col("gh")).distinct(), 16)
+      .as[(String, Seq[Long])].collect().toMap
+    docSigs.foreach { case (s, merged) => assert(srcSigs(s) == merged, s) }
+
+    val out = CorpusQueries.sourceMinhashSim(spark, dir)
+      .select("source_a", "source_b", "jaccard", "in_bounds")
+      .as[(String, String, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out(("s1", "s2")) == ((1.0, 1L))) // identical gram sets
+    // zero-overlap pairs never materialize (sparse join — J = 0 by absence)
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
+    assert(out.values.forall(_._2 == 1L)) // every estimate inside the gate
+  }
+}
+
 /** The 4×16-band bucket join behind `Multimodal.imageNearDups` must be
   * pigeonhole-COMPLETE: any two 64-bit hashes within Hamming 3 share at
   * least one whole 16-bit band (so banding can only over-generate
