@@ -41,11 +41,14 @@ object CommunityQueries {
     val perOrder = spark.read.parquet(s"$dir/lineitem.parquet")
       .filter(col("l_quantity") >= 45)
       .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
-    val edges = Materialize(perOrder
+    // oriented dedup then mirror: the distinct shuffles half the pairs
+    // (same trick as pagerank's edge build)
+    val oriented = perOrder
       .select(col("ps"), explode(col("ps")).as("src"))
       .select(col("src"), explode(col("ps")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct())
+      .filter(col("src") < col("dst"))
+      .distinct()
+    val edges = Materialize(oriented.union(oriented.select(col("dst"), col("src"))))
     var lbl = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
     val w = Window.partitionBy("node").orderBy(col("c").desc, col("lab"))

@@ -403,11 +403,15 @@ object CorpusQueries {
     // HOFs are CodegenFallback — interpreted per element)
     val perOrder = spark.read.parquet(s"$dir/lineitem.parquet")
       .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
-    val edges = perOrder
+    // dedup ORIENTED pairs (src < dst — half the rows through the
+    // distinct's shuffle), then mirror map-side: same symmetric edge
+    // set, half the exchange volume on the build's dominant stage
+    val oriented = perOrder
       .select(col("ps"), explode(col("ps")).as("src"))
       .select(col("src"), explode(col("ps")).as("dst"))
-      .filter(col("src") =!= col("dst"))
+      .filter(col("src") < col("dst"))
       .distinct()
+    val edges = oriented.union(oriented.select(col("dst"), col("src")))
     // out-degree as a window count over the SAME src partitioning (a
     // groupBy+join would read the un-materialized edge plan twice and
     // recompute the whole build); materialized once for the 3 iterations
