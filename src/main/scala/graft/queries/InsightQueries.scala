@@ -42,13 +42,18 @@ object InsightQueries {
     * does before an all-triangles pass.
     */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // row-local pair expansion from per-order part sets (the pagerank
+    // edge-build shape): one aggregation exchange instead of reshuffling
+    // both sides of an orderkey self-join, and collect_set absorbs the
+    // (order, part) dedup
+    val perOrder = spark.read.parquet(s"$dir/lineitem.parquet")
       .filter(col("l_quantity") >= 45)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val lj = li.select(col("l_orderkey").as("o2"), col("l_partkey").as("b"))
-    val und = Materialize(
-      li.join(lj, col("l_orderkey") === col("o2") && col("l_partkey") < col("b"))
-        .select(col("l_partkey").as("a"), col("b")).distinct())
+      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+    val und = Materialize(perOrder
+      .select(col("ps"), explode(col("ps")).as("a"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct())
     val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val withDeg = und
