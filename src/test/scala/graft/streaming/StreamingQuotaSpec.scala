@@ -61,4 +61,44 @@ class StreamingQuotaSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ValueState survives a query RESTART from the checkpoint: the budget " +
+       "spent before the stop still counts after") {
+    import spark.implicits._
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = Files.createTempDirectory("quota2")
+    val ck = Files.createTempDirectory("qck2").toString
+    val out = Files.createTempDirectory("qout2").toString
+
+    // parquet sink: the memory sink refuses checkpoint recovery
+    def runOnce(): Unit = {
+      val raw = spark.readStream.schema("source STRING, doc_id LONG, n_tokens LONG")
+        .option("header", "true").csv(dir.toString)
+      val q = StreamingQuota(raw.as[DocIn], budgetPerSource = 100L)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      Files.writeString(dir.resolve("b1.csv"), "source,doc_id,n_tokens\nA,1,90\n")
+      runOnce() // first query instance: A spends 90/100, then the query DIES
+
+      Files.writeString(dir.resolve("b2.csv"),
+        "source,doc_id,n_tokens\nA,2,20\nA,3,10\n")
+      runOnce() // NEW query instance, same checkpoint
+      val rows = spark.read.parquet(out).as[AdmitOut].collect().toSet
+      // if state had reset, doc 2 (20) would fit; recovery means only
+      // doc 3 (10) fits against the remembered 90
+      assert(rows == Set(AdmitOut("A", 1, 90, 90), AdmitOut("A", 3, 10, 100)))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
