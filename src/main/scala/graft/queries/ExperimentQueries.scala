@@ -70,6 +70,70 @@ object ExperimentQueries {
     GROUP BY g.day, g.t, p.t
     ORDER BY g.day"""
 
+  // ------------------------------------------------------------ PSI drift
+
+  /** PSI bin width over `value` and Laplace smoothing constant. */
+  val PsiBins = 10
+
+  /** Population-stability-index monitor on the numeric event value:
+    * day-over-day per-bin PSI contributions (p−q)·ln(p/q) over
+    * [[PsiBins]] equal-width bins — the standard "did the feature
+    * distribution move" alarm, emitted per (day, bin) so each
+    * contribution is audit-able (the total is the caller's fold).
+    * Add-one smoothing keeps empty bins finite. Bin edges derive from
+    * the GLOBAL min/max as a broadcast one-row frame (the
+    * histogram_price pattern); every ln argument is an exact-integer
+    * cross-product ratio.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("ts").cast("date").as("day"), col("value"))
+    val bounds = e.agg(min("value").as("lo"), max("value").as("hi"))
+    val binned = e.crossJoin(broadcast(bounds))
+      .select(col("day"), least(
+        floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / PsiBins)),
+        lit(PsiBins - 1)).cast("long").as("bin"))
+    val days = binned.groupBy("day").agg(count(lit(1)).as("t"))
+    val grid = days.crossJoin(broadcast(
+        spark.range(PsiBins).select(col("id").as("bin"))))
+      .join(binned.groupBy("day", "bin").agg(count(lit(1)).as("c")),
+        Seq("day", "bin"), "left")
+      .select(col("day"), col("bin"), col("t"),
+        (coalesce(col("c"), lit(0L)) + lit(1L)).as("c")) // add-one smoothing
+    val prev = grid.select(col("day").as("pday"), col("bin").as("pbin"),
+      col("t").as("pt"), col("c").as("pc"))
+    grid.join(prev,
+        col("bin") === col("pbin") && col("day") === date_add(col("pday"), 1))
+      .select(col("day"), col("bin"),
+        round((col("c").cast("double") / (col("t") + PsiBins) -
+               col("pc").cast("double") / (col("pt") + PsiBins)) *
+          log((col("c") * (col("pt") + PsiBins)).cast("double") /
+              (col("pc") * (col("t") + PsiBins)).cast("double")), 6).as("psi_term"))
+      .orderBy("day", "bin")
+  }
+
+  val psiDriftSql: String = s"""
+    WITH e AS (SELECT cast(ts AS DATE) AS day, value FROM events),
+    bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
+    binned AS (
+      SELECT day,
+        cast(least(floor((value - lo) / ((hi - lo) / $PsiBins)), ${PsiBins - 1}) AS BIGINT) AS bin
+      FROM e CROSS JOIN bounds),
+    days AS (SELECT day, count(*) AS t FROM binned GROUP BY 1),
+    grid AS (
+      SELECT d.day, b.bin, d.t, coalesce(c.c, 0) + 1 AS c
+      FROM days d CROSS JOIN (SELECT unnest(range($PsiBins)) AS bin) b
+      LEFT JOIN (SELECT day, bin, count(*) AS c FROM binned GROUP BY 1, 2) c
+        ON c.day = d.day AND c.bin = b.bin)
+    SELECT g.day, g.bin,
+      round((CAST(g.c AS DOUBLE) / (g.t + $PsiBins)
+             - CAST(p.c AS DOUBLE) / (p.t + $PsiBins))
+            * ln(CAST(g.c * (p.t + $PsiBins) AS DOUBLE)
+                 / CAST(p.c * (g.t + $PsiBins) AS DOUBLE)), 6) AS psi_term
+    FROM grid g JOIN grid p
+      ON g.bin = p.bin AND g.day = p.day + INTERVAL 1 DAY
+    ORDER BY g.day, g.bin"""
+
   // -------------------------------------------------- gini concentration
 
   /** Per-source Gini coefficient of document lengths — "is this source
@@ -307,12 +371,14 @@ object ExperimentQueries {
     "gini_source"     -> (giniConcentration _),
     "winsorized_mean" -> (winsorizedMean _),
     "ab_lift"         -> (abLift _),
-    "bootstrap_ci"    -> (bootstrapCi _))
+    "bootstrap_ci"    -> (bootstrapCi _),
+    "psi_drift"       -> (psiDrift _))
 
   val oracle: Map[String, String] = Map(
     "topic_drift"     -> topicDriftSql,
     "gini_source"     -> giniConcentrationSql,
     "winsorized_mean" -> winsorizedMeanSql,
     "ab_lift"         -> abLiftSql,
-    "bootstrap_ci"    -> bootstrapCiSql)
+    "bootstrap_ci"    -> bootstrapCiSql,
+    "psi_drift"       -> psiDriftSql)
 }

@@ -38,6 +38,21 @@ class ExperimentQueriesSpec extends AnyFunSuite {
     assert(out == List(0.0, 1.0))
   }
 
+  test("psi_drift: identical day distributions give all-zero terms; a " +
+       "shifted day yields a positive PSI total") {
+    val day = 86400L * 1000000000L
+    // days 1,2: values uniform low; day 3: values jump to the top bins
+    val rows =
+      (0 until 20).map(i => (i.toLong, 1 * day + i, 1L, "e", (i % 5).toDouble)) ++
+      (0 until 20).map(i => (100L + i, 2 * day + i, 1L, "e", (i % 5).toDouble)) ++
+      (0 until 20).map(i => (200L + i, 3 * day + i, 1L, "e", 95.0 + (i % 5)))
+    val out = ExperimentQueries.psiDrift(spark, eventsDir(rows))
+      .select("day", "psi_term").as[(java.sql.Date, Double)].collect()
+      .groupBy(_._1.toString).map { case (d, g) => d -> g.map(_._2).sum }
+    assert(math.abs(out("1970-01-03")) < 1e-9) // identical distribution
+    assert(out("1970-01-04") > 1.0)            // wholesale shift
+  }
+
   test("gini_source: equal lengths give 0; extreme concentration approaches " +
        "(n-1)/n") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gini").toString
