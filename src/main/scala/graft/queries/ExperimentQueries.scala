@@ -364,6 +364,112 @@ object ExperimentQueries {
     FROM base JOIN band USING (source)
     ORDER BY source"""
 
+  // ------------------------------------------------------------ AUC
+
+  /** Exact ROC-AUC of "document length predicts English" via the
+    * rank-sum (Mann–Whitney) identity — the eval primitive for any
+    * score/label pair at corpus scale. Ranks come from the
+    * value-frequency HISTOGRAM (average rank of value v =
+    * (lo+hi)/2 over its rank range), so nothing data-sized is ever
+    * sorted globally: 2U = Σ_pos(lo+hi) − n_pos(n_pos+1), AUC =
+    * 2U / (2·n_pos·n_neg) — every term an exact integer, one final
+    * division. Tie-corrected by construction.
+    */
+  def aucScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("n_chars").as("v"), (col("lang") === "en").cast("long").as("y"))
+    val hist = d.groupBy("v").agg(count(lit(1)).as("c"), sum("y").as("pos"))
+      .withColumn("hi", sum("c").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("lo", col("hi") - col("c") + 1)
+    hist.agg(
+        sum(col("pos") * (col("lo") + col("hi"))).as("rsum2"),
+        sum("pos").as("np"), sum(col("c") - col("pos")).as("nn"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        round((col("rsum2") - col("np") * (col("np") + 1)).cast("double") /
+          (lit(2) * col("np") * col("nn")).cast("double"), 6).as("auc"))
+  }
+
+  val aucScoreSql: String = """
+    WITH d AS (
+      SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    hist AS (
+      SELECT v, count(*) AS c, sum(y) AS pos FROM d GROUP BY v),
+    cum AS (
+      SELECT v, c, pos,
+        sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM hist)
+    SELECT cast(sum(pos) AS BIGINT) AS n_pos,
+      cast(sum(c - pos) AS BIGINT) AS n_neg,
+      round(CAST(sum(pos * ((hi - c + 1) + hi)) - sum(pos) * (sum(pos) + 1) AS DOUBLE)
+        / CAST(2 * sum(pos) * sum(c - pos) AS DOUBLE), 6) AS auc
+    FROM cum"""
+
+  // ------------------------------------------------------------ KS test
+
+  /** Two-sample Kolmogorov–Smirnov distance of each source's length
+    * distribution against the rest of the corpus — "which source looks
+    * nothing like the others". D = max_v |F_src(v) − F_rest(v)|
+    * evaluated as the INTEGER max of |c_src·n_rest − c_rest·n_src|
+    * over cumulative counts, divided once at the end — exact,
+    * order-free, and every per-source scan is one histogram plus a
+    * window over distinct values.
+    */
+  def ksBySource(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("source"), col("n_chars").as("v"))
+    val bySrc = d.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val byVal = d.groupBy("v").agg(count(lit(1)).as("ct"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    val totals = d.groupBy("source").agg(count(lit(1)).as("ns"))
+    // evaluate at EVERY distinct value (sources × value-domain grid,
+    // zero-filled): the sup can sit where the source's own CDF is flat
+    val grid = totals.select("source").crossJoin(broadcast(byVal))
+      .join(bySrc, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), col("ct"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .crossJoin(broadcast(tot))
+    val w = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("cum_s", sum("c").over(w))
+      .withColumn("cum_t", sum("ct").over(w))
+      .join(broadcast(totals), "source")
+      .select(col("source"), col("ns"), col("n"),
+        abs(col("cum_s") * (col("n") - col("ns")) -
+          (col("cum_t") - col("cum_s")) * col("ns")).as("num"))
+      .groupBy("source", "ns", "n")
+      .agg(max("num").as("mx"))
+      .select(col("source"), col("ns").as("n_docs"),
+        round(col("mx").cast("double") /
+          (col("ns") * (col("n") - col("ns"))).cast("double"), 6).as("ks_d"))
+      .orderBy("source")
+  }
+
+  val ksBySourceSql: String = """
+    WITH d AS (SELECT source, n_chars AS v FROM documents),
+    by_src AS (SELECT source, v, count(*) AS c FROM d GROUP BY 1, 2),
+    by_val AS (SELECT v, count(*) AS ct FROM d GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM d),
+    totals AS (SELECT source, count(*) AS ns FROM d GROUP BY 1),
+    grid AS (
+      SELECT t.source, bv.v, bv.ct, coalesce(bs.c, 0) AS c
+      FROM totals t CROSS JOIN by_val bv
+      LEFT JOIN by_src bs ON bs.source = t.source AND bs.v = bv.v),
+    cums AS (
+      SELECT source, v,
+        sum(c) OVER (PARTITION BY source ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+        sum(ct) OVER (PARTITION BY source ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t
+      FROM grid)
+    SELECT c.source, t.ns AS n_docs,
+      round(CAST(max(abs(c.cum_s * (n.n - t.ns) - (c.cum_t - c.cum_s) * t.ns)) AS DOUBLE)
+        / CAST(t.ns * (n.n - t.ns) AS DOUBLE), 6) AS ks_d
+    FROM cums c JOIN totals t USING (source) CROSS JOIN tot n
+    GROUP BY c.source, t.ns, n.n
+    ORDER BY c.source"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -372,7 +478,9 @@ object ExperimentQueries {
     "winsorized_mean" -> (winsorizedMean _),
     "ab_lift"         -> (abLift _),
     "bootstrap_ci"    -> (bootstrapCi _),
-    "psi_drift"       -> (psiDrift _))
+    "psi_drift"       -> (psiDrift _),
+    "auc_score"       -> (aucScore _),
+    "ks_by_source"    -> (ksBySource _))
 
   val oracle: Map[String, String] = Map(
     "topic_drift"     -> topicDriftSql,
@@ -380,5 +488,7 @@ object ExperimentQueries {
     "winsorized_mean" -> winsorizedMeanSql,
     "ab_lift"         -> abLiftSql,
     "bootstrap_ci"    -> bootstrapCiSql,
-    "psi_drift"       -> psiDriftSql)
+    "psi_drift"       -> psiDriftSql,
+    "auc_score"       -> aucScoreSql,
+    "ks_by_source"    -> ksBySourceSql)
 }

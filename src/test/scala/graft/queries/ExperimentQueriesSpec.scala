@@ -82,6 +82,43 @@ class ExperimentQueriesSpec extends AnyFunSuite {
     assert(out == List(("X", 1L, 9L, 5.4)))
   }
 
+  private def docsDir(rows: Seq[(Long, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    rows.toDF("doc_id", "lang", "source", "n_chars")
+      .withColumn("text", lit("t"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("auc_score: perfect separation gives 1, identical distributions 0.5, " +
+       "all-ties 0.5") {
+    val perfect = (1 to 10).map(i => (i.toLong, "en", "s", 100L + i)) ++
+      (11 to 20).map(i => (i.toLong, "fr", "s", i.toLong))
+    val p = ExperimentQueries.aucScore(spark, docsDir(perfect))
+      .select("auc").as[Double].head()
+    assert(p == 1.0)
+
+    val same = (1 to 10).map(i => (i.toLong, "en", "s", (i % 5).toLong)) ++
+      (11 to 20).map(i => (i.toLong, "fr", "s", (i % 5).toLong))
+    val s = ExperimentQueries.aucScore(spark, docsDir(same))
+      .select("auc").as[Double].head()
+    assert(s == 0.5)
+  }
+
+  test("ks_by_source: identical-to-rest gives 0; disjoint support gives 1") {
+    // s1 and s2 identical; s3 disjoint above both
+    val rows = (1 to 10).map(i => (i.toLong, "en", "s1", (i % 5).toLong)) ++
+      (11 to 20).map(i => (i.toLong, "en", "s2", (i % 5).toLong)) ++
+      (21 to 30).map(i => (i.toLong, "en", "s3", 1000L + i))
+    val out = ExperimentQueries.ksBySource(spark, docsDir(rows))
+      .select("source", "ks_d").as[(String, Double)].collect().toMap
+    assert(out("s3") == 1.0)
+    // s1 vs (s2 ∪ s3): at the top of s1's support F_s1 = 1 while the rest
+    // (half its mass parked in s3's far tail) sits at 1/2 — D = 1/2
+    assert(out("s1") == 0.5)
+    assert(out("s1") == out("s2"))
+  }
+
   test("bootstrap_ci: a constant source collapses to a zero-width band at " +
        "the value; a mixed source brackets plausibly and deterministically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-boot").toString
