@@ -359,6 +359,105 @@ object ScaleQueries {
     GROUP BY 1
     ORDER BY z_bucket"""
 
+  // ------------------------------------------------- tolerance recalls
+
+  /** Tolerance-oracle recall for the Spark-hash-specific ANN paths: the
+    * exact half (brute-force top-k pair count) is engine-portable and
+    * hash-checked; the approximate half reduces to a deterministic
+    * in-bounds flag (xxhash64 planes + kmeans are seed-fixed, so recall
+    * at a given SF is a constant, not a distribution). Same convention
+    * as `approx_quantiles`: oracle emits the exact value + literal 1.
+    * The ≥-comparison is exact integers (cross-multiplied percent).
+    */
+  private def annRecall(spark: SparkSession, dir: String,
+                        approx: (DataFrame, DataFrame) => DataFrame,
+                        minPct: Int): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
+    val queries = prepped.filter(col("id") % 50 === 0)
+    val brute = Similarity.knnBrute(queries, prepped, k = 5)
+      .select(col("q_id"), col("n_id"))
+    val hits = brute.join(approx(queries, prepped).select(col("q_id"), col("n_id")),
+      Seq("q_id", "n_id"), "left_semi")
+    brute.agg(count(lit(1)).as("n_brute"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_brute").cast("long").as("n_brute"),
+        (col("n_hit") * 100 >= col("n_brute") * minPct).cast("long").as("recall_ok"))
+  }
+
+  def knnLshRecall(spark: SparkSession, dir: String): DataFrame =
+    annRecall(spark, dir,
+      (q, c) => Similarity.knnLsh(q, c, k = 5, dim = Dim, planes = 4, tables = 8),
+      minPct = 35)
+
+  def knnIvfRecall(spark: SparkSession, dir: String): DataFrame =
+    annRecall(spark, dir, (q, c) =>
+      Similarity.knnIvf(q, c, k = 5, nProbe = 4,
+        centroids = Some(Similarity.kmeansCentroids(c, k = 16, iters = 1))),
+      minPct = 25)
+
+  private val annRecallSql: String = """
+    WITH e AS (
+      SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      FROM e q JOIN e c ON q.vec_id % 50 = 0 AND c.vec_id != q.vec_id),
+    ranked AS (
+      SELECT q_id, n_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+      FROM scored)
+    SELECT cast(count(*) AS BIGINT) AS n_brute, cast(1 AS BIGINT) AS recall_ok
+    FROM ranked WHERE rk <= 5"""
+
+  val knnLshRecallSql: String = annRecallSql
+  val knnIvfRecallSql: String = annRecallSql
+
+  /** Tolerance-oracle recall for MinHash-LSH near-dup detection. The
+    * truth set — ALL pairs with word-3-gram Jaccard ≥ 0.5, unblocked,
+    * uncapped — is computed exactly by both engines via the sparse gram
+    * join (pairs sharing ≥ 1 gram; a 0.5 threshold can't admit
+    * zero-overlap pairs). `minhashNearDups` verifies its candidates with
+    * exact Jaccard over the same gram universe, so found ⊆ truth and
+    * recall = |found| / |truth| is deterministic (xxhash64 signatures are
+    * seed-fixed). Oracle: exact truth count + literal flag.
+    */
+  def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text"))
+    val ga = grams.select(col("id").as("aid"), col("gh").as("agh"))
+    val gb = grams.select(col("id").as("bid"), col("gh").as("bgh"))
+    val cands = ga.join(gb, col("agh") === col("bgh") && col("aid") < col("bid"))
+      .select(col("aid").as("a_id"), col("bid").as("b_id")).distinct()
+    val truth = Dedup.verifyJaccard(cands, grams, threshold = 0.5)
+      .select(col("a_id"), col("b_id"))
+    val found = Dedup.minhashNearDups(docs(spark, dir), "doc_id", "text", threshold = 0.5)
+      .select(col("a_id"), col("b_id"))
+    val hits = truth.join(found, Seq("a_id", "b_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true").cast("long").as("n_true"),
+        (col("n_hit") * 100 >= col("n_true") * 50).cast("long").as("recall_ok"))
+  }
+
+  val minhashRecallSql: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+    sizes AS (
+      SELECT doc_id, cast(count(*) AS DOUBLE) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, cast(count(*) AS DOUBLE) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT cast(count(*) AS BIGINT) AS n_true, cast(1 AS BIGINT) AS recall_ok
+    FROM inter
+    JOIN sizes na ON inter.a_id = na.doc_id
+    JOIN sizes nb ON inter.b_id = nb.doc_id
+    WHERE i / (na.n + nb.n - i) >= 0.5"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -374,7 +473,10 @@ object ScaleQueries {
     "emb_quantize"  -> (embQuantize _),
     "zorder_buckets" -> (zorderBuckets _),
     "emb_project"   -> (embProject _),
-    "label_centroids" -> (labelCentroids _))
+    "label_centroids" -> (labelCentroids _),
+    "knn_lsh_recall" -> (knnLshRecall _),
+    "knn_ivf_recall" -> (knnIvfRecall _),
+    "minhash_recall" -> (minhashRecall _))
 
   val oracle: Map[String, String] = Map(
     "dedup_ngram"  -> dedupNgramSql,
@@ -385,5 +487,8 @@ object ScaleQueries {
     "emb_quantize" -> embQuantizeSql,
     "zorder_buckets" -> zorderBucketsSql,
     "emb_project"   -> embProjectSql,
-    "label_centroids" -> labelCentroidsSql)
+    "label_centroids" -> labelCentroidsSql,
+    "knn_lsh_recall" -> knnLshRecallSql,
+    "knn_ivf_recall" -> knnIvfRecallSql,
+    "minhash_recall" -> minhashRecallSql)
 }
