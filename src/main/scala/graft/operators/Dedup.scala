@@ -167,6 +167,17 @@ object Dedup {
     // buckets, intersections, sizes — sees the same rare-gram universe.
     val grams = Materialize(
       capGramDocFreq(explodedNgrams(df, idCol, textCol), maxDocFreq))
+    minhashNearDupsFromGrams(grams, threshold, bands, rowsPer, maxBucket)
+  }
+
+  /** [[minhashNearDups]] over a caller-built (and ideally already
+    * materialized + doc-frequency-capped) exploded gram frame — lets a
+    * caller that needs the gram frame for its own joins (e.g. a recall
+    * audit computing the exact truth set) pay the gram pipeline once.
+    */
+  def minhashNearDupsFromGrams(grams: DataFrame, threshold: Double,
+                               bands: Int = 8, rowsPer: Int = 4,
+                               maxBucket: Int = Int.MaxValue): DataFrame = {
     val cands = candidatesFromGrams(grams, bands, rowsPer, maxBucket)
     verifyJaccard(cands, grams, threshold)
   }

@@ -414,24 +414,34 @@ object ScaleQueries {
   val knnLshRecallSql: String = annRecallSql
   val knnIvfRecallSql: String = annRecallSql
 
-  /** Tolerance-oracle recall for MinHash-LSH near-dup detection. The
-    * truth set — ALL pairs with word-3-gram Jaccard ≥ 0.5, unblocked,
-    * uncapped — is computed exactly by both engines via the sparse gram
-    * join (pairs sharing ≥ 1 gram; a 0.5 threshold can't admit
-    * zero-overlap pairs). `minhashNearDups` verifies its candidates with
-    * exact Jaccard over the same gram universe, so found ⊆ truth and
-    * recall = |found| / |truth| is deterministic (xxhash64 signatures are
-    * seed-fixed). Oracle: exact truth count + literal flag.
+  /** Tolerance-oracle recall for MinHash-LSH near-dup detection over the
+    * RARE-GRAM universe: both the truth set and the MinHash run drop
+    * grams appearing in > 20 docs (`capGramDocFreq`, mirrored as a
+    * QUALIFY in the oracle), so the sparse pair join is never quadratic
+    * in a boilerplate gram — the same scale guard `dedup_ngram` uses,
+    * and the config you'd run at 100 TB. Found pairs are exact-Jaccard
+    * verified on the identical capped universe, so found ⊆ truth and
+    * recall = |found| / |truth| is deterministic (xxhash64 signatures
+    * are seed-fixed). Oracle: exact truth count + literal flag. Truth is
+    * built with the grouped-intersection shape (one pair join straight
+    * into the aggregate — no candidate materialization + re-join).
     */
   def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text"))
+    val grams = Materialize(Dedup.capGramDocFreq(
+      Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text"), maxDocFreq = 20))
     val ga = grams.select(col("id").as("aid"), col("gh").as("agh"))
     val gb = grams.select(col("id").as("bid"), col("gh").as("bgh"))
-    val cands = ga.join(gb, col("agh") === col("bgh") && col("aid") < col("bid"))
-      .select(col("aid").as("a_id"), col("bid").as("b_id")).distinct()
-    val truth = Dedup.verifyJaccard(cands, grams, threshold = 0.5)
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).cast("double").as("n"))
+    val na = sizes.select(col("id").as("na_id"), col("n").as("na_n"))
+    val nb = sizes.select(col("id").as("nb_id"), col("n").as("nb_n"))
+    val truth = ga.join(gb, col("agh") === col("bgh") && col("aid") < col("bid"))
+      .groupBy(col("aid").as("a_id"), col("bid").as("b_id"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .join(na, col("a_id") === col("na_id"))
+      .join(nb, col("b_id") === col("nb_id"))
+      .filter(col("inter") / (col("na_n") + col("nb_n") - col("inter")) >= 0.5)
       .select(col("a_id"), col("b_id"))
-    val found = Dedup.minhashNearDups(docs(spark, dir), "doc_id", "text", threshold = 0.5)
+    val found = Dedup.minhashNearDupsFromGrams(grams, threshold = 0.5)
       .select(col("a_id"), col("b_id"))
     val hits = truth.join(found, Seq("a_id", "b_id"), "left_semi")
     truth.agg(count(lit(1)).as("n_true"))
@@ -446,11 +456,14 @@ object ScaleQueries {
     grams AS (
       SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
       FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+    kept AS (
+      SELECT doc_id, g FROM grams
+      QUALIFY count(*) OVER (PARTITION BY g) <= 20),
     sizes AS (
-      SELECT doc_id, cast(count(*) AS DOUBLE) AS n FROM grams GROUP BY 1),
+      SELECT doc_id, cast(count(*) AS DOUBLE) AS n FROM kept GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, cast(count(*) AS DOUBLE) AS i
-      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT cast(count(*) AS BIGINT) AS n_true, cast(1 AS BIGINT) AS recall_ok
     FROM inter
