@@ -426,7 +426,11 @@ object ScaleQueries {
     * built with the grouped-intersection shape (one pair join straight
     * into the aggregate — no candidate materialization + re-join).
     */
-  def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
+  /** Materialized rare-gram (docFreq ≤ 20) exploded gram frame plus the
+    * exact truth pairs (Jaccard ≥ 0.5 on that universe) built with the
+    * grouped-intersection join — shared by both near-dup recall audits.
+    */
+  private def raregramTruth(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val grams = Materialize(Dedup.capGramDocFreq(
       Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text"), maxDocFreq = 20))
     val ga = grams.select(col("id").as("aid"), col("gh").as("agh"))
@@ -441,16 +445,41 @@ object ScaleQueries {
       .join(nb, col("b_id") === col("nb_id"))
       .filter(col("inter") / (col("na_n") + col("nb_n") - col("inter")) >= 0.5)
       .select(col("a_id"), col("b_id"))
-    val found = Dedup.minhashNearDupsFromGrams(grams, threshold = 0.5)
-      .select(col("a_id"), col("b_id"))
+    (grams, truth)
+  }
+
+  private def recallRow(truth: DataFrame, found: DataFrame, minPct: Int): DataFrame = {
     val hits = truth.join(found, Seq("a_id", "b_id"), "left_semi")
     truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
       .select(col("n_true").cast("long").as("n_true"),
-        (col("n_hit") * 100 >= col("n_true") * 50).cast("long").as("recall_ok"))
+        (col("n_hit") * 100 >= col("n_true") * minPct).cast("long").as("recall_ok"))
   }
 
-  val minhashRecallSql: String = """
+  def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (grams, truth) = raregramTruth(spark, dir)
+    recallRow(truth,
+      Dedup.minhashNearDupsFromGrams(grams, threshold = 0.5)
+        .select(col("a_id"), col("b_id")),
+      minPct = 50)
+  }
+
+  /** SimHash recall against the same rare-gram Jaccard truth set. Unlike
+    * MinHash, SimHash-found pairs are NOT Jaccard-verified (hamming ≤ 3
+    * on the 64-bit sketch is the accept rule), so this measures the
+    * sketch's agreement with set-overlap truth: 60–75% at these SFs
+    * (probed), bounded at ≥ 40%. All inputs are xxhash64-seed-fixed —
+    * the flag is a constant per SF.
+    */
+  def simhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (_, truth) = raregramTruth(spark, dir)
+    recallRow(truth,
+      Dedup.simhashNearDups(docs(spark, dir), "doc_id", "text", maxHamming = 3)
+        .select(col("a_id"), col("b_id")),
+      minPct = 40)
+  }
+
+  private val minhashRecallSqlBase: String = """
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
     grams AS (
@@ -471,6 +500,10 @@ object ScaleQueries {
     JOIN sizes nb ON inter.b_id = nb.doc_id
     WHERE i / (na.n + nb.n - i) >= 0.5"""
 
+  val minhashRecallSql: String = minhashRecallSqlBase
+  // same truth set, same exact count — only the Spark-side flag differs
+  val simhashRecallSql: String = minhashRecallSqlBase
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -489,7 +522,8 @@ object ScaleQueries {
     "label_centroids" -> (labelCentroids _),
     "knn_lsh_recall" -> (knnLshRecall _),
     "knn_ivf_recall" -> (knnIvfRecall _),
-    "minhash_recall" -> (minhashRecall _))
+    "minhash_recall" -> (minhashRecall _),
+    "simhash_recall" -> (simhashRecall _))
 
   val oracle: Map[String, String] = Map(
     "dedup_ngram"  -> dedupNgramSql,
@@ -503,5 +537,6 @@ object ScaleQueries {
     "label_centroids" -> labelCentroidsSql,
     "knn_lsh_recall" -> knnLshRecallSql,
     "knn_ivf_recall" -> knnIvfRecallSql,
-    "minhash_recall" -> minhashRecallSql)
+    "minhash_recall" -> minhashRecallSql,
+    "simhash_recall" -> simhashRecallSql)
 }

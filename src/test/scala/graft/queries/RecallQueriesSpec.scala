@@ -33,4 +33,12 @@ class RecallQueriesSpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("n_true") > 0L)
     assert(r(0).getAs[Long]("recall_ok") == 1L)
   }
+
+  test("simhash_recall: same truth set as minhash_recall, flag up") {
+    val sim = ScaleQueries.simhashRecall(spark, dir).collect()
+    val min = ScaleQueries.minhashRecall(spark, dir).collect()
+    assert(sim.length == 1)
+    assert(sim(0).getAs[Long]("n_true") == min(0).getAs[Long]("n_true"))
+    assert(sim(0).getAs[Long]("recall_ok") == 1L)
+  }
 }
