@@ -102,4 +102,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2000))
   }
+
+  test("recall audits: gram cap stays a broadcast anti-join; pair joins are equi") {
+    // Materialize hides its upstream subtree (incl. the cap anti-join)
+    // behind a checkpoint scan; plan-only inspection wants the pure plan
+    val key = graft.operators.Materialize.Key
+    val prev = spark.conf.get(key, "eager")
+    spark.conf.set(key, "none")
+    try for (name <- Seq("minhash_recall", "simhash_recall")) {
+      val p = plan(name)
+      // capGramDocFreq removes hot grams without reshuffling the gram frame
+      assert(p.contains("BroadcastHashJoin LeftAnti") ||
+        p.contains("LeftAnti, BuildRight"), s"$name: cap not broadcast\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian")
+      // the ONLY nested-loop joins allowed are the two one-row stat frames
+      // (n_true x n_hit crossJoin); a third means a pair join degenerated
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnlj <= 2, s"$name: $bnlj BNLJs, expected <= 2 one-row stat joins")
+    } finally spark.conf.set(key, prev)
+  }
 }
