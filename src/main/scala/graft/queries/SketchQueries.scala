@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.KmvAgg
+
+/** Bounded-memory set-sketch operators. The distinguishing capability
+  * over the HLL path (`approx_distinct`, `hll_rollup`): KMV/theta
+  * sketches retain a uniform SAMPLE of the keyspace, so set EXPRESSIONS
+  * between groups — intersection, difference — stay estimable after
+  * aggregation. At 100 TB you cannot afford an exact pairwise
+  * source-overlap join over every pair of a thousand sources; one
+  * sketch per source (k longs, mergeable, one aggregation exchange)
+  * plus an S² pairwise combine over the tiny post-agg frame is the
+  * standard answer (DataSketches theta; Beyer et al., SIGMOD'07).
+  */
+object SketchQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // --------------------------------------------------- theta intersect
+
+  private val K = 1024
+
+  /** Pairwise estimated source overlap from per-source KMV sketches,
+    * tolerance-oracled against the exact distinct-text intersection.
+    *
+    * Shape: one sketch row per source (bounded k longs each, map-side
+    * combined), pairwise expansion only AFTER aggregation — the
+    * S×S join runs on an |sources|-row frame, never on the corpus. The
+    * exact companion reuses the `cross_source_overlap` grouped
+    * source-set expansion (row-local ≤|S|² pairs per text, one
+    * exchange), NOT a corpus self-join, so the audit itself holds at
+    * scale. Oracle emits the exact counts plus a literal flag; the
+    * estimating regime (|S| >> k) is exercised in KmvSketchSpec.
+    */
+  def thetaIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new KmvAgg(K))
+    val d = docs(spark, dir).filter(col("text").isNotNull)
+
+    val sk = d.groupBy("source")
+      .agg(kmv(xxhash64(col("text"))).as("sk"))
+      .select(col("source"), col("sk.vals").as("vals"),
+        // theta in the sign-flipped domain: the k-th smallest when the
+        // cap was reached, else "whole space seen" (MaxValue ≈ frac 1.0)
+        when(col("sk.full"), element_at(col("sk.vals"), -1))
+          .otherwise(lit(Long.MaxValue)).as("theta"))
+
+    val a = sk.select(col("source").as("source_a"), col("vals").as("va"), col("theta").as("ta"))
+    val b = sk.select(col("source").as("source_b"), col("vals").as("vb"), col("theta").as("tb"))
+    val theta = least(col("ta"), col("tb"))
+    // retained ∩ retained strictly below the combined theta = uniform
+    // sample of A ∩ B at rate frac(theta)
+    val common = size(filter(array_intersect(col("va"), col("vb")), v => v < theta))
+    val fracTheta = (theta.cast("double") - lit(Long.MinValue.toDouble)) / lit(math.pow(2.0, 64))
+    val est = a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (common.cast("double") / fracTheta).as("est"))
+
+    // exact distinct-text overlap, the scalable way: group each text's
+    // source set, expand ordered pairs row-locally (bounded by |S|²)
+    val ss = sort_array(collect_set(col("source")))
+    val pairs = flatten(transform(col("ss"), (x, i) =>
+      transform(slice(col("ss"), i + 2, size(col("ss"))), y =>
+        struct(x.as("source_a"), y.as("source_b")))))
+    val exact = d.select("text", "source").distinct()
+      .groupBy("text").agg(ss.as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("exact_shared"))
+
+    est.join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("exact_shared"), lit(0L)).as("exact_shared"),
+        (abs(col("est") - coalesce(col("exact_shared"), lit(0L))) <=
+          greatest(lit(3.0), coalesce(col("exact_shared"), lit(0L)) * lit(0.1)))
+          .cast("long").as("in_bounds"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val thetaIntersectSql: String = """
+    WITH s AS (SELECT DISTINCT source FROM documents WHERE text IS NOT NULL),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b
+              FROM s a JOIN s b ON a.source < b.source),
+    t AS (SELECT DISTINCT text, source FROM documents WHERE text IS NOT NULL),
+    ex AS (SELECT x.source AS sa, y.source AS sb, count(*) AS c
+           FROM t x JOIN t y ON x.text = y.text AND x.source < y.source
+           GROUP BY 1, 2)
+    SELECT source_a, source_b, coalesce(c, 0) AS exact_shared,
+      cast(1 AS BIGINT) AS in_bounds
+    FROM pairs LEFT JOIN ex ON source_a = sa AND source_b = sb
+    ORDER BY source_a, source_b"""
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "theta_intersect" -> (thetaIntersect _))
+
+  val oracle: Map[String, String] = Map(
+    "theta_intersect" -> thetaIntersectSql)
+}

@@ -100,6 +100,22 @@ object TextQueries {
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Deflate-compressibility quality signal (Gopher-style): per-doc
+    * zlib ratio plus the `repetitive` verdict at the 0.35 cut — redundancy
+    * zlib sees but token-level TTR misses (long-range repeats, templated
+    * spans). No DuckDB oracle: SQL has no zlib surface, so this is a
+    * rows-only query; CompressSpec pins the kernel on planted extremes
+    * (runs, high-entropy text, empty, unicode) and partition invariance.
+    * Scale shape: map-only projection, one codegen span over the scan.
+    */
+  def compressRatio(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        round(graft.functions.Compress.deflateRatio(col("text")), 6).as("deflate_ratio"))
+      .select(col("doc_id"), col("deflate_ratio"),
+        (col("deflate_ratio") < 0.35).cast("long").as("repetitive"))
+      .orderBy("doc_id")
+
   val qualityScoreSql: String = {
     val allStops = Stopwords.values.flatten.toSeq.map(w => s"'$w'").mkString(", ")
     s"""
@@ -383,6 +399,7 @@ object TextQueries {
     "token_count"     -> (tokenCount _),
     "lang_id"         -> (langId _),
     "quality_score"   -> (qualityScoreQ _),
+    "compress_ratio"  -> (compressRatio _),
     "doc_fingerprint" -> (docFingerprint _),
     "dedup_exact"     -> (dedupExact _),
     "multimodal_meta" -> (multimodalMeta _),
