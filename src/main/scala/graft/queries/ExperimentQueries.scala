@@ -89,10 +89,13 @@ object ExperimentQueries {
     val e = Tables.events(spark, dir)
       .select(col("ts").cast("date").as("day"), col("value"))
     val bounds = e.agg(min("value").as("lo"), max("value").as("hi"))
+    // hi == lo (all values equal) would divide by zero in the bin
+    // width; everything lands in bin 0 instead — guarded identically
+    // in the oracle.
     val binned = e.crossJoin(broadcast(bounds))
-      .select(col("day"), least(
+      .select(col("day"), when(col("hi") > col("lo"), least(
         floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / PsiBins)),
-        lit(PsiBins - 1)).cast("long").as("bin"))
+        lit(PsiBins - 1))).otherwise(lit(0L)).cast("long").as("bin"))
     val days = binned.groupBy("day").agg(count(lit(1)).as("t"))
     val grid = days.crossJoin(broadcast(
         spark.range(PsiBins).select(col("id").as("bin"))))
@@ -117,7 +120,9 @@ object ExperimentQueries {
     bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
     binned AS (
       SELECT day,
-        cast(least(floor((value - lo) / ((hi - lo) / $PsiBins)), ${PsiBins - 1}) AS BIGINT) AS bin
+        cast(CASE WHEN hi > lo
+               THEN least(floor((value - lo) / ((hi - lo) / $PsiBins)), ${PsiBins - 1})
+               ELSE 0 END AS BIGINT) AS bin
       FROM e CROSS JOIN bounds),
     days AS (SELECT day, count(*) AS t FROM binned GROUP BY 1),
     grid AS (
@@ -253,7 +258,12 @@ object ExperimentQueries {
       round(meanA / 1e6, 6).as("mean_a"),
       round(meanB / 1e6, 6).as("mean_b"),
       round((meanB - meanA) / meanA, 6).as("rel_lift"),
-      round((meanB - meanA) / sqrt(varA / col("na") + varB / col("nb")), 6).as("z"))
+      // Welch variance divides by n−1: a single-event arm would yield
+      // NaN/Inf. Guarded to NULL (mirrored CASE in the oracle) so
+      // degenerate inputs produce a defined, engine-agreed value.
+      when(col("na") > 1 && col("nb") > 1,
+        round((meanB - meanA) / sqrt(varA / col("na") + varB / col("nb")), 6))
+        .as("z"))
   }
 
   val abLiftSql: String = """
@@ -273,9 +283,11 @@ object ExperimentQueries {
       round((CAST(sb AS DOUBLE) / nb) / 1e6, 6) AS mean_b,
       round((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
             / (CAST(sa AS DOUBLE) / na), 6) AS rel_lift,
-      round((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
-            / sqrt((CAST(ssa AS DOUBLE) - (CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / na) / (na - 1) / na
-                 + (CAST(ssb AS DOUBLE) - (CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / nb) / (nb - 1) / nb), 6) AS z
+      CASE WHEN na > 1 AND nb > 1 THEN
+        round((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+              / sqrt((CAST(ssa AS DOUBLE) - (CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / na) / (na - 1) / na
+                   + (CAST(ssb AS DOUBLE) - (CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / nb) / (nb - 1) / nb), 6)
+      END AS z
     FROM a CROSS JOIN b"""
 
   // -------------------------------------------------------- bootstrap CI

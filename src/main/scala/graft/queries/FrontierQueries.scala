@@ -138,12 +138,19 @@ object FrontierQueries {
     * weighted sibling of `sample_hash`. Selection is ORDER BY/LIMIT
     * (per-partition top-k, k-row merge); output re-sorts by doc_id so
     * the compared rows are keyed by an exact integer.
+    *
+    * The ranking key is ROUNDED to 12 digits before selection (with a
+    * doc_id tiebreak): pow is transcendental, JVM and libm can differ
+    * by an ulp, and an unrounded ORDER BY/LIMIT would let that ulp
+    * decide boundary membership. After rounding, engines only disagree
+    * if a key sits within an ulp of a 1e-12 grid line AND at the k-th
+    * rank — vanishing, vs. every boundary row before.
     */
   def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
     val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
     docs(spark, dir)
-      .withColumn("key", pow(u, lit(1.0) / col("n_chars").cast("double")))
+      .withColumn("key", round(pow(u, lit(1.0) / col("n_chars").cast("double")), 12))
       .orderBy(col("key").desc, col("doc_id"))
       .limit(WSampleK)
       .select("doc_id", "n_chars")
@@ -153,9 +160,9 @@ object FrontierQueries {
   val sampleWeightedSql: String = s"""
     WITH keyed AS (
       SELECT doc_id, n_chars,
-        pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+        round(pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
               / 4294967296.0,
-            1.0 / CAST(n_chars AS DOUBLE)) AS key
+            1.0 / CAST(n_chars AS DOUBLE)), 12) AS key
       FROM documents),
     top AS (SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT $WSampleK)
     SELECT doc_id, n_chars FROM top ORDER BY doc_id"""

@@ -77,9 +77,12 @@ object RetrievalQueries {
         .as(s"tf_$q"))
     val pivoted = perTerm.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
     val total = query.map(q => col(s"s_$q")).reduceLeft(_ + _)
+    // Select on the ROUNDED score (doc_id tiebreak): ln is
+    // transcendental, so engines can differ by an ulp, and the
+    // unrounded LIMIT boundary would let that ulp swap the k-th doc.
     pivoted.select(
       (col("doc_id") +: total.as("raw") +: query.map(q => col(s"tf_$q"))): _*)
-      .orderBy(col("raw").desc, col("doc_id"))
+      .orderBy(round(col("raw"), 6).desc, col("doc_id"))
       .limit(topK)
   }
 
@@ -118,7 +121,7 @@ object RetrievalQueries {
     top AS (
       SELECT doc_id, s_vector + s_join + s_stream AS raw,
         tf_vector, tf_join, tf_stream
-      FROM piv ORDER BY raw DESC, doc_id LIMIT 50)
+      FROM piv ORDER BY round(raw, 6) DESC, doc_id LIMIT 50)
     SELECT doc_id, round(raw, 6) AS bm25,
       cast(tf_vector AS BIGINT) AS tf_vector,
       cast(tf_join   AS BIGINT) AS tf_join,

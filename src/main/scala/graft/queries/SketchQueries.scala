@@ -56,7 +56,8 @@ object SketchQueries {
     val fracTheta = (theta.cast("double") - lit(Long.MinValue.toDouble)) / lit(math.pow(2.0, 64))
     val est = a.join(b, col("source_a") < col("source_b"))
       .select(col("source_a"), col("source_b"),
-        (common.cast("double") / fracTheta).as("est"))
+        (common.cast("double") / fracTheta).as("est"),
+        fracTheta.as("p"))
 
     // exact distinct-text overlap, the scalable way: group each text's
     // source set, expand ordered pairs row-locally (bounded by |S|²)
@@ -71,11 +72,20 @@ object SketchQueries {
       .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("exact_shared"))
 
+    // Tolerance scales with the sketch's own sampling variance: the
+    // retained-common count is ~Binomial(exact, p) so Var(est) ≈
+    // exact·(1/p − 1); a 3σ band plus the old max(3, 10%) floor keeps
+    // the flag meaningful in BOTH regimes — non-full sketches (p = 1,
+    // σ = 0, exact gate) and the estimating regime (|source| ≫ k,
+    // where a fixed 10% band would trip on healthy sketches).
+    val ex = coalesce(col("exact_shared"), lit(0L))
+    val sigma = sqrt(ex.cast("double") *
+      greatest(lit(1.0) / col("p") - lit(1.0), lit(0.0)))
     est.join(exact, Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"),
-        coalesce(col("exact_shared"), lit(0L)).as("exact_shared"),
-        (abs(col("est") - coalesce(col("exact_shared"), lit(0L))) <=
-          greatest(lit(3.0), coalesce(col("exact_shared"), lit(0L)) * lit(0.1)))
+        ex.as("exact_shared"),
+        (abs(col("est") - ex) <=
+          greatest(lit(3.0), ex * lit(0.1), lit(3.0) * sigma))
           .cast("long").as("in_bounds"))
       .orderBy("source_a", "source_b")
   }

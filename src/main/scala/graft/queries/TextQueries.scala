@@ -100,21 +100,39 @@ object TextQueries {
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
-  /** Deflate-compressibility quality signal (Gopher-style): per-doc
-    * zlib ratio plus the `repetitive` verdict at the 0.35 cut — redundancy
-    * zlib sees but token-level TTR misses (long-range repeats, templated
-    * spans). No DuckDB oracle: SQL has no zlib surface, so this is a
-    * rows-only query; CompressSpec pins the kernel on planted extremes
-    * (runs, high-entropy text, empty, unicode) and partition invariance.
-    * Scale shape: map-only projection, one codegen span over the scan.
+  /** Deflate-compressibility quality signal (Gopher-style) as a
+    * TOLERANCE-ORACLE query. SQL has no zlib surface, so the raw ratio
+    * can't be cross-checked value-for-value; instead the query emits
+    * the portable exact byte length plus an `in_bounds` flag asserting
+    * deflate's STRUCTURAL invariants, which any correct zlib must
+    * satisfy and DuckDB mirrors as a literal:
+    *   - output ≤ deflateBound(raw):  dl ≤ raw + raw/1000 + 13
+    *     (worst-case stored-block expansion, zlib's own bound), and
+    *   - max compression 1032:1:      dl·1032 ≥ raw
+    *     (deflate emits ≥2 bits per 258-byte match).
+    * The ratio itself and the 0.35 `repetitive` cut stay available via
+    * `Compress.deflateRatio`; CompressSpec pins the kernel on planted
+    * extremes (runs, high-entropy text, empty, unicode) and partition
+    * invariance. Scale shape: map-only projection, one codegen span
+    * over the scan.
     */
   def compressRatio(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"),
-        round(graft.functions.Compress.deflateRatio(col("text")), 6).as("deflate_ratio"))
-      .select(col("doc_id"), col("deflate_ratio"),
-        (col("deflate_ratio") < 0.35).cast("long").as("repetitive"))
+        octet_length(col("text")).cast("long").as("raw_len"),
+        graft.functions.Compress.deflateLen(col("text")).as("dl"))
+      .select(col("doc_id"), col("raw_len"),
+        ((col("dl") <= col("raw_len") + col("raw_len") / 1000 + lit(13L)) &&
+         (col("dl") * lit(1032L) >= col("raw_len")))
+          .cast("long").as("in_bounds"))
       .orderBy("doc_id")
+
+  val compressRatioSql: String = """
+    SELECT doc_id,
+      cast(octet_length(encode(text)) AS BIGINT) AS raw_len,
+      CASE WHEN text IS NOT NULL THEN cast(1 AS BIGINT) END AS in_bounds
+    FROM documents
+    ORDER BY doc_id"""
 
   val qualityScoreSql: String = {
     val allStops = Stopwords.values.flatten.toSeq.map(w => s"'$w'").mkString(", ")
@@ -415,6 +433,7 @@ object TextQueries {
     "token_count"     -> tokenCountSql,
     "lang_id"         -> langIdSql,
     "quality_score"   -> qualityScoreSql,
+    "compress_ratio"  -> compressRatioSql,
     "doc_fingerprint" -> docFingerprintSql,
     "dedup_exact"     -> dedupExactSql,
     "multimodal_meta" -> multimodalMetaSql,

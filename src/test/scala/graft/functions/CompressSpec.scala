@@ -47,16 +47,38 @@ class CompressSpec extends AnyFunSuite {
     assert(viaExpr(2L) < viaExpr(1L))
   }
 
-  test("compress_ratio query: schema, determinism, and flag consistency") {
+  test("deflateLen expression agrees with the ratio kernel") {
+    val docs = Seq((1L, "abc " * 200), (2L, "z"), (3L, ""))
+    val got = docs.toDF("id", "text").repartition(2)
+      .select($"id", Compress.deflateLen($"text").as("dl"),
+        octet_length($"text").cast("long").as("raw"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    docs.foreach { case (id, text) =>
+      val (dl, raw) = got(id)
+      assert(raw == text.getBytes("UTF-8").length.toLong)
+      if (raw == 0) assert(dl == 0L)
+      else assert(math.abs(dl.toDouble / raw - r(text)) < 1e-9, s"doc $id")
+    }
+  }
+
+  test("compress_ratio query: schema, determinism, and structural invariants") {
     val q1 = graft.queries.TextQueries.compressRatio(spark, "/root/testdata/sf0.001")
     val rows1 = q1.collect()
     val rows2 = graft.queries.TextQueries.compressRatio(spark, "/root/testdata/sf0.001").collect()
     assert(rows1.nonEmpty)
     assert(rows1.sameElements(rows2), "non-deterministic output")
     rows1.foreach { row =>
-      val ratio = row.getDouble(1)
-      assert(ratio > 0.0 && ratio < 1.5)
-      assert(row.getLong(2) == (if (ratio < 0.35) 1L else 0L))
+      assert(row.getLong(1) > 0L, "raw_len")
+      assert(row.getLong(2) == 1L, s"deflate invariant violated for ${row.get(0)}")
     }
+  }
+
+  test("repetitive verdict via the Column API ranks templated text low") {
+    val df = Seq((1L, "spam " * 400), (2L, "the quick brown fox " * 2))
+      .toDF("id", "text")
+      .select($"id", Compress.deflateRatio($"text").as("ratio"))
+      .select($"id", $"ratio", ($"ratio" < 0.35).cast("long").as("repetitive"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(df(1L) == 1L)
   }
 }
