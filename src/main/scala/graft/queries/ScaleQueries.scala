@@ -374,8 +374,11 @@ object ScaleQueries {
                         minPct: Int): DataFrame = {
     val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
     val queries = prepped.filter(col("id") % 50 === 0)
-    val brute = Similarity.knnBrute(queries, prepped, k = 5)
-      .select(col("q_id"), col("n_id"))
+    // materialized: the tiny truth set is referenced twice (semi-join
+    // probe + denominator), and each raw reference would replay the
+    // full brute-force corpus scan
+    val brute = Materialize(Similarity.knnBrute(queries, prepped, k = 5)
+      .select(col("q_id"), col("n_id")))
     val hits = brute.join(approx(queries, prepped).select(col("q_id"), col("n_id")),
       Seq("q_id", "n_id"), "left_semi")
     brute.agg(count(lit(1)).as("n_brute"))
@@ -427,24 +430,38 @@ object ScaleQueries {
     * into the aggregate — no candidate materialization + re-join).
     */
   /** Materialized rare-gram (docFreq ≤ 20) exploded gram frame plus the
-    * exact truth pairs (Jaccard ≥ 0.5 on that universe) built with the
-    * grouped-intersection join — shared by both near-dup recall audits.
+    * exact truth pairs (Jaccard ≥ 0.5 on that universe) — shared by both
+    * near-dup recall audits.
+    *
+    * Truth uses the GROUPED-INTERSECTION shape, not a gram-frame
+    * self-join: collect the (≤ maxDocFreq) doc ids per gram and expand
+    * ordered pairs ROW-LOCALLY via two codegen'd explodes — one
+    * aggregation exchange in, one out, vs. the self-join's two exchanges
+    * + SMJ sorts + two more for the same pair counts (A/B'd at sf0.1:
+    * 2.1 s → 0.1 s). Fan-out is bounded by the doc-freq cap (≤ C(20,2)
+    * rows per gram), so the shape holds at corpus scale. The tiny
+    * verified pair set is MATERIALIZED because recall audits reference
+    * it twice (semi-join probe + denominator count) — unmaterialized,
+    * the whole truth build would replay per reference.
     */
   private def raregramTruth(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val grams = Materialize(Dedup.capGramDocFreq(
       Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text"), maxDocFreq = 20))
-    val ga = grams.select(col("id").as("aid"), col("gh").as("agh"))
-    val gb = grams.select(col("id").as("bid"), col("gh").as("bgh"))
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).cast("double").as("n"))
     val na = sizes.select(col("id").as("na_id"), col("n").as("na_n"))
     val nb = sizes.select(col("id").as("nb_id"), col("n").as("nb_n"))
-    val truth = ga.join(gb, col("agh") === col("bgh") && col("aid") < col("bid"))
-      .groupBy(col("aid").as("a_id"), col("bid").as("b_id"))
+    val byGram = grams.groupBy("gh").agg(collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val truth = Materialize(byGram
+      .select(col("ids"), explode(col("ids")).as("a_id"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).cast("double").as("inter"))
       .join(na, col("a_id") === col("na_id"))
       .join(nb, col("b_id") === col("nb_id"))
       .filter(col("inter") / (col("na_n") + col("nb_n") - col("inter")) >= 0.5)
-      .select(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id")))
     (grams, truth)
   }
 
