@@ -235,22 +235,38 @@ object Dedup {
   def simhash64(tokens: Column): Column =
     simhashFromHashes(transform(tokens, t => xxhash64(t)))
 
-  /** SimHash signatures via explode + 64 grouped bit-vote sums — the
-    * codegen'd sibling of [[simhashFromHashes]] (same interpreted-HOF
-    * rationale as [[minhashSignatures]]).
+  /** SimHash signatures via explode + LANE-PACKED grouped bit-vote sums
+    * — the codegen'd sibling of [[simhashFromHashes]] (same
+    * interpreted-HOF rationale as [[minhashSignatures]]).
+    *
+    * Votes are packed 4-per-long in 16-bit lanes: accumulator j sums
+    * bits 4j..4j+3 of each token hash shifted into disjoint lanes, so
+    * the aggregation carries 16 longs + a count instead of 64
+    * conditional ±1 sums (4× smaller agg buffer, no branches in the
+    * update path — pure shift/mask/add, all inside whole-stage
+    * codegen). Lanes can't overflow below 65 536 tokens per doc, far
+    * above any real document; bit i of the signature is set iff
+    * 2·ones_i > n — identical tie behavior to the ±1-vote form
+    * (sum > 0 ⟺ ones > n/2).
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"),
         explode(TextAnalysis.wordTokens(col(textCol))).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("h"))
-    val aggs = (0 until 64).map { i =>
-      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+    val laneAggs = (0 until 16).map { j =>
+      val packed = (0 until 4).map { k =>
+        shiftrightunsigned(col("h"), 4 * j + k).bitwiseAND(lit(1L)) * lit(1L << (16 * k))
+      }.reduce(_ + _)
+      sum(packed).as(s"acc$j")
     }
+    val aggs = laneAggs :+ count(lit(1)).as("n")
     exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sim"))
+        (for { j <- 0 until 16; k <- 0 until 4 } yield {
+          val ones = shiftrightunsigned(col(s"acc$j"), 16 * k).bitwiseAND(lit(0xFFFFL))
+          when(ones * 2 > col("n"), lit(1L << (4 * j + k))).otherwise(lit(0L))
+        }).reduce(_ + _).as("sim"))
   }
 
   /** SimHash near-dup pairs: pigeonhole on four 16-bit bands (hamming ≤ 3

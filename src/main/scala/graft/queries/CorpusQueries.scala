@@ -142,9 +142,13 @@ object CorpusQueries {
     // all read the gram frame (same rationale as dedup_ngram)
     val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text", n = 3))
     val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val ranked = grams.join(dfreq, "gh").join(sizes, "id")
+    // sz rides the SAME id-partitioned window as the rank — one
+    // exchange AND one sort serve both (the unordered count window,
+    // placed after, reuses the rank window's (id, df, gh) sort),
+    // replacing a separate sizes join here
+    val ranked = grams.join(dfreq, "gh")
       .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("df", "gh")))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
     // prefix length |x| - ceil(0.5|x|) + 1 = |x| div 2 + 1, exact in
     // integer arithmetic on both engines
     // materialized: the candidate self-join references the prefix frame
@@ -240,8 +244,13 @@ object CorpusQueries {
     val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text", n = 3))
     val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val ranked = grams.join(dfreq, "gh").join(sizes, "id")
+    // sz rides the SAME id-partitioned window as the rank — one
+    // exchange AND one sort serve both (the unordered count window,
+    // placed after, reuses the rank window's (id, df, gh) sort),
+    // replacing a separate sizes join here
+    val ranked = grams.join(dfreq, "gh")
       .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("df", "gh")))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
     val prefix = ranked
       .filter(col("rk") <= expr(s"sz - ($ContainNum * sz + $ContainNum) div $ContainDen + 1"))
       .select(col("id").as("a_id"), col("gh").as("agh"), col("sz").as("asz"))
