@@ -163,4 +163,35 @@ class ExperimentQueriesSpec extends AnyFunSuite {
       .select("rel_lift", "z").as[(Double, Double)].head()
     assert(out2._1 > 0.3 && out2._2 > 1.96)
   }
+
+  test("ab_lift degenerate: a single-event arm yields defined means and a " +
+       "NULL z, never NaN/Inf from the n-1 division") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def armOf(u: Long): String = {
+      val hex = md.digest(u.toString.getBytes).map("%02x".format(_)).mkString.take(8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
+    }
+    val aOne = (1L to 200L).filter(armOf(_) == "A").take(1)
+    val bs = (1L to 200L).filter(armOf(_) == "B").take(5)
+    val rows = (aOne.map((_, 3.0)) ++ bs.zipWithIndex.map { case (u, i) =>
+      (u, 1.0 + i) }).zipWithIndex.map {
+      case ((u, v), i) => (i.toLong, 1000000L + i, u, "e", v) }
+    val row = ExperimentQueries.abLift(spark, eventsDir(rows))
+      .select("na", "mean_a", "mean_b", "z").head()
+    assert(row.getLong(0) == 1L)
+    assert(!row.isNullAt(1) && !row.isNullAt(2)) // means stay defined
+    assert(row.isNullAt(3), "z must be NULL, not NaN/Inf")
+  }
+
+  test("psi_drift degenerate: all-equal values produce defined zero terms " +
+       "instead of a zero-width-bin division") {
+    val day = 86400L * 1000000000L
+    val rows =
+      (0 until 10).map(i => (i.toLong, 1 * day + i, 1L, "e", 7.0)) ++
+      (0 until 10).map(i => (100L + i, 2 * day + i, 1L, "e", 7.0))
+    val out = ExperimentQueries.psiDrift(spark, eventsDir(rows))
+      .select("psi_term").as[Double].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(v => !v.isNaN && !v.isInfinite && math.abs(v) < 1e-9))
+  }
 }
