@@ -142,13 +142,14 @@ object CorpusQueries {
     // all read the gram frame (same rationale as dedup_ngram)
     val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text", n = 3))
     val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
-    // sz rides the SAME id-partitioned window as the rank — one
-    // exchange AND one sort serve both (the unordered count window,
-    // placed after, reuses the rank window's (id, df, gh) sort),
-    // replacing a separate sizes join here
-    val ranked = grams.join(dfreq, "gh")
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    // sizes join, NOT a count window: A/B'd at sf0.1 under bench
+    // methodology — an unbounded-frame count window over the gram frame
+    // buffers every id-partition in WindowExec and costs more than the
+    // tiny aggregate + broadcast join it would replace (2.8 s -> 4.2 s
+    // regression when tried in round 7)
+    val ranked = grams.join(dfreq, "gh").join(sizes, "id")
       .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("df", "gh")))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
     // prefix length |x| - ceil(0.5|x|) + 1 = |x| div 2 + 1, exact in
     // integer arithmetic on both engines
     // materialized: the candidate self-join references the prefix frame
@@ -244,13 +245,13 @@ object CorpusQueries {
     val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text", n = 3))
     val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    // sz rides the SAME id-partitioned window as the rank — one
-    // exchange AND one sort serve both (the unordered count window,
-    // placed after, reuses the rank window's (id, df, gh) sort),
-    // replacing a separate sizes join here
-    val ranked = grams.join(dfreq, "gh")
+    // sizes join, NOT a count window: A/B'd at sf0.1 under bench
+    // methodology — an unbounded-frame count window over the gram frame
+    // buffers every id-partition in WindowExec and costs more than the
+    // tiny aggregate + broadcast join it would replace (2.8 s -> 4.2 s
+    // regression when tried in round 7)
+    val ranked = grams.join(dfreq, "gh").join(sizes, "id")
       .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("df", "gh")))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
     val prefix = ranked
       .filter(col("rk") <= expr(s"sz - ($ContainNum * sz + $ContainNum) div $ContainDen + 1"))
       .select(col("id").as("a_id"), col("gh").as("agh"), col("sz").as("asz"))

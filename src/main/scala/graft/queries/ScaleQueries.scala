@@ -374,11 +374,13 @@ object ScaleQueries {
                         minPct: Int): DataFrame = {
     val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
     val queries = prepped.filter(col("id") % 50 === 0)
-    // materialized: the tiny truth set is referenced twice (semi-join
-    // probe + denominator), and each raw reference would replay the
-    // full brute-force corpus scan
-    val brute = Materialize(Similarity.knnBrute(queries, prepped, k = 5)
-      .select(col("q_id"), col("n_id")))
+    // NOT materialized: the brute subtree is referenced twice (probe +
+    // denominator), but it is a broadcast-query map-only scan whose
+    // exchange stages AQE reuses within the one job — bench-methodology
+    // A/B at sf0.1 showed eager checkpointing serializes the DAG for
+    // no gain (within the ±0.5 s noise band, trending worse)
+    val brute = Similarity.knnBrute(queries, prepped, k = 5)
+      .select(col("q_id"), col("n_id"))
     val hits = brute.join(approx(queries, prepped).select(col("q_id"), col("n_id")),
       Seq("q_id", "n_id"), "left_semi")
     brute.agg(count(lit(1)).as("n_brute"))
