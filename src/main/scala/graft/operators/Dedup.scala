@@ -239,33 +239,37 @@ object Dedup {
     * — the codegen'd sibling of [[simhashFromHashes]] (same
     * interpreted-HOF rationale as [[minhashSignatures]]).
     *
-    * Votes are packed 4-per-long in 16-bit lanes: accumulator j sums
-    * bits 4j..4j+3 of each token hash shifted into disjoint lanes, so
-    * the aggregation carries 16 longs + a count instead of 64
-    * conditional ±1 sums (4× smaller agg buffer, no branches in the
+    * Votes are packed 2-per-long in 32-bit lanes: accumulator j sums
+    * bits 2j and 2j+1 of each token hash shifted into disjoint lanes,
+    * so the aggregation carries 32 longs + a count instead of 64
+    * conditional ±1 sums (2× smaller agg buffer, no branches in the
     * update path — pure shift/mask/add, all inside whole-stage
-    * codegen). Lanes can't overflow below 65 536 tokens per doc, far
-    * above any real document; bit i of the signature is set iff
-    * 2·ones_i > n — identical tie behavior to the ±1-vote form
-    * (sum > 0 ⟺ ones > n/2).
+    * codegen). 32-bit lanes rather than 4×16: under Spark 4's default
+    * ANSI mode a signed-long sum that crosses 2⁶³ THROWS, and a 16-bit
+    * top lane at offset 48 crosses it at 32 768 set bits — real
+    * documents can exceed that; with the top lane at offset 32 the
+    * accumulator stays below 2⁶³ for any doc under 2³¹ tokens, and
+    * lanes can't carry into each other either. Bit i of the signature
+    * is set iff 2·ones_i > n — identical tie behavior to the ±1-vote
+    * form (sum > 0 ⟺ ones > n/2).
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"),
         explode(TextAnalysis.wordTokens(col(textCol))).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("h"))
-    val laneAggs = (0 until 16).map { j =>
-      val packed = (0 until 4).map { k =>
-        shiftrightunsigned(col("h"), 4 * j + k).bitwiseAND(lit(1L)) * lit(1L << (16 * k))
-      }.reduce(_ + _)
+    val laneAggs = (0 until 32).map { j =>
+      val packed =
+        shiftrightunsigned(col("h"), 2 * j).bitwiseAND(lit(1L)) +
+        shiftrightunsigned(col("h"), 2 * j + 1).bitwiseAND(lit(1L)) * lit(1L << 32)
       sum(packed).as(s"acc$j")
     }
     val aggs = laneAggs :+ count(lit(1)).as("n")
     exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
-        (for { j <- 0 until 16; k <- 0 until 4 } yield {
-          val ones = shiftrightunsigned(col(s"acc$j"), 16 * k).bitwiseAND(lit(0xFFFFL))
-          when(ones * 2 > col("n"), lit(1L << (4 * j + k))).otherwise(lit(0L))
+        (for { j <- 0 until 32; k <- 0 until 2 } yield {
+          val ones = shiftrightunsigned(col(s"acc$j"), 32 * k).bitwiseAND(lit(0xFFFFFFFFL))
+          when(ones * 2 > col("n"), lit(1L << (2 * j + k))).otherwise(lit(0L))
         }).reduce(_ + _).as("sim"))
   }
 

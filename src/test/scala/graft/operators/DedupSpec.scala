@@ -87,6 +87,20 @@ class DedupSpec extends AnyFunSuite {
     assert(viaAgg == viaCol)
   }
 
+  test("packed simhash survives a 70k-token document under ANSI mode") {
+    // regression: with 16-bit lanes the top accumulator (offset 48)
+    // crosses 2^63 at 32 768 set bits and ANSI sum() THROWS; 32-bit
+    // lanes stay below 2^63 for any doc under 2^31 tokens
+    val giant = (0 until 70000).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, giant)).toDF("doc_id", "text")
+    val viaAgg = Dedup.simhashSignatures(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val viaCol = df.select(col("doc_id"),
+      Dedup.simhash64(TextAnalysis.wordTokens(col("text"))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaAgg == viaCol)
+  }
+
   test("minhash candidate generation is a bucket equi-join, not a cross join") {
     val plan = Dedup.minhashCandidates(corpus, "doc_id", "text")
       .queryExecution.executedPlan.toString
