@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 
 /** Monitoring/experimentation operators: day-over-day distribution
@@ -149,11 +150,14 @@ object ExperimentQueries {
     */
   def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    // rank-weighted sum in DECIMAL(38,0) (HUGEINT in the oracle):
+    // Σ r·x grows ~ n²·x/2 per source, which crosses 2⁶³ near a billion
+    // docs — a long sum would THROW under Spark 4's default ANSI mode
     docs(spark, dir)
       .withColumn("r", row_number().over(w).cast("long"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("s"),
-        sum(col("r") * col("n_chars")).as("rx"))
+        sum(col("r").cast(DecimalType(38, 0)) * col("n_chars")).as("rx"))
       .select(col("source"), col("n_docs"),
         round((lit(2) * col("rx") - (col("n_docs") + lit(1)) * col("s")).cast("double") /
           (col("n_docs") * col("s")).cast("double"), 6).as("gini"))
@@ -166,7 +170,7 @@ object ExperimentQueries {
         cast(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS r
       FROM documents)
     SELECT source, count(*) AS n_docs,
-      round(CAST(2 * sum(r * n_chars) - (count(*) + 1) * sum(n_chars) AS DOUBLE)
+      round(CAST(2 * sum(cast(r AS HUGEINT) * n_chars) - (count(*) + 1) * sum(n_chars) AS DOUBLE)
         / CAST(count(*) * sum(n_chars) AS DOUBLE), 6) AS gini
     FROM ranked GROUP BY source ORDER BY source"""
 
@@ -394,12 +398,15 @@ object ExperimentQueries {
       .withColumn("hi", sum("c").over(
         Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("lo", col("hi") - col("c") + 1)
+    // rank sums in DECIMAL(38,0) (HUGEINT in the oracle): Σ pos·(lo+hi)
+    // and np·(np+1) grow quadratically in row count and cross 2⁶³ at
+    // cluster-scale corpora — long sums would THROW under ANSI mode
     hist.agg(
-        sum(col("pos") * (col("lo") + col("hi"))).as("rsum2"),
+        sum(col("pos").cast(DecimalType(38, 0)) * (col("lo") + col("hi"))).as("rsum2"),
         sum("pos").as("np"), sum(col("c") - col("pos")).as("nn"))
       .select(col("np").as("n_pos"), col("nn").as("n_neg"),
-        round((col("rsum2") - col("np") * (col("np") + 1)).cast("double") /
-          (lit(2) * col("np") * col("nn")).cast("double"), 6).as("auc"))
+        round((col("rsum2") - col("np").cast(DecimalType(38, 0)) * (col("np") + 1)).cast("double") /
+          (lit(2) * col("np").cast(DecimalType(38, 0)) * col("nn")).cast("double"), 6).as("auc"))
   }
 
   val aucScoreSql: String = """
@@ -414,8 +421,9 @@ object ExperimentQueries {
       FROM hist)
     SELECT cast(sum(pos) AS BIGINT) AS n_pos,
       cast(sum(c - pos) AS BIGINT) AS n_neg,
-      round(CAST(sum(pos * ((hi - c + 1) + hi)) - sum(pos) * (sum(pos) + 1) AS DOUBLE)
-        / CAST(2 * sum(pos) * sum(c - pos) AS DOUBLE), 6) AS auc
+      round(CAST(sum(cast(pos AS HUGEINT) * ((hi - c + 1) + hi))
+                 - cast(sum(pos) AS HUGEINT) * (sum(pos) + 1) AS DOUBLE)
+        / CAST(2 * cast(sum(pos) AS HUGEINT) * sum(c - pos) AS DOUBLE), 6) AS auc
     FROM cum"""
 
   // ------------------------------------------------------------ KS test
