@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{DupClusters, Materialize, TextAnalysis, ZOrder}
@@ -200,14 +201,20 @@ object InsightQueries {
       .select(col("event_type"), expr("ts_us div 3600000000").as("hr"))
       .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("event_type").orderBy("hr").rangeBetween(-23, 0)
+    // count products in DECIMAL(38,0) (HUGEINT in the oracle): the
+    // z-test cross-multiplication grows with the square of the hourly
+    // count and crosses 2⁶³ near 6e7 events/hour·type — a long product
+    // would THROW under Spark 4's default ANSI mode at cluster scale
+    val dec: Column => Column = _.cast(DecimalType(38, 0))
+    val dev = dec(col("nw")) * dec(col("n")) - dec(col("s"))
     hourly
       .withColumn("nw", count(lit(1)).over(w))
       .withColumn("s", sum("n").over(w))
-      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .withColumn("s2", sum(dec(col("n")) * dec(col("n"))).over(w))
       .select(col("event_type"), col("hr"), col("n"), col("nw"),
         when(col("nw") >= 12 &&
-          (col("nw") * col("n") - col("s")) * (col("nw") * col("n") - col("s")) >
-            lit(9L) * (col("nw") * col("s2") - col("s") * col("s")), 1L)
+          dev * dev >
+            lit(9L) * (dec(col("nw")) * col("s2") - dec(col("s")) * dec(col("s"))), 1L)
           .otherwise(0L).as("is_anomaly"))
       .orderBy("event_type", "hr")
   }
@@ -221,13 +228,14 @@ object InsightQueries {
       SELECT event_type, hr, n,
         count(*) OVER tw AS nw,
         sum(n) OVER tw AS s,
-        sum(n * n) OVER tw AS s2
+        sum(cast(n AS HUGEINT) * n) OVER tw AS s2
       FROM hourly
       WINDOW tw AS (PARTITION BY event_type ORDER BY hr
                     RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
     SELECT event_type, hr, n, nw,
       cast(CASE WHEN nw >= 12 AND
-                     (nw * n - s) * (nw * n - s) > 9 * (nw * s2 - s * s)
+                     (cast(nw AS HUGEINT) * n - s) * (cast(nw AS HUGEINT) * n - s)
+                       > 9 * (cast(nw AS HUGEINT) * s2 - cast(s AS HUGEINT) * s)
                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
     FROM win
     ORDER BY event_type, hr"""

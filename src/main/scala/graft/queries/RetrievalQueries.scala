@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis
@@ -254,11 +255,16 @@ object RetrievalQueries {
     val en = toks(d.filter(col("lang") === "en"))
       .groupBy("term").agg(count(lit(1)).as("ne"))
     val enTotal = en.agg(sum("ne").as("te"))
+    // likelihood-ratio factors in DECIMAL(38,0) (HUGEINT in the
+    // oracle): (ne+1)·(ta+v) multiplies two token totals and crosses
+    // 2⁶³ on a ~10¹³-token corpus — a long product would THROW under
+    // Spark 4's default ANSI mode at cluster scale
+    val dec: Column => Column = _.cast(DecimalType(38, 0))
     val lm = all.join(broadcast(en), Seq("term"), "left")
       .crossJoin(broadcast(allStats)).crossJoin(broadcast(enTotal))
       .select(col("term"), log(
-        ((coalesce(col("ne"), lit(0L)) + lit(1L)) * (col("ta") + col("v"))).cast("double") /
-        ((col("na") + lit(1L)) * (col("te") + col("v"))).cast("double")).as("r"))
+        (dec(coalesce(col("ne"), lit(0L)) + lit(1L)) * dec(col("ta") + col("v"))).cast("double") /
+        (dec(col("na") + lit(1L)) * dec(col("te") + col("v"))).cast("double")).as("r"))
     t.join(broadcast(lm), "term")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("s"))
@@ -282,8 +288,8 @@ object RetrievalQueries {
     en_total AS (SELECT sum(ne) AS te FROM en_lm),
     lm AS (
       SELECT a.term,
-        ln(CAST((coalesce(e.ne, 0) + 1) * (s.ta + s.v) AS DOUBLE) /
-           CAST((a.na + 1) * (t.te + s.v) AS DOUBLE)) AS r
+        ln(CAST(cast(coalesce(e.ne, 0) + 1 AS HUGEINT) * (s.ta + s.v) AS DOUBLE) /
+           CAST(cast(a.na + 1 AS HUGEINT) * (t.te + s.v) AS DOUBLE)) AS r
       FROM all_lm a LEFT JOIN en_lm e USING (term)
       CROSS JOIN all_stats s CROSS JOIN en_total t)
     SELECT t.doc_id, d.lang, count(*) AS n_tokens,
