@@ -83,4 +83,44 @@ class StreamingNearDupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fingerprint ring survives a query RESTART from the checkpoint: a " +
+       "copy of a pre-restart admission is still dropped") {
+    import spark.implicits._
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = Files.createTempDirectory("neardup2")
+    val ck = Files.createTempDirectory("ndck2").toString
+    val out = Files.createTempDirectory("ndout2").toString
+
+    // parquet sink: the memory sink refuses checkpoint recovery
+    def runOnce(): Unit = {
+      val raw = spark.readStream.schema("source STRING, doc_id LONG, text STRING")
+        .csv(dir.toString)
+      val q = StreamingNearDup(raw.toDF(), maxHamming = 3, ringCapacity = 1024)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      Files.writeString(dir.resolve("b1.csv"), csvLine("web", 1, base))
+      runOnce() // first query instance admits the original, then DIES
+
+      Files.writeString(dir.resolve("b2.csv"),
+        csvLine("web", 2, nearCopy) + csvLine("web", 3, distinct1))
+      runOnce() // NEW query instance, same checkpoint
+      val admitted = spark.read.parquet(out).as[NearDupOut].collect()
+        .map(r => r.doc_id -> r.admitted).toMap
+      // a reset ring would re-admit doc 2; recovery means it is dropped
+      assert(admitted == Map(1L -> true, 2L -> false, 3L -> true))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
