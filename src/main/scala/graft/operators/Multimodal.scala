@@ -150,10 +150,92 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** STUB decode kernel — deterministic fake standing in for the one
-    * codec family the JDK lacks (video), and the fallback for
-    * undecodable image/audio bytes. Replace the body (only) with e.g.
-    * ffmpeg bindings; signature and call-site shape stay identical.
+  /** Real video decode for the UNCOMPRESSED interchange format: Y4M
+    * (YUV4MPEG2 — the mplayer/ffmpeg raw-video standard). The container
+    * is an ASCII parameter line ("YUV4MPEG2 W.. H.. F.. C..\n") followed
+    * by "FRAME\n"-delimited raw planar YUV — no codec involved, so the
+    * JDK alone can read it; only COMPRESSED codecs (H.264 & co.) remain
+    * out of reach and fall back to the stub. Returns (width, height,
+    * frames, features) with features = the 8-segment temporal mean-luma
+    * envelope in [0,1] — the cheap fingerprint that catches black clips,
+    * static slates and hard cuts. Supports C420* (incl. jpeg/paldv/
+    * mpeg2 taggings), C422, C444 and Cmono plane layouts; None on
+    * anything else (caller falls back to the stub).
+    */
+  private[operators] def decodeVideo(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+    try {
+      val magic = "YUV4MPEG2 ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      if (payload.length < magic.length ||
+          !java.util.Arrays.equals(payload, 0, magic.length, magic, 0, magic.length))
+        return None
+      val nl = payload.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val header = new String(payload, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+      var w = -1; var h = -1; var cs = "420"
+      header.split(' ').drop(1).foreach { p =>
+        if (p.nonEmpty) p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'C' => cs = p.substring(1)
+          case _   => () // F/I/A/X parameters don't affect plane layout
+        }
+      }
+      if (w <= 0 || h <= 0) return None
+      val ySize = w.toLong * h
+      val cW = (w + 1) / 2
+      val cH = (h + 1) / 2
+      val frameSize: Long =
+        if (cs.startsWith("420")) ySize + 2L * cW * cH
+        else if (cs.startsWith("422")) ySize + 2L * cW * h
+        else if (cs.startsWith("444")) 3L * ySize
+        else if (cs.startsWith("mono")) ySize
+        else return None
+      if (ySize > Int.MaxValue) return None
+      // walk FRAME markers, collecting each frame's mean luma
+      val means = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var pos = nl + 1
+      while (pos < payload.length) {
+        val markerEnd = payload.indexOf('\n'.toByte, pos)
+        if (markerEnd < 0 || markerEnd + 1 + frameSize > payload.length) {
+          // truncated tail: keep the complete frames already parsed
+          if (means.isEmpty) return None else pos = payload.length
+        } else {
+          val marker = new String(payload, pos, markerEnd - pos,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          if (!marker.startsWith("FRAME")) return None
+          var sum = 0L
+          var i = markerEnd + 1
+          val yEnd = markerEnd + 1 + ySize.toInt
+          while (i < yEnd) { sum += payload(i) & 0xFF; i += 1 }
+          means += sum.toDouble / ySize / 255.0
+          pos = markerEnd + 1 + frameSize.toInt
+        }
+      }
+      if (means.isEmpty) None
+      else {
+        val frames = means.length
+        val sums = new Array[Double](8)
+        val counts = new Array[Int](8)
+        var f = 0
+        while (f < frames) {
+          val seg = (f.toLong * 8 / frames).toInt
+          sums(seg) += means(f); counts(seg) += 1
+          f += 1
+        }
+        val feats = new Array[Float](8)
+        var i = 0
+        while (i < 8) {
+          feats(i) = if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat
+          i += 1
+        }
+        Some((w, h, frames, feats))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB decode kernel — deterministic fake standing in for the codec
+    * families the JDK lacks (compressed video), and the fallback for
+    * undecodable image/audio/video bytes. Replace the body (only) with
+    * e.g. ffmpeg bindings; signature and call-site shape stay identical.
     */
   private[operators] def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val len = payload.length
@@ -274,7 +356,10 @@ object Multimodal {
               case Some((rate, ch, fr, fs)) => (rate, ch, fr, fs)
               case None                     => decodeStub(kind, payload)
             }
-            else decodeStub(kind, payload)
+            else decodeVideo(payload) match {
+              case Some((w, h, fr, fs)) => (w, h, fr, fs)
+              case None                 => decodeStub(kind, payload)
+            }
           MediaFeatures(id, kind, payload.length.toLong, w, h, f, feats)
         }
       }

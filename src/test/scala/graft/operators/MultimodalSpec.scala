@@ -174,4 +174,50 @@ class MultimodalSpec extends AnyFunSuite {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L)))
   }
+
+  /** A 6x4 C420 Y4M clip whose per-frame luma is 8·(frame+1). */
+  private def y4mClip(frames: Int, w: Int = 6, h: Int = 4): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    for (f <- 0 until frames) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val y = Array.fill(w * h)((8 * (f + 1)).toByte)
+      val c = Array.fill(((w + 1) / 2) * ((h + 1) / 2))(128.toByte)
+      out.write(y); out.write(c); out.write(c)
+    }
+    out.toByteArray
+  }
+
+  test("video branch decodes a real Y4M clip: dimensions and frame count " +
+       "round-trip, features are the temporal luma envelope") {
+    val clip = y4mClip(frames = 16)
+    val out = Multimodal.decode(
+      Seq((7L, "video", clip)).toDF("doc_id", "kind", "payload")).head()
+    assert(out.width == 6 && out.height == 4 && out.n_frames == 16)
+    assert(out.byte_len == clip.length)
+    // luma rises 8/255 per frame -> the 8-segment envelope is strictly
+    // increasing, and segment 0 averages frames 0-1 = (8+16)/2/255
+    val env = out.features.toSeq
+    assert(env.zip(env.tail).forall { case (a, b) => a < b }, env)
+    assert(math.abs(env.head - 12f / 255f) < 1e-4f)
+    assert(math.abs(env.last - (8 * 15.5f) / 255f) < 1e-4f)
+    // frame sampling now walks REAL frame indices
+    val idx = Multimodal.sampleFrames(Multimodal.decode(
+        Seq((7L, "video", clip)).toDF("doc_id", "kind", "payload")), stride = 5)
+      .select("frame_idx").as[Int].collect().toSeq.sorted
+    assert(idx == Seq(0, 5, 10, 15))
+  }
+
+  test("non-Y4M video bytes fall back to the deterministic stub; a " +
+       "truncated Y4M keeps its complete frames") {
+    val stub = Multimodal.decode(
+      Seq((8L, "video", "not a clip".getBytes("UTF-8")))
+        .toDF("doc_id", "kind", "payload")).head()
+    assert(stub.width >= 16 && stub.features.length == 8)
+    val full = y4mClip(frames = 4)
+    val cut = java.util.Arrays.copyOf(full, full.length - 7) // cuts frame 4
+    val out = Multimodal.decode(
+      Seq((9L, "video", cut)).toDF("doc_id", "kind", "payload")).head()
+    assert(out.n_frames == 3 && out.width == 6)
+  }
 }
