@@ -11,8 +11,9 @@ import graft.functions.{DeAccent, DotProduct}
   *   - `spark.sql.extensions=graft.GraftExtensions` at session build, or
   *   - [[Graft.register]] on an already-running session.
   *
-  * Only `deaccent` and `dot_product` exist as custom expressions — every
-  * other operator composes from Spark built-ins by design (SURVEY.md §7.3).
+  * Only `deaccent`, `dot_product`, `ngram_hash` and the deflate pair
+  * exist as custom expressions — every other operator composes from
+  * Spark built-ins by design (SURVEY.md §7.3).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -56,7 +57,11 @@ object Graft {
         } else throw new IllegalArgumentException(
           "ngram_hash: n must be a foldable INT literal")
         graft.functions.NgramHash(exprs(0), exprs(1), n)
-      })))
+      })),
+    ("deflate_ratio", "deflate_ratio(str) - zlib compressibility ratio of the UTF-8 bytes (lower = more redundant)",
+      arity("deflate_ratio", 1)(exprs => graft.functions.DeflateRatio(exprs.head))),
+    ("deflate_len", "deflate_len(str) - deflated byte count of the UTF-8 bytes",
+      arity("deflate_len", 1)(exprs => graft.functions.DeflateLen(exprs.head))))
 
   /** Register the custom functions on a live session's registry —
     * scalar expressions plus the typed aggregator surface

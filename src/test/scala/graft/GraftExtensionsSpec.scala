@@ -39,6 +39,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("foldable"), e.getMessage)
   }
 
+  test("deflate pair is callable from SQL: ratio matches len/octets, " +
+       "repetition scores below noise") {
+    Graft.register(spark)
+    val row = spark.sql(
+      "SELECT deflate_ratio(repeat('spam ', 200)) AS rep, " +
+      "deflate_ratio('the quick brown fox') AS nat, " +
+      "deflate_len(repeat('spam ', 200)) AS dl").head()
+    assert(row.getDouble(0) < 0.05)
+    assert(row.getDouble(0) < row.getDouble(1))
+    assert(math.abs(row.getDouble(0) - row.getLong(2).toDouble / 1000) < 1e-9)
+  }
+
   test("weighted_mean UDAF is callable from SQL after register") {
     Graft.register(spark)
     val got = spark.sql(
