@@ -57,6 +57,25 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(math.abs(est - 10000.0) < 2500.0, s"est=$est")
   }
 
+  test("theta_intersect flag holds in the ESTIMATING regime (sources >> k): " +
+       "the variance-derived band absorbs the sampling error a fixed 10% " +
+       "band could trip on") {
+    // 5000 + 5000 texts with a 1000-text true overlap: both sketches are
+    // full (k = 1024), p ≈ 1024/9000, so σ(est) ≈ √(1000·(1/p−1)) ≈ 88 —
+    // the old max(3, 10%·exact) = 100 gate sits at ~1.1σ (coin-flip
+    // across datasets); the 3σ band holds deterministically.
+    val dir = java.nio.file.Files.createTempDirectory("theta-est").toString
+    val rows =
+      (0 until 5000).map(i => (i.toLong, "A", s"document text number $i")) ++
+      (0 until 5000).map(i => (10000L + i, "B", s"document text number ${4000 + i}"))
+    rows.toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.SketchQueries.thetaIntersect(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 1000L, "planted exact overlap")
+    assert(out.head.getLong(3) == 1L, "variance band must hold when full")
+  }
+
   test("theta_intersect query: flag green and exact overlap matches a plain join") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.queries.SketchQueries.thetaIntersect(spark, dir).collect()
