@@ -227,6 +227,22 @@ object CorpusQueries {
   val ContainNum = 4
   val ContainDen = 5
 
+  /** Candidate-generation df cap — same convention (and value) as the
+    * rare-gram Jaccard's `capGramDocFreq(maxDocFreq = 20)`. A gram in
+    * more than this many docs generates NO candidates: without the cap,
+    * one boilerplate gram in a short doc's prefix joins every doc
+    * containing it on the full side — O(df) rows per such doc, quadratic
+    * when boilerplate-heavy short docs are common (the LSH `maxBucket`
+    * failure mode). With it, per-gram candidate fan-out is hard-bounded
+    * at df² ≤ 400 rows no matter the corpus size. The exact-intersection
+    * VERIFY stage still runs on the uncapped gram frame, so surviving
+    * pairs score true containment; only discovery through hot grams is
+    * forgone (a doc whose whole prefix — its RAREST grams — is
+    * boilerplate has no rare signal to match on; exact/minhash dedup
+    * covers the identical-boilerplate case).
+    */
+  val ContainMaxDf = 20
+
   /** Directional containment join: pairs (a, b) where ≥ 80% of a's
     * word-3-gram set appears in b — the asymmetric cousin of the
     * Jaccard join that Jaccard MISSES when |b| ≫ |a| (a quoted reply
@@ -240,9 +256,22 @@ object CorpusQueries {
     * verifies. Same ANY-consistent-tie-order soundness argument as
     * `dedup_prefix`, so the xxhash64-ranked engine and the string-ranked
     * oracle converge on the identical verified pair set.
+    *
+    * The `ContainMaxDf` clamp keeps that argument intact: df is the
+    * PRIMARY sort key, so every rare (df ≤ cap) gram ranks before every
+    * hot one, and the clamped prefix is either (a) the first k rare
+    * grams — any k distinct grams of a still pigeonhole-intersect b for
+    * a true pair, under any tie-order — or (b) ALL of a's rare grams,
+    * which is tie-order-free. Either way the verified pair set is
+    * engine-independent, just over the rare-gram discovery space.
     */
-  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text", n = 3))
+  /** Candidate stage of the containment join, exposed so the spec can
+    * assert the fan-out bound directly on planted boilerplate. Grams
+    * with df > `ContainMaxDf` are excluded from BOTH sides of the
+    * prefix⋈full join (never from the verify stage), hard-bounding the
+    * per-gram join output at df² ≤ ContainMaxDf².
+    */
+  def containmentCandidates(grams: DataFrame): DataFrame = {
     val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
     // sizes join, NOT a count window: A/B'd at sf0.1 under bench
@@ -253,14 +282,21 @@ object CorpusQueries {
     val ranked = grams.join(dfreq, "gh").join(sizes, "id")
       .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("df", "gh")))
     val prefix = ranked
-      .filter(col("rk") <= expr(s"sz - ($ContainNum * sz + $ContainNum) div $ContainDen + 1"))
+      .filter(col("rk") <= expr(s"sz - ($ContainNum * sz + $ContainNum) div $ContainDen + 1") &&
+        col("df") <= ContainMaxDf)
       .select(col("id").as("a_id"), col("gh").as("agh"), col("sz").as("asz"))
-    val full = grams.join(sizes, "id")
+    val full = grams.join(dfreq, "gh").filter(col("df") <= ContainMaxDf).join(sizes, "id")
       .select(col("id").as("b_id"), col("gh").as("bgh"), col("sz").as("bsz"))
-    val cands = prefix.join(full,
+    prefix.join(full,
         col("agh") === col("bgh") && col("a_id") =!= col("b_id") &&
           col("bsz") * ContainDen >= col("asz") * ContainNum)
       .select("a_id", "b_id").distinct()
+  }
+
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text", n = 3))
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val cands = containmentCandidates(grams)
     val ga = grams.select(col("id").as("ga_id"), col("gh").as("ga_gh"))
     val gb = grams.select(col("id").as("gb_id"), col("gh").as("gb_gh"))
     cands
@@ -285,14 +321,17 @@ object CorpusQueries {
     sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
     dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
     ranked AS (
-      SELECT gr.doc_id, gr.g, s.sz,
+      SELECT gr.doc_id, gr.g, s.sz, d.df,
         row_number() OVER (PARTITION BY gr.doc_id ORDER BY d.df, gr.g) AS rk
       FROM grams gr JOIN dfreq d USING (g) JOIN sizes s USING (doc_id)),
     prefix AS (
       SELECT doc_id, g, sz FROM ranked
-      WHERE rk <= sz - ($ContainNum * sz + $ContainNum) // $ContainDen + 1),
+      WHERE rk <= sz - ($ContainNum * sz + $ContainNum) // $ContainDen + 1
+        AND df <= $ContainMaxDf),
     full_g AS (
-      SELECT gr.doc_id, gr.g, s.sz FROM grams gr JOIN sizes s USING (doc_id)),
+      SELECT gr.doc_id, gr.g, s.sz FROM grams gr
+      JOIN dfreq d USING (g) JOIN sizes s USING (doc_id)
+      WHERE d.df <= $ContainMaxDf),
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM prefix a JOIN full_g b

@@ -159,8 +159,12 @@ object ExperimentQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("s"),
         sum(col("r").cast(DecimalType(38, 0)) * col("n_chars")).as("rx"))
       .select(col("source"), col("n_docs"),
-        round((lit(2) * col("rx") - (col("n_docs") + lit(1)) * col("s")).cast("double") /
-          (col("n_docs") * col("s")).cast("double"), 6).as("gini"))
+        // s ≈ n·x̄, so (n+1)·s and n·s are the same n²·x̄ magnitude as rx —
+        // they need the DECIMAL(38,0) lane too, or ANSI throws at ~1e9 docs
+        // while the oracle (HUGEINT sums) sails through
+        round((lit(2) * col("rx") - (col("n_docs") + lit(1)) * col("s").cast(DecimalType(38, 0)))
+          .cast("double") /
+          (col("n_docs") * col("s").cast(DecimalType(38, 0))).cast("double"), 6).as("gini"))
       .orderBy("source")
   }
 

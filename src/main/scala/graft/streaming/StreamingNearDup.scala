@@ -51,17 +51,31 @@ class NearDupProcessor(maxHamming: Int, ringCapacity: Int)
                                timers: TimerValues): Iterator[NearDupOut] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
     ring.get().foreach(buf += _)
-    val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+    // The doc_id-ordered fold (determinism contract above) forces the
+    // key's whole micro-batch through a sort, so per-batch heap is
+    // O(rows-for-this-key) — but only 16 bytes/row: we strip each FpIn
+    // to packed (doc_id, sim) longs before sorting, so a 10M-row
+    // hot-key batch costs ~160 MB transient, not a Seq of case classes
+    // with a String key apiece. State stays bounded at ringCapacity
+    // regardless; cap micro-batch size via source admission
+    // (maxOffsetsPerTrigger / maxFilesPerTrigger) if a single key can
+    // exceed that transient budget.
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sims = scala.collection.mutable.ArrayBuffer.empty[Long]
+    rows.foreach { d => ids += d.doc_id; sims += d.sim }
+    val order = ids.indices.sortBy(ids)
+    val out = order.iterator.map { i =>
+      val sim = sims(i)
       val minH =
         if (buf.isEmpty) 64
-        else buf.iterator.map(s => java.lang.Long.bitCount(s ^ d.sim)).min
+        else buf.iterator.map(s => java.lang.Long.bitCount(s ^ sim)).min
       val admit = minH > maxHamming
       if (admit) {
-        buf += d.sim
+        buf += sim
         if (buf.length > ringCapacity) buf.remove(0, buf.length - ringCapacity)
       }
-      NearDupOut(source, d.doc_id, admit, minH)
-    }
+      NearDupOut(source, ids(i), admit, minH)
+    }.toVector
     ring.put(buf.toArray)
     out.iterator
   }

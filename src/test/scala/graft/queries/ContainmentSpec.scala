@@ -58,6 +58,32 @@ class ContainmentSpec extends AnyFunSuite {
     val dir2 = plantedDir(Seq((1L, a), (2L, b2)))
     assert(CorpusQueries.dedupContainment(spark, dir2).count() == 0)
   }
+
+  test("hot-gram candidate fan-out is clamped: boilerplate-heavy short docs " +
+       "generate ZERO candidates instead of O(df) each, and rare-gram pairs " +
+       "are still found alongside them") {
+    // 120 short docs of PURE shared boilerplate (every gram df = 120 >
+    // ContainMaxDf = 20). Pre-clamp, each doc's prefix gram joined all
+    // 119 others: ~120·119 candidate rows. Post-clamp: zero.
+    val boiler = (1 to 8).map(i => s"hot$i").mkString(" ")
+    val hotDocs = (100L to 219L).map(id => (id, boiler))
+    // plus one genuine rare-gram containment pair riding alongside
+    val para = (1 to 12).map(i => s"p$i").mkString(" ")
+    val wrapper = (1 to 40).map(i => s"w$i").mkString(" ") + " " + para
+    val dir = plantedDir(hotDocs ++ Seq((1L, para), (2L, wrapper)))
+
+    val grams = graft.operators.Dedup.explodedNgrams(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3)
+    val cands = CorpusQueries.containmentCandidates(grams)
+      .as[(Long, Long)].collect().toList
+    // the quadratic boilerplate block contributes nothing...
+    assert(!cands.exists { case (x, y) => x >= 100L || y >= 100L })
+    // ...while rare-gram discovery still surfaces the true pair
+    assert(cands.contains((1L, 2L)))
+    val pairs = CorpusQueries.dedupContainment(spark, dir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toList
+    assert(pairs == List((1L, 2L)))
+  }
 }
 
 /** The sketch algebra behind `source_minhash`: group-level signatures
