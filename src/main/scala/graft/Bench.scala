@@ -50,7 +50,11 @@ object Bench {
       // min of the two clean runs; any failure poisons the query to -1
       name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness captures a bounded prefix of this line: emit times
+    // rounded to ms and sorted slowest-first so the visible prefix
+    // always carries the queries that matter for regression tracking.
+    val qs = results.toSeq.sortBy { case (_, v) => -v }
+      .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

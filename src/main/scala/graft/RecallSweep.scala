@@ -1,0 +1,42 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Dev sweep: measured ANN recall (vs brute-force top-5) across IVF
+  * probe configurations, at each SF dir given. Used to pick the floors
+  * the `knn_*_recall` tolerance oracles assert — the floors in
+  * ScaleQueries must be below every number this prints.
+  */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dirs = if (args.nonEmpty) args.toSeq
+               else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    for (dir <- dirs) {
+      val prepped = Similarity.prep(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      val queries = prepped.filter(col("id") % 50 === 0)
+      val brute = Similarity.knnBrute(queries, prepped, k = 5)
+        .select(col("q_id"), col("n_id")).cache()
+      val nBrute = brute.count()
+      def recall(name: String, approx: org.apache.spark.sql.DataFrame): Unit = {
+        val hit = brute.join(approx.select(col("q_id"), col("n_id")),
+          Seq("q_id", "n_id"), "left_semi").count()
+        println(f"$dir $name recall=${hit * 100.0 / nBrute}%.1f%% ($hit/$nBrute)")
+      }
+      for (nc <- Seq(16, 32); iters <- Seq(1); nProbe <- Seq(4, 6, 8, 10, 12, 16, 20)
+           if nProbe <= nc) {
+        val cent = Some(Similarity.kmeansCentroids(prepped, k = nc, iters = iters))
+        recall(s"ivf(nc=$nc,iters=$iters,nProbe=$nProbe)",
+          Similarity.knnIvf(queries, prepped, k = 5, nCentroids = nc,
+            nProbe = nProbe, centroids = cent))
+      }
+      brute.unpersist()
+    }
+    spark.stop()
+  }
+}

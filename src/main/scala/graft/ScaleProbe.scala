@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness for the 10× scale probe (SCALING.md): builds an sf1-size
+  * corpus by replicating the sf0.1 tables 10× with disjoint key spaces,
+  * then times the top bench queries at sf0.1 and sf1 and prints the
+  * scaling ratios.
+  *
+  * Replication design: each replica's keys are offset (disjoint docs /
+  * orders / parts) and every document token carries a per-replica
+  * suffix, so replicas share NO grams — the gram/candidate structure of
+  * each replica matches sf0.1 exactly and the ideal runtime curve is
+  * linear in bytes. A probe ratio well above ~10× therefore isolates a
+  * super-linear operator, not a workload-shape artifact. Writes only
+  * under target/ (never committed, never touching /root/testdata).
+  */
+object ScaleProbe {
+  val Queries = Seq("pagerank", "minhash_recall", "dedup_contain",
+    "dup_clusters", "dedup_ngram")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.sources.Tables.NanosFlag, "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val out = "target/scaledata/sf1"
+
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val reps = spark.range(0, 10).select(col("id").as("rep"))
+      def replicate(table: String, tf: DataFrame => DataFrame): Unit =
+        tf(spark.read.parquet(s"$src/$table.parquet").crossJoin(reps))
+          .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      replicate("documents", df => df.select(
+        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1r"), col("rep").cast("string")))).as("text"),
+        col("lang"), col("source"),
+        length(when(col("rep") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1r"), col("rep").cast("string"))))).cast("long").as("n_chars")))
+      replicate("lineitem", df => df
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * 1000000000L)
+        .withColumn("l_partkey", col("l_partkey") + col("rep") * 10000000L)
+        .drop("rep"))
+      replicate("part", df => df
+        .withColumn("p_partkey", col("p_partkey") + col("rep") * 10000000L)
+        .drop("rep"))
+      println("GENERATED sf1 corpus")
+    }
+
+    def timeQ(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      fn(spark, dir).count() // warm: codegen + page cache for this shape
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
+    }
+    for (q <- Queries) {
+      val t01 = timeQ(q, src)
+      val t1 = timeQ(q, out)
+      println(f"PROBE $q sf0.1=$t01%.2f s sf1=$t1%.2f s ratio=${t1 / t01}%.1f")
+    }
+    spark.stop()
+  }
+}

@@ -21,8 +21,10 @@ final case class MediaFeatures(
   * The AUDIO branch is real too: JDK-only `javax.sound.sampled`
   * (WAV/AIFF/AU containers, PCM payloads) yields the true sample rate,
   * channel count and frame count plus an 8-segment RMS envelope.
-  * VIDEO stays stubbed (genuinely no codec in the JDK); its fake is
-  * deterministic on the payload bytes, and the kernel is swappable for a
+  * The VIDEO branch is real for uncompressed Y4M (header + raw planar
+  * YUV) and for animated GIF (the one compressed container the JDK
+  * fully decodes); only the remaining compressed codecs (H.264 & co.)
+  * fall to the deterministic stub, whose kernel is swappable for a
   * JNI/ffmpeg codec in production with an identical call-site shape.
   */
 object Multimodal {
@@ -212,24 +214,83 @@ object Multimodal {
         }
       }
       if (means.isEmpty) None
-      else {
-        val frames = means.length
-        val sums = new Array[Double](8)
-        val counts = new Array[Int](8)
-        var f = 0
-        while (f < frames) {
-          val seg = (f.toLong * 8 / frames).toInt
-          sums(seg) += means(f); counts(seg) += 1
-          f += 1
-        }
-        val feats = new Array[Float](8)
-        var i = 0
-        while (i < 8) {
-          feats(i) = if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat
-          i += 1
-        }
-        Some((w, h, frames, feats))
-      }
+      else Some((w, h, means.length, lumaEnvelope(means.toArray)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 8-segment temporal envelope of a per-frame mean-luma series — the
+    * common video fingerprint fold (Y4M and animated GIF share it).
+    */
+  private def lumaEnvelope(means: Array[Double]): Array[Float] = {
+    val frames = means.length
+    val sums = new Array[Double](8)
+    val counts = new Array[Int](8)
+    var f = 0
+    while (f < frames) {
+      val seg = (f.toLong * 8 / frames).toInt
+      sums(seg) += means(f); counts(seg) += 1
+      f += 1
+    }
+    val feats = new Array[Float](8)
+    var i = 0
+    while (i < 8) {
+      feats(i) = if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat
+      i += 1
+    }
+    feats
+  }
+
+  /** Real multi-frame decode for animated GIF via the JDK's ImageIO GIF
+    * reader (`getNumImages`/`read(i)` walk the frame sequence — the one
+    * COMPRESSED container the JDK can fully decode). Returns (width,
+    * height, frames, features) shaped exactly like [[decodeVideo]]:
+    * features = the 8-segment temporal mean-luma envelope. Frames with
+    * partial-canvas deltas (GIF disposal optimization) contribute the
+    * luma of their OWN raster — the envelope fingerprints the deltas,
+    * which is the signal a curation filter wants (static clips → flat
+    * envelope either way). None for non-GIF bytes or reader failures.
+    */
+  private[operators] def decodeGif(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+    try {
+      imageIoReady
+      // GIF87a/89a magic — don't spin up reader discovery for other bytes
+      if (payload.length < 6 || payload(0) != 'G' || payload(1) != 'I' || payload(2) != 'F')
+        return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          // seekForwardOnly=false: getNumImages(true) must scan the file
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          if (n <= 0) return None
+          var w = 0; var h = 0
+          val means = new Array[Double](n)
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            if (f == 0) { w = img.getWidth; h = img.getHeight }
+            val fw = img.getWidth; val fh = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < fh) {
+              var x = 0
+              while (x < fw) {
+                val argb = img.getRGB(x, y)
+                sum += (((argb >>> 16) & 0xFF) * 299 + ((argb >>> 8) & 0xFF) * 587 +
+                  (argb & 0xFF) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            means(f) = sum.toDouble / (fw.toLong * fh) / 255.0
+            f += 1
+          }
+          Some((w, h, n, lumaEnvelope(means)))
+        } finally reader.dispose()
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decode kernel — deterministic fake standing in for the codec
@@ -356,7 +417,7 @@ object Multimodal {
               case Some((rate, ch, fr, fs)) => (rate, ch, fr, fs)
               case None                     => decodeStub(kind, payload)
             }
-            else decodeVideo(payload) match {
+            else decodeVideo(payload).orElse(decodeGif(payload)) match {
               case Some((w, h, fr, fs)) => (w, h, fr, fs)
               case None                 => decodeStub(kind, payload)
             }

@@ -221,6 +221,45 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
   }
 
+  /** Row-local Voronoi cell assignment of a prepped frame against a
+    * centroid frame: (id, v, nrm, c_id). Map-only — the centroid bank
+    * becomes literal arrays (model parameters), so no join or shuffle.
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centArrays(centroids)
+    corpus.select(col("id"), col("v"), col("nrm"),
+      bestCell(col("v"), col("nrm"), cents).as("c_id"))
+  }
+
+  /** Semantic deduplication (the SemDeDup shape: cluster embeddings
+    * with k-means, then drop within-cluster near-duplicates above a
+    * cosine threshold): a vector is dropped iff some SMALLER-id vector
+    * in its cluster has cosine ≥ τ with it, so every near-dup chain
+    * keeps its minimal-id representative — a total, engine-portable
+    * keep rule (no dependence on cluster traversal order).
+    *
+    * Scale shape: assignment is map-only against the literal centroid
+    * bank; the pair search is an equi-join on c_id, O(Σ cell²) — at
+    * corpus scale you grow k with √N (the SemDeDup operating point),
+    * keeping cells ~√N so the per-cell quadratic stays linear overall.
+    *
+    * @return one row per vector: (vec_id, c_id, kept)
+    */
+  def semDedup(prepped: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
+    val assigned = assignCells(prepped, centroids)
+    val l = assigned.select(col("c_id"), col("id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val r = assigned.select(col("c_id"), col("id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val dropped = l.join(r, Seq("c_id"))
+      .filter(col("a_id") < col("b_id") &&
+        cosine(col("av"), col("an"), col("bv"), col("bn")) >= tau)
+      .select(col("b_id").as("id")).distinct()
+    assigned.join(dropped.withColumn("drp", lit(true)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("c_id"),
+        col("drp").isNull.as("kept"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking key (here: equal
     * `label`), cosine ≥ threshold. Blocked exact search — the oracle-
     * checkable sibling of the LSH path.

@@ -423,6 +423,13 @@ object CorpusQueries {
     */
   val PrIters = 3
 
+  /** Recommended salt fan-out for [[pagerankOn]] past broadcast scale:
+    * a degree-d hub's edge rows land on min(distinct dsts, PrSalt)
+    * reducers instead of one. Physical distribution only — results are
+    * salt-invariant.
+    */
+  val PrSalt = 8
+
   /** Fixed-iteration PageRank over the part co-purchase graph (parts
     * linked when they appear in the same order; edges both directions).
     * Top-100 by final rank.
@@ -441,7 +448,28 @@ object CorpusQueries {
     * driver state; at cluster scale you'd pre-partition edges by src
     * and reuse that partitioning across all iterations.
     */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOn(spark.read.parquet(s"$dir/lineitem.parquet"),
+      spark.read.parquet(s"$dir/part.parquet").select(col("p_partkey").as("node")))
+
+  /** [[pagerank]] core over an (l_orderkey, l_partkey) co-purchase frame
+    * and a (node) universe — factored so `GraphSkewSpec` can plant a
+    * power-law hot node against the REAL operator.
+    *
+    * @param salts hub fan-out for the per-iteration contrib join.
+    *   1 (default) joins on plain `src`: the node-sized rank side stays
+    *   auto-broadcastable, which is the optimal plan while nodes fit
+    *   the broadcast threshold (this bench's regime — measured, a
+    *   forced salted SMJ costs +50% here). At node counts past
+    *   broadcast the join becomes an SMJ whose hub partition no plan
+    *   rewrite can split (AQE's skew rule needs bare shuffle-stage
+    *   children; the rank side is always a join output) — THERE, set
+    *   salts > 1: edges salt by hash(dst) % salts, ranks replicate,
+    *   and a hub spreads over `salts` reducers by construction.
+    *   Results are salt-invariant (`GraphSkewSpec` pins ranks at
+    *   salts = 8 against a planted hub and the driver replay).
+    */
+  def pagerankOn(li: DataFrame, nodes: DataFrame, salts: Int = 1): DataFrame = {
     // NOT a self-join: group each order's (distinct) parts and expand
     // the directed pairs ROW-LOCALLY — one aggregation exchange instead
     // of reshuffling both join sides by orderkey, bounded by the per-
@@ -450,7 +478,7 @@ object CorpusQueries {
     // separate distinct() for.
     // pair expansion via two codegen'd explodes (nested transform/filter
     // HOFs are CodegenFallback — interpreted per element)
-    val perOrder = spark.read.parquet(s"$dir/lineitem.parquet")
+    val perOrder = li
       .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
     // dedup ORIENTED pairs (src < dst — half the rows through the
     // distinct's shuffle), then mirror map-side: same symmetric edge
@@ -463,15 +491,27 @@ object CorpusQueries {
     val edges = oriented.union(oriented.select(col("dst"), col("src")))
     // out-degree as a window count over the SAME src partitioning (a
     // groupBy+join would read the un-materialized edge plan twice and
-    // recompute the whole build); materialized once for the 3 iterations
-    val esrc = Materialize(edges.withColumn("od",
-      count(lit(1)).over(Window.partitionBy("src"))))
-    val nodes = spark.read.parquet(s"$dir/part.parquet")
-      .select(col("p_partkey").as("node"))
+    // recompute the whole build); materialized once for the 3
+    // iterations, with the row-local dst-hash salt column when salted
+    val esrc = Materialize {
+      val od = edges.withColumn("od",
+        count(lit(1)).over(Window.partitionBy("src")))
+      if (salts == 1) od
+      else od.withColumn("salt", pmod(hash(col("dst")), lit(salts)))
+    }
+    // replication via crossJoin with a literal salts-row frame: ONE
+    // copy of the rank lineage (a per-replica union would re-plan the
+    // whole rank subtree per salt per iteration, compounding across
+    // iterations) and a multiplicative size estimate
+    val saltDf = nodes.sparkSession.range(0, salts.toLong)
+      .select(col("id").cast("int").as("salt"))
+    val joinKeys = if (salts == 1) Seq("src") else Seq("src", "salt")
+    def rankSide(df: DataFrame): DataFrame =
+      if (salts == 1) df else df.crossJoin(saltDf)
     var pr = nodes.withColumn("pr", lit(1000000L))
     for (_ <- 1 to PrIters) {
       val contrib = esrc
-        .join(pr.select(col("node").as("src"), col("pr")), "src")
+        .join(rankSide(pr.select(col("node").as("src"), col("pr"))), joinKeys)
         .select(col("dst").as("node"), expr("pr div od").as("c"))
         .groupBy("node").agg(sum("c").as("cs"))
       pr = nodes.join(contrib, Seq("node"), "left")
@@ -537,6 +577,99 @@ object CorpusQueries {
     SELECT w1, w2, count(*) AS n
     FROM p GROUP BY w1, w2
     ORDER BY n DESC, w1, w2 LIMIT 20"""
+
+  // ------------------------------------------------------- bpe trainer
+
+  /** Merge rounds the BPE trainer runs (unrolled in engine and oracle). */
+  val BpeRounds = 6
+
+  /** Iterative BPE vocabulary trainer — [[bpePairs]] computes one inner
+    * step; this runs [[BpeRounds]] full merge rounds over the
+    * word-frequency table, the actual training loop of a byte-pair
+    * tokenizer: count adjacent symbol pairs (weighted by word
+    * frequency), merge the most frequent pair everywhere, repeat.
+    * Output: one row per round — the learned merge and its frequency.
+    *
+    * Symbol sequences are spelled as a space-wrapped string
+    * (" s1  s2 ... ": every symbol wrapped in single spaces), so the
+    * merge (x, y) is the LITERAL substring rewrite " x  y " → " xy ".
+    * `replace()` on both engines rewrites non-overlapping occurrences
+    * left-to-right — exactly BPE's greedy merge order — and the wrap
+    * makes boundary false-matches impossible: a match must start and
+    * end on a symbol boundary ("ba","b" can never match the pattern
+    * for ("a","b")). The rewrite preserves the wrap invariant, so
+    * rounds compose.
+    *
+    * Scale shape: the trainer iterates over the WORD-FREQUENCY table
+    * (|vocab| rows), never the corpus — one corpus pass builds the
+    * vocab, then each round is a vocab-sized pair aggregation plus a
+    * broadcast of the single winning pair. Each round's vocab is
+    * materialized: it has two consumers (pair count + re-tokenize), so
+    * an unmaterialized lineage would replay the round prefix 2^k times.
+    * Winner selection is a 1-row limit with a total (n desc, s1, s2)
+    * order — deterministic across partitionings.
+    */
+  def bpeMergesFrom(words: DataFrame): DataFrame = {
+    var vocab = Materialize(words.filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), regexp_replace(col("w"), "(.)", " $1 ").as("repr")))
+    val rounds = (1 to BpeRounds).map { r =>
+      val pairs = vocab
+        .select(col("freq"), split(btrim(col("repr")), "  ").as("t"))
+        // guard: sequence(1, 0) would generate a DESCENDING range
+        .filter(size(col("t")) >= 2)
+        .select(col("freq"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(element_at(col("t"), col("i")).as("s1"),
+          element_at(col("t"), col("i") + 1).as("s2"), col("freq"))
+        .groupBy("s1", "s2").agg(sum("freq").as("n"))
+      val best = Materialize(
+        pairs.orderBy(col("n").desc, col("s1"), col("s2")).limit(1))
+      vocab = Materialize(vocab
+        .crossJoin(broadcast(best.select(col("s1").as("m1"), col("s2").as("m2"))))
+        .selectExpr("freq",
+          "replace(repr, concat(' ', m1, '  ', m2, ' '), concat(' ', m1, m2, ' ')) AS repr"))
+      best.select(lit(r.toLong).as("round"),
+        col("s1").as("lhs"), col("s2").as("rhs"), col("n"))
+    }
+    rounds.reduce(_ unionByName _).orderBy("round")
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesFrom(docs(spark, dir)
+      .select(explode(TextAnalysis.wordTokens(lower(col("text")))).as("w")))
+
+  /** Unrolled-CTE oracle, same shape as [[pagerankSql]]: v0 is the
+    * char-split vocab, each round is (pairs → 1-row best → rewritten
+    * vocab), and the output unions the per-round winners.
+    */
+  val bpeMergesSql: String = {
+    val base = """
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents),
+    v0 AS (
+      SELECT count(*) AS freq, regexp_replace(w, '(.)', ' \1 ', 'g') AS repr
+      FROM words WHERE w != '' GROUP BY w)"""
+    val iters = (1 to BpeRounds).map { r =>
+      s"""
+    p$r AS (
+      SELECT t[i] AS s1, t[i+1] AS s2, cast(sum(freq) AS BIGINT) AS n
+      FROM (SELECT freq, string_split(trim(repr), '  ') AS t FROM v${r - 1}),
+        unnest(range(1, len(t))) AS u(i)
+      GROUP BY 1, 2),
+    b$r AS (SELECT s1, s2, n FROM p$r ORDER BY n DESC, s1, s2 LIMIT 1),
+    v$r AS (
+      SELECT v.freq,
+        replace(v.repr, ' ' || b.s1 || '  ' || b.s2 || ' ',
+                        ' ' || b.s1 || b.s2 || ' ') AS repr
+      FROM v${r - 1} v, b$r b)"""
+    }.mkString(",")
+    val out = (1 to BpeRounds)
+      .map(r => s"SELECT cast($r AS BIGINT) AS round, s1 AS lhs, s2 AS rhs, n FROM b$r")
+      .mkString("\n    UNION ALL ")
+    s"$base,$iters\n    $out\n    ORDER BY round"
+  }
 
   // ------------------------------------------------------- outlier MAD
 
@@ -677,6 +810,7 @@ object CorpusQueries {
     "source_minhash" -> (sourceMinhashSim _),
     "pagerank"       -> (pagerank _),
     "bpe_pairs"      -> (bpePairs _),
+    "bpe_merges"     -> (bpeMerges _),
     "outlier_mad"    -> (outlierMad _),
     "events_sliding" -> (eventsSliding _),
     "data_card"      -> (dataCard _))
@@ -688,6 +822,7 @@ object CorpusQueries {
     "source_minhash" -> sourceMinhashSimSql,
     "pagerank"       -> pagerankSql,
     "bpe_pairs"      -> bpePairsSql,
+    "bpe_merges"     -> bpeMergesSql,
     "outlier_mad"    -> outlierMadSql,
     "events_sliding" -> eventsSlidingSql,
     "data_card"      -> dataCardSql)

@@ -37,15 +37,27 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Events with `ts` normalized to microsecond TimestampType and `ts_us`
-    * as epoch-micros long. Floor division matches DuckDB's
-    * `cast(ts_ns AS TIMESTAMP)` truncation for positive epochs.
+    * as epoch-micros long, whatever the file's physical clock type:
+    * TIMESTAMP(NANOS) surfaces as an epoch-nanos long (see
+    * [[ensureNanosAsLong]]) and floor-divides to micros (matching
+    * DuckDB's ns→us cast truncation for positive epochs); TIMESTAMP
+    * (MICROS/MILLIS) — with or without timezone — converts directly
+    * (the session timezone is pinned UTC, so the NTZ cast is identity).
+    * One adaptive reader so every query sees the same clock and a
+    * regenerated corpus can't skew half the surface.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     ensureNanosAsLong(spark)
-    read(spark, dir, "events")
-      // `div`, not `/`: epoch-nanos (~1.7e18) overflow double's 2^53 exact
-      // integer range, so float division would corrupt the microseconds.
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `div`, not `/`: epoch-nanos (~1.7e18) overflow double's 2^53
+        // exact integer range; float division would corrupt the micros.
+        raw.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ =>
+        raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+    }
   }
 }

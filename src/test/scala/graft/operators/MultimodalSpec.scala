@@ -208,6 +208,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(idx == Seq(0, 5, 10, 15))
   }
 
+  /** Animated GIF via the JDK's own sequence writer: `frames` solid
+    * grayscale frames of rising brightness (24 gray per frame).
+    */
+  private def gifClip(frames: Int, w: Int = 10, h: Int = 6): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until frames) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val gray = 24 * (f + 1)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color(gray, gray, gray))
+      g2.fillRect(0, 0, w, h)
+      g2.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  test("animated GIF routes through the real video path: frame count and " +
+       "temporal luma envelope are real, frame sampling walks real indices") {
+    val clip = gifClip(frames = 8)
+    val out = Multimodal.decode(
+      Seq((11L, "video", clip)).toDF("doc_id", "kind", "payload")).head()
+    assert(out.width == 10 && out.height == 6 && out.n_frames == 8)
+    // brightness rises 24 gray per frame → strictly increasing envelope,
+    // one frame per segment: segment f ≈ 24·(f+1)/255 (GIF palette
+    // quantization can nudge a level, hence the loose tolerance)
+    val env = out.features.toSeq
+    assert(env.zip(env.tail).forall { case (a, b) => a < b }, env)
+    assert(math.abs(env.head - 24f / 255f) < 0.02f, env)
+    assert(math.abs(env.last - 192f / 255f) < 0.02f, env)
+    val idx = Multimodal.sampleFrames(Multimodal.decode(
+        Seq((11L, "video", clip)).toDF("doc_id", "kind", "payload")), stride = 3)
+      .select("frame_idx").as[Int].collect().toSeq.sorted
+    assert(idx == Seq(0, 3, 6))
+    // a single-frame GIF still decodes (frames = 1), not the stub
+    val still = Multimodal.decode(
+      Seq((12L, "video", gifClip(frames = 1))).toDF("doc_id", "kind", "payload")).head()
+    assert(still.n_frames == 1 && still.width == 10)
+  }
+
   test("non-Y4M video bytes fall back to the deterministic stub; a " +
        "truncated Y4M keeps its complete frames") {
     val stub = Multimodal.decode(

@@ -95,6 +95,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("semDedup keeps the minimal-id representative per near-dup chain, per cell") {
+    // two well-separated directions; centroids pin cell 0 ≈ x-axis,
+    // cell 1 ≈ y-axis
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.999f, 0.001f)),   // near-dup of 0, same cell → dropped
+      (2L, Seq(0.95f, 0.05f)),     // near-dup of 0 AND 1 → dropped (min-id rule)
+      (3L, Seq(0.0f, 1.0f)),       // alone in cell 1 → kept
+      (4L, Seq(0.001f, 0.999f)))   // near-dup of 3, cell 1 → dropped
+      .toDF("vec_id", "embedding")
+    val prepped = Similarity.prep(vecs, "vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0), 1.0), (1L, Seq(0.0, 1.0), 1.0))
+      .toDF("c_id", "cv", "cn")
+    val out = Similarity.semDedup(prepped, cents, tau = 0.9)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(0L -> true, 1L -> false, 2L -> false, 3L -> true, 4L -> false))
+  }
+
   test("brute knn broadcasts the query side (no shuffle of the corpus)") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val prepped = Similarity.prep(embs, "vec_id", "embedding")

@@ -108,6 +108,20 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(!out.exists(r => r._1 == "solo" || r._2 == "solo")) // 1-token doc skipped
   }
 
+  test("bpe_merges runs greedy merge rounds with lexicographic tie-break") {
+    // vocab: "aaa"×2 → " a  a  a ", "ab"×2 → " a  b "
+    val dir = plantedDir(Seq((1L, "aaa aaa ab"), (2L, "ab")))
+    val out = CorpusQueries.bpeMerges(spark, dir)
+      .as[(Long, String, String, Long)].collect().toList
+    // r1: (a,a) n=4 beats (a,b) n=2; greedy left-to-right re-tokenize
+    //     makes "aaa" → [aa, a] (NOT [a, aa] — replace scans from the left)
+    // r2: (aa,a) n=2 ties (a,b) n=2 → (s1,s2)-lexicographic picks (a,b)
+    // r3: (aa,a) is the only pair left
+    // r4..6: no adjacent pairs remain → no winner rows (both engines
+    //        agree: an empty round leaves the union short, not null-padded)
+    assert(out == List((1L, "a", "a", 4L), (2L, "a", "b", 2L), (3L, "aa", "a", 2L)))
+  }
+
   test("events_sliding: every event lands in exactly 4 windows") {
     val total = spark.read.parquet(s"$sf/events.parquet").count()
     val sliding = CorpusQueries.eventsSliding(spark, sf)
