@@ -257,13 +257,13 @@ object CorpusQueries {
     * `dedup_prefix`, so the xxhash64-ranked engine and the string-ranked
     * oracle converge on the identical verified pair set.
     *
-    * The `ContainMaxDf` clamp keeps that argument intact: df is the
-    * PRIMARY sort key, so every rare (df ≤ cap) gram ranks before every
-    * hot one, and the clamped prefix is either (a) the first k rare
-    * grams — any k distinct grams of a still pigeonhole-intersect b for
-    * a true pair, under any tie-order — or (b) ALL of a's rare grams,
-    * which is tie-order-free. Either way the verified pair set is
-    * engine-independent, just over the rare-gram discovery space.
+    * The `ContainMaxDf` clamp keeps that argument intact: ranking runs
+    * WITHIN the rare (df ≤ cap) gram subset, so the clamped prefix is
+    * either (a) the first k of a's rare grams — any k distinct grams
+    * of a still pigeonhole-intersect b for a true pair, under any
+    * tie-order — or (b) ALL of a's rare grams, which is tie-order-free.
+    * Either way the verified pair set is engine-independent, just over
+    * the rare-gram discovery space.
     */
   /** Candidate stage of the containment join, exposed so the spec can
     * assert the fan-out bound directly on planted boilerplate. Grams
@@ -279,13 +279,24 @@ object CorpusQueries {
     // buffers every id-partition in WindowExec and costs more than the
     // tiny aggregate + broadcast join it would replace (2.8 s -> 4.2 s
     // regression when tried in round 7)
-    val ranked = grams.join(dfreq, "gh").join(sizes, "id")
+    //
+    // ONE joined+clamped pass feeds both join sides (round 8; the
+    // previous shape joined grams⋈dfreq⋈sizes twice — once ranked for
+    // the prefix, once raw for the full side). `sz` stays the UNCAPPED
+    // gram count (prefix length, |b|≥t·|a| prune and the verify
+    // denominator all reason about the true set size); only gram ROWS
+    // are clamped. Ranking within the rare subset lets a doc whose
+    // cheapest grams include hot ones use its full rare prefix — a
+    // SUPERSET of the old discovery space (any k distinct grams
+    // pigeonhole-intersect a true pair's container), mirrored in the
+    // oracle.
+    val rare = Materialize(grams.join(dfreq, "gh")
+      .filter(col("df") <= ContainMaxDf).join(sizes, "id"))
+    val prefix = rare
       .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("df", "gh")))
-    val prefix = ranked
-      .filter(col("rk") <= expr(s"sz - ($ContainNum * sz + $ContainNum) div $ContainDen + 1") &&
-        col("df") <= ContainMaxDf)
+      .filter(col("rk") <= expr(s"sz - ($ContainNum * sz + $ContainNum) div $ContainDen + 1"))
       .select(col("id").as("a_id"), col("gh").as("agh"), col("sz").as("asz"))
-    val full = grams.join(dfreq, "gh").filter(col("df") <= ContainMaxDf).join(sizes, "id")
+    val full = rare
       .select(col("id").as("b_id"), col("gh").as("bgh"), col("sz").as("bsz"))
     prefix.join(full,
         col("agh") === col("bgh") && col("a_id") =!= col("b_id") &&
@@ -320,18 +331,19 @@ object CorpusQueries {
       FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
     dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+    rare AS (
+      SELECT gr.doc_id, gr.g, s.sz, d.df
+      FROM grams gr JOIN dfreq d USING (g) JOIN sizes s USING (doc_id)
+      WHERE d.df <= $ContainMaxDf),
     ranked AS (
-      SELECT gr.doc_id, gr.g, s.sz, d.df,
-        row_number() OVER (PARTITION BY gr.doc_id ORDER BY d.df, gr.g) AS rk
-      FROM grams gr JOIN dfreq d USING (g) JOIN sizes s USING (doc_id)),
+      SELECT doc_id, g, sz,
+        row_number() OVER (PARTITION BY doc_id ORDER BY df, g) AS rk
+      FROM rare),
     prefix AS (
       SELECT doc_id, g, sz FROM ranked
-      WHERE rk <= sz - ($ContainNum * sz + $ContainNum) // $ContainDen + 1
-        AND df <= $ContainMaxDf),
+      WHERE rk <= sz - ($ContainNum * sz + $ContainNum) // $ContainDen + 1),
     full_g AS (
-      SELECT gr.doc_id, gr.g, s.sz FROM grams gr
-      JOIN dfreq d USING (g) JOIN sizes s USING (doc_id)
-      WHERE d.df <= $ContainMaxDf),
+      SELECT doc_id, g, sz FROM rare),
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM prefix a JOIN full_g b
