@@ -37,9 +37,23 @@ object CommunityQueries {
     * nothing global, no driver state. The standard distributed LPA
     * step.
     */
-  def labelProp(spark: SparkSession, dir: String): DataFrame = {
-    val perOrder = spark.read.parquet(s"$dir/lineitem.parquet")
-      .filter(col("l_quantity") >= 45)
+  def labelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropOn(spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") >= 45))
+
+  /** [[labelProp]] core over an (l_orderkey, l_partkey) co-purchase
+    * frame — factored so `GraphSkewSpec` can plant a power-law hub.
+    *
+    * @param salts hub fan-out for the per-round adoption join, same
+    *   contract as `CorpusQueries.pagerankOn`: 1 (default) joins on
+    *   plain `dst` (label side auto-broadcastable — optimal while the
+    *   node set fits the threshold); > 1 salts edges by hash(src) and
+    *   replicates the label side via a literal crossJoin, splitting a
+    *   hub DST across `salts` reducers in the SMJ regime. Results are
+    *   salt-invariant.
+    */
+  def labelPropOn(li: DataFrame, salts: Int = 1): DataFrame = {
+    val perOrder = li
       .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
     // oriented dedup then mirror: the distinct shuffles half the pairs
     // (same trick as pagerank's edge build)
@@ -48,13 +62,22 @@ object CommunityQueries {
       .select(col("src"), explode(col("ps")).as("dst"))
       .filter(col("src") < col("dst"))
       .distinct()
-    val edges = Materialize(oriented.union(oriented.select(col("dst"), col("src"))))
+    val edges = Materialize {
+      val e = oriented.union(oriented.select(col("dst"), col("src")))
+      if (salts == 1) e
+      else e.withColumn("salt", pmod(hash(col("src")), lit(salts)))
+    }
     var lbl = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
+    val saltDf = li.sparkSession.range(0, salts.toLong)
+      .select(col("id").cast("int").as("salt"))
+    val joinKeys = if (salts == 1) Seq("dst") else Seq("dst", "salt")
+    def lblSide(df: DataFrame): DataFrame =
+      if (salts == 1) df else df.crossJoin(saltDf)
     val w = Window.partitionBy("node").orderBy(col("c").desc, col("lab"))
     for (_ <- 1 to LpIters) {
       lbl = edges
-        .join(lbl.select(col("node").as("dst"), col("lab")), "dst")
+        .join(lblSide(lbl.select(col("node").as("dst"), col("lab"))), joinKeys)
         .groupBy(col("src").as("node"), col("lab"))
         .agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(w))

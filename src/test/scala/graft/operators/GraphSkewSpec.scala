@@ -87,4 +87,50 @@ class GraphSkewSpec extends AnyFunSuite {
       case None    => conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("label_prop with a planted hub node: salted adoption join, labels stay exact") {
+    val conf = spark.conf
+    val savedBroadcast = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // hub: part 0 co-purchased with parts 1..400; cold pairs besides
+      val hot = (1 to 400).map(i => (i.toLong, 0L)) ++
+        (1 to 400).map(i => (i.toLong, i.toLong))
+      val cold = (0 until 30).flatMap { i =>
+        Seq((100000L + i, 90000L + 2 * i), (100000L + i, 90001L + 2 * i))
+      }
+      val li = (hot ++ cold).toDF("l_orderkey", "l_partkey")
+
+      val ds = graft.queries.CommunityQueries
+        .labelPropOn(li, salts = graft.queries.CorpusQueries.PrSalt)
+        .as[(Long, Long)]
+      val got = ds.collect().toList
+      val plan = ds.queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(dst#\\d+L, salt#\\d+".r.findFirstIn(plan).isDefined,
+        s"expected a salted dst exchange in the adoption join; plan:\n$plan")
+
+      // driver replay: seed lab = node id; each round node adopts the
+      // MODE of its neighbors' labels, smallest label on ties
+      val byOrder = (hot ++ cold).groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.toList).toMap
+      val edges = byOrder.values.flatMap { parts =>
+        for (a <- parts; b <- parts if a != b) yield (a, b)
+      }.toSet
+      val nodes = edges.map(_._1)
+      var lab = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to graft.queries.CommunityQueries.LpIters) {
+        lab = nodes.map { n =>
+          val counts = edges.toSeq.filter(_._1 == n).map(e => lab(e._2))
+            .groupBy(identity).view.mapValues(_.size).toSeq
+          val best = counts.minBy { case (l, c) => (-c, l) }._1
+          n -> best
+        }.toMap
+      }
+      val want = lab.toSeq.sortBy(_._1).toList
+      assert(got == want)
+    } finally savedBroadcast match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
