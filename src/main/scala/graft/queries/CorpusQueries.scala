@@ -621,10 +621,19 @@ object CorpusQueries {
     * Winner selection is a 1-row limit with a total (n desc, s1, s2)
     * order — deterministic across partitionings.
     */
-  def bpeMergesFrom(words: DataFrame): DataFrame = {
+  def bpeMergesFrom(words: DataFrame): DataFrame = bpeTrainFrom(words)._2
+
+  /** The trainer loop shared by [[bpeMerges]] (the learned merge table)
+    * and [[bpeEncode]] (applying the final vocab back to documents).
+    *
+    * @return (final vocab as (w, freq, repr) — repr already rewritten
+    *         by all [[BpeRounds]] merges, merges as (round, lhs, rhs, n))
+    */
+  def bpeTrainFrom(words: DataFrame): (DataFrame, DataFrame) = {
     var vocab = Materialize(words.filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), regexp_replace(col("w"), "(.)", " $1 ").as("repr")))
+      .select(col("w"), col("freq"),
+        regexp_replace(col("w"), "(.)", " $1 ").as("repr")))
     val rounds = (1 to BpeRounds).map { r =>
       val pairs = vocab
         .select(col("freq"), split(btrim(col("repr")), "  ").as("t"))
@@ -637,31 +646,59 @@ object CorpusQueries {
         .groupBy("s1", "s2").agg(sum("freq").as("n"))
       val best = Materialize(
         pairs.orderBy(col("n").desc, col("s1"), col("s2")).limit(1))
+      // LEFT join on true, not crossJoin: a round with no pairs left
+      // (tiny vocab fully merged early) must be a NO-OP rewrite, not
+      // wipe the vocab — bpe_encode reads the final vocab
       vocab = Materialize(vocab
-        .crossJoin(broadcast(best.select(col("s1").as("m1"), col("s2").as("m2"))))
-        .selectExpr("freq",
-          "replace(repr, concat(' ', m1, '  ', m2, ' '), concat(' ', m1, m2, ' ')) AS repr"))
+        .join(broadcast(best.select(col("s1").as("m1"), col("s2").as("m2"))),
+          lit(true), "left")
+        .selectExpr("w", "freq",
+          "CASE WHEN m1 IS NULL THEN repr ELSE " +
+            "replace(repr, concat(' ', m1, '  ', m2, ' '), concat(' ', m1, m2, ' ')) END AS repr"))
       best.select(lit(r.toLong).as("round"),
         col("s1").as("lhs"), col("s2").as("rhs"), col("n"))
     }
-    rounds.reduce(_ unionByName _).orderBy("round")
+    (vocab, rounds.reduce(_ unionByName _).orderBy("round"))
   }
 
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMergesFrom(docs(spark, dir)
       .select(explode(TextAnalysis.wordTokens(lower(col("text")))).as("w")))
 
-  /** Unrolled-CTE oracle, same shape as [[pagerankSql]]: v0 is the
-    * char-split vocab, each round is (pairs → 1-row best → rewritten
-    * vocab), and the output unions the per-round winners.
+  /** Per-document subword statistics under the trained BPE vocab: join
+    * every document word to its final symbol count and aggregate —
+    * n_words, n_subtokens, and fertility (subtokens per word), the
+    * metric tokenizer evaluations report. Same trainer, so the oracle
+    * reuses the unrolled-CTE prefix and joins v[[BpeRounds]] back to
+    * the per-doc word stream. The vocab side is vocabulary-sized
+    * (auto-broadcast); the corpus-sized word stream is never shuffled
+    * except for the final per-doc aggregation.
     */
-  val bpeMergesSql: String = {
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val dw = docs(spark, dir).select(col("doc_id"),
+        explode(TextAnalysis.wordTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = bpeTrainFrom(dw.select("w"))._1
+    dw.join(vocab.select(col("w"),
+        size(split(btrim(col("repr")), "  ")).cast("long").as("n_sub")), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subtokens"))
+      .select(col("doc_id"), col("n_words"), col("n_subtokens"),
+        round(col("n_subtokens").cast("double") / col("n_words"), 6).as("fertility"))
+      .orderBy("doc_id")
+  }
+
+  /** Unrolled-CTE trainer prefix (shared by the merges and encode
+    * oracles), same shape as [[pagerankSql]]: v0 is the char-split
+    * vocab, each round is (pairs → 1-row best → rewritten vocab).
+    */
+  private val bpeCtePrefix: String = {
     val base = """
     WITH words AS (
       SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
       FROM documents),
     v0 AS (
-      SELECT count(*) AS freq, regexp_replace(w, '(.)', ' \1 ', 'g') AS repr
+      SELECT w, count(*) AS freq, regexp_replace(w, '(.)', ' \1 ', 'g') AS repr
       FROM words WHERE w != '' GROUP BY w)"""
     val iters = (1 to BpeRounds).map { r =>
       s"""
@@ -672,16 +709,35 @@ object CorpusQueries {
       GROUP BY 1, 2),
     b$r AS (SELECT s1, s2, n FROM p$r ORDER BY n DESC, s1, s2 LIMIT 1),
     v$r AS (
-      SELECT v.freq,
-        replace(v.repr, ' ' || b.s1 || '  ' || b.s2 || ' ',
-                        ' ' || b.s1 || b.s2 || ' ') AS repr
-      FROM v${r - 1} v, b$r b)"""
+      SELECT v.w, v.freq,
+        CASE WHEN b.s1 IS NULL THEN v.repr ELSE
+          replace(v.repr, ' ' || b.s1 || '  ' || b.s2 || ' ',
+                          ' ' || b.s1 || b.s2 || ' ') END AS repr
+      FROM v${r - 1} v LEFT JOIN b$r b ON true)"""
     }.mkString(",")
+    s"$base,$iters"
+  }
+
+  val bpeMergesSql: String = {
     val out = (1 to BpeRounds)
       .map(r => s"SELECT cast($r AS BIGINT) AS round, s1 AS lhs, s2 AS rhs, n FROM b$r")
       .mkString("\n    UNION ALL ")
-    s"$base,$iters\n    $out\n    ORDER BY round"
+    s"$bpeCtePrefix\n    $out\n    ORDER BY round"
   }
+
+  val bpeEncodeSql: String = s"""$bpeCtePrefix,
+    dw AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents),
+    enc AS (
+      SELECT d.doc_id, count(*) AS n_words,
+        cast(sum(len(string_split(trim(v.repr), '  '))) AS BIGINT) AS n_subtokens
+      FROM dw d JOIN v$BpeRounds v USING (w)
+      WHERE d.w != ''
+      GROUP BY d.doc_id)
+    SELECT doc_id, n_words, n_subtokens,
+      round(cast(n_subtokens AS DOUBLE) / n_words, 6) AS fertility
+    FROM enc ORDER BY doc_id"""
 
   // ------------------------------------------------------- outlier MAD
 
@@ -823,6 +879,7 @@ object CorpusQueries {
     "pagerank"       -> (pagerank _),
     "bpe_pairs"      -> (bpePairs _),
     "bpe_merges"     -> (bpeMerges _),
+    "bpe_encode"     -> (bpeEncode _),
     "outlier_mad"    -> (outlierMad _),
     "events_sliding" -> (eventsSliding _),
     "data_card"      -> (dataCard _))
@@ -835,6 +892,7 @@ object CorpusQueries {
     "pagerank"       -> pagerankSql,
     "bpe_pairs"      -> bpePairsSql,
     "bpe_merges"     -> bpeMergesSql,
+    "bpe_encode"     -> bpeEncodeSql,
     "outlier_mad"    -> outlierMadSql,
     "events_sliding" -> eventsSlidingSql,
     "data_card"      -> dataCardSql)

@@ -122,6 +122,24 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(out == List((1L, "a", "a", 4L), (2L, "a", "b", 2L), (3L, "aa", "a", 2L)))
   }
 
+  test("bpe_encode: fertility = symbols per word under the learned merges") {
+    // same corpus as the merges test: after 3 learnable merges the
+    // final vocab is aaa → [aaa] (1 symbol), ab → [ab] (1 symbol)
+    val dir = plantedDir(Seq((1L, "aaa aaa ab"), (2L, "ab")))
+    val out = CorpusQueries.bpeEncode(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out == List((1L, 3L, 3L, 1.0), (2L, 1L, 1L, 1.0)))
+    // a rare word stays char-split when all 6 rounds go to dominant
+    // pairs: fertility > 1 is exactly the tokenizer-eval signal
+    val dir2 = plantedDir(Seq(
+      (1L, ("ab cd ef gh ij kl " * 10).trim), // six n=10 pairs eat all rounds
+      (2L, "qrs")))                           // (q,r)/(r,s) at n=1 never win
+    val out2 = CorpusQueries.bpeEncode(spark, dir2)
+      .select("doc_id", "fertility").as[(Long, Double)].collect().toMap
+    assert(out2(1L) == 1.0)
+    assert(out2(2L) == 3.0)
+  }
+
   test("events_sliding: every event lands in exactly 4 windows") {
     val total = spark.read.parquet(s"$sf/events.parquet").count()
     val sliding = CorpusQueries.eventsSliding(spark, sf)
