@@ -426,10 +426,60 @@ object Multimodal {
       }
   }
 
-  /** Resize stage (STUB kernel, real plumbing): scale the spatial
-    * metadata to fit a bounding box, aspect-preserving. A real codec
-    * would transform pixel buffers here; the typed shape, per-partition
-    * execution, and downstream schema are identical.
+  /** REAL pixel resize for image payloads: decode via ImageIO, Java2D
+    * bilinear scale into the aspect-preserving bounding box, PNG
+    * re-encode. Runs per partition on executors (the decode/encode
+    * batch never leaves the task); payloads that are not decodable
+    * images — or already fit the box — pass through byte-identical
+    * with `resized = false`. Output schema: (doc_id, kind, payload,
+    * width, height, resized) where width/height are the OUTPUT
+    * dimensions (0×0 for undecodable payloads).
+    */
+  def resizePayloads(withPayloads: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"bounding box must be positive, got ${maxW}x$maxH")
+    import withPayloads.sparkSession.implicits._
+    withPayloads
+      .select(col("doc_id").cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, p) =>
+        val out =
+          try {
+            imageIoReady
+            val img =
+              if (kind != "image") null
+              else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+            if (img == null) (p, 0, 0, false)
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              val scale = math.min(1.0,
+                math.min(maxW.toDouble / w, maxH.toDouble / h))
+              if (scale >= 1.0) (p, w, h, false)
+              else {
+                val nw = math.min(maxW, math.max(1, math.round(w * scale).toInt))
+                val nh = math.min(maxH, math.max(1, math.round(h * scale).toInt))
+                val dst = new java.awt.image.BufferedImage(nw, nh,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = dst.createGraphics()
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, nw, nh, null)
+                g.dispose()
+                val baos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(dst, "png", baos)
+                (baos.toByteArray, nw, nh, true)
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => (p, 0, 0, false) }
+        (id, kind, out._1, out._2, out._3, out._4)
+      })
+      .toDF("doc_id", "kind", "payload", "width", "height", "resized")
+  }
+
+  /** Resize stage over DECODED metadata (no pixel access — the cheap
+    * planner-side sibling of [[resizePayloads]]): scale the spatial
+    * metadata to fit a bounding box, aspect-preserving. Typed shape,
+    * per-partition execution, and downstream schema match the pixel
+    * path.
     */
   def resize(decoded: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
     require(maxW > 0 && maxH > 0, s"bounding box must be positive, got ${maxW}x$maxH")

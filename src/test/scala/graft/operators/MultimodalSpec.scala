@@ -208,6 +208,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(idx == Seq(0, 5, 10, 15))
   }
 
+  test("resizePayloads really rescales pixels: dims fit the box, brightness " +
+       "survives, non-images pass through byte-identical") {
+    import java.awt.image.BufferedImage
+    // 64x40 solid mid-gray PNG -> box 32x32 -> 32x20
+    val img = new BufferedImage(64, 40, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(120, 120, 120)); g.fillRect(0, 0, 64, 40)
+    g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val text = "not an image".getBytes("UTF-8")
+
+    val out = Multimodal.resizePayloads(
+      Seq((1L, "image", png), (2L, "image", text), (3L, "audio", png))
+        .toDF("doc_id", "kind", "payload"), maxW = 32, maxH = 32)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]]("payload"), r.getInt(3), r.getInt(4), r.getBoolean(5))).toMap
+
+    val (resizedBytes, w, h, flag) = out(1L)
+    assert((w, h, flag) == ((32, 20, true)))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resizedBytes))
+    assert(back.getWidth == 32 && back.getHeight == 20)
+    val c = back.getRGB(16, 10)
+    // bilinear scale of a solid image stays the same color
+    assert(((c >> 16) & 0xFF) == 120 && ((c >> 8) & 0xFF) == 120 && (c & 0xFF) == 120)
+    // undecodable image bytes and non-image kinds pass through untouched
+    assert(out(2L)._1.sameElements(text) && !out(2L)._4)
+    assert(out(3L)._1.sameElements(png) && !out(3L)._4) // kind gate, no decode
+    // an image already inside the box is NOT re-encoded
+    val small = Multimodal.resizePayloads(
+      Seq((4L, "image", png)).toDF("doc_id", "kind", "payload"), 100, 100)
+      .collect().head
+    assert(small.getAs[Array[Byte]]("payload").sameElements(png) &&
+      !small.getBoolean(5) && small.getInt(3) == 64)
+  }
+
   /** Animated GIF via the JDK's own sequence writer: `frames` solid
     * grayscale frames of rising brightness (24 gray per frame).
     */
