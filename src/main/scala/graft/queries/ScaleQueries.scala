@@ -271,7 +271,13 @@ object ScaleQueries {
     Similarity.semDedup(prepped, cent, tau = 0.35).orderBy("vec_id")
   }
 
-  val semDedupSql: String = """
+  /** Shared unrolled k-means CTE prefix (init from the 16 lowest ids,
+    * ONE Lloyd round with exact-decimal means, final assignment with
+    * the (aff desc, c_id desc) tie-break) — the exact mirror of
+    * `Similarity.kmeansCentroids(k=16, iters=1)` + `assignCells`, used
+    * by the sem_dedup AND knn_ivf oracles.
+    */
+  private val kmeansCtePrefix: String = """
     WITH e AS (
       SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
         sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) AS nrm
@@ -298,7 +304,40 @@ object ScaleQueries {
         row_number() OVER (PARTITION BY e.vec_id
           ORDER BY list_inner_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.c_id DESC) AS rn
       FROM e, c1 c
-      QUALIFY rn = 1),
+      QUALIFY rn = 1)"""
+
+  /** Exact SQL mirror of [[knnIvf]]/[[knnIvfHi]]: probe cells ranked by
+    * centroid affinity with the (aff desc, c_id ASC) probe tie-break
+    * (note: OPPOSITE c_id direction from the assignment argmax — the
+    * engine's array_sort on (negaff, c_id) breaks ties toward the
+    * lowest cell), candidates from the probed Voronoi cells, exact
+    * top-5 by (cos desc, n_id). Possible because the IVF path has NO
+    * JVM-specific hashing anywhere — centroids, probes and scores are
+    * pure arithmetic.
+    */
+  private def knnIvfOracleSql(nProbe: Int): String = s"""$kmeansCtePrefix,
+    probe AS (
+      SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn, c.c_id
+      FROM e q, c1 c
+      WHERE q.vec_id % 50 = 0
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_inner_product(q.v, c.cv) / (q.nrm * c.cn) DESC, c.c_id) <= $nProbe),
+    scored AS (
+      SELECT p.q_id, a.vec_id AS n_id,
+        list_inner_product(p.qv, a.v) / (p.qn * a.nrm) AS cos
+      FROM probe p JOIN a2 a ON a.c_id = p.c_id AND a.vec_id != p.q_id),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+        cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+      FROM scored)
+    SELECT q_id, n_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY q_id, rk"""
+
+  val knnIvfSql: String = knnIvfOracleSql(nProbe = 6)
+  val knnIvfHiSql: String = knnIvfOracleSql(nProbe = 12)
+
+  val semDedupSql: String = s"""$kmeansCtePrefix,
     dropped AS (
       SELECT DISTINCT b.vec_id
       FROM a2 a JOIN a2 b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
@@ -636,6 +675,8 @@ object ScaleQueries {
     "emb_project"   -> embProjectSql,
     "label_centroids" -> labelCentroidsSql,
     "knn_lsh_recall" -> knnLshRecallSql,
+    "knn_ivf"       -> knnIvfSql,
+    "knn_ivf_hi"    -> knnIvfHiSql,
     "knn_ivf_recall" -> knnIvfRecallSql,
     "knn_ivf_hi_recall" -> knnIvfRecallSql,
     "sem_dedup"     -> semDedupSql,
