@@ -475,6 +475,117 @@ object Multimodal {
       .toDF("doc_id", "kind", "payload", "width", "height", "resized")
   }
 
+  /** REAL audio resample for JDK-decodable PCM payloads (WAV/AIFF/AU,
+    * 8/16-bit): linear-interpolation rate conversion per channel,
+    * re-encoded as 16-bit little-endian PCM WAV via `AudioSystem`.
+    * Executor-local like [[resizePayloads]]; non-audio kinds and
+    * undecodable bytes pass through byte-identical with
+    * `resampled = false`. Output: (doc_id, kind, payload, sample_rate,
+    * n_frames, resampled) — rate/frames are the OUTPUT clock (0 for
+    * pass-through rows).
+    */
+  def resamplePayloads(withPayloads: DataFrame, targetHz: Int): DataFrame = {
+    require(targetHz > 0, s"target rate must be positive, got $targetHz")
+    import withPayloads.sparkSession.implicits._
+    withPayloads
+      .select(col("doc_id").cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, p) =>
+        val out =
+          try {
+            if (kind != "audio") (p, 0, 0L, false)
+            else decodePcm(p) match {
+              case None => (p, 0, 0L, false)
+              case Some((srcRate, channels, samples)) =>
+                if (srcRate == targetHz) (p, srcRate, samples(0).length.toLong, false)
+                else {
+                  val srcN = samples(0).length
+                  val dstN = math.max(1, (srcN.toLong * targetHz / srcRate).toInt)
+                  val pcm = new Array[Byte](dstN * channels * 2)
+                  var f = 0
+                  while (f < dstN) {
+                    // source position of output frame f (exact rational)
+                    val srcPos = f.toDouble * srcRate / targetHz
+                    val i0 = math.min(srcN - 1, srcPos.toInt)
+                    val i1 = math.min(srcN - 1, i0 + 1)
+                    val frac = srcPos - i0
+                    var c = 0
+                    while (c < channels) {
+                      val s = samples(c)(i0) * (1 - frac) + samples(c)(i1) * frac
+                      val q = math.max(-32768, math.min(32767, math.round(s * 32767.0))).toInt
+                      val base = (f * channels + c) * 2
+                      pcm(base) = (q & 0xFF).toByte
+                      pcm(base + 1) = ((q >> 8) & 0xFF).toByte
+                      c += 1
+                    }
+                    f += 1
+                  }
+                  val fmt = new javax.sound.sampled.AudioFormat(
+                    targetHz.toFloat, 16, channels, true, false)
+                  val baos = new java.io.ByteArrayOutputStream()
+                  javax.sound.sampled.AudioSystem.write(
+                    new javax.sound.sampled.AudioInputStream(
+                      new java.io.ByteArrayInputStream(pcm), fmt, dstN.toLong),
+                    javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+                  (baos.toByteArray, targetHz, dstN.toLong, true)
+                }
+            }
+          } catch { case scala.util.control.NonFatal(_) => (p, 0, 0L, false) }
+        (id, kind, out._1, out._2, out._3, out._4)
+      })
+      .toDF("doc_id", "kind", "payload", "sample_rate", "n_frames", "resampled")
+  }
+
+  /** Decode a JDK-readable PCM container to per-channel [-1,1] doubles:
+    * (sampleRate, channels, samples[channel][frame]). Same acceptance
+    * rules as [[decodeAudio]] (PCM signed/unsigned, 8/16-bit).
+    */
+  private def decodePcm(payload: Array[Byte]): Option[(Int, Int, Array[Array[Double]])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
+          (bits == 8 || bits == 16)
+        if (!ok) None
+        else {
+          val data = ais.readAllBytes()
+          val channels = fmt.getChannels
+          val bytesPerFrame = (bits / 8) * channels
+          val frames = data.length / bytesPerFrame
+          if (frames == 0) None
+          else {
+            val out = Array.ofDim[Double](channels, frames)
+            var f = 0
+            while (f < frames) {
+              var c = 0
+              while (c < channels) {
+                val base = f * bytesPerFrame + c * (bits / 8)
+                out(c)(f) =
+                  if (bits == 8) {
+                    if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                      data(base).toDouble / 128.0
+                    else ((data(base) & 0xFF) - 128).toDouble / 128.0
+                  } else {
+                    val v = if (fmt.isBigEndian)
+                        (data(base).toInt << 8) | (data(base + 1) & 0xFF)
+                      else (data(base + 1).toInt << 8) | (data(base) & 0xFF)
+                    v.toShort.toDouble / 32768.0
+                  }
+                c += 1
+              }
+              f += 1
+            }
+            Some((fmt.getSampleRate.toInt, channels, out))
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Resize stage over DECODED metadata (no pixel access — the cheap
     * planner-side sibling of [[resizePayloads]]): scale the spatial
     * metadata to fit a bounding box, aspect-preserving. Typed shape,

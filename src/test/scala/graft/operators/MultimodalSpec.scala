@@ -208,6 +208,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(idx == Seq(0, 5, 10, 15))
   }
 
+  test("resamplePayloads halves a sine's frame count at half rate, keeps its " +
+       "energy, and passes non-audio through byte-identical") {
+    // 0.1 s of a 440 Hz sine at 8 kHz, 16-bit mono WAV
+    val srcRate = 8000
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    for (f <- 0 until n) {
+      val s = math.round(math.sin(2 * math.Pi * 440 * f / srcRate) * 20000).toInt
+      pcm(2 * f) = (s & 0xFF).toByte
+      pcm(2 * f + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(srcRate.toFloat, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val out = Multimodal.resamplePayloads(
+      Seq((1L, "audio", wav), (2L, "audio", "noise".getBytes("UTF-8")),
+        (3L, "image", wav)).toDF("doc_id", "kind", "payload"), targetHz = 4000)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]]("payload"), r.getInt(3), r.getLong(4), r.getBoolean(5))).toMap
+
+    val (resampled, rate, frames, flag) = out(1L)
+    assert((rate, frames, flag) == ((4000, 400L, true)))
+    // re-decode through the REAL audio path: reported rate/frames match,
+    // and the RMS envelope survives the rate change (a 440 Hz tone is
+    // far below the new 2 kHz Nyquist, so linear interp barely dents it)
+    val dec = Multimodal.decode(
+      Seq((1L, "audio", resampled)).toDF("doc_id", "kind", "payload")).head()
+    assert(dec.width == 4000 && dec.n_frames == 400)
+    val rms = dec.features.toSeq
+    val expected = 20000.0 / 32768 / math.sqrt(2)
+    assert(rms.forall(r => math.abs(r - expected) < 0.03), rms)
+    // undecodable audio and non-audio kinds pass through untouched
+    assert(out(2L)._1.sameElements("noise".getBytes("UTF-8")) && !out(2L)._4)
+    assert(out(3L)._1.sameElements(wav) && !out(3L)._4)
+    // already at the target rate: no re-encode, flag false, clock reported
+    val same = Multimodal.resamplePayloads(
+      Seq((4L, "audio", wav)).toDF("doc_id", "kind", "payload"), targetHz = 8000)
+      .collect().head
+    assert(same.getAs[Array[Byte]]("payload").sameElements(wav) &&
+      !same.getBoolean(5) && same.getInt(3) == 8000 && same.getLong(4) == 800L)
+  }
+
   test("resizePayloads really rescales pixels: dims fit the box, brightness " +
        "survives, non-images pass through byte-identical") {
     import java.awt.image.BufferedImage
