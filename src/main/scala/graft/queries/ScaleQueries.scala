@@ -564,8 +564,15 @@ object ScaleQueries {
     * the whole truth build would replay per reference.
     */
   private def raregramTruth(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val grams = Materialize(Dedup.capGramDocFreq(
-      Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text"), maxDocFreq = 20))
+    // raw gram frame materialized FIRST: capGramDocFreq reads its input
+    // twice (hot-count aggregate + anti-join), and an unmaterialized
+    // input re-runs the whole gram build per read (the dedup_ngram
+    // rationale). A/B at sf0.1 is a wash (checkpoint write ≈ rebuild at
+    // this size); the point is the 100× regime, where recomputing the
+    // tokenize+hash pass over the full text twice dominates one linear
+    // gram-frame write
+    val raw = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text"))
+    val grams = Materialize(Dedup.capGramDocFreq(raw, maxDocFreq = 20))
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).cast("double").as("n"))
     val na = sizes.select(col("id").as("na_id"), col("n").as("na_n"))
     val nb = sizes.select(col("id").as("nb_id"), col("n").as("nb_n"))
