@@ -35,6 +35,10 @@ object RecallSweep {
           Similarity.knnIvf(queries, prepped, k = 5, nCentroids = nc,
             nProbe = nProbe, centroids = cent))
       }
+      for (tables <- Seq(4, 8, 12))
+        recall(s"lsh(planes=4,tables=$tables)",
+          Similarity.knnLsh(queries, prepped, k = 5, dim = 64,
+            planes = 4, tables = tables))
       brute.unpersist()
     }
     spark.stop()

@@ -497,10 +497,14 @@ object ScaleQueries {
         (col("n_hit") * 100 >= col("n_brute") * minPct).cast("long").as("recall_ok"))
   }
 
+  /** Floor 50: RecallSweep measured 62/74/76.5% across the three SFs at
+    * this (4-plane, 8-table) config — 12pp of honest margin. tables=12
+    * reaches 80-88% at +50% candidate cost (curve in RecallSweep).
+    */
   def knnLshRecall(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir,
       (q, c) => Similarity.knnLsh(q, c, k = 5, dim = Dim, planes = 4, tables = 8),
-      minPct = 35)
+      minPct = 50)
 
   def knnIvfRecall(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, (q, c) =>
