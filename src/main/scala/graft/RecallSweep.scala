@@ -39,6 +39,19 @@ object RecallSweep {
         recall(s"lsh(planes=4,tables=$tables)",
           Similarity.knnLsh(queries, prepped, k = 5, dim = 64,
             planes = 4, tables = tables))
+      // near-dup audits: recall of the found pair sets vs rare-gram truth
+      val (grams, truth) = graft.queries.ScaleQueries.raregramTruth(spark, dir)
+      val nTrue = truth.count()
+      def pairRecall(name: String, found: org.apache.spark.sql.DataFrame): Unit = {
+        val hit = truth.join(found.select(col("a_id"), col("b_id")),
+          Seq("a_id", "b_id"), "left_semi").count()
+        println(f"$dir $name recall=${hit * 100.0 / nTrue}%.1f%% ($hit/$nTrue)")
+      }
+      pairRecall("minhash(t=0.5)",
+        graft.operators.Dedup.minhashNearDupsFromGrams(grams, threshold = 0.5))
+      pairRecall("simhash(h<=3)",
+        graft.operators.Dedup.simhashNearDups(
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 3))
       brute.unpersist()
     }
     spark.stop()

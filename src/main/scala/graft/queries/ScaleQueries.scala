@@ -567,7 +567,7 @@ object ScaleQueries {
     * it twice (semi-join probe + denominator count) — unmaterialized,
     * the whole truth build would replay per reference.
     */
-  private def raregramTruth(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def raregramTruth(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // raw gram frame materialized FIRST: capGramDocFreq reads its input
     // twice (hot-count aggregate + anti-join), and an unmaterialized
     // input re-runs the whole gram build per read (the dedup_ngram
@@ -603,20 +603,27 @@ object ScaleQueries {
         (col("n_hit") * 100 >= col("n_true") * minPct).cast("long").as("recall_ok"))
   }
 
+  /** Floor 80: measured 100% at ALL three SFs (RecallSweep pair-recall
+    * section) — at J ≥ 0.5 the banded signature essentially cannot miss
+    * on this corpus; the 20pp slack absorbs a future corpus
+    * regeneration, not expected variance.
+    */
   def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
     val (grams, truth) = raregramTruth(spark, dir)
     recallRow(truth,
       Dedup.minhashNearDupsFromGrams(grams, threshold = 0.5)
         .select(col("a_id"), col("b_id")),
-      minPct = 50)
+      minPct = 80)
   }
 
   /** SimHash recall against the same rare-gram Jaccard truth set. Unlike
     * MinHash, SimHash-found pairs are NOT Jaccard-verified (hamming ≤ 3
     * on the 64-bit sketch is the accept rule), so this measures the
-    * sketch's agreement with set-overlap truth: 60–75% at these SFs
-    * (probed), bounded at ≥ 40%. All inputs are xxhash64-seed-fixed —
-    * the flag is a constant per SF.
+    * sketch's agreement with set-overlap truth: 60/75/73.8% measured at
+    * sf0.01/0.001/0.1 (RecallSweep pair-recall section), bounded at
+    * ≥ 40% — the 20pp slack below the measured minimum absorbs a corpus
+    * regeneration. All inputs are xxhash64-seed-fixed — the flag is a
+    * constant per SF.
     */
   def simhashRecall(spark: SparkSession, dir: String): DataFrame = {
     val (_, truth) = raregramTruth(spark, dir)
