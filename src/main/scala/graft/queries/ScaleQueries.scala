@@ -347,6 +347,38 @@ object ScaleQueries {
     FROM a2 LEFT JOIN dropped d ON a2.vec_id = d.vec_id
     ORDER BY a2.vec_id"""
 
+  /** K-means index health report — the go/no-go check before trusting
+    * the sem_dedup / IVF cell structure: per cell, member count and
+    * mean cosine affinity to the centroid (exact-decimal mean, so
+    * partition order can't show in the doubles). A cell with low mean
+    * affinity or a lopsided count is where IVF recall leaks and where
+    * SemDeDup's within-cell collapse under-reaches. Assignment is the
+    * map-only literal-bank projection; the only shuffle is the 16-group
+    * aggregate.
+    */
+  def kmeansQuality(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(prepped, k = 16, iters = 1)
+    Similarity.assignCells(prepped, cent)
+      .join(broadcast(cent), "c_id")
+      .select(col("c_id"),
+        Similarity.cosine(col("v"), col("nrm"), col("cv"), col("cn")).as("aff"))
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("aff").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("mean_aff"))
+      .select(col("c_id").cast("long").as("c_id"), col("n_members"), col("mean_aff"))
+      .orderBy("c_id")
+  }
+
+  val kmeansQualitySql: String = s"""$kmeansCtePrefix
+    SELECT cast(a.c_id AS BIGINT) AS c_id, count(*) AS n_members,
+      round(cast(sum(cast(list_inner_product(a.v, c.cv) / (a.nrm * c.cn)
+          AS DECIMAL(28,12))) AS DOUBLE) / cast(count(*) AS DOUBLE), 6) AS mean_aff
+    FROM a2 a JOIN c1 c USING (c_id)
+    GROUP BY a.c_id
+    ORDER BY c_id"""
+
   /** Symmetric int8 embedding quantization, long format: per-vector
     * scale = 127 / max|v|, q = round-half-up(v·scale) — the compression
     * step an ANN index at 100 TB actually ships (4× smaller vectors, dot
@@ -669,6 +701,7 @@ object ScaleQueries {
     "knn_ivf"       -> (knnIvf _),
     "knn_ivf_hi"    -> (knnIvfHi _),
     "sem_dedup"     -> (semDedup _),
+    "kmeans_quality" -> (kmeansQuality _),
     "fingerprint_winnow" -> (fingerprintWinnow _),
     "multimodal_join" -> (multimodalJoin _),
     "emb_near_dup"  -> (embNearDup _),
@@ -698,6 +731,7 @@ object ScaleQueries {
     "knn_ivf_recall" -> knnIvfRecallSql,
     "knn_ivf_hi_recall" -> knnIvfRecallSql,
     "sem_dedup"     -> semDedupSql,
+    "kmeans_quality" -> kmeansQualitySql,
     "minhash_recall" -> minhashRecallSql,
     "simhash_recall" -> simhashRecallSql)
 }
