@@ -274,4 +274,48 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Hard-triplet mining for contrastive training: for each anchor, the
+    * hardest POSITIVE (same label, LOWEST cosine — the pair the loss
+    * most needs to pull together) and the hardest NEGATIVE (different
+    * label, HIGHEST cosine — the impostor it most needs to push away),
+    * plus the triplet margin. The batch-offline variant of the miner
+    * every metric-learning pipeline runs between epochs.
+    *
+    * Scale shape: anchors are broadcast (a small labelled probe set —
+    * model-selection data, not the corpus), so the corpus is scanned
+    * ONCE map-only; both extremes come from a single aggregation pass
+    * (min/max over (cos, id) structs — map-side combinable, one
+    * exchange of |anchors| rows, never a per-anchor sort). Struct
+    * ordering gives deterministic tie-breaks: equal-cosine positives
+    * take the LOWEST neighbor id, negatives the HIGHEST — the oracle
+    * mirrors both in its window ORDER BY.
+    *
+    * Anchors with no same-label or no different-label companion yield
+    * NULL extremes and are dropped (can't form a triplet).
+    *
+    * @param anchors prepped (id, v, nrm) + `label`
+    * @param corpus  prepped (id, v, nrm) + `label`
+    * @return (q_id, a_label, pos_id, pos_cos, neg_id, neg_cos, margin,
+    *         violates) — violates = margin below `minMargin`
+    */
+  def tripletMine(anchors: DataFrame, corpus: DataFrame,
+                  minMargin: Double): DataFrame = {
+    val q = broadcast(anchors.select(col("id").as("q_id"),
+      col("label").as("a_label"), col("v").as("qv"), col("nrm").as("qn")))
+    val scored = q.join(corpus, col("id") =!= col("q_id"))
+      .select(col("q_id"), col("a_label"), col("id").as("n_id"),
+        (col("label") === col("a_label")).as("same"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+    scored.groupBy("q_id", "a_label")
+      .agg(
+        min(when(col("same"), struct(col("cos"), col("n_id")))).as("p"),
+        max(when(!col("same"), struct(col("cos"), col("n_id")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("q_id"), col("a_label"),
+        col("p.n_id").as("pos_id"), round(col("p.cos"), 6).as("pos_cos"),
+        col("n.n_id").as("neg_id"), round(col("n.cos"), 6).as("neg_cos"),
+        round(col("p.cos") - col("n.cos"), 6).as("margin"),
+        (col("p.cos") - col("n.cos") < minMargin).cast("long").as("violates"))
+  }
 }

@@ -725,6 +725,25 @@ object CorpusQueries {
     s"$bpeCtePrefix\n    $out\n    ORDER BY round"
   }
 
+  /** The trained tokenizer's user-visible artifact: the 50 most
+    * frequent words with their final subword segmentation — what a
+    * tokenizer card prints and the first thing you inspect when
+    * fertility regresses. Pure projection over the trainer's final
+    * vocab (vocabulary-sized, corpus never re-read); top-50 under a
+    * TOTAL order (freq desc, w) so the limit is deterministic.
+    */
+  def bpeSegment(spark: SparkSession, dir: String): DataFrame = {
+    val dw = docs(spark, dir).select(col("doc_id"),
+        explode(TextAnalysis.wordTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = bpeTrainFrom(dw.select("w"))._1
+    val pieces = split(btrim(col("repr")), "  ")
+    vocab.select(col("w"), col("freq"),
+        size(pieces).cast("long").as("n_pieces"),
+        array_join(pieces, "|").as("pieces"))
+      .orderBy(col("freq").desc, col("w")).limit(50)
+  }
+
   val bpeEncodeSql: String = s"""$bpeCtePrefix,
     dw AS (
       SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
@@ -738,6 +757,13 @@ object CorpusQueries {
     SELECT doc_id, n_words, n_subtokens,
       round(cast(n_subtokens AS DOUBLE) / n_words, 6) AS fertility
     FROM enc ORDER BY doc_id"""
+
+  val bpeSegmentSql: String = s"""$bpeCtePrefix
+    SELECT w, freq,
+      cast(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_pieces,
+      array_to_string(string_split(trim(repr), '  '), '|') AS pieces
+    FROM v$BpeRounds
+    ORDER BY freq DESC, w LIMIT 50"""
 
   // ------------------------------------------------------- outlier MAD
 
@@ -880,6 +906,7 @@ object CorpusQueries {
     "bpe_pairs"      -> (bpePairs _),
     "bpe_merges"     -> (bpeMerges _),
     "bpe_encode"     -> (bpeEncode _),
+    "bpe_segment"    -> (bpeSegment _),
     "outlier_mad"    -> (outlierMad _),
     "events_sliding" -> (eventsSliding _),
     "data_card"      -> (dataCard _))
@@ -893,6 +920,7 @@ object CorpusQueries {
     "bpe_pairs"      -> bpePairsSql,
     "bpe_merges"     -> bpeMergesSql,
     "bpe_encode"     -> bpeEncodeSql,
+    "bpe_segment"    -> bpeSegmentSql,
     "outlier_mad"    -> outlierMadSql,
     "events_sliding" -> eventsSlidingSql,
     "data_card"      -> dataCardSql)

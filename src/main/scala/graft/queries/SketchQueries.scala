@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.KmvAgg
+import graft.functions.{CmsAgg, KmvAgg}
+import graft.sources.Tables
 
 /** Bounded-memory set-sketch operators. The distinguishing capability
   * over the HLL path (`approx_distinct`, `hll_rollup`): KMV/theta
@@ -103,11 +104,76 @@ object SketchQueries {
     FROM pairs LEFT JOIN ex ON source_a = sa AND source_b = sb
     ORDER BY source_a, source_b"""
 
+  // --------------------------------------------------- count-min rollup
+
+  private val CmsD = 4
+  private val CmsW = 256
+
+  /** The d bucket indices for a key — ONE hashing expression shared by
+    * sketch build and point lookup, so they can never disagree.
+    */
+  private def cmsIdxs(key: Column): Column =
+    array((0 until CmsD).map(i =>
+      pmod(xxhash64(key, lit(i)), lit(CmsW)).cast("int")): _*)
+
+  /** Count-Min frequency rollup: per-day CMS sketches of `event_type`
+    * merged to ISO weeks (raw rows read ONCE at daily granularity —
+    * the same warehouse pattern as `hll_rollup`, but answering POINT
+    * FREQUENCY, not distinct cardinality), then every weekly type count
+    * estimated from the merged sketch.
+    *
+    * Merge is plain elementwise array sum, written in SQL (posexplode →
+    * sum → rebuild) to show the finished sketch is a first-class value
+    * any engine can combine — no re-aggregation over raw data. The
+    * weekly row total N comes from the sketch itself (row 0 of the
+    * counters sums to N), not an extra pass.
+    *
+    * Tolerance oracle: exact weekly counts + a flag the estimate must
+    * satisfy — `est ≥ exact` is the sketch's DETERMINISTIC one-sided
+    * guarantee, and the overestimate is gated at 8·N/width (Markov t=8
+    * per hash row → miss odds (1/8)^4 ≈ 2e-4; xxhash64 seeds are fixed,
+    * so for a given corpus the flag is a constant).
+    */
+  def cmsRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cms = udaf(new CmsAgg(CmsD, CmsW))
+    val e = Tables.events(spark, dir).select(
+      date_trunc("week", col("ts")).cast("date").as("week"),
+      col("ts").cast("date").as("day"), col("event_type"))
+    val daily = e.groupBy("week", "day")
+      .agg(cms(cmsIdxs(col("event_type"))).as("sk"))
+    val weekly = daily.select(col("week"), posexplode(col("sk")))
+      .groupBy("week", "pos").agg(sum("col").as("c"))
+      .groupBy("week")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("week"),
+        transform(col("pc"), p => p.getField("c")).as("sk"))
+      .withColumn("n", aggregate(slice(col("sk"), 1, CmsW), lit(0L), _ + _))
+    val est = least((0 until CmsD).map(i =>
+      element_at(col("sk"),
+        (lit(i * CmsW + 1) + pmod(xxhash64(col("event_type"), lit(i)), lit(CmsW)))
+          .cast("int"))): _*)
+    val exact = e.groupBy("week", "event_type")
+      .agg(count(lit(1)).as("exact_cnt"))
+    exact.join(weekly, Seq("week"))
+      .select(col("week"), col("event_type"), col("exact_cnt"),
+        (est >= col("exact_cnt") &&
+          est - col("exact_cnt") <= greatest(lit(1L), col("n") * 8 / CmsW))
+          .cast("long").as("in_bounds"))
+      .orderBy("week", "event_type")
+  }
+
+  val cmsRollupSql: String = """
+    SELECT cast(date_trunc('week', ts) AS DATE) AS week, event_type,
+      count(*) AS exact_cnt, cast(1 AS BIGINT) AS in_bounds
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "theta_intersect" -> (thetaIntersect _))
+    "theta_intersect" -> (thetaIntersect _),
+    "cms_rollup"      -> (cmsRollup _))
 
   val oracle: Map[String, String] = Map(
-    "theta_intersect" -> thetaIntersectSql)
+    "theta_intersect" -> thetaIntersectSql,
+    "cms_rollup"      -> cmsRollupSql)
 }

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Training-set construction operators that sit between curation and
+  * the trainer: hard-example mining over the embedding space and
+  * embedding-health audits. (Curation itself — dedup, mixing, splits,
+  * packing — lives in the pipeline/corpus query families.)
+  */
+object TrainQueries {
+
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Prepped embedding frame that KEEPS the class label (Similarity.prep
+    * drops everything but id/v/nrm).
+    */
+  private def labelled(spark: SparkSession, dir: String): DataFrame =
+    embs(spark, dir)
+      .select(col("vec_id").as("id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+
+  // ------------------------------------------------------ triplet mining
+
+  /** Hard positive + hardest negative per anchor (every 25th vector),
+    * margin and a violates flag at 0.1 — the between-epoch offline miner
+    * for metric learning. Single corpus scan, single aggregation
+    * exchange (see [[Similarity.tripletMine]]).
+    */
+  def tripletMine(spark: SparkSession, dir: String): DataFrame = {
+    val p = labelled(spark, dir)
+    val anchors = p.filter(col("id") % 25 === 0)
+    Similarity.tripletMine(anchors, p, minMargin = 0.1).orderBy("q_id")
+  }
+
+  /** Oracle mirrors the struct-aggregate tie-breaks with window ranks:
+    * positives (min struct) order cos ASC, n_id ASC; negatives (max
+    * struct) order cos DESC, n_id DESC.
+    */
+  val tripletMineSql: String = """
+    WITH e AS (
+      SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS q_id, q.label AS a_label, c.vec_id AS n_id,
+        (c.label = q.label) AS same,
+        list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      FROM e q JOIN e c ON q.vec_id % 25 = 0 AND c.vec_id != q.vec_id),
+    pos AS (
+      SELECT q_id, a_label, n_id AS pos_id, cos AS pcos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos ASC, n_id ASC) AS rk
+      FROM scored WHERE same),
+    neg AS (
+      SELECT q_id, n_id AS neg_id, cos AS ncos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id DESC) AS rk
+      FROM scored WHERE NOT same)
+    SELECT p.q_id, p.a_label, p.pos_id, round(p.pcos, 6) AS pos_cos,
+      n.neg_id, round(n.ncos, 6) AS neg_cos,
+      round(p.pcos - n.ncos, 6) AS margin,
+      cast(p.pcos - n.ncos < 0.1 AS BIGINT) AS violates
+    FROM pos p JOIN neg n ON p.q_id = n.q_id
+    WHERE p.rk = 1 AND n.rk = 1
+    ORDER BY p.q_id"""
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "triplet_mine" -> (tripletMine _))
+
+  val oracle: Map[String, String] = Map(
+    "triplet_mine" -> tripletMineSql)
+}

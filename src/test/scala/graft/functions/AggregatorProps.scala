@@ -82,4 +82,32 @@ object AggregatorProps extends Properties("Aggregators.merge") {
         got.vals == distinctFlipped.take(k) &&
           got.full == (distinctFlipped.length >= k)
     }
+
+  // any deterministic per-row index derivation works for the contract;
+  // a deliberately weak mix still satisfies both properties below
+  private val CmsD = 3
+  private val CmsW = 16
+  private def cmsIdx(key: Long): Seq[Int] =
+    Seq.tabulate(CmsD)(i =>
+      Math.floorMod((key * 0x9E3779B97F4A7C15L + i * 0x5851F42D4C957F2DL) >>> 7, CmsW).toInt)
+
+  private val cmsKeys: Gen[List[Long]] =
+    Gen.listOf(Gen.frequency(
+      4 -> Gen.chooseNum(0L, 12L),     // dense collisions at width 16
+      1 -> Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+
+  property("CmsAgg: partition-invariant counters; point estimate never undercounts") =
+    Prop.forAll(cmsKeys.flatMap(xs => chunked(xs).map(xs -> _))) {
+      case (xs, chunks) =>
+        val agg = new CmsAgg(CmsD, CmsW)
+        val partials = chunks.map(_.foldLeft(agg.zero)((b, k) => agg.reduce(b, cmsIdx(k))))
+        val merged = agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+        val whole = agg.finish(xs.foldLeft(agg.zero)((b, k) => agg.reduce(b, cmsIdx(k))))
+        def est(sk: Seq[Long], key: Long): Long =
+          cmsIdx(key).zipWithIndex.map { case (idx, i) => sk(i * CmsW + idx) }.min
+        val truth = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        merged == whole &&
+          truth.forall { case (k, cnt) => est(merged, k) >= cnt } &&
+          merged.sum == xs.length.toLong * CmsD
+    }
 }
