@@ -65,11 +65,57 @@ object TrainQueries {
     WHERE p.rk = 1 AND n.rk = 1
     ORDER BY p.q_id"""
 
+  // ---------------------------------------------------- embedding health
+
+  /** Per-label embedding-table QA — the audit a pipeline runs before
+    * trusting an embedding column: row counts, dimension consistency
+    * (a ragged array breaks every kernel downstream), zero vectors
+    * (cosine is undefined), non-finite components, and the norm
+    * envelope. One aggregation over one scan; the mean norm sums in
+    * exact decimal so it is partition-order independent.
+    */
+  def embHealth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = labelled(spark, dir)
+    val bad = exists(col("v"), x => isnan(x) ||
+      x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity))
+    e.select(col("label"), col("nrm"),
+        size(col("v")).cast("long").as("d"), bad.cast("long").as("nf"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("d")).as("dim_min"), max(col("d")).as("dim_max"),
+        sum((col("nrm") === 0.0).cast("long")).as("n_zero"),
+        sum(col("nf")).as("n_nonfinite"),
+        round(min(col("nrm")), 6).as("norm_min"),
+        round(sum(col("nrm").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("norm_avg"),
+        round(max(col("nrm")), 6).as("norm_max"))
+      .orderBy("label")
+  }
+
+  val embHealthSql: String = """
+    WITH n AS (
+      SELECT label, len(embedding) AS d,
+        sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) AS nrm,
+        CASE WHEN list_aggregate(list_transform(cast(embedding AS DOUBLE[]),
+          x -> isnan(x) OR isinf(x)), 'bool_or') THEN 1 ELSE 0 END AS nf
+      FROM embeddings)
+    SELECT label, count(*) AS n_vecs,
+      cast(min(d) AS BIGINT) AS dim_min, cast(max(d) AS BIGINT) AS dim_max,
+      cast(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      cast(sum(nf) AS BIGINT) AS n_nonfinite,
+      round(min(nrm), 6) AS norm_min,
+      round(cast(sum(cast(nrm AS DECIMAL(28, 12))) AS DOUBLE) / count(*), 6) AS norm_avg,
+      round(max(nrm), 6) AS norm_max
+    FROM n GROUP BY label ORDER BY label"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "triplet_mine" -> (tripletMine _))
+    "triplet_mine" -> (tripletMine _),
+    "emb_health"   -> (embHealth _))
 
   val oracle: Map[String, String] = Map(
-    "triplet_mine" -> tripletMineSql)
+    "triplet_mine" -> tripletMineSql,
+    "emb_health"   -> embHealthSql)
 }
