@@ -490,6 +490,75 @@ object PipelineQueries {
     WHERE rk <= 5
     ORDER BY source, rk"""
 
+  // ------------------------------------------------- dedup with rewrite
+
+  /** Non-overlapping rewrite-window width (tokens). */
+  val RewriteW = 10
+
+  /** Chunk-level dedup WITH document reconstruction — the C4-style
+    * rewrite step that turns dup *detection* into the artifact a
+    * pipeline actually ships: every 10-token chunk keeps only its
+    * globally FIRST occurrence (min (doc_id, chunk_idx) — a total,
+    * engine-portable keep rule), then each document is reassembled from
+    * its surviving chunks in order. Output per doc: chunk counts, drops,
+    * and the md5 of the rewritten text (the integrity witness — both
+    * engines must rebuild byte-identical documents, not just agree on
+    * counts). A doc whose every chunk appeared earlier elsewhere
+    * rewrites to the empty string, not a dropped row.
+    *
+    * Scale shape: one shuffle keyed by chunk text (exactly the
+    * dedup_exact exchange at chunk granularity), one per-doc
+    * reassembly aggregation. No self-join, no pair blow-up.
+    */
+  def dedupRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = docs(spark, dir)
+      .select(col("doc_id"), split(btrim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - 1) / RewriteW).cast("int"))).as("ci"),
+        col("t"))
+      .select(col("doc_id"), col("ci"),
+        array_join(slice(col("t"), col("ci") * RewriteW + 1, lit(RewriteW)), " ").as("ctext"))
+    val w = Window.partitionBy("ctext")
+    val kept = chunks
+      .withColumn("first", min(struct(col("doc_id"), col("ci"))).over(w))
+      .filter(col("first.doc_id") === col("doc_id") && col("first.ci") === col("ci"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("ci"), col("ctext")))),
+          p => p.getField("ctext")), " ")).as("clean_md5"))
+    chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_md5"), lit(org.apache.commons.codec.digest.DigestUtils.md5Hex(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val dedupRewriteSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS ci,
+        array_to_string(t[(i*$RewriteW+1):(i*$RewriteW+$RewriteW)], ' ') AS ctext
+      FROM toks, unnest(range(0, ((len(t)-1)//$RewriteW) + 1)) AS u(i)),
+    kept AS (
+      SELECT doc_id, ci, ctext FROM (
+        SELECT *, row_number() OVER (PARTITION BY ctext ORDER BY doc_id, ci) AS rk
+        FROM chunks) WHERE rk = 1),
+    reb AS (
+      SELECT doc_id, count(*) AS n_kept,
+        md5(string_agg(ctext, ' ' ORDER BY ci)) AS clean_md5
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chunks,
+      coalesce(r.n_kept, 0) AS n_kept,
+      t.n_chunks - coalesce(r.n_kept, 0) AS n_dropped,
+      coalesce(r.clean_md5, md5('')) AS clean_md5
+    FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -504,7 +573,8 @@ object PipelineQueries {
     "dedup_incremental" -> (dedupIncremental _),
     "mix_sample"       -> (mixSample _),
     "sample_quota"     -> (sampleQuota _),
-    "curation_funnel"  -> (curationFunnel _))
+    "curation_funnel"  -> (curationFunnel _),
+    "dedup_rewrite"    -> (dedupRewrite _))
 
   val oracle: Map[String, String] = Map(
     "split_assign"     -> splitAssignSql,
@@ -518,5 +588,6 @@ object PipelineQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "mix_sample"       -> mixSampleSql,
     "sample_quota"     -> sampleQuotaSql,
-    "curation_funnel"  -> curationFunnelSql)
+    "curation_funnel"  -> curationFunnelSql,
+    "dedup_rewrite"    -> dedupRewriteSql)
 }
