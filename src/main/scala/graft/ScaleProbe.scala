@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   val Queries = Seq("pagerank", "minhash_recall", "dedup_contain",
-    "dup_clusters", "dedup_ngram")
+    "dup_clusters", "dedup_ngram",
+    // round-8 late addition: the chunk-text shuffle + per-doc reassembly
+    // shape (dedup_exact's exchange at chunk granularity)
+    "dedup_rewrite")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

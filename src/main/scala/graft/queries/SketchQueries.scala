@@ -167,13 +167,75 @@ object SketchQueries {
       count(*) AS exact_cnt, cast(1 AS BIGINT) AS in_bounds
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ------------------------------------------------------- KLL rollup
+
+  /** Mergeable QUANTILE-sketch rollup via Spark 4's DataSketches KLL
+    * surface: per-day `kll_sketch_agg_double` sketches of event value,
+    * merged per week with `kll_merge_agg_double` — the percentile
+    * capability `percentile_approx` cannot provide, because its sketch
+    * state is not a storable/mergeable column. This closes the
+    * mergeable-sketch family: HLL (distinct), KMV (intersection), CMS
+    * (frequency), Misra-Gries (heavy keys), KLL (quantiles).
+    *
+    * Tolerance oracle, rank-bracket form (the `approx_quantiles`
+    * pattern): output carries the EXACT discrete weekly p50/p90 plus
+    * flags that the sketch estimates fall inside generous rank
+    * brackets (p50 ∈ ranks [0.35, 0.65], p90 ∈ [0.80, 0.98]) — ~10×
+    * the k=200 KLL rank error, absorbing DataSketches' randomized
+    * compaction offsets so the flag is stable run to run.
+    */
+  def kllRollup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir).select(
+      date_trunc("week", col("ts")).cast("date").as("week"),
+      col("ts").cast("date").as("day"), col("value"))
+    val daily = e.groupBy("week", "day")
+      .agg(expr("kll_sketch_agg_double(value)").as("sk"))
+    val weekly = daily.groupBy("week")
+      .agg(expr("kll_merge_agg_double(sk)").as("sk"))
+      .select(col("week"),
+        expr("kll_sketch_get_quantile_double(sk, 0.5)").as("est50"),
+        expr("kll_sketch_get_quantile_double(sk, 0.9)").as("est90"))
+    val wr = Window.partitionBy("week").orderBy("value")
+    def at(q: Double) = max(when(col("rk") === ceil(col("m") * q), col("value")))
+    val brackets = e
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("week")))
+      .groupBy("week")
+      .agg(at(0.5).as("p50"), at(0.9).as("p90"),
+        at(0.35).as("lo50"), at(0.65).as("hi50"),
+        at(0.80).as("lo90"), at(0.98).as("hi90"))
+    brackets.join(weekly, Seq("week"))
+      .select(col("week"),
+        round(col("p50"), 6).as("exact_p50"), round(col("p90"), 6).as("exact_p90"),
+        (col("est50") >= col("lo50") && col("est50") <= col("hi50"))
+          .cast("long").as("p50_ok"),
+        (col("est90") >= col("lo90") && col("est90") <= col("hi90"))
+          .cast("long").as("p90_ok"))
+      .orderBy("week")
+  }
+
+  val kllRollupSql: String = """
+    WITH ranked AS (
+      SELECT cast(date_trunc('week', ts) AS DATE) AS week, value,
+        cast(row_number() OVER (PARTITION BY date_trunc('week', ts) ORDER BY value) AS BIGINT) AS rk,
+        count(*) OVER (PARTITION BY date_trunc('week', ts)) AS m
+      FROM events)
+    SELECT week,
+      round(max(CASE WHEN rk = ceil(m * 0.5) THEN value END), 6) AS exact_p50,
+      round(max(CASE WHEN rk = ceil(m * 0.9) THEN value END), 6) AS exact_p90,
+      cast(1 AS BIGINT) AS p50_ok, cast(1 AS BIGINT) AS p90_ok
+    FROM ranked GROUP BY week ORDER BY week"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "theta_intersect" -> (thetaIntersect _),
-    "cms_rollup"      -> (cmsRollup _))
+    "cms_rollup"      -> (cmsRollup _),
+    "kll_rollup"      -> (kllRollup _))
 
   val oracle: Map[String, String] = Map(
     "theta_intersect" -> thetaIntersectSql,
-    "cms_rollup"      -> cmsRollupSql)
+    "cms_rollup"      -> cmsRollupSql,
+    "kll_rollup"      -> kllRollupSql)
 }
