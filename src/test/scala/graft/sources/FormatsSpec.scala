@@ -36,6 +36,20 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.count() == sample.count())
   }
 
+  test("xml round-trip via Spark 4's native XML datasource") {
+    val dir = Files.createTempDirectory("fmt_xml").toString
+    sample.write.mode("overwrite")
+      .option("rootTag", "events").option("rowTag", "event")
+      .format("xml").save(dir)
+    val back = spark.read.schema(sample.schema)
+      .option("rowTag", "event").format("xml").load(dir)
+    assert(back.schema == sample.schema)
+    assert(back.count() == sample.count())
+    val a = sample.agg(sum("value"), sum("ts_us")).head()
+    val b = back.agg(sum("value"), sum("ts_us")).head()
+    assert(a.getDouble(0) == b.getDouble(0) && a.getLong(1) == b.getLong(1))
+  }
+
   test("csv round-trip with explicit schema recovers typed values") {
     val dir = Files.createTempDirectory("fmt_csv").toString
     sample.write.mode("overwrite").option("header", "true").csv(dir)
