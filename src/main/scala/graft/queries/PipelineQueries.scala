@@ -308,6 +308,79 @@ object PipelineQueries {
       UNION ALL SELECT 4, 'exact_unique', n4 FROM agg)
     ORDER BY stage_idx"""
 
+  /** Per-gate kill attribution for the curation funnel: how many docs
+    * each gate fails OUTRIGHT, and how many it UNIQUELY kills (every
+    * other gate passes) — the report that says which filter earns its
+    * runtime and which is redundant shadow of another. Same four gates
+    * as [[curationFunnel]] (same verified SQL in the oracle), but
+    * order-free: attribution, not the sequential survivor curve.
+    *
+    * The flags frame is materialized before the 8-way aggregate — each
+    * sum input referencing a flag would otherwise inline a copy of that
+    * gate's whole HOF subtree per reference (the measured-2× trap the
+    * funnel's depth trick dodges); materializing 4 booleans/row makes
+    * every gate evaluate exactly once.
+    */
+  def gateAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis._
+    val d = docs(spark, dir)
+    val toks = wordTokens(lower(col("text")))
+    val w = Window.partitionBy(md5(col("text").cast("binary")))
+    val flags = graft.operators.Materialize(d
+      .select(col("doc_id"),
+        (langPredict(langScores(toks)) === "en").as("f1"),
+        (qualityScore(col("text")) >= 0.5).as("f2"),
+        repetitionCols(col("text")).last.as("rep_ratio"),
+        (col("doc_id") === min("doc_id").over(w)).as("f4"))
+      .withColumn("f3", col("rep_ratio") <= 0.2)
+      .select("f1", "f2", "f3", "f4"))
+    def cnt(c: Column) = sum(c.cast("long"))
+    val a = flags.agg(
+      cnt(!col("f1")).as("x1"), cnt(!col("f2")).as("x2"),
+      cnt(!col("f3")).as("x3"), cnt(!col("f4")).as("x4"),
+      cnt(!col("f1") && col("f2") && col("f3") && col("f4")).as("u1"),
+      cnt(col("f1") && !col("f2") && col("f3") && col("f4")).as("u2"),
+      cnt(col("f1") && col("f2") && !col("f3") && col("f4")).as("u3"),
+      cnt(col("f1") && col("f2") && col("f3") && !col("f4")).as("u4"))
+    a.selectExpr("""stack(4,
+        'lang_en', x1, u1,
+        'quality', x2, u2,
+        'repetition', x3, u3,
+        'exact_unique', x4, u4) AS (gate, n_fail, n_unique_kill)""")
+      .withColumn("n_shared_kill", col("n_fail") - col("n_unique_kill"))
+      .orderBy("gate")
+  }
+
+  val gateAttributionSql: String = s"""
+    WITH lang AS (${TextQueries.langIdSql}),
+    q AS (${TextQueries.qualityScoreSql}),
+    rep AS ($repetitionRatioSql),
+    flags AS (
+      SELECT d.doc_id,
+        (l.predicted_lang = 'en') AS f1,
+        (q.quality >= 0.5) AS f2,
+        (r.rep_ratio <= 0.2) AS f3,
+        (d.doc_id = min(d.doc_id) OVER (PARTITION BY d.text)) AS f4
+      FROM documents d
+      JOIN lang l ON d.doc_id = l.doc_id
+      JOIN q ON d.doc_id = q.doc_id
+      JOIN rep r ON d.doc_id = r.doc_id),
+    a AS (SELECT
+      count(*) FILTER (NOT f1) AS x1, count(*) FILTER (NOT f2) AS x2,
+      count(*) FILTER (NOT f3) AS x3, count(*) FILTER (NOT f4) AS x4,
+      count(*) FILTER (NOT f1 AND f2 AND f3 AND f4) AS u1,
+      count(*) FILTER (f1 AND NOT f2 AND f3 AND f4) AS u2,
+      count(*) FILTER (f1 AND f2 AND NOT f3 AND f4) AS u3,
+      count(*) FILTER (f1 AND f2 AND f3 AND NOT f4) AS u4
+      FROM flags)
+    SELECT gate, n_fail, n_unique_kill,
+      n_fail - n_unique_kill AS n_shared_kill FROM (
+        SELECT 'lang_en' AS gate, x1 AS n_fail, u1 AS n_unique_kill FROM a
+        UNION ALL SELECT 'quality', x2, u2 FROM a
+        UNION ALL SELECT 'repetition', x3, u3 FROM a
+        UNION ALL SELECT 'exact_unique', x4, u4 FROM a)
+    ORDER BY gate"""
+
   /** Deterministic train/val/test split (80/10/10 by md5 bucket of the
     * doc id): reproducible on any engine, any cluster, any run — the
     * property random() splits can't give — with per-(source, split)
@@ -574,7 +647,8 @@ object PipelineQueries {
     "mix_sample"       -> (mixSample _),
     "sample_quota"     -> (sampleQuota _),
     "curation_funnel"  -> (curationFunnel _),
-    "dedup_rewrite"    -> (dedupRewrite _))
+    "dedup_rewrite"    -> (dedupRewrite _),
+    "gate_attribution" -> (gateAttribution _))
 
   val oracle: Map[String, String] = Map(
     "split_assign"     -> splitAssignSql,
@@ -589,5 +663,6 @@ object PipelineQueries {
     "mix_sample"       -> mixSampleSql,
     "sample_quota"     -> sampleQuotaSql,
     "curation_funnel"  -> curationFunnelSql,
-    "dedup_rewrite"    -> dedupRewriteSql)
+    "dedup_rewrite"    -> dedupRewriteSql,
+    "gate_attribution" -> gateAttributionSql)
 }
