@@ -536,6 +536,120 @@ object Multimodal {
       .toDF("doc_id", "kind", "payload", "sample_rate", "n_frames", "resampled")
   }
 
+  /** In-place iterative radix-2 Cooley–Tukey FFT. `re.length` must be a
+    * power of two. Deterministic (fixed summation order), no external
+    * libs — the DSP kernel [[audioSpectral]] runs per payload.
+    */
+  private[operators] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    var j = 0
+    var i = 1
+    while (i < n) { // bit-reversal permutation
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(base + k); val ui = im(base + k)
+          val xr = re(base + k + len / 2); val xi = im(base + k + len / 2)
+          val vr = xr * cr - xi * ci
+          val vi = xr * ci + xi * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Real spectral signature of a PCM payload: Hann-windowed 1024-point
+    * frames, magnitude spectra accumulated over up to 32 frames, folded
+    * into 8 equal bands of [0, Nyquist] — the audio analog of the 8×8
+    * luma grid behind [[aHash]]. Returns (dominantHz, 8 band weights
+    * summing to 1); None for undecodable audio or clips shorter than
+    * one 64-sample frame. Silence reports dominantHz 0 and uniform
+    * weights rather than NaNs.
+    */
+  private[operators] def audioSpectral(payload: Array[Byte]): Option[(Int, Array[Float])] =
+    decodePcm(payload).flatMap { case (rate, channels, chans) =>
+      val n = chans(0).length
+      val frame = math.min(1024, java.lang.Integer.highestOneBit(n))
+      if (frame < 64) None
+      else {
+        val half = frame / 2
+        val mag = new Array[Double](half)
+        val maxFrames = math.min(32, n / frame)
+        var fi = 0
+        while (fi < maxFrames) {
+          val re = new Array[Double](frame)
+          val im = new Array[Double](frame)
+          var s = 0
+          while (s < frame) {
+            var acc = 0.0
+            var c = 0
+            while (c < channels) { acc += chans(c)(fi * frame + s); c += 1 }
+            val hann = 0.5 * (1 - math.cos(2 * math.Pi * s / (frame - 1)))
+            re(s) = (acc / channels) * hann
+            s += 1
+          }
+          fft(re, im)
+          var k = 0
+          while (k < half) { mag(k) += math.sqrt(re(k) * re(k) + im(k) * im(k)); k += 1 }
+          fi += 1
+        }
+        // dominant bin over k ≥ 1 (DC is amplitude offset, not pitch)
+        var best = 1
+        var k = 2
+        while (k < half) { if (mag(k) > mag(best)) best = k; k += 1 }
+        val bands = new Array[Double](8)
+        k = 1
+        while (k < half) { bands((k * 8) / half) += mag(k); k += 1 }
+        val total = bands.sum
+        val weights =
+          if (total == 0.0) Array.fill(8)(0.125f)
+          else bands.map(b => (b / total).toFloat)
+        val dominantHz = if (total == 0.0) 0 else (best.toLong * rate / frame).toInt
+        Some((dominantHz, weights))
+      }
+    }
+
+  /** Spectral feature table over a payload frame: real FFT-banded audio
+    * signatures for decodable audio rows, pass-through nulls otherwise.
+    * Executor-local per-row DSP (no shuffle); the frame's schema is the
+    * plumbing a 100 TB audio corpus would carry into an audio-quality
+    * gate or a cheap audio near-dup key (band-weight rounding).
+    */
+  def spectralPayloads(withPayloads: DataFrame): DataFrame = {
+    import withPayloads.sparkSession.implicits._
+    withPayloads
+      .select(col("doc_id").cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, p) =>
+        val sp = if (kind == "audio") audioSpectral(p) else None
+        sp match {
+          case Some((dom, w)) => (id, kind, true, dom, w)
+          case None           => (id, kind, false, 0, Array.empty[Float])
+        }
+      })
+      .toDF("doc_id", "kind", "decoded", "dominant_hz", "band_weights")
+  }
+
   /** Decode a JDK-readable PCM container to per-channel [-1,1] doubles:
     * (sampleRate, channels, samples[channel][frame]). Same acceptance
     * rules as [[decodeAudio]] (PCM signed/unsigned, 8/16-bit).
