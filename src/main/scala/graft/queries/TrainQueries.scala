@@ -109,13 +109,67 @@ object TrainQueries {
       round(max(nrm), 6) AS norm_max
     FROM n GROUP BY label ORDER BY label"""
 
+  // ------------------------------------------------------ epoch shuffle
+
+  /** Deterministic per-epoch training order: epoch e ranks docs by
+    * md5(e ‖ doc_id) — reproducible on any engine/cluster/run (the same
+    * argument as `split_assign`), yet decorrelated BETWEEN epochs,
+    * which is what shuffling is for. The audit quantifies that:
+    * Spearman ρ between every epoch pair's rank vectors, from the
+    * exact-integer Σd² identity (d up to n so Σd² ~ n³ — DECIMAL(38,0)
+    * lane, ANSI-safe at billion-doc scale). Healthy shuffles sit at
+    * |ρ| = O(1/√n) ≈ 0.
+    *
+    * The per-epoch row_number is the order DEFINITION; at cluster
+    * scale you materialize it with a range partitioner on the md5 key
+    * (the guarded-global-window note on W1 applies).
+    */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val ranked = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(array(lit(0), lit(1), lit(2))).as("epoch"))
+      .withColumn("rk", row_number().over(Window.partitionBy("epoch")
+        .orderBy(md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))), col("doc_id"))).cast("long"))
+    val a = ranked.select(col("doc_id"), col("epoch").as("epoch_a"), col("rk").as("ra"))
+    val b = ranked.select(col("doc_id"), col("epoch").as("epoch_b"), col("rk").as("rb"))
+    a.join(b, Seq("doc_id")).filter(col("epoch_a") < col("epoch_b"))
+      .groupBy("epoch_a", "epoch_b")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(((col("ra") - col("rb")) * (col("ra") - col("rb")))
+          .cast(DecimalType(38, 0))).as("sd2"))
+      .select(col("epoch_a"), col("epoch_b"), col("n_docs"),
+        round(lit(1.0) - lit(6.0) * col("sd2").cast("double") /
+          (col("n_docs").cast("double") *
+            (col("n_docs").cast("double") * col("n_docs").cast("double") - 1.0)), 6)
+          .as("spearman"))
+      .orderBy("epoch_a", "epoch_b")
+  }
+
+  val epochShuffleSql: String = """
+    WITH ranked AS (
+      SELECT doc_id, e AS epoch,
+        cast(row_number() OVER (PARTITION BY e
+          ORDER BY md5(CAST(e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), doc_id)
+          AS BIGINT) AS rk
+      FROM documents, unnest([0, 1, 2]) AS u(e))
+    SELECT a.epoch AS epoch_a, b.epoch AS epoch_b, count(*) AS n_docs,
+      round(1.0 - 6.0 * CAST(sum(cast((a.rk - b.rk) * (a.rk - b.rk) AS HUGEINT)) AS DOUBLE)
+        / (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) * count(*) - 1.0)), 6)
+        AS spearman
+    FROM ranked a JOIN ranked b ON a.doc_id = b.doc_id AND a.epoch < b.epoch
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "triplet_mine" -> (tripletMine _),
-    "emb_health"   -> (embHealth _))
+    "triplet_mine"  -> (tripletMine _),
+    "emb_health"    -> (embHealth _),
+    "epoch_shuffle" -> (epochShuffle _))
 
   val oracle: Map[String, String] = Map(
-    "triplet_mine" -> tripletMineSql,
-    "emb_health"   -> embHealthSql)
+    "triplet_mine"  -> tripletMineSql,
+    "emb_health"    -> embHealthSql,
+    "epoch_shuffle" -> epochShuffleSql)
 }
