@@ -380,7 +380,87 @@ object WarehouseQueries {
 
   // ----------------------------------------------------------- registry
 
+  // -------------------------------------------------- snapshot diff
+
+  /** Release-to-release dataset diff: classify every order key across
+    * two snapshots as added / removed / changed / unchanged — the audit
+    * a data release ships next to its changelog. Snapshots are derived
+    * deterministically from one table (md5-bucket fixture rule, like
+    * `split_assign`): v1 lacks the "newest" 10% of keys, v2 drops the
+    * first 5% and bumps totalprice on the next 5%, so all four classes
+    * are exercised on any corpus. One full-outer sort-merge join on the
+    * key — the MERGE INTO lowering reused as a pure report.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("b", conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100)
+    val v1 = o.filter(col("b") < 90)
+      .select(col("o_orderkey").as("k1"), col("o_totalprice").as("p1"))
+    val v2 = o.filter(col("b") >= 5)
+      .select(col("o_orderkey").as("k2"),
+        when(col("b") < 10, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("p2"))
+    val cls = v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .select(when(col("k1").isNull, "added")
+        .when(col("k2").isNull, "removed")
+        .when(col("p1") =!= col("p2"), "changed")
+        .otherwise("unchanged").as("class"))
+    cls.groupBy("class").agg(count(lit(1)).as("n_keys")).orderBy("class")
+  }
+
+  val snapshotDiffSql: String = """
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice,
+        CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+      FROM orders),
+    v1 AS (SELECT o_orderkey AS k1, o_totalprice AS p1 FROM o WHERE b < 90),
+    v2 AS (SELECT o_orderkey AS k2,
+             CASE WHEN b < 10 THEN o_totalprice + 1.0 ELSE o_totalprice END AS p2
+           FROM o WHERE b >= 5)
+    SELECT CASE WHEN k1 IS NULL THEN 'added'
+                WHEN k2 IS NULL THEN 'removed'
+                WHEN p1 != p2 THEN 'changed'
+                ELSE 'unchanged' END AS class,
+      count(*) AS n_keys
+    FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+    GROUP BY 1 ORDER BY 1"""
+
+  // --------------------------------------------------- k-anonymity gate
+
+  /** k-anonymity release gate over quasi-identifiers (lang, source,
+    * length-bucket): a cell with fewer than k=5 members re-identifies
+    * its documents by metadata alone. Per (lang, source): cell count,
+    * smallest cell, and how many cells/docs sit under k — the table a
+    * privacy review reads before a metadata-bearing corpus ships. One
+    * aggregation tree, no joins.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("source"),
+        floor(col("n_chars") / 100).cast("long").as("len_b"))
+      .groupBy("lang", "source", "len_b")
+      .agg(count(lit(1)).as("m"))
+      .groupBy("lang", "source")
+      .agg(sum("m").as("n_docs"), count(lit(1)).as("n_cells"),
+        min("m").as("min_cell"),
+        sum(when(col("m") < 5, 1L).otherwise(0L)).as("n_risky_cells"),
+        sum(when(col("m") < 5, col("m")).otherwise(lit(0L))).as("n_risky_docs"))
+      .orderBy("lang", "source")
+
+  val kAnonymitySql: String = """
+    WITH cells AS (
+      SELECT lang, source, n_chars // 100 AS len_b, count(*) AS m
+      FROM documents GROUP BY 1, 2, 3)
+    SELECT lang, source, cast(sum(m) AS BIGINT) AS n_docs, count(*) AS n_cells,
+      min(m) AS min_cell,
+      cast(sum(CASE WHEN m < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_cells,
+      cast(sum(CASE WHEN m < 5 THEN m ELSE 0 END) AS BIGINT) AS n_risky_docs
+    FROM cells GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snapshot_diff"      -> (snapshotDiff _),
+    "k_anonymity"        -> (kAnonymity _),
     "latest_snapshot"    -> (latestSnapshot _),
     "mode_per_group"     -> (modePerGroup _),
     "dedup_keep_best"    -> (dedupKeepBest _),
@@ -393,6 +473,8 @@ object WarehouseQueries {
     "histogram_price"    -> (histogramPrice _))
 
   val oracle: Map[String, String] = Map(
+    "snapshot_diff"      -> snapshotDiffSql,
+    "k_anonymity"        -> kAnonymitySql,
     "latest_snapshot"    -> latestSnapshotSql,
     "mode_per_group"     -> modePerGroupSql,
     "dedup_keep_best"    -> dedupKeepBestSql,

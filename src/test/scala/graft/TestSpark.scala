@@ -9,7 +9,10 @@ object TestSpark {
   lazy val spark: SparkSession = {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: 2 task attempts, like any real cluster — lets
+      // RetryResilienceSpec plant a first-attempt failure and prove the
+      // engine's aggregates don't double-count retried partitions
+      .master("local[4, 2]")
       .appName("graft-tests")
       .config("spark.sql.warehouse.dir", wh)
       .config("javax.jdo.option.ConnectionURL",
