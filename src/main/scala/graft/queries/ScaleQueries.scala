@@ -81,6 +81,81 @@ object ScaleQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Threshold-sensitivity sweep for the exact n-gram Jaccard dedup:
+    * pair counts at τ ∈ {0.1, 0.3, 0.5, 0.7, 0.9} from ONE pass over
+    * the same capped sparse-join score frame `dedup_ngram` filters at
+    * 0.5 — the report that justifies (or indicts) the production
+    * threshold before a corpus-wide collapse. Candidate fan-out is
+    * bounded by the same df ≤ 20 cap (≤ C(20,2) pairs per gram), so
+    * dropping the τ filter cannot reintroduce the quadratic.
+    */
+  def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text",
+      n = 3, keep = Seq("source")))
+    val grams = Materialize(
+      Dedup.capGramDocFreq(raw, maxDocFreq = 20, keyCols = Seq("source")))
+    val a = grams.select(col("id").as("aid"), col("gh").as("agh"), col("source").as("asrc"))
+    val b = grams.select(col("id").as("bid"), col("gh").as("bgh"), col("source").as("bsrc"))
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).cast("double").as("n"))
+    val na = sizes.select(col("id").as("na_id"), col("n").as("na_n"))
+    val nb = sizes.select(col("id").as("nb_id"), col("n").as("nb_n"))
+    val scored = a.join(b,
+        col("asrc") === col("bsrc") && col("agh") === col("bgh") &&
+          col("aid") < col("bid"))
+      .groupBy(col("aid").as("a_id"), col("bid").as("b_id"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .join(na, col("a_id") === col("na_id"))
+      .join(nb, col("b_id") === col("nb_id"))
+      .select((col("inter") / (col("na_n") + col("nb_n") - col("inter"))).as("j"))
+    scored.agg(
+        sum((col("j") >= 0.1).cast("long")).as("t1"),
+        sum((col("j") >= 0.3).cast("long")).as("t3"),
+        sum((col("j") >= 0.5).cast("long")).as("t5"),
+        sum((col("j") >= 0.7).cast("long")).as("t7"),
+        sum((col("j") >= 0.9).cast("long")).as("t9"))
+      .selectExpr("""stack(5,
+        0.1D, t1, 0.3D, t3, 0.5D, t5, 0.7D, t7, 0.9D, t9)
+        AS (threshold, n_pairs)""")
+      .select(col("threshold"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("threshold")
+  }
+
+  val dedupSweepSql: String = """
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source, array_to_string(t[i:i+2], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+    kept AS (
+      SELECT doc_id, source, g FROM grams
+      QUALIFY count(*) OVER (PARTITION BY source, g) <= 20),
+    sizes AS (
+      SELECT doc_id, cast(count(*) AS DOUBLE) AS n FROM kept GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, cast(count(*) AS DOUBLE) AS i
+      FROM kept a JOIN kept b
+        ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT i / (na.n + nb.n - i) AS j
+      FROM inter
+      JOIN sizes na ON inter.a_id = na.doc_id
+      JOIN sizes nb ON inter.b_id = nb.doc_id),
+    agg AS (SELECT
+      cast(coalesce(sum(CASE WHEN j >= 0.1 THEN 1 END), 0) AS BIGINT) AS t1,
+      cast(coalesce(sum(CASE WHEN j >= 0.3 THEN 1 END), 0) AS BIGINT) AS t3,
+      cast(coalesce(sum(CASE WHEN j >= 0.5 THEN 1 END), 0) AS BIGINT) AS t5,
+      cast(coalesce(sum(CASE WHEN j >= 0.7 THEN 1 END), 0) AS BIGINT) AS t7,
+      cast(coalesce(sum(CASE WHEN j >= 0.9 THEN 1 END), 0) AS BIGINT) AS t9
+      FROM j)
+    SELECT threshold, n_pairs FROM (
+      SELECT 0.1 AS threshold, t1 AS n_pairs FROM agg
+      UNION ALL SELECT 0.3, t3 FROM agg
+      UNION ALL SELECT 0.5, t5 FROM agg
+      UNION ALL SELECT 0.7, t7 FROM agg
+      UNION ALL SELECT 0.9, t9 FROM agg)
+    ORDER BY threshold"""
+
   val dedupNgramSql: String = """
     WITH toks AS (
       SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -696,6 +771,7 @@ object ScaleQueries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram"   -> (dedupNgram _),
+    "dedup_sweep"   -> (dedupSweep _),
     "knn_brute"     -> (knnBrute _),
     "knn_lsh"       -> (knnLsh _),
     "knn_ivf"       -> (knnIvf _),
@@ -717,6 +793,7 @@ object ScaleQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_ngram"  -> dedupNgramSql,
+    "dedup_sweep"  -> dedupSweepSql,
     "fingerprint_winnow" -> fingerprintWinnowSql,
     "multimodal_join" -> multimodalJoinSql,
     "knn_brute"    -> knnBruteSql,

@@ -407,9 +407,56 @@ object TextQueries {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  // ------------------------------------------------------------ OOV rate
+
+  /** Budgeted-vocabulary size for the coverage eval. */
+  val OovV = 20
+
+  /** Held-out vocabulary coverage: train a budget-V word vocabulary on
+    * every source EXCEPT src19 (top [[OovV]] by count under a total
+    * (count desc, word) order), then measure each source's
+    * out-of-vocabulary token share — the tokenizer-coverage eval run
+    * before fixing a vocab, with src19 as the genuinely held-out row.
+    * The vocab is ≤V rows (broadcast); the corpus word stream shuffles
+    * only for the final per-source aggregation.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.wordTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = words.filter(col("source") =!= "src19")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(OovV)
+      .select(col("w"), lit(1L).as("inv"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy("source")
+  }
+
+  val oovRateSql: String = s"""
+    WITH words AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents),
+    w2 AS (SELECT * FROM words WHERE w != ''),
+    vocab AS (
+      SELECT w FROM w2 WHERE source != 'src19'
+      GROUP BY w ORDER BY count(*) DESC, w LIMIT $OovV)
+    SELECT source, count(*) AS n_tokens,
+      cast(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        AS oov_rate
+    FROM w2 LEFT JOIN vocab v USING (w)
+    GROUP BY source ORDER BY source"""
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "oov_rate"        -> (oovRate _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "vocab_stats"     -> (vocabStats _),
     "char_diversity"  -> (charDiversity _),
@@ -426,6 +473,7 @@ object TextQueries {
     "regex_extract"   -> (regexExtract _))
 
   val oracle: Map[String, String] = Map(
+    "oov_rate"        -> oovRateSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "vocab_stats"     -> vocabStatsSql,
     "char_diversity"  -> charDiversitySql,
