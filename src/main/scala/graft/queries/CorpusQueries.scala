@@ -306,16 +306,21 @@ object CorpusQueries {
 
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
     val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text", n = 3))
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
     val cands = containmentCandidates(grams)
-    val ga = grams.select(col("id").as("ga_id"), col("gh").as("ga_gh"))
-    val gb = grams.select(col("id").as("gb_id"), col("gh").as("gb_gh"))
+    // verify via ROW-LOCAL array_intersect over per-doc gram arrays
+    // (A/B'd under the bench methodology vs the old explode-join-
+    // aggregate verify — cands⋈grams⋈grams then a pair-count aggregate:
+    // 3.73 s → 2.43 s at sf0.1, identical rows; `AbContain` keeps both
+    // shapes runnable). One aggregation builds the arrays (sz longs per
+    // doc — linear in the gram frame), then each candidate pair is two
+    // hash-joins and a codegen'd intersect, no per-pair shuffle rows.
+    val arrs = grams.groupBy("id")
+      .agg(sort_array(collect_list(col("gh"))).as("gs"), count(lit(1)).as("sz"))
     cands
-      .join(ga, col("a_id") === col("ga_id"))
-      .join(gb, col("b_id") === col("gb_id") && col("ga_gh") === col("gb_gh"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("a_id"), col("sz").as("na")), "a_id")
+      .join(arrs.select(col("id").as("a_id"), col("gs").as("ga"), col("sz").as("na")), "a_id")
+      .join(arrs.select(col("id").as("b_id"), col("gs").as("gb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("na"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter"))
       .filter(col("inter").cast("double") / col("na") >=
         ContainNum.toDouble / ContainDen)
       .select(col("a_id"), col("b_id"),
