@@ -496,7 +496,83 @@ object ExperimentQueries {
 
   // ----------------------------------------------------------- registry
 
+  // ------------------------------------------------- correlation matrix
+
+  /** Pairwise Pearson correlation across the per-doc size metrics
+    * (chars, whitespace tokens, distinct tokens) — the feature-
+    * redundancy screen run before anyone trains a quality classifier
+    * on those columns. ONE scan + ONE single-row aggregation computes
+    * every pairwise moment (n, Σx, Σx², Σxy for all pairs) in exact
+    * DECIMAL(38,0)/HUGEINT; each r is one agreed double expression
+    * over those exact sums (the `regr_per_group` discipline), so the
+    * matrix is hash-stable cross-engine. Scale shape: the moment
+    * vector is O(k²) columns but still one map-side-combined
+    * aggregation to a single row — no shuffle grows with data.
+    */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis.wordTokens
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val toks = wordTokens(col("text"))
+    val base = docs(spark, dir).select(
+      dec(col("n_chars")).as("c"),
+      dec(size(toks).cast("long")).as("t"),
+      dec(size(array_distinct(toks)).cast("long")).as("u"))
+    val sums = base.agg(
+      count(lit(1)).as("n"),
+      sum("c").as("sc"), sum("t").as("st"), sum("u").as("su"),
+      sum(col("c") * col("c")).as("scc"),
+      sum(col("t") * col("t")).as("stt"),
+      sum(col("u") * col("u")).as("suu"),
+      sum(col("c") * col("t")).as("sct"),
+      sum(col("c") * col("u")).as("scu"),
+      sum(col("t") * col("u")).as("stu"))
+    def r(sx: String, sy: String, sxx: String, syy: String, sxy: String) = {
+      val num = (col("n") * col(sxy) - col(sx) * col(sy)).cast("double")
+      val dx  = (col("n") * col(sxx) - col(sx) * col(sx)).cast("double")
+      val dy  = (col("n") * col(syy) - col(sy) * col(sy)).cast("double")
+      round(num / (sqrt(dx) * sqrt(dy)), 6)
+    }
+    Seq(
+      ("chars", "tokens", r("sc", "st", "scc", "stt", "sct")),
+      ("chars", "uniq_tokens", r("sc", "su", "scc", "suu", "scu")),
+      ("tokens", "uniq_tokens", r("st", "su", "stt", "suu", "stu")))
+      .map { case (mx, my, rc) =>
+        sums.select(lit(mx).as("metric_x"), lit(my).as("metric_y"),
+          col("n"), rc.as("r"))
+      }
+      .reduce(_.union(_))
+      .orderBy("metric_x", "metric_y")
+  }
+
+  val corrMatrixSql: String = {
+    def one(mx: String, my: String, sx: String, sy: String,
+            sxx: String, syy: String, sxy: String) =
+      s"""SELECT '$mx' AS metric_x, '$my' AS metric_y, n,
+      round(CAST(n*$sxy - $sx*$sy AS DOUBLE)
+            / (sqrt(CAST(n*$sxx - $sx*$sx AS DOUBLE))
+               * sqrt(CAST(n*$syy - $sy*$sy AS DOUBLE))), 6) AS r FROM s"""
+    """
+    WITH b AS (
+      SELECT cast(n_chars AS HUGEINT) AS c,
+        cast(len(string_split_regex(trim(text), '\s+')) AS HUGEINT) AS t,
+        cast(len(list_distinct(string_split_regex(trim(text), '\s+')))
+             AS HUGEINT) AS u
+      FROM documents),
+    s AS (
+      SELECT count(*) AS n, sum(c) AS sc, sum(t) AS st, sum(u) AS su,
+        sum(c*c) AS scc, sum(t*t) AS stt, sum(u*u) AS suu,
+        sum(c*t) AS sct, sum(c*u) AS scu, sum(t*u) AS stu
+      FROM b)
+    """ +
+      Seq(one("chars", "tokens", "sc", "st", "scc", "stt", "sct"),
+        one("chars", "uniq_tokens", "sc", "su", "scc", "suu", "scu"),
+        one("tokens", "uniq_tokens", "st", "su", "stt", "suu", "stu"))
+        .mkString("\n    UNION ALL\n    ") +
+      "\n    ORDER BY metric_x, metric_y"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corr_matrix"     -> (corrMatrix _),
     "topic_drift"     -> (topicDrift _),
     "gini_source"     -> (giniConcentration _),
     "winsorized_mean" -> (winsorizedMean _),
@@ -507,6 +583,7 @@ object ExperimentQueries {
     "ks_by_source"    -> (ksBySource _))
 
   val oracle: Map[String, String] = Map(
+    "corr_matrix"     -> corrMatrixSql,
     "topic_drift"     -> topicDriftSql,
     "gini_source"     -> giniConcentrationSql,
     "winsorized_mean" -> winsorizedMeanSql,

@@ -412,9 +412,91 @@ object InsightQueries {
     GROUP BY layout
     ORDER BY layout"""
 
+  // ---------------------------------------------------- link prediction
+
+  /** Wedge centers with degree above this cap carry no link-prediction
+    * signal (Adamic–Adar downweights them by 1/log·deg toward zero) and
+    * are exactly the hubs whose Σdeg² wedge fan-out goes quadratic at
+    * scale — so the operator excludes them OUTRIGHT, turning the usual
+    * soft downweight into a hard cost bound the oracle can mirror. */
+  val LinkDegCap = 64
+
+  /** Ranked candidate count for the link-prediction report. */
+  val LinkTopK = 30
+
+  /** Link prediction on the BULK co-purchase graph (same subgraph as
+    * `triangle_count`): for every NON-adjacent part pair sharing at
+    * least one (non-hub) neighbor, the common-neighbor count plus the
+    * preferential-attachment score deg(x)·deg(y), ranked. The "which
+    * products will be bought together next" / "which docs will link"
+    * primitive.
+    *
+    * Scale shape: wedges expand only at centers with deg ≤
+    * [[LinkDegCap]], bounding the classic Σdeg² hub quadratic (the
+    * wedge list is ≤ cap·Σdeg rows); existing edges drop via one
+    * anti-join; both scores are exact integers so the ranking is
+    * cross-engine total with the (x, y) tiebreak.
+    */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") >= 45)
+      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+    val und = Materialize(perOrder
+      .select(col("ps"), explode(col("ps")).as("a"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct())
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // mirrored incidence list, then keep only low-degree wedge centers
+    val m = und.select(col("a").as("z"), col("b").as("x"))
+      .union(und.select(col("b").as("z"), col("a").as("x")))
+    val lowZ = Materialize(m.join(
+      deg.filter(col("d") <= LinkDegCap).select(col("n").as("z")), Seq("z")))
+    val cn = lowZ
+      .join(lowZ.select(col("z"), col("x").as("y")), Seq("z"))
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+    val nonAdj = cn.join(und,
+      cn("x") === und("a") && cn("y") === und("b"), "left_anti")
+    nonAdj
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), Seq("y"))
+      .select(col("x"), col("y"), col("cn"),
+        (col("dx") * col("dy")).as("pa"))
+      .orderBy(col("cn").desc, col("pa").desc, col("x"), col("y"))
+      .limit(LinkTopK)
+  }
+
+  val linkPredictSql: String = s"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_quantity >= 45),
+    und AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+      GROUP BY n),
+    m AS (SELECT a AS z, b AS x FROM und UNION ALL SELECT b, a FROM und),
+    lz AS (SELECT m.z, m.x FROM m JOIN deg ON m.z = deg.n
+           WHERE deg.d <= $LinkDegCap),
+    cn AS (
+      SELECT p.x AS x, q.x AS y, count(*) AS cn
+      FROM lz p JOIN lz q ON p.z = q.z AND p.x < q.x
+      GROUP BY 1, 2),
+    na AS (
+      SELECT cn.* FROM cn
+      WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = cn.x AND und.b = cn.y))
+    SELECT na.x, na.y, na.cn, cast(dx.d * dy.d AS BIGINT) AS pa
+    FROM na JOIN deg dx ON na.x = dx.n JOIN deg dy ON na.y = dy.n
+    ORDER BY cn DESC, pa DESC, x, y LIMIT $LinkTopK"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "link_predict"      -> (linkPredict _),
     "triangle_count"    -> (triangleCount _),
     "entity_resolve"    -> (entityResolve _),
     "scd2_build"        -> (scd2Build _),
@@ -424,6 +506,7 @@ object InsightQueries {
     "zorder_skip"       -> (zorderSkip _))
 
   val oracle: Map[String, String] = Map(
+    "link_predict"      -> linkPredictSql,
     "triangle_count"    -> triangleCountSql,
     "entity_resolve"    -> entityResolveSql,
     "scd2_build"        -> scd2BuildSql,

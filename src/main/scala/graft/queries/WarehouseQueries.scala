@@ -134,6 +134,62 @@ object WarehouseQueries {
     FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
     ORDER BY o_orderkey"""
 
+  /** Ordered change-log apply with delete tombstones — the CDC fold
+    * that `merge_upsert` (single-batch MERGE) and `latest_snapshot`
+    * (pure argmax) both stop short of: each order row is an I/U/D
+    * change against its customer keyed by (day, orderkey) sequence
+    * ('F' status ⇒ tombstone), and the final state is the LAST change
+    * per key with tombstoned keys dropped entirely, plus per-key churn
+    * counters. One aggregation via the max(struct) argmax — the
+    * (day, orderkey) sequence is unique so op/price ride along without
+    * a per-key sort; no window, no join, map-side combinable — the
+    * shape that folds a 100 TB change stream into a snapshot in one
+    * exchange.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.read(spark, dir, "orders").select(
+      col("o_custkey"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"),
+      col("o_orderkey"),
+      when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+      col("o_totalprice").cast(DecimalType(18, 6)).as("p"))
+    c.groupBy("o_custkey")
+      .agg(
+        max(struct(col("day"), col("o_orderkey"), col("op"), col("p")))
+          .as("last"),
+        count(lit(1)).as("n_changes"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"))
+      .filter(col("last.op") =!= "D")
+      .select(col("o_custkey"),
+        col("last.o_orderkey").as("src_orderkey"),
+        col("last.p").cast("double").as("price"),
+        col("n_changes"), col("n_deletes"))
+      .orderBy("o_custkey")
+  }
+
+  val cdcApplySql: String = """
+    WITH c AS (
+      SELECT o_custkey,
+        date_diff('day', DATE '1970-01-01', cast(o_orderdate AS DATE)) AS day,
+        o_orderkey,
+        CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        cast(o_totalprice AS DECIMAL(18,6)) AS p
+      FROM orders),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY day DESC, o_orderkey DESC) AS rn,
+        count(*) OVER (PARTITION BY o_custkey) AS n_changes,
+        sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY o_custkey) AS n_deletes
+      FROM c)
+    SELECT o_custkey, o_orderkey AS src_orderkey, cast(p AS DOUBLE) AS price,
+      cast(n_changes AS BIGINT) AS n_changes,
+      cast(n_deletes AS BIGINT) AS n_deletes
+    FROM r WHERE rn = 1 AND op <> 'D'
+    ORDER BY o_custkey"""
+
   /** Fixed-width 20-bin price histogram with data-derived bounds: the
     * (min, max) travel as a broadcast one-row frame into every bin
     * computation — a second scan, not a driver round-trip, so the plan
@@ -459,6 +515,7 @@ object WarehouseQueries {
     FROM cells GROUP BY 1, 2 ORDER BY 1, 2"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_apply"          -> (cdcApply _),
     "snapshot_diff"      -> (snapshotDiff _),
     "k_anonymity"        -> (kAnonymity _),
     "latest_snapshot"    -> (latestSnapshot _),
@@ -473,6 +530,7 @@ object WarehouseQueries {
     "histogram_price"    -> (histogramPrice _))
 
   val oracle: Map[String, String] = Map(
+    "cdc_apply"          -> cdcApplySql,
     "snapshot_diff"      -> snapshotDiffSql,
     "k_anonymity"        -> kAnonymitySql,
     "latest_snapshot"    -> latestSnapshotSql,

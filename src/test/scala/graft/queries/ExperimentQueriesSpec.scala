@@ -20,6 +20,39 @@ class ExperimentQueriesSpec extends AnyFunSuite {
     dir
   }
 
+  private def corrDocsDir(rows: Seq[(Long, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corr").toString
+    rows.toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** k distinct single-char-ish tokens. */
+  private def toks(k: Int): String = (0 until k).map(i => s"t$i").mkString(" ")
+
+  test("corr_matrix: affine metrics give r = 1.0 on every pair") {
+    // tokens = uniq = k, chars = 3k+7 — all three pairwise r exactly 1
+    val dir = corrDocsDir((1 to 5).map(k => (k.toLong, toks(k), 3L * k + 7)))
+    val rows = ExperimentQueries.corrMatrix(spark, dir)
+      .select("metric_x", "metric_y", "r").as[(String, String, Double)]
+      .collect().toList
+    assert(rows.map(_._3) == List(1.0, 1.0, 1.0))
+    assert(rows.map(t => (t._1, t._2)) == List(
+      ("chars", "tokens"), ("chars", "uniq_tokens"), ("tokens", "uniq_tokens")))
+  }
+
+  test("corr_matrix: negatively-sloped chars flip sign on chars pairs only") {
+    val dir = corrDocsDir((1 to 5).map(k => (k.toLong, toks(k), 1000L - 5 * k)))
+    val got = ExperimentQueries.corrMatrix(spark, dir)
+      .select("metric_x", "metric_y", "r").as[(String, String, Double)]
+      .collect().map { case (mx, my, r) => (mx, my) -> r }.toMap
+    assert(got(("chars", "tokens")) == -1.0)
+    assert(got(("chars", "uniq_tokens")) == -1.0)
+    assert(got(("tokens", "uniq_tokens")) == 1.0)
+  }
+
   test("topic_drift: identical days drift 0; a vanished type contributes " +
        "its full proportion") {
     val day = 86400L * 1000000000L // ns

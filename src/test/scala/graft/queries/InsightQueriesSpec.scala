@@ -44,6 +44,36 @@ class InsightQueriesSpec extends AnyFunSuite {
     assert(InsightQueries.triangleCount(spark, dir).head().getAs[Long]("n_edges") == 0)
   }
 
+  test("link_predict: cycle + path rank by common neighbors; adjacent " +
+       "pairs never predicted") {
+    val dir = tempDir()
+    // C4 cycle 1-2-3-4-1: diagonals (1,3) and (2,4) each have cn=2,
+    // pa=2·2=4; path 5-6-7: (5,7) has cn=1, pa=1·1=1
+    val baskets = Seq(
+      (100L, Seq(1L, 2L)), (101L, Seq(2L, 3L)),
+      (102L, Seq(3L, 4L)), (103L, Seq(1L, 4L)),
+      (104L, Seq(5L, 6L)), (105L, Seq(6L, 7L)))
+    baskets.flatMap { case (o, ps) => ps.map(p => (o, p, 50.0)) }
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = InsightQueries.linkPredict(spark, dir)
+      .select("x", "y", "cn", "pa").as[(Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List((1L, 3L, 2L, 4L), (2L, 4L, 2L, 4L), (5L, 7L, 1L, 1L)))
+  }
+
+  test("link_predict: a hub center above LinkDegCap contributes no wedges") {
+    val dir = tempDir()
+    // star: hub 10 with LinkDegCap+6 leaves — every leaf pair's ONLY
+    // common neighbor is the hub, which the cap excludes outright
+    val leaves = (100L until (100L + InsightQueries.LinkDegCap + 6)).toSeq
+    leaves.zipWithIndex.map { case (leaf, i) => (i.toLong, leaf, 10L) }
+      .flatMap { case (o, leaf, hub) => Seq((o, leaf, 50.0), (o, hub, 50.0)) }
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(InsightQueries.linkPredict(spark, dir).count() == 0)
+  }
+
   test("entity_resolve clusters edit-distance-1 names within a block") {
     val dir = tempDir()
     Seq(
