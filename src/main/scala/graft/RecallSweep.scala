@@ -52,6 +52,15 @@ object RecallSweep {
       pairRecall("simhash(h<=3)",
         graft.operators.Dedup.simhashNearDups(
           spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 3))
+      // precision of the simhash pair set vs the same truth (minhash
+      // pairs are exact-verified, so only simhash has a precision
+      // question) — feeds the simhash_precision floor
+      val sh = graft.operators.Dedup.simhashNearDups(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        maxHamming = 3).select(col("a_id"), col("b_id"))
+      val nFound = sh.count()
+      val shHit = sh.join(truth, Seq("a_id", "b_id"), "left_semi").count()
+      println(f"$dir simhash(h<=3) precision=${shHit * 100.0 / nFound}%.1f%% ($shHit/$nFound)")
       brute.unpersist()
     }
     spark.stop()

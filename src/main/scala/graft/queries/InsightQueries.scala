@@ -493,9 +493,64 @@ object InsightQueries {
     FROM na JOIN deg dx ON na.x = dx.n JOIN deg dy ON na.y = dy.n
     ORDER BY cn DESC, pa DESC, x, y LIMIT $LinkTopK"""
 
+  // ------------------------------------------------- frequent itemsets
+
+  /** Minimum basket co-occurrence count for a reported triple. */
+  val FreqMinSupport = 2
+
+  /** Bounded report size (support desc, then itemset — total order). */
+  val FreqTopK = 100
+
+  /** Frequent 3-itemsets over order baskets (market-basket mining, the
+    * A-priori shape): parts that appear in ≥ [[FreqMinSupport]] baskets
+    * TOGETHER with two others. Scale shape: the A-priori prune drops
+    * items below the support floor BEFORE any expansion (an item can't
+    * be in a frequent triple if it isn't frequent alone), then triples
+    * expand ROW-LOCALLY from each basket's sorted distinct item array —
+    * cost k³/6 per basket (TPC-H baskets are ≤ 13 items; a 100 TB
+    * deployment caps basket size the same way `dedup_contain` caps
+    * gram df) — and one (p1,p2,p3)-keyed count finishes. No basket
+    * self-join ever materializes.
+    */
+  def freqTriples(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val freq1 = li.groupBy("l_partkey")
+      .agg(countDistinct("l_orderkey").as("ic"))
+      .filter(col("ic") >= FreqMinSupport).select("l_partkey")
+    val baskets = li.join(freq1, Seq("l_partkey"), "left_semi")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 3) // a <3-item basket yields no triple
+    baskets
+      .select(col("ps"), explode(col("ps")).as("p1"))
+      .select(col("ps"), col("p1"), explode(col("ps")).as("p2"))
+      .filter(col("p1") < col("p2"))
+      .select(col("p1"), col("p2"), explode(col("ps")).as("p3"))
+      .filter(col("p2") < col("p3"))
+      .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= FreqMinSupport)
+      .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
+      .limit(FreqTopK)
+  }
+
+  val freqTriplesSql: String = s"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    t AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+        count(*) AS support
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= $FreqMinSupport)
+    SELECT p1, p2, p3, support FROM t
+    ORDER BY support DESC, p1, p2, p3 LIMIT $FreqTopK"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "freq_triples"      -> (freqTriples _),
     "link_predict"      -> (linkPredict _),
     "triangle_count"    -> (triangleCount _),
     "entity_resolve"    -> (entityResolve _),
@@ -506,6 +561,7 @@ object InsightQueries {
     "zorder_skip"       -> (zorderSkip _))
 
   val oracle: Map[String, String] = Map(
+    "freq_triples"      -> freqTriplesSql,
     "link_predict"      -> linkPredictSql,
     "triangle_count"    -> triangleCountSql,
     "entity_resolve"    -> entityResolveSql,

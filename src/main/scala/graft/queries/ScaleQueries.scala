@@ -710,6 +710,15 @@ object ScaleQueries {
         (col("n_hit") * 100 >= col("n_true") * minPct).cast("long").as("recall_ok"))
   }
 
+  private def precisionRow(truth: DataFrame, found: DataFrame, minPct: Int): DataFrame = {
+    val hits = found.join(truth, Seq("a_id", "b_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true").cast("long").as("n_true"),
+        (col("n_hit") * 100 >= col("n_found") * minPct).cast("long").as("precision_ok"))
+  }
+
   /** Floor 80: measured 100% at ALL three SFs (RecallSweep pair-recall
     * section) — at J ≥ 0.5 the banded signature essentially cannot miss
     * on this corpus; the 20pp slack absorbs a future corpus
@@ -740,6 +749,25 @@ object ScaleQueries {
       minPct = 40)
   }
 
+  /** Precision companion to [[simhashRecall]]: the share of simhash-
+    * REPORTED pairs that the rare-gram J ≥ 0.5 truth confirms. MinHash
+    * has no precision question (its pairs are exact-Jaccard-verified);
+    * SimHash admits on sketch Hamming distance alone, so its pair set
+    * genuinely over-reaches set-overlap truth — measured 77.8 / 88.2 /
+    * 36.0 % at sf0.001/0.01/0.1 (the sf0.1 corpus has many h ≤ 3 pairs
+    * in the J 0.3–0.5 band; RecallSweep prints the numbers). Floor 25
+    * sits below every measurement; `n_true` rides along as the exact
+    * oracle-checked quantity, the audit-row contract used by every
+    * recall query.
+    */
+  def simhashPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val (_, truth) = raregramTruth(spark, dir)
+    precisionRow(truth,
+      Dedup.simhashNearDups(docs(spark, dir), "doc_id", "text", maxHamming = 3)
+        .select(col("a_id"), col("b_id")),
+      minPct = 25)
+  }
+
   private val minhashRecallSqlBase: String = """
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -764,6 +792,8 @@ object ScaleQueries {
   val minhashRecallSql: String = minhashRecallSqlBase
   // same truth set, same exact count — only the Spark-side flag differs
   val simhashRecallSql: String = minhashRecallSqlBase
+  val simhashPrecisionSql: String =
+    minhashRecallSqlBase.replace("AS recall_ok", "AS precision_ok")
 
   // ----------------------------------------------------------- registry
 
@@ -789,7 +819,8 @@ object ScaleQueries {
     "knn_ivf_recall" -> (knnIvfRecall _),
     "knn_ivf_hi_recall" -> (knnIvfHiRecall _),
     "minhash_recall" -> (minhashRecall _),
-    "simhash_recall" -> (simhashRecall _))
+    "simhash_recall" -> (simhashRecall _),
+    "simhash_precision" -> (simhashPrecision _))
 
   val oracle: Map[String, String] = Map(
     "dedup_ngram"  -> dedupNgramSql,
@@ -810,5 +841,6 @@ object ScaleQueries {
     "sem_dedup"     -> semDedupSql,
     "kmeans_quality" -> kmeansQualitySql,
     "minhash_recall" -> minhashRecallSql,
-    "simhash_recall" -> simhashRecallSql)
+    "simhash_recall" -> simhashRecallSql,
+    "simhash_precision" -> simhashPrecisionSql)
 }

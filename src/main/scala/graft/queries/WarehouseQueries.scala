@@ -190,6 +190,106 @@ object WarehouseQueries {
     FROM r WHERE rn = 1 AND op <> 'D'
     ORDER BY o_custkey"""
 
+  /** RFM customer segmentation: recency (days since last order,
+    * anchored to the corpus max day), frequency (order count), monetary
+    * (lifetime spend in exact cents), each bucketed into quartiles BY
+    * VALUE THRESHOLD rather than ntile — the thresholds are discrete
+    * order statistics from a per-metric value histogram (the
+    * `winsorized_mean` shape), so scoring is a broadcast-join map pass
+    * with no global sort, ties land identically in both engines, and
+    * nothing in the plan grows super-linearly with customers. The
+    * three-digit segment string is the classic CRM label.
+    */
+  def rfmSegment(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.read(spark, dir, "orders").select(
+      col("o_custkey"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val anchor = o.agg(max("day").as("maxday"))
+    val cust = o.groupBy("o_custkey")
+      .agg(max("day").as("lastday"), count(lit(1)).as("f"),
+        sum("cents").as("m"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"), (col("maxday") - col("lastday")).as("r"),
+        col("f"), col("m"))
+    val longF = cust.select(col("o_custkey"),
+      explode(map(lit("r"), col("r"), lit("f"), col("f"),
+        lit("m"), col("m"))).as(Seq("metric", "v")))
+    val hist = longF.groupBy("metric", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("metric").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("mtot", sum("c").over(Window.partitionBy("metric")))
+    val bounds = hist.groupBy("metric").agg(
+      min(when(col("cum") >= ceil(col("mtot") * 0.25), col("v"))).as("t25"),
+      min(when(col("cum") >= ceil(col("mtot") * 0.50), col("v"))).as("t50"),
+      min(when(col("cum") >= ceil(col("mtot") * 0.75), col("v"))).as("t75"))
+    val scored = longF.join(broadcast(bounds), "metric")
+      .select(col("o_custkey"), col("metric"), col("v"),
+        (lit(1) + (col("v") > col("t25")).cast("int")
+          + (col("v") > col("t50")).cast("int")
+          + (col("v") > col("t75")).cast("int")).as("score"))
+    scored.groupBy("o_custkey").agg(
+        max(when(col("metric") === "r", col("v"))).as("r"),
+        max(when(col("metric") === "f", col("v"))).as("f"),
+        max(when(col("metric") === "m", col("v"))).as("m"),
+        max(when(col("metric") === "r", col("score"))).cast("long").as("r_score"),
+        max(when(col("metric") === "f", col("score"))).cast("long").as("f_score"),
+        max(when(col("metric") === "m", col("score"))).cast("long").as("m_score"))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+      .orderBy("o_custkey")
+  }
+
+  val rfmSegmentSql: String = """
+    WITH o AS (
+      SELECT o_custkey,
+        date_diff('day', DATE '1970-01-01', cast(o_orderdate AS DATE)) AS day,
+        cast(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    a AS (SELECT max(day) AS maxday FROM o),
+    cust AS (
+      SELECT o_custkey,
+        cast((SELECT maxday FROM a) - max(day) AS BIGINT) AS r,
+        cast(count(*) AS BIGINT) AS f, cast(sum(cents) AS BIGINT) AS m
+      FROM o GROUP BY 1),
+    lf AS (
+      SELECT o_custkey, 'r' AS metric, r AS v FROM cust
+      UNION ALL SELECT o_custkey, 'f', f FROM cust
+      UNION ALL SELECT o_custkey, 'm', m FROM cust),
+    hist AS (SELECT metric, v, count(*) AS c FROM lf GROUP BY 1, 2),
+    cums AS (
+      SELECT metric, v,
+        sum(c) OVER (PARTITION BY metric ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(c) OVER (PARTITION BY metric) AS mtot
+      FROM hist),
+    bounds AS (
+      SELECT metric,
+        min(CASE WHEN cum >= ceil(mtot * 0.25) THEN v END) AS t25,
+        min(CASE WHEN cum >= ceil(mtot * 0.50) THEN v END) AS t50,
+        min(CASE WHEN cum >= ceil(mtot * 0.75) THEN v END) AS t75
+      FROM cums GROUP BY 1),
+    sc AS (
+      SELECT o_custkey, metric, v,
+        1 + (CASE WHEN v > t25 THEN 1 ELSE 0 END)
+          + (CASE WHEN v > t50 THEN 1 ELSE 0 END)
+          + (CASE WHEN v > t75 THEN 1 ELSE 0 END) AS score
+      FROM lf JOIN bounds USING (metric)),
+    p AS (
+      SELECT o_custkey,
+        max(CASE WHEN metric = 'r' THEN v END) AS r,
+        max(CASE WHEN metric = 'f' THEN v END) AS f,
+        max(CASE WHEN metric = 'm' THEN v END) AS m,
+        cast(max(CASE WHEN metric = 'r' THEN score END) AS BIGINT) AS r_score,
+        cast(max(CASE WHEN metric = 'f' THEN score END) AS BIGINT) AS f_score,
+        cast(max(CASE WHEN metric = 'm' THEN score END) AS BIGINT) AS m_score
+      FROM sc GROUP BY 1)
+    SELECT *, cast(r_score AS VARCHAR) || cast(f_score AS VARCHAR)
+           || cast(m_score AS VARCHAR) AS segment
+    FROM p ORDER BY o_custkey"""
+
   /** Fixed-width 20-bin price histogram with data-derived bounds: the
     * (min, max) travel as a broadcast one-row frame into every bin
     * computation — a second scan, not a driver round-trip, so the plan
@@ -516,6 +616,7 @@ object WarehouseQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_apply"          -> (cdcApply _),
+    "rfm_segment"        -> (rfmSegment _),
     "snapshot_diff"      -> (snapshotDiff _),
     "k_anonymity"        -> (kAnonymity _),
     "latest_snapshot"    -> (latestSnapshot _),
@@ -531,6 +632,7 @@ object WarehouseQueries {
 
   val oracle: Map[String, String] = Map(
     "cdc_apply"          -> cdcApplySql,
+    "rfm_segment"        -> rfmSegmentSql,
     "snapshot_diff"      -> snapshotDiffSql,
     "k_anonymity"        -> kAnonymitySql,
     "latest_snapshot"    -> latestSnapshotSql,

@@ -49,4 +49,19 @@ class CdcApplySpec extends AnyFunSuite {
       .select("o_custkey", "price").as[(Long, Double)].collect().toList
     assert(got == List((5L, 51.0)))
   }
+
+  test("rfm_segment: distinct frequency/monetary ladder maps to quartile " +
+       "scores 1-4; equal recency collapses every r_score to 1") {
+    // customer k places k orders of 100.00 on the shared anchor day:
+    // r identical (score 1 for all), f and m strictly increasing
+    val rows = for (k <- 1 to 4; i <- 1 to k)
+      yield ((k * 10 + i).toLong, k.toLong, "O", 100.0, "2024-03-01")
+    val dir = ordersDir(rows)
+    val got = WarehouseQueries.rfmSegment(spark, dir)
+      .select("o_custkey", "r", "f", "segment")
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(got == List(
+      (1L, 0L, 1L, "111"), (2L, 0L, 2L, "122"),
+      (3L, 0L, 3L, "133"), (4L, 0L, 4L, "144")))
+  }
 }

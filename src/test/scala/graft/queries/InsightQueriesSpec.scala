@@ -62,6 +62,34 @@ class InsightQueriesSpec extends AnyFunSuite {
     assert(got == List((1L, 3L, 2L, 4L), (2L, 4L, 2L, 4L), (5L, 7L, 1L, 1L)))
   }
 
+  test("freq_triples: support counts baskets, singletons pruned") {
+    val dir = tempDir()
+    // {1,2,3} together in 3 baskets -> support 3; {1,2,4} once -> 4's
+    // triples are below min-support and must not appear
+    val baskets = Seq(
+      (200L, Seq(1L, 2L, 3L)), (201L, Seq(1L, 2L, 3L)),
+      (202L, Seq(1L, 2L, 3L, 9L)), (203L, Seq(1L, 2L, 4L)))
+    baskets.flatMap { case (o, ps) => ps.map(p => (o, p, 50.0)) }
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = InsightQueries.freqTriples(spark, dir)
+      .select("p1", "p2", "p3", "support").as[(Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List((1L, 2L, 3L, 3L)))
+  }
+
+  test("freq_triples: duplicate lineitems within one basket count once") {
+    val dir = tempDir()
+    Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L))
+      .map { case (o, p) => (o, p, 50.0) }
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = InsightQueries.freqTriples(spark, dir)
+      .select("p1", "p2", "p3", "support").as[(Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List((1L, 2L, 3L, 2L)))
+  }
+
   test("link_predict: a hub center above LinkDegCap contributes no wedges") {
     val dir = tempDir()
     // star: hub 10 with LinkDegCap+6 leaves — every leaf pair's ONLY

@@ -41,4 +41,13 @@ class RecallQueriesSpec extends AnyFunSuite {
     assert(sim(0).getAs[Long]("n_true") == min(0).getAs[Long]("n_true"))
     assert(sim(0).getAs[Long]("recall_ok") == 1L)
   }
+
+  test("simhash_precision: same exact truth count, flag up (measured " +
+       "77.8/88.2/36.0% at the three SFs vs floor 25)") {
+    val p = ScaleQueries.simhashPrecision(spark, dir).collect()
+    val min = ScaleQueries.minhashRecall(spark, dir).collect()
+    assert(p.length == 1)
+    assert(p(0).getAs[Long]("n_true") == min(0).getAs[Long]("n_true"))
+    assert(p(0).getAs[Long]("precision_ok") == 1L)
+  }
 }
