@@ -489,6 +489,50 @@ object ScaleQueries {
     FROM s, unnest(range(1, len(embedding) + 1)) AS u(i)
     ORDER BY vec_id, pos"""
 
+  /** Per-dimension z-score normalization of the embedding table — the
+    * feature-scaling pass run before distance-based anything (kmeans,
+    * IVF, cosine thresholds) when dimensions arrive on different
+    * scales. Cross-engine determinism: each float snaps to
+    * DECIMAL(18,8) once, per-dim moments (n, Σv, Σv²) accumulate
+    * EXACTLY, and z = (n·v − Σv)/√(n·Σv² − Σv²) is ONE agreed double
+    * expression over those exact sums (identical IEEE ops both sides).
+    * A zero-variance dimension yields NULL, never ±Inf. Scale shape:
+    * the stats frame is `dim` rows — a broadcast — so normalization is
+    * one map pass after one map-side-combined aggregation.
+    */
+  def embNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val ex = embs(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("col").cast("double").cast("decimal(18,8)").as("v"))
+    val st = ex.groupBy("pos").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("v").cast("double").as("s"),
+      sum(col("v") * col("v")).cast("double").as("ss"))
+    val denomSq = col("n") * col("ss") - col("s") * col("s")
+    ex.join(broadcast(st), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        when(denomSq > 0,
+          round((col("n") * col("v").cast("double") - col("s"))
+            / sqrt(denomSq), 6)).as("z"))
+      .orderBy("vec_id", "pos")
+  }
+
+  val embNormalizeSql: String = """
+    WITH ex AS (
+      SELECT vec_id, cast(i - 1 AS BIGINT) AS pos,
+        cast(cast(embedding[i] AS DOUBLE) AS DECIMAL(18,8)) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    st AS (
+      SELECT pos, cast(count(*) AS DOUBLE) AS n, cast(sum(v) AS DOUBLE) AS s,
+        cast(sum(v * v) AS DOUBLE) AS ss
+      FROM ex GROUP BY 1)
+    SELECT vec_id, ex.pos,
+      CASE WHEN n * ss - s * s > 0 THEN
+        round((n * cast(v AS DOUBLE) - s) / sqrt(n * ss - s * s), 6) END AS z
+    FROM ex JOIN st ON ex.pos = st.pos
+    ORDER BY vec_id, ex.pos"""
+
   /** Random-projection dimensionality reduction (64 → 16 dims): the
     * Johnson–Lindenstrauss prefilter an ANN stack runs before exact
     * rescoring — 4× less data per distance, distances preserved within
@@ -812,6 +856,7 @@ object ScaleQueries {
     "multimodal_join" -> (multimodalJoin _),
     "emb_near_dup"  -> (embNearDup _),
     "emb_quantize"  -> (embQuantize _),
+    "emb_normalize" -> (embNormalize _),
     "zorder_buckets" -> (zorderBuckets _),
     "emb_project"   -> (embProject _),
     "label_centroids" -> (labelCentroids _),
@@ -830,6 +875,7 @@ object ScaleQueries {
     "knn_brute"    -> knnBruteSql,
     "emb_near_dup" -> embNearDupSql,
     "emb_quantize" -> embQuantizeSql,
+    "emb_normalize" -> embNormalizeSql,
     "zorder_buckets" -> zorderBucketsSql,
     "emb_project"   -> embProjectSql,
     "label_centroids" -> labelCentroidsSql,
