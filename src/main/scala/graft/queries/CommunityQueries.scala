@@ -312,9 +312,74 @@ object CommunityQueries {
     GROUP BY 1 ORDER BY 1"""
   }
 
+  // ------------------------------------------------------------- BFS
+
+  /** Fixed BFS depth — both engines replay identical frontier rounds
+    * (the k_core/label_prop unrolled-iteration contract). */
+  val BfsRounds = 4
+
+  /** Breadth-first hop distances from a deterministic seed (the minimum
+    * node id) on the BULK co-purchase graph — the reachability/radius
+    * primitive the graph family lacked: "how much of the catalog is
+    * within k co-purchase hops of this product". Each round is ONE
+    * semi-join (frontier ⋈ edges), one distinct, one anti-join against
+    * the settled set — all hash-partitioned by node, no driver state;
+    * the settled frame materializes per round so the 4-round lineage
+    * stays linear. Unvisited nodes are simply absent (no infinity
+    * sentinel to disagree on).
+    */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") >= 45)
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+    val oriented = perOrder
+      .select(col("ps"), explode(col("ps")).as("src"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") < col("dst"))
+      .distinct()
+    val edges = Materialize(
+      oriented.union(oriented.select(col("dst"), col("src"))))
+    var dist = Materialize(
+      edges.agg(min("src").as("node")).withColumn("d", lit(0L)))
+    for (r <- 1 to BfsRounds) {
+      val frontier = edges
+        .join(dist.filter(col("d") === lit((r - 1).toLong))
+          .select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("d", lit(r.toLong))
+      dist = Materialize(dist.union(frontier))
+    }
+    dist.orderBy("node")
+  }
+
+  val bfsHopsSql: String = {
+    val base = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_quantity >= 45),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    d0 AS (SELECT min(src) AS node, 0 AS d FROM e)"""
+    val iters = (1 to BfsRounds).map { r =>
+      s"""
+    f$r AS (
+      SELECT DISTINCT e.dst AS node
+      FROM e JOIN d${r - 1} p ON e.src = p.node AND p.d = ${r - 1}
+      WHERE e.dst NOT IN (SELECT node FROM d${r - 1})),
+    d$r AS (SELECT node, d FROM d${r - 1}
+            UNION ALL SELECT node, $r FROM f$r)"""
+    }.mkString(",")
+    s"""$base,$iters
+    SELECT node, cast(d AS BIGINT) AS d FROM d$BfsRounds ORDER BY node"""
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bfs_hops"         -> (bfsHops _),
     "k_core"           -> (kCore _),
     "label_prop"       -> (labelProp _),
     "mix_weights"      -> (mixWeights _),
@@ -322,6 +387,7 @@ object CommunityQueries {
     "curriculum_order" -> (curriculumOrder _))
 
   val oracle: Map[String, String] = Map(
+    "bfs_hops"         -> bfsHopsSql,
     "k_core"           -> kCoreSql,
     "label_prop"       -> labelPropSql,
     "mix_weights"      -> mixWeightsSql,

@@ -236,6 +236,58 @@ object RetrievalQueries {
     GROUP BY doc_id, t_tokens
     ORDER BY doc_id"""
 
+  /** Bigram-LM document score: average per-transition negative log
+    * conditional probability −(1/m)·Σ ln(c(a,b)/c(a)) under the
+    * corpus's own bigram counts — the sharper cousin of the unigram
+    * [[docLogprob]] (a doc of common words in UNCOMMON order now scores
+    * high). MLE without smoothing is total here because every scored
+    * bigram exists in the corpus counts by construction (the corpus is
+    * its own LM). The bigram stream expands ROW-LOCALLY (transform over
+    * the token array, no positional self-join); the unigram frame is a
+    * vocab-sized broadcast; only the per-doc Σ of ln terms is
+    * accumulation-ordered, hence the 4-decimal round (the docLogprob
+    * contract). Docs with < 2 tokens have no transitions and are
+    * absent, matching the oracle.
+    */
+  def docLogprob2(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.wordTokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = d.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+      .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ca = toks(docs(spark, dir)).groupBy("term").agg(count(lit(1)).as("c_a"))
+    bi.join(cab, Seq("a", "b"))
+      .join(broadcast(ca.select(col("term").as("a"), col("c_a"))), Seq("a"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log(col("c_a")) - log(col("c_ab"))).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s") / col("n_bigrams"), 4).as("nll2"))
+      .orderBy("doc_id")
+  }
+
+  val docLogprob2Sql: String = """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    bi AS (
+      SELECT doc_id, t[i] AS a, t[i + 1] AS b
+      FROM d, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2),
+    cab AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+    toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS a
+      FROM documents),
+    ca AS (SELECT a, count(*) AS c_a FROM toks GROUP BY 1)
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_bigrams,
+      round(sum(ln(c_a) - ln(c_ab)) / count(*), 4) AS nll2
+    FROM bi JOIN cab USING (a, b) JOIN ca USING (a)
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   /** DSIR-style importance weight per document: average per-token
     * log-likelihood ratio between a target sub-corpus LM (lang = 'en')
     * and the full-corpus LM, add-one smoothed over the shared
@@ -372,6 +424,7 @@ object RetrievalQueries {
     "bm25_score"   -> (bm25Score _),
     "rrf_fusion"   -> (rrfFusion _),
     "doc_logprob"  -> (docLogprob _),
+    "doc_logprob2" -> (docLogprob2 _),
     "dsir_weights" -> (dsirWeights _),
     "pmi_bigrams"  -> (pmiBigrams _))
 
@@ -379,6 +432,7 @@ object RetrievalQueries {
     "bm25_score"   -> bm25ScoreSql,
     "rrf_fusion"   -> rrfFusionSql,
     "doc_logprob"  -> docLogprobSql,
+    "doc_logprob2" -> docLogprob2Sql,
     "dsir_weights" -> dsirWeightsSql,
     "pmi_bigrams"  -> pmiBigramsSql)
 }

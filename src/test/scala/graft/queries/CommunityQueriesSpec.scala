@@ -14,6 +14,20 @@ class CommunityQueriesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("bfs_hops: path graph labels hops 0..4 from the min node; nodes " +
+       "beyond BfsRounds hops are absent") {
+    // path 1-2-3-4-5-6-7 → seed 1, d(k)=k-1; 6 and 7 exceed 4 hops
+    val dir = java.nio.file.Files.createTempDirectory("graft-bfs").toString
+    (1L to 6L).map(i => (i * 10, i, i + 1))
+      .flatMap { case (o, a, b) => Seq((o, a), (o, b)) }
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_quantity", lit(50.0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = CommunityQueries.bfsHops(spark, dir)
+      .as[(Long, Long)].collect().toList
+    assert(got == List((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)))
+  }
+
   test("label_prop matches a driver-side synchronous LPA replay on planted " +
        "cliques, and each clique converges to one label") {
     // orders as cliques: {1,2,3}, {4,5,6}, bridged by order {3,4}

@@ -98,6 +98,25 @@ class RetrievalQueriesSpec extends AnyFunSuite {
     assert(math.abs(out(2L) - math.log(16.0)) < 1e-3)
   }
 
+  test("doc_logprob2: a common-order doc scores lower than the same words " +
+       "in rare order, both at hand-computed values") {
+    // corpus: 'a b' ×2 and 'b a' ×1 → c(a)=c(b)=3, c(a,b)=2, c(b,a)=1
+    val dir = plantedDir(Seq(
+      (1L, "a b", "en"), (2L, "a b", "en"), (3L, "b a", "en")))
+    val out = RetrievalQueries.docLogprob2(spark, dir)
+      .select("doc_id", "nll2").as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - math.log(3.0 / 2.0)) < 1e-3)
+    assert(math.abs(out(3L) - math.log(3.0)) < 1e-3)
+    assert(out(1L) < out(3L))
+  }
+
+  test("doc_logprob2: single-token docs have no transitions and are absent") {
+    val dir = plantedDir(Seq((1L, "solo", "en"), (2L, "x y", "en")))
+    val ids = RetrievalQueries.docLogprob2(spark, dir)
+      .select("doc_id").as[Long].collect().toList
+    assert(ids == List(2L))
+  }
+
   test("dsir_weights: docs made of target-corpus tokens outweigh docs of " +
        "tokens the target never uses") {
     val dir = plantedDir(Seq(
