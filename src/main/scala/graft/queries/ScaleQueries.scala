@@ -120,6 +120,42 @@ object ScaleQueries {
       .orderBy("threshold")
   }
 
+  /** Corpus novelty per document: the share of a doc's distinct word-
+    * 3-grams whose FIRST occurrence (minimum doc_id) is the doc itself
+    * — the "is this doc adding anything" freshness score an ingest
+    * pipeline runs before paying to keep near-boilerplate. One gram
+    * frame (row-local distinct before explode, the shared dedup
+    * shape), one min-per-gram aggregation, one gh-co-partitioned join
+    * back, one per-doc aggregation — all linear in corpus grams,
+    * nothing pairwise. Gram identity is the hashed-gram long (same
+    * ~1e-15 collision tolerance the hash-green `dedup_ngram` already
+    * accepts; the oracle keys on the gram strings).
+    */
+  def noveltyRate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Materialize(
+      Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text"))
+    val firsts = grams.groupBy("gh").agg(min("id").as("fid"))
+    grams.join(firsts, Seq("gh"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum((col("fid") === col("id")).cast("long")).cast("double")
+          / count(lit(1)), 6).as("novel"))
+      .orderBy("doc_id")
+  }
+
+  val noveltyRateSql: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+    firsts AS (SELECT g, min(doc_id) AS fid FROM grams GROUP BY 1)
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_grams,
+      round(cast(sum(CASE WHEN fid = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS novel
+    FROM grams JOIN firsts USING (g)
+    GROUP BY 1 ORDER BY 1"""
+
   val dedupSweepSql: String = """
     WITH toks AS (
       SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -846,6 +882,7 @@ object ScaleQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram"   -> (dedupNgram _),
     "dedup_sweep"   -> (dedupSweep _),
+    "novelty_rate"  -> (noveltyRate _),
     "knn_brute"     -> (knnBrute _),
     "knn_lsh"       -> (knnLsh _),
     "knn_ivf"       -> (knnIvf _),
@@ -870,6 +907,7 @@ object ScaleQueries {
   val oracle: Map[String, String] = Map(
     "dedup_ngram"  -> dedupNgramSql,
     "dedup_sweep"  -> dedupSweepSql,
+    "novelty_rate" -> noveltyRateSql,
     "fingerprint_winnow" -> fingerprintWinnowSql,
     "multimodal_join" -> multimodalJoinSql,
     "knn_brute"    -> knnBruteSql,
