@@ -21,7 +21,12 @@ object ScaleProbe {
     "dup_clusters", "dedup_ngram",
     // round-8 late addition: the chunk-text shuffle + per-doc reassembly
     // shape (dedup_exact's exchange at chunk granularity)
-    "dedup_rewrite")
+    "dedup_rewrite",
+    // round-8 continuation: capped-wedge graph ops, the simhash pair
+    // audit (truth + found set), the linear gram-novelty pass, the
+    // bigram-LM join, and the orders-table CDC/RFM folds
+    "link_predict", "freq_triples", "bfs_hops", "simhash_precision",
+    "novelty_rate", "doc_logprob2", "cdc_apply", "rfm_segment")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -55,6 +60,17 @@ object ScaleProbe {
         .withColumn("p_partkey", col("p_partkey") + col("rep") * 10000000L)
         .drop("rep"))
       println("GENERATED sf1 corpus")
+    }
+    // orders replication added with the continuation probes — its own
+    // existence check so a pre-existing sf1 corpus gains the table
+    if (!new java.io.File(s"$out/orders.parquet").exists()) {
+      val reps = spark.range(0, 10).select(col("id").as("rep"))
+      spark.read.parquet(s"$src/orders.parquet").crossJoin(reps)
+        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * 1000000000L)
+        .withColumn("o_custkey", col("o_custkey") + col("rep") * 10000000L)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      println("GENERATED sf1 orders")
     }
 
     def timeQ(name: String, dir: String): Double = {

@@ -571,7 +571,59 @@ object ExperimentQueries {
       "\n    ORDER BY metric_x, metric_y"
   }
 
+  // --------------------------------------------------- Benford audit
+
+  /** First-digit Benford's-law audit of order totals — the classic
+    * fabricated-data screen: a synthetic or tampered amount column
+    * drifts from the log10(1+1/d) digit law long before any per-row
+    * rule fires. The digit extracts by STRING head (no log10 — exact at
+    * powers of ten); expected shares are fixed 6-decimal literals
+    * identical in both engines; observed share and |deviation| are each
+    * ONE double division over exact counts. One aggregation to 9 rows —
+    * nothing here grows with data.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = Seq(
+      1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+      5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+      9 -> 0.045757)
+    val expDf = broadcast(expected.toDF("digit", "expected"))
+    val counts = Tables.read(spark, dir, "orders")
+      .select(substring(round(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(tot)).join(expDf, Seq("digit"))
+      .select(col("digit").cast("long").as("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("observed"),
+        col("expected"),
+        round(abs(col("n").cast("double") / col("total") - col("expected")), 6)
+          .as("abs_dev"))
+      .orderBy("digit")
+  }
+
+  val benfordAuditSql: String = """
+    WITH d AS (
+      SELECT cast(substr(cast(cast(round(o_totalprice) AS BIGINT) AS VARCHAR),
+                  1, 1) AS INT) AS digit
+      FROM orders),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM c),
+    e(digit, expected) AS (VALUES
+      (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+      (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+      (9, 0.045757))
+    SELECT cast(c.digit AS BIGINT) AS digit, n,
+      round(cast(n AS DOUBLE) / total, 6) AS observed,
+      cast(expected AS DOUBLE) AS expected,
+      round(abs(cast(n AS DOUBLE) / total - cast(expected AS DOUBLE)), 6)
+        AS abs_dev
+    FROM c CROSS JOIN t JOIN e ON c.digit = e.digit
+    ORDER BY digit"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "benford_audit"   -> (benfordAudit _),
     "corr_matrix"     -> (corrMatrix _),
     "topic_drift"     -> (topicDrift _),
     "gini_source"     -> (giniConcentration _),
@@ -583,6 +635,7 @@ object ExperimentQueries {
     "ks_by_source"    -> (ksBySource _))
 
   val oracle: Map[String, String] = Map(
+    "benford_audit"   -> benfordAuditSql,
     "corr_matrix"     -> corrMatrixSql,
     "topic_drift"     -> topicDriftSql,
     "gini_source"     -> giniConcentrationSql,

@@ -173,15 +173,63 @@ object SignalQueries {
       END AS split
     FROM clusters ORDER BY doc_id"""
 
+  // ------------------------------------------------- seasonal backtest
+
+  /** Seasonal-naive forecast backtest over the event stream: predict
+    * each (event_type, day)'s count with the count seven days earlier
+    * and report per-type MAE over every day where the prior week
+    * exists — the canary that tells an ops team whether "same weekday
+    * last week" is still a usable baseline before they trust any
+    * fancier forecaster. All comparison surfaces are exact integers
+    * (daily counts, |actual − forecast| sums); MAE is the single final
+    * division. Scale shape: one map-side-combined aggregation reduces
+    * the stream to a (types × days) frame, and everything after — the
+    * d−7 self-join included — is dim-sized.
+    */
+  def tsForecast(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val f = d.select(col("event_type"), (col("day") + 7).as("day"),
+      col("c").as("fc"))
+    d.join(f, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("c") - col("fc"))).as("sum_abs_err"))
+      .select(col("event_type"), col("n_days"), col("sum_abs_err"),
+        round(col("sum_abs_err").cast("double") / col("n_days"), 6).as("mae"))
+      .orderBy("event_type")
+  }
+
+  val tsForecastSql: String = """
+    WITH d AS (
+      SELECT event_type,
+        date_diff('day', DATE '1970-01-01',
+          cast(make_timestamp(epoch_ns(ts) // 1000) AS DATE)) AS day,
+        count(*) AS c
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT a.event_type, a.c AS actual, f.c AS fc
+      FROM d a JOIN d f
+        ON a.event_type = f.event_type AND f.day = a.day - 7)
+    SELECT event_type, cast(count(*) AS BIGINT) AS n_days,
+      cast(sum(abs(actual - fc)) AS BIGINT) AS sum_abs_err,
+      round(cast(sum(abs(actual - fc)) AS DOUBLE) / count(*), 6) AS mae
+    FROM j GROUP BY 1 ORDER BY 1"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_forecast"        -> (tsForecast _),
     "markov_transitions" -> (markovTransitions _),
     "interarrival_stats" -> (interarrivalStats _),
     "mutual_info"        -> (mutualInfo _),
     "split_leakage_safe" -> (splitLeakageSafe _))
 
   val oracle: Map[String, String] = Map(
+    "ts_forecast"        -> tsForecastSql,
     "markov_transitions" -> markovTransitionsSql,
     "interarrival_stats" -> interarrivalStatsSql,
     "mutual_info"        -> mutualInfoSql,

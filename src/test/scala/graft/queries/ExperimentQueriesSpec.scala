@@ -32,6 +32,30 @@ class ExperimentQueriesSpec extends AnyFunSuite {
   /** k distinct single-char-ish tokens. */
   private def toks(k: Int): String = (0 until k).map(i => s"t$i").mkString(" ")
 
+  private def benfordOrdersDir(prices: Seq[Double]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-benford").toString
+    prices.zipWithIndex
+      .map { case (p, i) => (i.toLong, 1L, "O", p, "2024-01-01") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("benford_audit: digits count by string head, shares sum against " +
+       "the fixed expectation table") {
+    // 6×1xx, 3×2xx, 1×9xx → observed 0.6 / 0.3 / 0.1
+    val dir = benfordOrdersDir(
+      Seq.fill(6)(150.0) ++ Seq.fill(3)(250.0) ++ Seq(900.0))
+    val got = ExperimentQueries.benfordAudit(spark, dir)
+      .select("digit", "n", "observed", "expected", "abs_dev")
+      .as[(Long, Long, Double, Double, Double)].collect().toList
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      List((1L, 6L, 0.6), (2L, 3L, 0.3), (9L, 1L, 0.1)))
+    val d1 = got.head
+    assert(d1._4 == 0.301030 && math.abs(d1._5 - 0.29897) < 1e-6)
+  }
+
   test("corr_matrix: affine metrics give r = 1.0 on every pair") {
     // tokens = uniq = k, chars = 3k+7 — all three pairwise r exactly 1
     val dir = corrDocsDir((1 to 5).map(k => (k.toLong, toks(k), 3L * k + 7)))

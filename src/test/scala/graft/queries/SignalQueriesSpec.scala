@@ -22,6 +22,23 @@ class SignalQueriesSpec extends AnyFunSuite {
     dir
   }
 
+  test("ts_forecast: seasonal-naive MAE over days with a prior week; " +
+       "gap days and the first week contribute nothing") {
+    val day = 86400L * 1000000000L // ns
+    // type 'a': day 1 → 2 events, day 8 → 5 events (|5-2|=3),
+    //           day 15 → 5 (|5-5|=0) → n_days=2, sum=3, mae=1.5
+    // type 'b': only day 3 — no prior week, absent from the report
+    def burst(t: String, d: Long, n: Int, idBase: Long) =
+      (0 until n).map(i => (idBase + i, d * day + i, 1L, t))
+    val dir = eventsDir(
+      burst("a", 1, 2, 100) ++ burst("a", 8, 5, 200) ++
+        burst("a", 15, 5, 300) ++ burst("b", 3, 4, 400))
+    val out = SignalQueries.tsForecast(spark, dir)
+      .select("event_type", "n_days", "sum_abs_err", "mae")
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(out == List(("a", 2L, 3L, 1.5)))
+  }
+
   test("markov_transitions counts each user's consecutive steps and " +
        "P(to|from) sums to 1 per from-state") {
     val us = 1000L // 1 µs in ns
