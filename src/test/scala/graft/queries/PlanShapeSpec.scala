@@ -121,4 +121,36 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(bnlj <= 2, s"$name: $bnlj BNLJs, expected <= 2 one-row stat joins")
     } finally spark.conf.set(key, prev)
   }
+
+  test("continuation graph/dedup ops stay equi-join keyed (no cartesian, " +
+       "no data-path NLJ)") {
+    val key = graft.operators.Materialize.Key
+    val prev = spark.conf.get(key, "eager")
+    spark.conf.set(key, "none")
+    try for (name <- Seq("link_predict", "freq_triples", "bfs_hops",
+        "novelty_rate", "doc_logprob2", "ts_forecast", "cdc_apply")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: BNLJ")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("link_predict drops existing edges via an anti-join, not a filter " +
+       "over a wider join") {
+    val key = graft.operators.Materialize.Key
+    val prev = spark.conf.get(key, "eager")
+    spark.conf.set(key, "none")
+    try assert(plan("link_predict").contains("LeftAnti"))
+    finally spark.conf.set(key, prev)
+  }
+
+  test("cdc_apply folds as ONE aggregate: no window, no join") {
+    val p = plan("cdc_apply")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("rfm_segment scores via broadcast-joined thresholds") {
+    assert(plan("rfm_segment").contains("BroadcastHashJoin"))
+  }
 }
