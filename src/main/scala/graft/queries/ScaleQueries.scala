@@ -417,6 +417,67 @@ object ScaleQueries {
       FROM e, c1 c
       QUALIFY rn = 1)"""
 
+  /** Clustering-vs-labels agreement report: purity (share of vectors
+    * under their cell's majority label) and the Adjusted Rand Index of
+    * the k-means cells against the embedding labels — the "is this
+    * unsupervised structure real" eval run before anyone trusts
+    * cluster-based curation. ARI is computed ENTIRELY from exact
+    * integer pair counts in DECIMAL(38,0)/HUGEINT — with every C(x,2)
+    * carried as x(x−1) and the ½ cleared by doubling, the single
+    * double division at the end is the only inexact step:
+    * ARI = (2·C₂·S₂ − 2·A₂·B₂) / (C₂·(A₂+B₂) − 2·A₂·B₂). The
+    * contingency table is (cells × labels) rows — dim-sized; nothing
+    * after the one assignment pass grows with data.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val raw = embs(spark, dir)
+    val prepped = Similarity.prep(raw, "vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(prepped, k = 16, iters = 1)
+    val lab = Similarity.assignCells(prepped, cent)
+      .select(col("id"), col("c_id"))
+      .join(raw.select(col("vec_id").as("id"), col("label")), Seq("id"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    def p2(c: org.apache.spark.sql.Column) = dec(c) * (dec(c) - 1)
+    val cl = lab.groupBy("c_id", "label").agg(count(lit(1)).as("n"))
+    val s2 = cl.agg(sum(p2(col("n"))).as("s2"),
+      count(lit(1)).as("n_pairs_cells"))
+    val a2 = cl.groupBy("c_id").agg(sum("n").as("a"), max("n").as("top_n"))
+      .agg(sum(p2(col("a"))).as("a2"), sum(dec(col("a"))).as("n_vecs"),
+        count(lit(1)).as("n_cells"), sum(dec(col("top_n"))).as("pure"))
+    val b2 = cl.groupBy("label").agg(sum("n").as("b"))
+      .agg(sum(p2(col("b"))).as("b2"))
+    a2.crossJoin(broadcast(s2.select("s2"))).crossJoin(broadcast(b2))
+      .select(
+        col("n_vecs").cast("long").as("n_vecs"),
+        col("n_cells").cast("long").as("n_cells"),
+        round(col("pure").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("purity"),
+        round((lit(2) * p2(col("n_vecs")) * col("s2")
+            - lit(2) * col("a2") * col("b2")).cast("double")
+          / (p2(col("n_vecs")) * (col("a2") + col("b2"))
+            - lit(2) * col("a2") * col("b2")).cast("double"), 6).as("ari"))
+  }
+
+  val clusterPuritySql: String = s"""$kmeansCtePrefix,
+    lab AS (
+      SELECT a.vec_id, a.c_id, emb.label
+      FROM a2 a JOIN embeddings emb ON a.vec_id = emb.vec_id),
+    cl AS (SELECT c_id, label, cast(count(*) AS HUGEINT) AS n
+           FROM lab GROUP BY 1, 2),
+    s2 AS (SELECT sum(n * (n - 1)) AS s2 FROM cl),
+    arow AS (SELECT c_id, sum(n) AS a, max(n) AS top_n FROM cl GROUP BY 1),
+    aa AS (SELECT sum(a * (a - 1)) AS a2, sum(a) AS n_vecs,
+             cast(count(*) AS BIGINT) AS n_cells, sum(top_n) AS pure
+           FROM arow),
+    brow AS (SELECT label, sum(n) AS b FROM cl GROUP BY 1),
+    bb AS (SELECT sum(b * (b - 1)) AS b2 FROM brow)
+    SELECT cast(n_vecs AS BIGINT) AS n_vecs, n_cells,
+      round(cast(pure AS DOUBLE) / cast(n_vecs AS DOUBLE), 6) AS purity,
+      round(cast(2 * n_vecs * (n_vecs - 1) * s2 - 2 * a2 * b2 AS DOUBLE)
+            / cast(n_vecs * (n_vecs - 1) * (a2 + b2) - 2 * a2 * b2 AS DOUBLE),
+            6) AS ari
+    FROM aa CROSS JOIN s2 CROSS JOIN bb"""
+
   /** Exact SQL mirror of [[knnIvf]]/[[knnIvfHi]]: probe cells ranked by
     * centroid affinity with the (aff desc, c_id ASC) probe tie-break
     * (note: OPPOSITE c_id direction from the assignment argmax — the
@@ -894,6 +955,7 @@ object ScaleQueries {
     "emb_near_dup"  -> (embNearDup _),
     "emb_quantize"  -> (embQuantize _),
     "emb_normalize" -> (embNormalize _),
+    "cluster_purity" -> (clusterPurity _),
     "zorder_buckets" -> (zorderBuckets _),
     "emb_project"   -> (embProject _),
     "label_centroids" -> (labelCentroids _),
@@ -914,6 +976,7 @@ object ScaleQueries {
     "emb_near_dup" -> embNearDupSql,
     "emb_quantize" -> embQuantizeSql,
     "emb_normalize" -> embNormalizeSql,
+    "cluster_purity" -> clusterPuritySql,
     "zorder_buckets" -> zorderBucketsSql,
     "emb_project"   -> embProjectSql,
     "label_centroids" -> labelCentroidsSql,
