@@ -342,6 +342,113 @@ object TextQueries {
   /** Per-source vocabulary statistics (Zipf-tail signal): token total,
     * distinct vocabulary, and hapax-legomena ratio.
     */
+  /** Cumulative vocabulary coverage: the share of all corpus tokens
+    * covered by the top-k most frequent words, at k ∈ {10, 100, 1000}
+    * — the curve that sizes a tokenizer budget ("how big must V be
+    * before OOV stops hurting"). Rank and cumulative mass are windows
+    * over the VOCAB frame (dim-sized — the corpus itself reduces in
+    * one combinable count first); `k_eff` reports the clamp when the
+    * vocabulary is smaller than k. All integers until the one share
+    * division.
+    */
+  def coverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs(spark, dir)
+      .select(explode(wordTokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("w"))
+    val ranked = cnt.select(col("c"),
+      row_number().over(w).as("rk"),
+      sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+    val total = cnt.agg(sum("c").as("total"))
+    Seq(10, 100, 1000).map { k =>
+      ranked.filter(col("rk") <= k)
+        .agg(max("rk").as("ke"), max("cum").as("covered"))
+        .select(lit(k.toLong).as("k"), col("ke").cast("long").as("k_eff"),
+          col("covered"))
+    }.reduce(_.union(_))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("k_eff"), col("covered"), col("total"),
+        round(col("covered").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+      .orderBy("k")
+  }
+
+  val coverageCurveSql: String = """
+    WITH cnt AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+      GROUP BY 1),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk,
+        sum(c) OVER (ORDER BY c DESC, w
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cnt),
+    t AS (SELECT sum(c) AS total FROM cnt),
+    ks(k) AS (VALUES (10), (100), (1000))
+    SELECT cast(ks.k AS BIGINT) AS k, cast(max(r.rk) AS BIGINT) AS k_eff,
+      cast(max(r.cum) AS BIGINT) AS covered, cast(t.total AS BIGINT) AS total,
+      round(cast(max(r.cum) AS DOUBLE) / t.total, 6) AS share
+    FROM ks JOIN r ON r.rk <= ks.k CROSS JOIN t
+    GROUP BY ks.k, t.total
+    ORDER BY k"""
+
+  /** Rank-frequency Zipf fit over the top-1000 words: OLS slope and
+    * intercept of ln(freq) on ln(rank) — the one-number "does this
+    * corpus look like natural language" audit (natural text sits near
+    * slope −1; templated/synthetic corpora flatten). Cross-engine
+    * determinism: each transcendental ln SNAPS to DECIMAL(18,9) once,
+    * the OLS moments accumulate exactly over the snapped values, and
+    * slope/intercept are single agreed double expressions over those
+    * sums — the `regr_per_group` discipline extended to log space.
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs(spark, dir)
+      .select(explode(wordTokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked = cnt
+      .select(col("c"),
+        row_number().over(Window.orderBy(col("c").desc, col("w"))).as("rk"))
+      .filter(col("rk") <= 1000)
+    val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(18,9)")
+    val xy = ranked.select(dec(log(col("rk").cast("double"))).as("x"),
+      dec(log(col("c").cast("double"))).as("y"))
+    val s = xy.agg(count(lit(1)).as("n"),
+      sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n"), round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
+  val zipfSlopeSql: String = """
+    WITH cnt AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+      GROUP BY 1),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM cnt
+      QUALIFY rk <= 1000),
+    xy AS (
+      SELECT cast(ln(cast(rk AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+        cast(ln(cast(c AS DOUBLE)) AS DECIMAL(18,9)) AS y
+      FROM r),
+    s AS (
+      SELECT count(*) AS n, cast(sum(x) AS DOUBLE) AS sx,
+        cast(sum(y) AS DOUBLE) AS sy, cast(sum(x * y) AS DOUBLE) AS sxy,
+        cast(sum(x * x) AS DOUBLE) AS sxx
+      FROM xy)
+    SELECT n,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+        AS intercept
+    FROM s"""
+
   def vocabStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("source"), explode(wordTokens(lower(col("text")))).as("tok"))
@@ -459,6 +566,8 @@ object TextQueries {
     "oov_rate"        -> (oovRate _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "vocab_stats"     -> (vocabStats _),
+    "coverage_curve"  -> (coverageCurve _),
+    "zipf_slope"      -> (zipfSlope _),
     "char_diversity"  -> (charDiversity _),
     "text_stats"      -> (textStats _),
     "token_count"     -> (tokenCount _),
@@ -476,6 +585,8 @@ object TextQueries {
     "oov_rate"        -> oovRateSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "vocab_stats"     -> vocabStatsSql,
+    "coverage_curve"  -> coverageCurveSql,
+    "zipf_slope"      -> zipfSlopeSql,
     "char_diversity"  -> charDiversitySql,
     "text_stats"      -> textStatsSql,
     "token_count"     -> tokenCountSql,
