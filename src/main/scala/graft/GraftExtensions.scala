@@ -58,6 +58,17 @@ object Graft {
           "ngram_hash: n must be a foldable INT literal")
         graft.functions.NgramHash(exprs(0), exprs(1), n)
       })),
+    ("ngram_distinct", "ngram_distinct(tokens, n) - fused distinct n-gram count over the token array (tail grams shorten)",
+      arity("ngram_distinct", 2)(exprs => {
+        val nExpr = exprs(1)
+        val n = if (nExpr.foldable) nExpr.eval() match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"ngram_distinct: n must be an INT literal, got $other")
+        } else throw new IllegalArgumentException(
+          "ngram_distinct: n must be a foldable INT literal")
+        graft.functions.NgramDistinct(exprs(0), n)
+      })),
     ("deflate_ratio", "deflate_ratio(str) - zlib compressibility ratio of the UTF-8 bytes (lower = more redundant)",
       arity("deflate_ratio", 1)(exprs => graft.functions.DeflateRatio(exprs.head))),
     ("deflate_len", "deflate_len(str) - deflated byte count of the UTF-8 bytes",

@@ -397,6 +397,71 @@ object AnalyticsQueries {
     * deterministic order WITHOUT a per-group sort exchange — struct sort
     * keys (ts, unique id) make ties impossible.
     */
+  /** Ordered conversion funnel view → click → purchase: a user counts
+    * at each step only if the step's event happens STRICTLY AFTER their
+    * entry into the previous step (first qualifying occurrence, ties
+    * broken by event_id — the (ts, id) pairs compare as structs so
+    * same-microsecond events order identically in both engines).
+    * Complements `journey_paths` (per-user path strings) with the
+    * step-level report a growth team actually reads. Scale shape: per
+    * step one filter + one user-keyed argmin aggregation, all joins
+    * co-partitioned by user_id; the final report is four one-row
+    * frames crossed.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    val v = e.filter(col("event_type") === "view").groupBy("user_id")
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("s1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(struct(col("ts_us"), col("event_id")) > col("s1"))
+      .groupBy("user_id")
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("s2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(struct(col("ts_us"), col("event_id")) > col("s2"))
+      .select("user_id").distinct()
+    e.agg(countDistinct("user_id").as("n_users"))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("n_view"))))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+      .select(col("n_users"), col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view"), 6)
+          .as("click_rate"),
+        round(col("n_purchase").cast("double") / col("n_click"), 6)
+          .as("purchase_rate"))
+  }
+
+  val funnelStepsSql: String = """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type
+      FROM events),
+    v AS (
+      SELECT user_id, ts_us AS t1, event_id AS i1 FROM e
+      WHERE event_type = 'view'
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) = 1),
+    c AS (
+      SELECT e.user_id, e.ts_us AS t2, e.event_id AS i2
+      FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND (e.ts_us, e.event_id) > (v.t1, v.i1)
+      QUALIFY row_number() OVER (PARTITION BY e.user_id
+                                 ORDER BY e.ts_us, e.event_id) = 1),
+    p AS (
+      SELECT DISTINCT e.user_id
+      FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND (e.ts_us, e.event_id) > (c.t2, c.i2))
+    SELECT
+      (SELECT cast(count(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
+      (SELECT cast(count(*) AS BIGINT) FROM v) AS n_view,
+      (SELECT cast(count(*) AS BIGINT) FROM c) AS n_click,
+      (SELECT cast(count(*) AS BIGINT) FROM p) AS n_purchase,
+      round(cast((SELECT count(*) FROM c) AS DOUBLE)
+            / (SELECT count(*) FROM v), 6) AS click_rate,
+      round(cast((SELECT count(*) FROM p) AS DOUBLE)
+            / (SELECT count(*) FROM c), 6) AS purchase_rate"""
+
   def journeyPaths(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("user_id"), col("ts_us"), col("event_id"),
@@ -483,6 +548,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retention_cohorts"  -> (retentionCohorts _),
     "journey_paths"      -> (journeyPaths _),
+    "funnel_steps"       -> (funnelSteps _),
     "fifo_match"         -> (fifoMatchQ _),
     "q6_forecast"        -> (q6Forecast _),
     "q18_big_orders"     -> (q18BigOrders _),
@@ -503,6 +569,7 @@ object AnalyticsQueries {
     "fifo_match"         -> fifoMatchSql,
     "retention_cohorts"  -> retentionCohortsSql,
     "journey_paths"      -> journeyPathsSql,
+    "funnel_steps"       -> funnelStepsSql,
     "q6_forecast"        -> q6Sql,
     "q18_big_orders"     -> q18Sql,
     "q10_returned_items" -> q10Sql,

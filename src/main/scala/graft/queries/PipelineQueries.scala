@@ -173,15 +173,26 @@ object PipelineQueries {
       .orderBy("doc_id")
 
   /** (n_grams, rep_ratio) columns for a text column — shared between the
-    * standalone query and the curation funnel's inline gate.
+    * standalone query and the curation/attribution gates.
+    *
+    * Fused kernel, not HOFs: the former `transform(sequence, i ->
+    * md5(concat_ws(slice)))` + `array_distinct` shape ran INTERPRETED
+    * per gram (HOFs are CodegenFallback) — 2.2–2.5 s for an all-rows
+    * pass at sf0.1 — where [[graft.functions.NgramDistinct]] is one
+    * kernel call per row (~0.15 s), still a pure map-side projection
+    * (no shuffle at any corpus size, unlike an explode+window rewrite).
+    * Tokens contain no whitespace, so joined-string gram identity and
+    * the kernel's chained-hash identity induce the SAME equality
+    * classes: distinct counts match the oracle's distinct-md5-string
+    * counts exactly (modulo the accepted ~1e-15 hash collisions).
     */
   private[queries] def repetitionCols(text: Column): Seq[Column] = {
     val t = TextAnalysis.wordTokens(text)
-    val g = transform(
-      sequence(lit(0), greatest(size(t) - 3, lit(0))),
-      i => md5(concat_ws(" ", slice(t, i + 1, lit(3))).cast("binary")))
-    Seq(size(g).cast("long").as("n_grams"),
-      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"), 6)
+    val k = greatest(size(t) - 3, lit(0)) + 1
+    Seq(k.cast("long").as("n_grams"),
+      round(lit(1.0) -
+        graft.functions.NgramDistinctKernels.ngramDistinctCol(t, 3)
+          .cast("double") / k.cast("double"), 6)
         .as("rep_ratio"))
   }
 
@@ -326,16 +337,23 @@ object PipelineQueries {
     val d = docs(spark, dir)
     val toks = wordTokens(lower(col("text")))
     val w = Window.partitionBy(md5(col("text").cast("binary")))
-    val flags = graft.operators.Materialize(d
+    // contingency-cells trick (the curation_funnel depth-histogram
+    // generalized): grouping BY the flags makes each gate's HOF subtree
+    // evaluate exactly once per row — aggregate inputs referencing the
+    // flags directly would inline (CollapseProject) a copy of the whole
+    // subtree per reference, and the previous checkpoint workaround for
+    // that cost 3.0 s vs 0.24 s for this shape (A/B at sf0.1). The 8
+    // attribution sums then run over the ≤16-row cell table.
+    val cells = d
       .select(col("doc_id"),
         (langPredict(langScores(toks)) === "en").as("f1"),
         (qualityScore(col("text")) >= 0.5).as("f2"),
         repetitionCols(col("text")).last.as("rep_ratio"),
         (col("doc_id") === min("doc_id").over(w)).as("f4"))
       .withColumn("f3", col("rep_ratio") <= 0.2)
-      .select("f1", "f2", "f3", "f4"))
-    def cnt(c: Column) = sum(c.cast("long"))
-    val a = flags.agg(
+      .groupBy("f1", "f2", "f3", "f4").agg(count(lit(1)).as("c"))
+    def cnt(p: Column) = sum(when(p, col("c")).otherwise(0L))
+    val a = cells.agg(
       cnt(!col("f1")).as("x1"), cnt(!col("f2")).as("x2"),
       cnt(!col("f3")).as("x3"), cnt(!col("f4")).as("x4"),
       cnt(!col("f1") && col("f2") && col("f3") && col("f4")).as("u1"),

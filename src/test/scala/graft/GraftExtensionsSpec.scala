@@ -14,6 +14,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(1) == 11.0)
   }
 
+  test("ngram_distinct from SQL: repeated trigram collapses") {
+    Graft.register(spark)
+    val got = spark.sql(
+      "SELECT ngram_distinct(array('a','b','c','a','b','c'), 3) AS d").head().getLong(0)
+    assert(got == 3L)
+  }
+
   test("wrong arity raises a clean WRONG_NUM_ARGS analysis error, not an index crash") {
     Graft.register(spark)
     for (bad <- Seq("SELECT deaccent('a', 'b')", "SELECT dot_product(array(1.0D))",
