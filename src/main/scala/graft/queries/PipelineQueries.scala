@@ -650,9 +650,111 @@ object PipelineQueries {
       coalesce(r.clean_md5, md5('')) AS clean_md5
     FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id"""
 
+  // ------------------------------------------------- temperature mixing
+
+  /** Temperature-scaled source-sampling weights — the multilingual /
+    * multi-source rebalancing rule q_s ∝ p_s^α (α < 1 upsamples tail
+    * sources, the standard published recipe at α ≈ 0.3–0.7). Computed
+    * at α = 0.5 and α = 0.25, where p^α is a nested IEEE sqrt —
+    * CORRECTLY ROUNDED by the standard, so both engines produce the
+    * bit-identical double with no transcendental pow() in sight. Each
+    * sqrt snaps to DECIMAL(18,9) once; the normalizing sums are exact
+    * over the snapped values (source-count-sized frame, one broadcast);
+    * every output cell is one agreed double expression. `boost_t05` is
+    * the up/down-sampling factor q/p a mixer applies per source.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val dec9: Column => Column = _.cast(org.apache.spark.sql.types.DecimalType(18, 9))
+    val n = docs(spark, dir).groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        dec9(sqrt(col("n_docs").cast("double"))).as("w05"),
+        dec9(sqrt(sqrt(col("n_docs").cast("double")))).as("w025"))
+    val tot = n.agg(sum(col("n_docs")).as("nt"),
+      sum(col("w05")).as("s05"), sum(col("w025")).as("s025"))
+    n.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("nt").cast("double"), 6).as("p"),
+        round(col("w05").cast("double") / col("s05").cast("double"), 6).as("q_t05"),
+        round(col("w025").cast("double") / col("s025").cast("double"), 6).as("q_t025"),
+        round(col("w05").cast("double") / col("s05").cast("double")
+          * col("nt").cast("double") / col("n_docs").cast("double"), 6).as("boost_t05"))
+      .orderBy("source")
+  }
+
+  val mixTemperatureSql: String = """
+    WITH n AS (
+      SELECT source, count(*) AS n_docs,
+        cast(sqrt(cast(count(*) AS DOUBLE)) AS DECIMAL(18,9)) AS w05,
+        cast(sqrt(sqrt(cast(count(*) AS DOUBLE))) AS DECIMAL(18,9)) AS w025
+      FROM documents GROUP BY 1),
+    t AS (SELECT cast(sum(n_docs) AS BIGINT) AS nt, sum(w05) AS s05,
+            sum(w025) AS s025 FROM n)
+    SELECT source, n_docs,
+      round(cast(n_docs AS DOUBLE) / cast(nt AS DOUBLE), 6) AS p,
+      round(cast(w05 AS DOUBLE) / cast(s05 AS DOUBLE), 6) AS q_t05,
+      round(cast(w025 AS DOUBLE) / cast(s025 AS DOUBLE), 6) AS q_t025,
+      round(cast(w05 AS DOUBLE) / cast(s05 AS DOUBLE)
+        * cast(nt AS DOUBLE) / cast(n_docs AS DOUBLE), 6) AS boost_t05
+    FROM n CROSS JOIN t
+    ORDER BY source"""
+
+  // ------------------------------------------------------ shard planning
+
+  /** Output shards for the balanced-write plan. */
+  val ShardK = 8
+
+  /** Balanced output-shard assignment: rank documents by (bytes desc,
+    * doc_id) and deal them to [[ShardK]] shards SERPENTINE (pass 0 deals
+    * 0..k−1, pass 1 deals k−1..0, …) — the deterministic one-pass
+    * approximation of LPT bin packing that a 100 TB export uses to keep
+    * shard files within a few percent of each other (big docs spread
+    * first, the alternating direction cancels the within-pass bias).
+    * Everything is exact integer arithmetic except the final share,
+    * one IEEE division per shard row.
+    *
+    * The global row_number is the RANK DEFINITION; at cluster scale it
+    * materializes under a range partitioner on (n_chars desc, doc_id)
+    * (the W1 guarded-global-window note), not a single-partition sort.
+    */
+  def shardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = docs(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_chars").desc, col("doc_id"))).cast("long") - 1)
+    val s = ranked
+      .select(when(expr(s"(rk div $ShardK) % 2") === 0, col("rk") % ShardK)
+        .otherwise(lit(ShardK - 1) - col("rk") % ShardK).as("shard"),
+        col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+    s.crossJoin(broadcast(s.agg(sum(col("bytes")).as("tb"))))
+      .select(col("shard"), col("n_docs"), col("bytes"),
+        round(col("bytes").cast("double") / col("tb").cast("double"), 6).as("share"))
+      .orderBy("shard")
+  }
+
+  val shardPlanSql: String = s"""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+        row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+      FROM documents),
+    a AS (
+      SELECT CASE WHEN (rk // $ShardK) % 2 = 0 THEN rk % $ShardK
+                  ELSE ${ShardK - 1} - rk % $ShardK END AS shard, n_chars
+      FROM r),
+    s AS (SELECT shard, count(*) AS n_docs,
+            cast(sum(n_chars) AS BIGINT) AS bytes FROM a GROUP BY 1),
+    t AS (SELECT cast(sum(bytes) AS BIGINT) AS tb FROM s)
+    SELECT cast(shard AS BIGINT) AS shard, n_docs, bytes,
+      round(cast(bytes AS DOUBLE) / cast(tb AS DOUBLE), 6) AS share
+    FROM s CROSS JOIN t
+    ORDER BY shard"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_temperature"  -> (mixTemperature _),
+    "shard_plan"       -> (shardPlan _),
     "split_assign"     -> (splitAssign _),
     "chunk_dedup"      -> (chunkDedup _),
     "cross_source_overlap" -> (crossSourceOverlap _),
@@ -669,6 +771,8 @@ object PipelineQueries {
     "gate_attribution" -> (gateAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "mix_temperature"  -> mixTemperatureSql,
+    "shard_plan"       -> shardPlanSql,
     "split_assign"     -> splitAssignSql,
     "chunk_dedup"      -> chunkDedupSql,
     "cross_source_overlap" -> crossSourceOverlapSql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis._
 
@@ -560,9 +560,87 @@ object TextQueries {
     FROM w2 LEFT JOIN vocab v USING (w)
     GROUP BY source ORDER BY source"""
 
+  // -------------------------------------------------- conditional entropy
+
+  /** Per-source token entropy vs. bigram CONDITIONAL entropy, in nats:
+    * H(B|A) = Σ_ab (c_ab/N)·ln(c_a/c_ab) against the source's own
+    * bigram counts, with the unigram H over the same prefix marginals
+    * (c_a = Σ_b c_ab, so both distributions normalize over the same N).
+    * The gap H − H(B|A) is the one-step information gain — templated
+    * corpora (next word near-determined) collapse H(B|A) toward 0
+    * while H stays high, which no unigram audit can see.
+    *
+    * Determinism discipline: every transcendental ln SNAPS to
+    * DECIMAL(18,9) once, then multiplies an exact integer count in a
+    * decimal lane and SUMS exactly (partition-order independent — the
+    * zipf_slope regime, not the doc_logprob ±1e-4 regime); the single
+    * division per output cell is an agreed double expression. Scale
+    * shape: bigrams expand row-locally (no positional self-join), the
+    * marginal reuses the bigram counts (no second corpus pass), and the
+    * (source, a) join is an aggregate-to-aggregate equi-join — every
+    * frame after the first groupBy is vocabulary-sized, not corpus-sized.
+    */
+  def condEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val dec9: Column => Column = _.cast(org.apache.spark.sql.types.DecimalType(18, 9))
+    val cnt: Column => Column = _.cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val bi = docs(spark, dir)
+      .select(col("source"), wordTokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+        .as("p"))
+      .select(col("source"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bi.groupBy("source", "a", "b").agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy("source", "a").agg(sum(col("c_ab")).as("c_a"))
+    val n = ca.groupBy("source").agg(sum(col("c_a")).as("n_bigrams"),
+      count(lit(1)).as("vocab_a"))
+    val condSum = cab.join(ca, Seq("source", "a"))
+      .groupBy("source")
+      .agg(sum(dec9(log(col("c_a").cast("double") / col("c_ab").cast("double")))
+        * cnt(col("c_ab"))).as("sc"))
+    val uniSum = ca.join(broadcast(n), Seq("source"))
+      .groupBy("source")
+      .agg(sum(dec9(log(col("n_bigrams").cast("double") / col("c_a").cast("double")))
+        * cnt(col("c_a"))).as("su"))
+    n.join(condSum, Seq("source")).join(uniSum, Seq("source"))
+      .select(col("source"), col("n_bigrams"), col("vocab_a"),
+        round(col("su").cast("double") / col("n_bigrams").cast("double"), 6).as("h_token"),
+        round(col("sc").cast("double") / col("n_bigrams").cast("double"), 6).as("h_cond"))
+      .orderBy("source")
+  }
+
+  val condEntropySql: String = """
+    WITH d AS (
+      SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    bi AS (
+      SELECT source, t[i] AS a, t[i + 1] AS b
+      FROM d, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2),
+    cab AS (SELECT source, a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2, 3),
+    ca AS (SELECT source, a, cast(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1, 2),
+    n AS (SELECT source, cast(sum(c_a) AS BIGINT) AS n_bigrams,
+            count(*) AS vocab_a FROM ca GROUP BY 1),
+    sc AS (
+      SELECT source,
+        sum(cast(ln(cast(c_a AS DOUBLE) / cast(c_ab AS DOUBLE)) AS DECIMAL(18,9))
+          * cast(c_ab AS DECIMAL(18,0))) AS sc
+      FROM cab JOIN ca USING (source, a) GROUP BY 1),
+    su AS (
+      SELECT source,
+        sum(cast(ln(cast(n_bigrams AS DOUBLE) / cast(c_a AS DOUBLE)) AS DECIMAL(18,9))
+          * cast(c_a AS DECIMAL(18,0))) AS su
+      FROM ca JOIN n USING (source) GROUP BY 1)
+    SELECT source, n_bigrams, vocab_a,
+      round(cast(su AS DOUBLE) / cast(n_bigrams AS DOUBLE), 6) AS h_token,
+      round(cast(sc AS DOUBLE) / cast(n_bigrams AS DOUBLE), 6) AS h_cond
+    FROM n JOIN sc USING (source) JOIN su USING (source)
+    ORDER BY source"""
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cond_entropy"    -> (condEntropy _),
     "oov_rate"        -> (oovRate _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "vocab_stats"     -> (vocabStats _),
@@ -582,6 +660,7 @@ object TextQueries {
     "regex_extract"   -> (regexExtract _))
 
   val oracle: Map[String, String] = Map(
+    "cond_entropy"    -> condEntropySql,
     "oov_rate"        -> oovRateSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "vocab_stats"     -> vocabStatsSql,
