@@ -122,18 +122,20 @@ object PipelineQueries {
     * set is explicitly broadcast — at 100 TB the train side streams
     * through a hash-set membership probe, no shuffle of the corpus.
     */
+  // grams hashed with the fused codegen NgramHash (64-bit, no gram
+  // string allocation): overlap detection only needs the SAME hash on
+  // both sides of a decontamination query — the oracle recomputes
+  // overlap with its own md5 grams and compares surviving doc_ids,
+  // which agree modulo ~1e-15 hash-collision odds
+  private def contamGrams(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("t"))
+    .select(col("doc_id"), col("t"), explode(
+      sequence(lit(0), greatest(size(col("t")) - DecontN, lit(0)))).as("i"))
+    .select(col("doc_id"), graft.functions.NgramKernels
+      .ngramHashCol(col("t"), col("i"), DecontN).as("gh"))
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    // grams hashed with the fused codegen NgramHash (64-bit, no gram
-    // string allocation): overlap detection only needs the SAME hash on
-    // both sides of this query — the oracle recomputes overlap with its
-    // own md5 grams and compares surviving doc_ids, which agree modulo
-    // ~1e-15 hash-collision odds
-    def grams(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("t"))
-      .select(col("doc_id"), col("t"), explode(
-        sequence(lit(0), greatest(size(col("t")) - DecontN, lit(0)))).as("i"))
-      .select(col("doc_id"), graft.functions.NgramKernels
-        .ngramHashCol(col("t"), col("i"), DecontN).as("gh"))
+    def grams(d: DataFrame): DataFrame = contamGrams(d)
     val d = docs(spark, dir)
     val evalGrams = grams(d.filter(col("doc_id") % 97 === 0)).select("gh").distinct()
     val train = d.filter(col("doc_id") % 97 =!= 0)
@@ -650,6 +652,73 @@ object PipelineQueries {
       coalesce(r.clean_md5, md5('')) AS clean_md5
     FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id"""
 
+  // -------------------------------------------- bloom-prefilter contamination
+
+  /** Bloom-prefiltered decontamination — the 100 TB shape of
+    * [[decontaminate]]: the eval gram set compacts into a bloom filter
+    * (kilobytes of model parameters, vs. a broadcast hash relation that
+    * grows with the eval corpus), and the train side probes it MAP-ONLY
+    * through Catalyst's own `BloomFilterMightContain` predicate (codegen,
+    * zero UDFs) — only the sliver of bloom-positive grams continues to
+    * the exact verification join. Bloom filters have NO false negatives,
+    * so prefilter + exact-verify ⊆-preserves the exact answer; fpp is
+    * sized at 1e-4 so per-DOC false-positive odds stay ~grams·1e-4.
+    *
+    * The audit row proves both properties against the exact path:
+    * `superset_ok` (every exactly-contaminated doc is bloom-flagged —
+    * the no-false-negative law) and `fp_ok` (doc-level bloom excess
+    * within 5% of the train corpus). The filter build collects a SKETCH
+    * (never corpus rows) — the kmeans-centroid precedent.
+    */
+  def bloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.GraftShim
+    val d = docs(spark, dir)
+    val evalGrams = contamGrams(d.filter(col("doc_id") % 97 === 0))
+      .select("gh").distinct()
+    val nEval = evalGrams.count()
+    val bf = evalGrams.stat.bloomFilter("gh", math.max(nEval, 1L), 1e-4)
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftShim.column(BloomFilterMightContain(
+      Literal(bfBytes), GraftShim.expression(col("gh"))))
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    val trainGrams = contamGrams(train)
+    val bloomHits = trainGrams.filter(mightContain).select("doc_id").distinct()
+    val exactHits = trainGrams.join(broadcast(evalGrams), "gh")
+      .select("doc_id").distinct()
+    train.agg(count(lit(1)).as("n_train"))
+      .crossJoin(exactHits.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(exactHits.join(bloomHits, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_missed")))
+      .crossJoin(bloomHits.agg(count(lit(1)).as("n_bloom")))
+      .select(col("n_train"), col("n_exact"),
+        (col("n_missed") === 0).cast("long").as("superset_ok"),
+        ((col("n_bloom") - col("n_exact")) * 100 <= col("n_train") * 5)
+          .cast("long").as("fp_ok"))
+  }
+
+  /** Oracle: the exact counts are SQL; the two bloom laws are literal 1
+    * (no false negatives is a bloom-filter theorem; the fp bound holds
+    * by the 1e-4 sizing with 50× slack).
+    */
+  val bloomPrefilterSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, md5(array_to_string(t[i+1:i+$DecontN], ' ')) AS gh
+      FROM toks, unnest(range(0, greatest(len(t) - $DecontN, 0) + 1)) AS u(i)),
+    ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0),
+    bad AS (SELECT DISTINCT doc_id FROM grams
+            WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM ev))
+    SELECT (SELECT count(*) FROM documents WHERE doc_id % 97 <> 0) AS n_train,
+      (SELECT count(*) FROM bad) AS n_exact,
+      cast(1 AS BIGINT) AS superset_ok,
+      cast(1 AS BIGINT) AS fp_ok"""
+
   // ------------------------------------------------- temperature mixing
 
   /** Temperature-scaled source-sampling weights — the multilingual /
@@ -753,6 +822,7 @@ object PipelineQueries {
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_prefilter"  -> (bloomPrefilter _),
     "mix_temperature"  -> (mixTemperature _),
     "shard_plan"       -> (shardPlan _),
     "split_assign"     -> (splitAssign _),
@@ -771,6 +841,7 @@ object PipelineQueries {
     "gate_attribution" -> (gateAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "bloom_prefilter"  -> bloomPrefilterSql,
     "mix_temperature"  -> mixTemperatureSql,
     "shard_plan"       -> shardPlanSql,
     "split_assign"     -> splitAssignSql,

@@ -161,15 +161,97 @@ object TrainQueries {
     FROM ranked a JOIN ranked b ON a.doc_id = b.doc_id AND a.epoch < b.epoch
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ------------------------------------------------------ margin sampling
+
+  /** Active-learning margin sampling: score every vector against each
+    * label's centroid, take margin = best − second-best cosine, and
+    * surface the 20 most AMBIGUOUS vectors (smallest margin) — the
+    * label-these-next queue of an annotation loop, and the pool a
+    * hard-example curriculum drains first.
+    *
+    * Scale shape: centroids build with the exact-decimal posexplode
+    * means (partition-order independent, the `label_centroids` shape)
+    * and come back as a labels-sized broadcast; scoring is one map-only
+    * corpus pass (labels-per-row fan-out, no corpus shuffle); top1/top2
+    * extraction is a ROW-LOCAL struct sort over the per-row affinity
+    * array — no window, no per-vector aggregation. The only exchange is
+    * the final global bottom-20, which AQE collapses to a
+    * TakeOrderedAndProject. Ranking follows the rounded-key discipline:
+    * order on round(margin, 6) with vec_id tiebreak.
+    */
+  def marginSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = labelled(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast("double").cast(DecimalType(28, 12)))
+        .cast("double") / count(lit(1)).cast("double")).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("c_label"),
+        transform(col("pm"), p => p.getField("m")).as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("id").as("vec_id"),
+        struct(Similarity.cosine(col("v"), col("nrm"), col("cv"), col("cn"))
+          .as("aff"), col("c_label")).as("s"))
+      .groupBy("vec_id")
+      .agg(reverse(array_sort(collect_list(col("s")))).as("arr"))
+    scored.select(col("vec_id"),
+        col("arr")(0).getField("c_label").cast("long").as("top_label"),
+        col("arr")(1).getField("c_label").cast("long").as("second_label"),
+        round(col("arr")(0).getField("aff") - col("arr")(1).getField("aff"), 6)
+          .as("margin"))
+      .orderBy(col("margin"), col("vec_id"))
+      .limit(20)
+  }
+
+  /** Oracle mirrors the exact-decimal centroid build and the
+    * (aff desc, label desc) top-2 selection of the reversed struct sort.
+    */
+  val marginSampleSql: String = """
+    WITH e AS (
+      SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    cm AS (
+      SELECT label, i - 1 AS pos,
+        cast(sum(cast(cast(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+          / cast(count(*) AS DOUBLE) AS m
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY label, i),
+    cent AS (
+      SELECT label AS c_label, list(m ORDER BY pos) AS cv FROM cm GROUP BY label),
+    c2 AS (
+      SELECT c_label, cv, sqrt(list_inner_product(cv, cv)) AS cn FROM cent),
+    aff AS (
+      SELECT vec_id, c_label,
+        list_inner_product(v, cv) / (nrm * cn) AS aff,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY list_inner_product(v, cv) / (nrm * cn) DESC, c_label DESC) AS r
+      FROM e CROSS JOIN c2)
+    SELECT vec_id,
+      cast(max(CASE WHEN r = 1 THEN c_label END) AS BIGINT) AS top_label,
+      cast(max(CASE WHEN r = 2 THEN c_label END) AS BIGINT) AS second_label,
+      round(max(CASE WHEN r = 1 THEN aff END)
+        - max(CASE WHEN r = 2 THEN aff END), 6) AS margin
+    FROM aff WHERE r <= 2
+    GROUP BY vec_id
+    ORDER BY margin, vec_id
+    LIMIT 20"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "triplet_mine"  -> (tripletMine _),
     "emb_health"    -> (embHealth _),
+    "margin_sample" -> (marginSample _),
     "epoch_shuffle" -> (epochShuffle _))
 
   val oracle: Map[String, String] = Map(
     "triplet_mine"  -> tripletMineSql,
     "emb_health"    -> embHealthSql,
+    "margin_sample" -> marginSampleSql,
     "epoch_shuffle" -> epochShuffleSql)
 }
