@@ -153,4 +153,35 @@ class PlanShapeSpec extends AnyFunSuite {
   test("rfm_segment scores via broadcast-joined thresholds") {
     assert(plan("rfm_segment").contains("BroadcastHashJoin"))
   }
+
+  test("cond_entropy stays equi-join keyed over vocabulary-sized frames") {
+    val p = plan("cond_entropy")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("bloom_prefilter probes the filter map-side: the bloom predicate " +
+       "is a Filter, never a join; the exact verify joins by broadcast") {
+    val p = plan("bloom_prefilter")
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // only the final one-row stat crossJoins may nest-loop
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 3, s"$bnlj BNLJs, expected <= 3 one-row stat joins")
+  }
+
+  test("margin_sample fans out by broadcast (labels-sized centroid bank) " +
+       "and takes the bottom-20 via TakeOrderedAndProject, no global sort") {
+    val p = plan("margin_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("shard_plan and mix_temperature never shuffle more than the " +
+       "aggregate frames (no cartesian on the data path)") {
+    for (name <- Seq("shard_plan", "mix_temperature")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian")
+    }
+  }
 }
