@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Materialize
@@ -87,7 +87,11 @@ object CommunityQueries {
     lbl.orderBy("node")
   }
 
-  val labelPropSql: String = {
+  /** Shared unrolled-LPA CTE chain (`li`, `e` mirrored edge list, `l0`
+    * … `l{LpIters}`) — the oracle prefix for [[labelProp]] AND the
+    * community input of [[modularity]].
+    */
+  private val lpCtes: String = {
     val base = """
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
                 WHERE l_quantity >= 45),
@@ -108,8 +112,11 @@ object CommunityQueries {
           row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
         FROM c$k) WHERE rn = 1)"""
     }.mkString(",")
-    s"$base,$iters\n    SELECT node, lab FROM l$LpIters ORDER BY node"
+    s"$base,$iters"
   }
+
+  val labelPropSql: String =
+    s"$lpCtes\n    SELECT node, lab FROM l$LpIters ORDER BY node"
 
   // ------------------------------------------------- mixture weights
 
@@ -376,9 +383,150 @@ object CommunityQueries {
     SELECT node, cast(d AS BIGINT) AS d FROM d$BfsRounds ORDER BY node"""
   }
 
+  // ---------------------------------------------------- graph structure
+
+  /** Oriented (src < dst, distinct) and mirrored co-purchase edge
+    * frames for the BULK subgraph — the build every graph query here
+    * shares (row-local pair expansion, oriented distinct, map-side
+    * mirror).
+    */
+  private def bulkEdges(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") >= 45)
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+    val oriented = Materialize(perOrder
+      .select(col("ps"), explode(col("ps")).as("src"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") < col("dst"))
+      .distinct())
+    (oriented, oriented.union(oriented.select(col("dst"), col("src"))))
+  }
+
+  /** Newman modularity of the [[labelProp]] communities, decomposed per
+    * community: Q_c = e_c/m − (d_c/2m)² with e_c = intra-community
+    * edges, d_c = community degree sum, m = undirected edge count. The
+    * single number Σ Q_c is THE health check on a community detection
+    * run (LPA collapsing to one giant label shows up instantly as
+    * Q ≈ 0); the per-community rows localize which communities carry
+    * the structure.
+    *
+    * All inputs are exact integers; the d_c² and 4m·e_c products run in
+    * DECIMAL(38,0)/HUGEINT (d_c ~ 2m crosses 2⁶³ squared at ~10⁹
+    * edges), and the one division per row is an agreed double
+    * expression. Scale shape: two keyed joins of the edge frame against
+    * the labeling (hash-partitioned by node), one aggregation each —
+    * nothing global but the 1-row m frame.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val dec: Column => Column = _.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") >= 45)
+    val (oriented, edges) = bulkEdges(spark, dir)
+    val lbl = Materialize(labelPropOn(li))
+    val m = oriented.agg(count(lit(1)).as("m"))
+    val dsum = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .join(lbl, "node")
+      .groupBy("lab").agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_sum"))
+    val ein = oriented
+      .join(lbl.select(col("node").as("src"), col("lab").as("lab_s")), "src")
+      .join(lbl.select(col("node").as("dst"), col("lab").as("lab_d")), "dst")
+      .filter(col("lab_s") === col("lab_d"))
+      .groupBy(col("lab_s").as("lab")).agg(count(lit(1)).as("e_in"))
+    dsum.join(ein, Seq("lab"), "left")
+      .select(col("lab"), col("n_nodes"), coalesce(col("e_in"), lit(0L)).as("e_in"),
+        col("d_sum"))
+      .crossJoin(broadcast(m))
+      .select(col("lab"), col("n_nodes"), col("e_in"), col("d_sum"),
+        // + 0.0 canonicalizes IEEE −0.0 (a rounded tiny negative) to +0.0
+        (round((dec(lit(4)) * dec(col("m")) * dec(col("e_in"))
+          - dec(col("d_sum")) * dec(col("d_sum"))).cast("double")
+          / (dec(lit(4)) * dec(col("m")) * dec(col("m"))).cast("double"), 6)
+          + lit(0.0)).as("q_part"))
+      .orderBy("lab")
+  }
+
+  val modularitySql: String = s"""$lpCtes,
+    und AS (SELECT src, dst FROM e WHERE src < dst),
+    m AS (SELECT count(*) AS m FROM und),
+    deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+    ds AS (
+      SELECT lab, count(*) AS n_nodes, cast(sum(deg) AS BIGINT) AS d_sum
+      FROM deg JOIN l$LpIters USING (node) GROUP BY 1),
+    ein AS (
+      SELECT ls.lab, count(*) AS e_in
+      FROM und JOIN l$LpIters ls ON und.src = ls.node
+               JOIN l$LpIters ld ON und.dst = ld.node AND ls.lab = ld.lab
+      GROUP BY 1)
+    SELECT ds.lab, ds.n_nodes, coalesce(ein.e_in, 0) AS e_in, ds.d_sum,
+      round(cast(cast(4 AS HUGEINT) * m.m * coalesce(ein.e_in, 0)
+          - cast(ds.d_sum AS HUGEINT) * ds.d_sum AS DOUBLE)
+        / cast(cast(4 AS HUGEINT) * m.m * m.m AS DOUBLE), 6) + 0.0 AS q_part
+    FROM ds LEFT JOIN ein USING (lab) CROSS JOIN m
+    ORDER BY ds.lab"""
+
+  /** Degree assortativity of the co-purchase graph: the Pearson
+    * correlation of endpoint degrees over the mirrored edge list — THE
+    * one-number "hubs link to hubs (r > 0) or hubs link to leaves
+    * (r < 0)" diagnostic, and the quantity that decides whether the
+    * hub-salting defenses matter (disassortative graphs concentrate
+    * edge mass on hub⋈leaf joins). Every moment accumulates exactly in
+    * DECIMAL(38,0)/HUGEINT (Σxy ~ m·deg² crosses 2⁶³ on power-law
+    * graphs); r is one agreed double expression over the exact sums.
+    * Scale shape: one degree aggregation, two keyed joins to decorate
+    * endpoints, one combinable moment aggregation — no global sort, no
+    * driver state.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val dec: Column => Column = _.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val (_, edges0) = bulkEdges(spark, dir)
+    val edges = Materialize(edges0)
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val pairs = edges
+      .join(deg.select(col("node").as("src"), col("deg").as("x")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("y")), "dst")
+    val s = pairs.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    s.select(col("n").as("n_edges"),
+      round((dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
+        / sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
+          * (dec(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+        .as("r"))
+  }
+
+  val assortativitySql: String = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_quantity >= 45),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+    p AS (
+      SELECT dx.deg AS x, dy.deg AS y
+      FROM e JOIN deg dx ON e.src = dx.node JOIN deg dy ON e.dst = dy.node),
+    s AS (
+      SELECT count(*) AS n,
+        cast(sum(cast(x AS HUGEINT)) AS HUGEINT) AS sx,
+        cast(sum(cast(y AS HUGEINT)) AS HUGEINT) AS sy,
+        cast(sum(cast(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        cast(sum(cast(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        cast(sum(cast(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM p)
+    SELECT n AS n_edges,
+      round(cast(cast(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        / sqrt(cast(cast(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+          * cast(cast(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6) AS r
+    FROM s"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "modularity"       -> (modularity _),
+    "assortativity"    -> (assortativity _),
     "bfs_hops"         -> (bfsHops _),
     "k_core"           -> (kCore _),
     "label_prop"       -> (labelProp _),
@@ -387,6 +535,8 @@ object CommunityQueries {
     "curriculum_order" -> (curriculumOrder _))
 
   val oracle: Map[String, String] = Map(
+    "modularity"       -> modularitySql,
+    "assortativity"    -> assortativitySql,
     "bfs_hops"         -> bfsHopsSql,
     "k_core"           -> kCoreSql,
     "label_prop"       -> labelPropSql,

@@ -28,6 +28,32 @@ class CommunityQueriesSpec extends AnyFunSuite {
     assert(got == List((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)))
   }
 
+  test("modularity: two disjoint triangles score Q_c = 0.25 each " +
+       "(total Q = 0.5, the textbook two-community value)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mod").toString
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 4L), (20L, 5L), (20L, 6L))
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_quantity", lit(50.0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // LPA on a triangle converges to the min node's label
+    val got = CommunityQueries.modularity(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(got == List((1L, 3L, 3L, 6L, 0.25), (4L, 3L, 3L, 6L, 0.25)))
+  }
+
+  test("assortativity: a star is perfectly disassortative (r = −1); " +
+       "hub degree and edge count exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-assort").toString
+    // three orders, each pairing hub part 100 with one leaf
+    Seq((10L, 100L), (10L, 1L), (20L, 100L), (20L, 2L), (30L, 100L), (30L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_quantity", lit(50.0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = CommunityQueries.assortativity(spark, dir)
+      .as[(Long, Double)].collect().toList
+    assert(got == List((6L, -1.0)))
+  }
+
   test("label_prop matches a driver-side synchronous LPA replay on planted " +
        "cliques, and each clique converges to one label") {
     // orders as cliques: {1,2,3}, {4,5,6}, bridged by order {3,4}
