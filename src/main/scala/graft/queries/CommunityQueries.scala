@@ -62,6 +62,16 @@ object CommunityQueries {
       .select(col("src"), explode(col("ps")).as("dst"))
       .filter(col("src") < col("dst"))
       .distinct()
+    labelPropOnOriented(oriented, salts)
+  }
+
+  /** [[labelPropOn]] over a PREBUILT oriented (src < dst, distinct)
+    * edge frame — lets [[modularity]] reuse its materialized edge build
+    * instead of recomputing the pair expansion (one full edge-build
+    * scan saved; at corpus scale the edge build dominates the LPA
+    * rounds).
+    */
+  private[queries] def labelPropOnOriented(oriented: DataFrame, salts: Int = 1): DataFrame = {
     val edges = Materialize {
       val e = oriented.union(oriented.select(col("dst"), col("src")))
       if (salts == 1) e
@@ -69,7 +79,7 @@ object CommunityQueries {
     }
     var lbl = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
-    val saltDf = li.sparkSession.range(0, salts.toLong)
+    val saltDf = oriented.sparkSession.range(0, salts.toLong)
       .select(col("id").cast("int").as("salt"))
     val joinKeys = if (salts == 1) Seq("dst") else Seq("dst", "salt")
     def lblSide(df: DataFrame): DataFrame =
@@ -420,10 +430,8 @@ object CommunityQueries {
     */
   def modularity(spark: SparkSession, dir: String): DataFrame = {
     val dec: Column => Column = _.cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .filter(col("l_quantity") >= 45)
     val (oriented, edges) = bulkEdges(spark, dir)
-    val lbl = Materialize(labelPropOn(li))
+    val lbl = Materialize(labelPropOnOriented(oriented))
     val m = oriented.agg(count(lit(1)).as("m"))
     val dsum = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .join(lbl, "node")
