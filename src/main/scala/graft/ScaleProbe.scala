@@ -26,7 +26,14 @@ object ScaleProbe {
     // audit (truth + found set), the linear gram-novelty pass, the
     // bigram-LM join, and the orders-table CDC/RFM folds
     "link_predict", "freq_triples", "bfs_hops", "simhash_precision",
-    "novelty_rate", "doc_logprob2", "cdc_apply", "rfm_segment")
+    "novelty_rate", "doc_logprob2", "cdc_apply", "rfm_segment",
+    // round-8 continuation batch 2: bigram-entropy vocab frames, the
+    // LPA+modularity pipeline, exact degree-moment aggregation, the
+    // bloom-probed decontamination pass, the centroid-margin corpus
+    // scan, and the global-window shard ranking (the W1 single-sort
+    // exposure, probed on purpose)
+    "cond_entropy", "modularity", "assortativity", "bloom_prefilter",
+    "margin_sample", "shard_plan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -73,6 +80,17 @@ object ScaleProbe {
       println("GENERATED sf1 orders")
     }
 
+    // embeddings replication (margin_sample probe) — disjoint vec_ids,
+    // labels unchanged so the centroid bank stays label-count-sized
+    if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
+      val reps = spark.range(0, 10).select(col("id").as("rep"))
+      spark.read.parquet(s"$src/embeddings.parquet").crossJoin(reps)
+        .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println("GENERATED sf1 embeddings")
+    }
+
     def timeQ(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       fn(spark, dir).count() // warm: codegen + page cache for this shape
@@ -83,7 +101,9 @@ object ScaleProbe {
       }
       times.min
     }
-    for (q <- Queries) {
+    // SPARK_GRAFT_ONLY restricts the probe (same contract as Bench)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    for (q <- Queries if only.forall(_(q))) {
       val t01 = timeQ(q, src)
       val t1 = timeQ(q, out)
       println(f"PROBE $q sf0.1=$t01%.2f s sf1=$t1%.2f s ratio=${t1 / t01}%.1f")

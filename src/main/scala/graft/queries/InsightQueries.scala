@@ -547,9 +547,132 @@ object InsightQueries {
     SELECT p1, p2, p3, support FROM t
     ORDER BY support DESC, p1, p2, p3 LIMIT $FreqTopK"""
 
+  // ------------------------------------------------ clustering coefficient
+
+  /** Global clustering coefficient of the BULK co-purchase graph:
+    * C = 3·triangles / Σ_v C(d_v, 2) — the transitivity number that
+    * separates a clustered product catalog from a random one of the
+    * same degree sequence. Triangles reuse the degree-ordered
+    * enumeration shape of [[triangleCount]] (wedge fan-out bounded by
+    * orientation degree); the wedge denominator is one exact moment
+    * over the degree frame, with d(d−1) in DECIMAL(38,0)/HUGEINT (a
+    * 10⁹-degree hub squares past 2⁶³). The division is one agreed
+    * double expression.
+    */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val dec: Column => Column = _.cast(DecimalType(38, 0))
+    val perOrder = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") >= 45)
+      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+    val und = Materialize(perOrder
+      .select(col("ps"), explode(col("ps")).as("a"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct())
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = Materialize(withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v")))
+    val e2 = oriented.select(col("u").as("v2"), col("v").as("w"))
+    val wedges = oriented.join(e2, col("v") === col("v2"))
+      .select(col("u"), col("v"), col("w"))
+    val e3 = oriented.select(col("u").as("u3"), col("v").as("w3"))
+    val tri = wedges.join(e3, col("u") === col("u3") && col("w") === col("w3"))
+    // w2 = Σ d(d−1) = 2·wedges-centered; C = 3T/W = 6T/w2
+    deg.agg(count(lit(1)).as("n_nodes"),
+        sum(dec(col("d")) * dec(col("d") - 1)).as("w2"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        (col("w2") / lit(2)).cast("long").as("n_centered_wedges"),
+        (round((dec(lit(6)) * dec(col("n_triangles"))).cast("double")
+          / col("w2").cast("double"), 6) + lit(0.0)).as("global_cc"))
+  }
+
+  val clusteringCoeffSql: String = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_quantity >= 45),
+    und AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+      GROUP BY n),
+    o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS v
+      FROM und JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n),
+    w AS (SELECT e1.u, e1.v, e2.v AS w FROM o e1 JOIN o e2 ON e1.v = e2.u),
+    t AS (SELECT count(*) AS n_triangles FROM w JOIN o ON w.u = o.u AND w.w = o.v),
+    dm AS (SELECT count(*) AS n_nodes,
+             cast(sum(cast(d AS HUGEINT) * (d - 1)) AS HUGEINT) AS w2 FROM deg)
+    SELECT dm.n_nodes, (SELECT count(*) FROM und) AS n_edges, t.n_triangles,
+      cast(dm.w2 // 2 AS BIGINT) AS n_centered_wedges,
+      round(cast(cast(6 AS HUGEINT) * t.n_triangles AS DOUBLE)
+        / cast(dm.w2 AS DOUBLE), 6) + 0.0 AS global_cc
+    FROM dm CROSS JOIN t"""
+
+  // ------------------------------------------------------ bipartite HITS
+
+  /** Bipartite HITS (hubs = customers, authorities = parts) on the
+    * customer–part purchase graph, run UNNORMALIZED for two rounds so
+    * every score is an exact path count: a₁(p) = #buyers,
+    * h₁(c) = Σ_{p∈c} a₁(p), a₂(p) = Σ_{c∋p} h₁(c) — the number of
+    * length-3 paths ending at p. Relative ranking equals normalized
+    * HITS (normalization is a per-round positive scalar), but exact
+    * integers make the oracle bit-deterministic with no per-round
+    * division to snap. Sums run in DECIMAL(38,0)/HUGEINT (a₂ is
+    * degree³-magnitude); the top-20 report casts back to BIGINT (at
+    * true 100 TB scale keep the decimal column). Scale shape: two keyed
+    * aggregation exchanges per round, top-k via TakeOrderedAndProject.
+    */
+  def hitsRank(spark: SparkSession, dir: String): DataFrame = {
+    val dec: Column => Column = _.cast(DecimalType(38, 0))
+    val e = Materialize(spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct())
+    val a1 = e.groupBy("p").agg(count(lit(1)).as("a1"))
+    val h1 = e.join(a1, "p").groupBy("c").agg(sum(dec(col("a1"))).as("h1"))
+    val a2 = e.join(h1, "c").groupBy("p").agg(sum(col("h1")).as("a2"))
+    val top = a2.join(a1, "p")
+      .select(col("p").as("partkey"), col("a1"), col("a2").cast("long").as("a2"))
+      .orderBy(col("a2").desc, col("partkey"))
+      .limit(20)
+    top.select(row_number().over(Window.orderBy(col("a2").desc, col("partkey")))
+        .cast("long").as("rk"),
+      col("partkey"), col("a1"), col("a2"))
+  }
+
+  val hitsRankSql: String = """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    a1 AS (SELECT p, count(*) AS a1 FROM e GROUP BY 1),
+    h1 AS (SELECT c, cast(sum(cast(a1 AS HUGEINT)) AS HUGEINT) AS h1
+           FROM e JOIN a1 USING (p) GROUP BY 1),
+    a2 AS (SELECT p, cast(sum(h1) AS HUGEINT) AS a2
+           FROM e JOIN h1 USING (c) GROUP BY 1)
+    SELECT cast(row_number() OVER (ORDER BY a2.a2 DESC, a2.p) AS BIGINT) AS rk,
+      a2.p AS partkey, a1.a1, cast(a2.a2 AS BIGINT) AS a2
+    FROM a2 JOIN a1 USING (p)
+    ORDER BY rk LIMIT 20"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "clustering_coeff"  -> (clusteringCoeff _),
+    "hits_rank"         -> (hitsRank _),
     "freq_triples"      -> (freqTriples _),
     "link_predict"      -> (linkPredict _),
     "triangle_count"    -> (triangleCount _),
@@ -561,6 +684,8 @@ object InsightQueries {
     "zorder_skip"       -> (zorderSkip _))
 
   val oracle: Map[String, String] = Map(
+    "clustering_coeff"  -> clusteringCoeffSql,
+    "hits_rank"         -> hitsRankSql,
     "freq_triples"      -> freqTriplesSql,
     "link_predict"      -> linkPredictSql,
     "triangle_count"    -> triangleCountSql,
