@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -622,7 +622,76 @@ object ExperimentQueries {
     FROM c CROSS JOIN t JOIN e ON c.digit = e.digit
     ORDER BY digit"""
 
+  // -------------------------------------------------- χ² association
+
+  /** χ² test of independence + Cramér's V for the lang × source
+    * contingency table — the "is language confounded with source"
+    * audit a mixture designer runs before attributing a quality gap to
+    * either axis. Every cell term (O·N − r·c)² / (N·r·c) is exact
+    * integer cross-multiplication in DECIMAL(38,0)/HUGEINT (O·N is
+    * count², past 2⁶³ at corpus scale) with ONE double division, then
+    * SNAPS to DECIMAL(18,9) so the Σ over cells is partition-order
+    * independent (the zipf_slope discipline). Empty cells contribute
+    * their full expectation r·c/N — the groupBy can't see them, so the
+    * table densifies via the dims-sized totals cross join.
+    */
+  def chi2Assoc(spark: SparkSession, dir: String): DataFrame = {
+    val dec: Column => Column = _.cast(DecimalType(38, 0))
+    val dec9: Column => Column = _.cast(DecimalType(18, 9))
+    val o = docs(spark, dir).groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val r = o.groupBy("lang").agg(sum(col("o")).as("r"))
+    val c = o.groupBy("source").agg(sum(col("o")).as("c"))
+    val n = o.agg(sum(col("o")).as("n"))
+    val dense = r.crossJoin(c).join(o, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("r"), col("c"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(n))
+    val term = {
+      val d = dec(col("o")) * dec(col("n")) - dec(col("r")) * dec(col("c"))
+      dec9((d * d).cast("double")
+        / (dec(col("n")) * dec(col("r")) * dec(col("c"))).cast("double"))
+    }
+    dense.agg(max(col("n")).as("n"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(term).as("s"))
+      .select(col("n"), col("n_langs"), col("n_sources"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+        round(col("s").cast("double"), 6).as("chi2"),
+        round(sqrt(col("s").cast("double") / (col("n").cast("double")
+          * least(col("n_langs") - 1, col("n_sources") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
+  val chi2AssocSql: String = """
+    WITH o AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, cast(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+    c AS (SELECT source, cast(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+    n AS (SELECT cast(sum(o) AS BIGINT) AS n FROM o),
+    dense AS (
+      SELECT r.lang, c.source, r.r, c.c, coalesce(o.o, 0) AS o, n.n
+      FROM r CROSS JOIN c
+      LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+      CROSS JOIN n),
+    terms AS (
+      SELECT n, lang, source,
+        cast(cast((cast(o AS HUGEINT) * n - cast(r AS HUGEINT) * c)
+            * (cast(o AS HUGEINT) * n - cast(r AS HUGEINT) * c) AS DOUBLE)
+          / cast(cast(n AS HUGEINT) * r * c AS DOUBLE) AS DECIMAL(18,9)) AS t
+      FROM dense),
+    s AS (
+      SELECT max(n) AS n, count(DISTINCT lang) AS n_langs,
+        count(DISTINCT source) AS n_sources, sum(t) AS s
+      FROM terms)
+    SELECT n, n_langs, n_sources,
+      (n_langs - 1) * (n_sources - 1) AS dof,
+      round(cast(s AS DOUBLE), 6) AS chi2,
+      round(sqrt(cast(s AS DOUBLE) / (cast(n AS DOUBLE)
+        * least(n_langs - 1, n_sources - 1))), 6) AS cramers_v
+    FROM s"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chi2_assoc"      -> (chi2Assoc _),
     "benford_audit"   -> (benfordAudit _),
     "corr_matrix"     -> (corrMatrix _),
     "topic_drift"     -> (topicDrift _),
@@ -635,6 +704,7 @@ object ExperimentQueries {
     "ks_by_source"    -> (ksBySource _))
 
   val oracle: Map[String, String] = Map(
+    "chi2_assoc"      -> chi2AssocSql,
     "benford_audit"   -> benfordAuditSql,
     "corr_matrix"     -> corrMatrixSql,
     "topic_drift"     -> topicDriftSql,

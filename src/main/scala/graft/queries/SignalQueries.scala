@@ -219,9 +219,56 @@ object SignalQueries {
       round(cast(sum(abs(actual - fc)) AS DOUBLE) / count(*), 6) AS mae
     FROM j GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------- decayed counts
+
+  /** Recency-weighted event counts per type: Σ 0.5^age with daily and
+    * weekly half-lives, anchored at the stream's own max day — the
+    * exponential-decay freshness score feature stores and trending
+    * reports keep per key. Weights are exact powers of two (bucketed
+    * integer ages, never a fractional exponent), so every per-bucket
+    * term c·2⁻ᵏ is an EXACT double; only the Σ over a type's ≤
+    * day-span buckets is accumulation-ordered, hence the 4-decimal
+    * round (the doc_logprob contract). One aggregation over (type,
+    * day), then a day-span-sized fold — the stream itself is touched
+    * once.
+    */
+  def decayCounts(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val mx = d.agg(max("day").as("mx"))
+    d.crossJoin(broadcast(mx))
+      .select(col("event_type"), col("c"), (col("mx") - col("day")).as("age"))
+      .groupBy("event_type")
+      .agg(sum(col("c")).as("n_events"),
+        round(sum(col("c").cast("double") * pow(lit(0.5), col("age"))), 4)
+          .as("decayed_d1"),
+        round(sum(col("c").cast("double")
+          * pow(lit(0.5), expr("age div 7"))), 4).as("decayed_w1"))
+      .orderBy("event_type")
+  }
+
+  val decayCountsSql: String = """
+    WITH d AS (
+      SELECT event_type,
+        date_diff('day', DATE '1970-01-01',
+          cast(make_timestamp(epoch_ns(ts) // 1000) AS DATE)) AS day,
+        count(*) AS c
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT max(day) AS mx FROM d)
+    SELECT event_type, cast(sum(c) AS BIGINT) AS n_events,
+      round(sum(cast(c AS DOUBLE) * pow(0.5, mx - day)), 4) AS decayed_d1,
+      round(sum(cast(c AS DOUBLE) * pow(0.5, (mx - day) // 7)), 4) AS decayed_w1
+    FROM d CROSS JOIN m
+    GROUP BY event_type
+    ORDER BY event_type"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decay_counts"       -> (decayCounts _),
     "ts_forecast"        -> (tsForecast _),
     "markov_transitions" -> (markovTransitions _),
     "interarrival_stats" -> (interarrivalStats _),
@@ -229,6 +276,7 @@ object SignalQueries {
     "split_leakage_safe" -> (splitLeakageSafe _))
 
   val oracle: Map[String, String] = Map(
+    "decay_counts"       -> decayCountsSql,
     "ts_forecast"        -> tsForecastSql,
     "markov_transitions" -> markovTransitionsSql,
     "interarrival_stats" -> interarrivalStatsSql,
