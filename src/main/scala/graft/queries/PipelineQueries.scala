@@ -767,6 +767,81 @@ object PipelineQueries {
     FROM n CROSS JOIN t
     ORDER BY source"""
 
+  // ---------------------------------------------------- waterfill budget
+
+  /** Water-filling byte-budget allocator: spend HALF the corpus bytes
+    * so that every source below the water level L keeps everything
+    * (saturated) and every larger source is clipped to ≈L — the
+    * max-min-fair allocation (Σ min(cap_s, L) = B) a mixture designer
+    * uses to cap head sources without starving the tail. Closed form,
+    * no iteration: source k (capacity-ascending order) saturates iff
+    * prefix_k + cap_k·(S−k) ≤ B; the remainder splits evenly over the
+    * unsaturated with the first (B_rem mod U) of them (deterministic
+    * order) taking +1, so Σ alloc = B EXACTLY. All integer arithmetic;
+    * the saturation product runs in DECIMAL(38,0)/HUGEINT (cap ×
+    * source-count crosses 2⁶³ at corpus scale). Everything after the
+    * per-source aggregation is windows over the sources-sized frame.
+    */
+  def mixWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val dec: Column => Column = _.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val w = Window.orderBy(col("cap"), col("source"))
+    val all = Window.partitionBy()
+    val caps = docs(spark, dir).groupBy("source")
+      .agg(sum(col("n_chars")).as("cap"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("s", count(lit(1)).over(all))
+      .withColumn("b", expr("sum(cap) OVER () div 2"))
+      .withColumn("sat",
+        dec(col("prefix")) + dec(col("cap")) * dec(col("s") - col("rn"))
+          <= dec(col("b")))
+    val planned = caps
+      .withColumn("b_rem", col("b") - sum(when(col("sat"), col("cap"))
+        .otherwise(lit(0L))).over(all))
+      .withColumn("u", sum(when(col("sat"), 0L).otherwise(1L)).over(all))
+      .withColumn("urn", sum(when(col("sat"), 0L).otherwise(1L)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("alloc", when(col("sat"), col("cap")).otherwise(
+        expr("b_rem div u") + when(col("urn") <= col("b_rem") % col("u"), 1L)
+          .otherwise(0L)))
+    planned.select(col("source"), col("cap").as("cap_bytes"),
+        col("alloc").as("alloc_bytes"), col("sat").cast("long").as("saturated"))
+      .orderBy("source")
+  }
+
+  val mixWaterfillSql: String = """
+    WITH caps AS (
+      SELECT source, cast(sum(n_chars) AS BIGINT) AS cap
+      FROM documents GROUP BY 1),
+    r AS (
+      SELECT source, cap,
+        row_number() OVER (ORDER BY cap, source) AS rn,
+        sum(cap) OVER (ORDER BY cap, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+        count(*) OVER () AS s,
+        sum(cap) OVER () // 2 AS b
+      FROM caps),
+    sat AS (
+      SELECT *,
+        (cast(prefix AS HUGEINT) + cast(cap AS HUGEINT) * (s - rn))
+          <= cast(b AS HUGEINT) AS is_sat
+      FROM r),
+    p AS (
+      SELECT *,
+        b - sum(CASE WHEN is_sat THEN cap ELSE 0 END) OVER () AS b_rem,
+        sum(CASE WHEN is_sat THEN 0 ELSE 1 END) OVER () AS u,
+        sum(CASE WHEN is_sat THEN 0 ELSE 1 END) OVER (ORDER BY cap, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS urn
+      FROM sat)
+    SELECT source, cap AS cap_bytes,
+      cast(CASE WHEN is_sat THEN cap
+           ELSE b_rem // u + (CASE WHEN urn <= b_rem % u THEN 1 ELSE 0 END)
+           END AS BIGINT) AS alloc_bytes,
+      cast(CASE WHEN is_sat THEN 1 ELSE 0 END AS BIGINT) AS saturated
+    FROM p
+    ORDER BY source"""
+
   // ------------------------------------------------------ shard planning
 
   /** Output shards for the balanced-write plan. */
@@ -823,6 +898,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bloom_prefilter"  -> (bloomPrefilter _),
+    "mix_waterfill"    -> (mixWaterfill _),
     "mix_temperature"  -> (mixTemperature _),
     "shard_plan"       -> (shardPlan _),
     "split_assign"     -> (splitAssign _),
@@ -842,6 +918,7 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "bloom_prefilter"  -> bloomPrefilterSql,
+    "mix_waterfill"    -> mixWaterfillSql,
     "mix_temperature"  -> mixTemperatureSql,
     "shard_plan"       -> shardPlanSql,
     "split_assign"     -> splitAssignSql,

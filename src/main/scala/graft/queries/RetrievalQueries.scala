@@ -288,6 +288,73 @@ object RetrievalQueries {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  /** Jelinek-Mercer interpolated LM score: −(1/m)·Σ ln(0.7·p₂ + 0.3·p₁)
+    * with p₂ = c(a,b)/c(a) and p₁ = c(b)/N — the smoothing that keeps
+    * [[docLogprob2]]'s sharpness while backing off to unigram mass on
+    * rare transitions (the standard fix for MLE brittleness when the
+    * scoring corpus stops being the counting corpus). The mixture
+    * collapses to ONE exact rational per transition:
+    * (7·c_ab·N + 3·c_a·c_b) / (10·c_a·N), products in
+    * DECIMAL(38,0)/HUGEINT (token-total² crosses 2⁶³ at corpus scale),
+    * one ln each, per-doc Σ rounded to 4 (the doc_logprob contract).
+    * Same frames as docLogprob2 plus the unigram pair (vocab-sized
+    * broadcasts).
+    */
+  def docLogprobInterp(spark: SparkSession, dir: String): DataFrame = {
+    val dec: Column => Column = _.cast(DecimalType(38, 0))
+    val d = docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.wordTokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = d.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+      .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val uni = toks(docs(spark, dir)).groupBy("term").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").as("n"))
+    val lnMix = log(
+      (dec(lit(7)) * dec(col("c_ab")) * dec(col("n"))
+        + dec(lit(3)) * dec(col("c_a")) * dec(col("c_b"))).cast("double")
+      / (dec(lit(10)) * dec(col("c_a")) * dec(col("n"))).cast("double"))
+    bi.join(cab, Seq("a", "b"))
+      .join(broadcast(uni.select(col("term").as("a"), col("c").as("c_a"))), Seq("a"))
+      .join(broadcast(uni.select(col("term").as("b"), col("c").as("c_b"))), Seq("b"))
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(lnMix).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s") / col("n_bigrams"), 4).as("nll_jm"))
+      .orderBy("doc_id")
+  }
+
+  val docLogprobInterpSql: String = """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    bi AS (
+      SELECT doc_id, t[i] AS a, t[i + 1] AS b
+      FROM d, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2),
+    cab AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+    toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents),
+    uni AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+    n AS (SELECT cast(sum(c) AS BIGINT) AS n FROM uni)
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_bigrams,
+      round(-sum(ln(
+        cast(cast(7 AS HUGEINT) * c_ab * n.n
+           + cast(3 AS HUGEINT) * ca.c * cb.c AS DOUBLE)
+        / cast(cast(10 AS HUGEINT) * ca.c * n.n AS DOUBLE)))
+        / count(*), 4) AS nll_jm
+    FROM bi
+    JOIN cab USING (a, b)
+    JOIN uni ca ON bi.a = ca.term
+    JOIN uni cb ON bi.b = cb.term
+    CROSS JOIN n
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   /** DSIR-style importance weight per document: average per-token
     * log-likelihood ratio between a target sub-corpus LM (lang = 'en')
     * and the full-corpus LM, add-one smoothed over the shared
@@ -425,6 +492,7 @@ object RetrievalQueries {
     "rrf_fusion"   -> (rrfFusion _),
     "doc_logprob"  -> (docLogprob _),
     "doc_logprob2" -> (docLogprob2 _),
+    "doc_logprob_jm" -> (docLogprobInterp _),
     "dsir_weights" -> (dsirWeights _),
     "pmi_bigrams"  -> (pmiBigrams _))
 
@@ -433,6 +501,7 @@ object RetrievalQueries {
     "rrf_fusion"   -> rrfFusionSql,
     "doc_logprob"  -> docLogprobSql,
     "doc_logprob2" -> docLogprob2Sql,
+    "doc_logprob_jm" -> docLogprobInterpSql,
     "dsir_weights" -> dsirWeightsSql,
     "pmi_bigrams"  -> pmiBigramsSql)
 }

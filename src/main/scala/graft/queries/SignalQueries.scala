@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -265,9 +265,76 @@ object SignalQueries {
     GROUP BY event_type
     ORDER BY event_type"""
 
+  // ------------------------------------------------ Kaplan-Meier survival
+
+  /** Kaplan-Meier user-retention curve: each user "churns" on their
+    * last event day, users still active on the stream's final day are
+    * right-CENSORED (they didn't churn — we stopped watching), and
+    * S(t) = Π_{s≤t} (1 − d_s/n_s) is the survival probability the
+    * product-limit estimator assigns. The at-risk set always contains
+    * the censored cohort, so no factor hits zero before the horizon.
+    *
+    * Exactness: d_t and n_t are exact integers from ONE user fold +
+    * ONE cumulative window over the days-sized churn frame; each
+    * ln(1 − d/n) snaps to DECIMAL(18,9), the cumulative Σ is exact,
+    * and S(t) = exp(·) is one agreed double expression per row (the
+    * zipf discipline moved to log-product space). Scale shape: the
+    * event stream folds to per-user rows once; everything after is
+    * days-sized.
+    */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val dec9: Column => Column = _.cast(org.apache.spark.sql.types.DecimalType(18, 9))
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long")).as("last_day"))
+    val mx = users.agg(max("last_day").as("mx"), count(lit(1)).as("n_users"))
+    val byDay = users.crossJoin(broadcast(mx))
+      .filter(col("last_day") < col("mx")) // censored users never enter d_t
+      .groupBy("last_day").agg(count(lit(1)).as("d"))
+      .crossJoin(broadcast(mx))
+    val w = Window.orderBy("last_day")
+    byDay
+      .withColumn("n_at_risk",
+        col("n_users") - coalesce(sum(col("d")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("lnf",
+        dec9(log(lit(1.0) - col("d").cast("double") / col("n_at_risk").cast("double"))))
+      .withColumn("survival",
+        round(exp(sum(col("lnf")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")), 6))
+      .select(col("last_day").as("day"), col("n_at_risk"), col("d").as("n_churned"),
+        col("survival"))
+      .orderBy("day")
+  }
+
+  val survivalKmSql: String = """
+    WITH u AS (
+      SELECT user_id,
+        max(date_diff('day', DATE '1970-01-01',
+          cast(make_timestamp(epoch_ns(ts) // 1000) AS DATE))) AS last_day
+      FROM events GROUP BY 1),
+    m AS (SELECT max(last_day) AS mx, count(*) AS n_users FROM u),
+    d AS (
+      SELECT last_day, count(*) AS d FROM u CROSS JOIN m
+      WHERE last_day < mx GROUP BY 1),
+    k AS (
+      SELECT last_day, d,
+        m.n_users - coalesce(sum(d) OVER (ORDER BY last_day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+      FROM d CROSS JOIN m)
+    SELECT last_day AS day, cast(n_at_risk AS BIGINT) AS n_at_risk,
+      cast(d AS BIGINT) AS n_churned,
+      round(exp(cast(sum(cast(ln(1.0 - cast(d AS DOUBLE) / n_at_risk) AS DECIMAL(18,9)))
+        OVER (ORDER BY last_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS DOUBLE)), 6) AS survival
+    FROM k
+    ORDER BY day"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "survival_km"        -> (survivalKm _),
     "decay_counts"       -> (decayCounts _),
     "ts_forecast"        -> (tsForecast _),
     "markov_transitions" -> (markovTransitions _),
@@ -276,6 +343,7 @@ object SignalQueries {
     "split_leakage_safe" -> (splitLeakageSafe _))
 
   val oracle: Map[String, String] = Map(
+    "survival_km"        -> survivalKmSql,
     "decay_counts"       -> decayCountsSql,
     "ts_forecast"        -> tsForecastSql,
     "markov_transitions" -> markovTransitionsSql,

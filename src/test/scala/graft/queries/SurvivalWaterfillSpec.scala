@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Ground truth for the product-limit survival curve (hand-computed
+  * risk sets with a censored cohort), the water-filling allocator
+  * (saturation boundary + exact-budget remainder split), and the
+  * interpolated-LM score (single-doc rational mixture pinned).
+  */
+class SurvivalWaterfillSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("survival_km: churn at days 1 and 2 with a censored user gives " +
+       "S = 2/3 then 1/3; the censored cohort stays in every risk set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-km").toString
+    val day = 86400L * 1000000000L // ns
+    // u1 last seen day 1, u2 day 2, u3 day 3 (stream max → censored)
+    Seq((1L, 1 * day, 1L, "a"), (2L, 2 * day, 2L, "a"),
+        (3L, 1 * day, 3L, "a"), (4L, 3 * day, 3L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SignalQueries.survivalKm(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == List((1L, 3L, 1L, 0.666667), (2L, 2L, 1L, 0.333333)))
+  }
+
+  private def sourcesDir(bytes: Seq[(String, Int)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wf").toString
+    bytes.zipWithIndex
+      .map { case ((src, n), i) => (i.toLong, "a" * n, src) }
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("mix_waterfill: sources below the water level keep everything, " +
+       "the rest absorb the remainder; Σ alloc = B exactly") {
+    // caps 1,2,9 → B = 6: s1, s2 saturate, s3 gets the remaining 3
+    val got = PipelineQueries.mixWaterfill(spark,
+        sourcesDir(Seq(("s1", 1), ("s2", 2), ("s3", 9))))
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(("s1", 1L, 1L, 1L), ("s2", 2L, 2L, 1L), ("s3", 9L, 3L, 0L)))
+  }
+
+  test("mix_waterfill: the mod-U remainder goes to the FIRST unsaturated " +
+       "sources in capacity order, keeping the total exactly B") {
+    // caps 1,5,6 → B = 6: s1 saturates; remainder 5 over {5,6} → 3 and 2
+    val got = PipelineQueries.mixWaterfill(spark,
+        sourcesDir(Seq(("s1", 1), ("s2", 5), ("s3", 6))))
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(("s1", 1L, 1L, 1L), ("s2", 5L, 3L, 0L), ("s3", 6L, 2L, 0L)))
+    assert(got.map(_._3).sum == 6L)
+  }
+
+  test("doc_logprob_jm: single-doc rational mixture pinned — " +
+       "(7·c_ab·N + 3·c_a·c_b)/(10·c_a·N) = 69/90 on 'x x x'") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jm").toString
+    Seq((1L, "x x x"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = RetrievalQueries.docLogprobInterp(spark, dir)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == List((1L, 2L, 0.2657)))
+  }
+}
