@@ -58,6 +58,19 @@ class SurvivalWaterfillSpec extends AnyFunSuite {
     assert(got.map(_._3).sum == 6L)
   }
 
+  test("skipgram_pairs: ±2 window pairs counted once per direction — " +
+       "'a b c' yields (a,b),(b,c),(a,c)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip").toString
+    Seq((1L, "a b c"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = RetrievalQueries.skipgramPairs(spark, dir)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L)))
+  }
+
   test("doc_logprob_jm: single-doc rational mixture pinned — " +
        "(7·c_ab·N + 3·c_a·c_b)/(10·c_a·N) = 69/90 on 'x x x'") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jm").toString
