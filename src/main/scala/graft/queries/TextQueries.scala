@@ -184,6 +184,38 @@ object TextQueries {
     GROUP BY text
     ORDER BY doc_id"""
 
+  /** Canonical-form dedup: collapse documents equal modulo case,
+    * diacritics, punctuation, and whitespace runs — the normalization
+    * layer [[dedupExact]]'s byte-identity misses (web corpora are full
+    * of `Café`/`cafe` and reflowed copies). The canonical key runs
+    * through the custom codegen'd [[graft.functions.Accent]] NFKD
+    * expression (the ETL surface's own kernel, mirrored by DuckDB's
+    * `strip_accents` — the equivalence the whole ETL oracle family
+    * already proves) then folds non-alphanumerics to single spaces.
+    * Same one-exchange group-and-argmin shape as dedup_exact; the
+    * canonical md5 travels instead of the text.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      graft.functions.Accent.deaccent(lower(col("text"))), "[^a-z0-9]+", " "))
+    docs(spark, dir)
+      .select(col("doc_id"), md5(canon.cast("binary")).as("cfp"))
+      .groupBy("cfp")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_variants"))
+      .select(col("doc_id"), col("n_variants"), col("cfp"))
+      .orderBy("doc_id")
+  }
+
+  val dedupCanonicalSql: String = """
+    WITH c AS (
+      SELECT doc_id,
+        md5(trim(regexp_replace(strip_accents(lower(text)), '[^a-z0-9]+', ' ', 'g'))) AS cfp
+      FROM documents)
+    SELECT min(doc_id) AS doc_id, count(*) AS n_variants, cfp
+    FROM c
+    GROUP BY cfp
+    ORDER BY doc_id"""
+
   // ----------------------------------------------- multimodal plumbing
 
   /** Multimodal column plumbing: the corpus has no real image/audio, so
@@ -654,6 +686,7 @@ object TextQueries {
     "compress_ratio"  -> (compressRatio _),
     "doc_fingerprint" -> (docFingerprint _),
     "dedup_exact"     -> (dedupExact _),
+    "dedup_canonical" -> (dedupCanonical _),
     "multimodal_meta" -> (multimodalMeta _),
     "top_words"       -> (topWords _),
     "token_rarity"    -> (tokenRarity _),
@@ -674,6 +707,7 @@ object TextQueries {
     "compress_ratio"  -> compressRatioSql,
     "doc_fingerprint" -> docFingerprintSql,
     "dedup_exact"     -> dedupExactSql,
+    "dedup_canonical" -> dedupCanonicalSql,
     "multimodal_meta" -> multimodalMetaSql,
     "top_words"       -> topWordsSql,
     "token_rarity"    -> tokenRaritySql,

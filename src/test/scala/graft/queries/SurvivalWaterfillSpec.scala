@@ -58,6 +58,21 @@ class SurvivalWaterfillSpec extends AnyFunSuite {
     assert(got.map(_._3).sum == 6L)
   }
 
+  test("dedup_canonical: case/diacritic/punctuation/whitespace variants " +
+       "collapse to one keeper; distinct content survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-canon").toString
+    Seq((1L, "Café  Déjà, vu!"), (2L, "cafe deja vu"), (3L, "CAFE-DEJA.VU"),
+        (4L, "something else"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.dedupCanonical(spark, dir)
+      .select("doc_id", "n_variants")
+      .as[(Long, Long)].collect().toList
+    assert(got == List((1L, 3L), (4L, 1L)))
+  }
+
   test("skipgram_pairs: ±2 window pairs counted once per direction — " +
        "'a b c' yields (a,b),(b,c),(a,c)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-skip").toString
