@@ -93,6 +93,99 @@ object TextQueries {
     ORDER BY doc_id"""
   }
 
+  /** Confusion matrix of the n-gram language heuristic against the
+    * stored labels — the calibration report that tells a router WHICH
+    * confusions happen (en→fr vs en→de need different fixes), where
+    * a single accuracy number can't. One aggregation over one scan;
+    * the per-label share divides exact counts from a window over the
+    * ≤|langs|² matrix frame.
+    */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = langScores(wordTokens(lower(col("text"))))
+    docs(spark, dir)
+      .select(col("lang").as("labeled"), langPredict(scores).as("predicted"))
+      .groupBy("labeled", "predicted").agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy("labeled")).cast("double"), 6))
+      .orderBy("labeled", "predicted")
+  }
+
+  val langidConfusionSql: String = {
+    val lt = "string_split_regex(trim(lower(text)), '\\s+')"
+    def hits(words: Seq[String]) =
+      s"cast(len(list_filter($lt, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+    val en = hits(Stopwords("en")); val es = hits(Stopwords("es"))
+    val de = hits(Stopwords("de")); val fr = hits(Stopwords("fr"))
+    s"""
+    WITH p AS (
+      SELECT lang AS labeled,
+        CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+             WHEN $es >= $de AND $es >= $fr THEN 'es'
+             WHEN $de >= $fr THEN 'de'
+             ELSE 'fr' END AS predicted
+      FROM documents),
+    m AS (SELECT labeled, predicted, count(*) AS n FROM p GROUP BY 1, 2)
+    SELECT labeled, predicted, n,
+      round(cast(n AS DOUBLE) /
+        cast(sum(n) OVER (PARTITION BY labeled) AS DOUBLE), 6) AS share
+    FROM m
+    ORDER BY labeled, predicted"""
+  }
+
+  /** Block size cap and edit-distance threshold for [[dedupEdit]]. */
+  val EditBlockCap = 50
+  val EditMax = 3
+
+  /** Edit-distance near-dup pairs — the one dedup modality set-overlap
+    * signatures can't see (a handful of in-place character edits moves
+    * few grams but IS a near-dup): canonical-prefix blocking (the
+    * [[dedupCanonical]] key's first 12 chars), hot blocks capped at
+    * [[EditBlockCap]] members (the capGramDocFreq scale guard, mirrored
+    * as a QUALIFY), a |len Δ| ≤ [[EditMax]] lower-bound prune, then the
+    * exact Levenshtein verify — Spark's THRESHOLDED 3-arg
+    * `levenshtein` bails out of the DP early above the cut, the oracle
+    * recomputes it unbounded and filters. Pure function surface, fully
+    * oracle-checkable (unlike the hash-seeded signature paths).
+    */
+  def dedupEdit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = trim(regexp_replace(
+      graft.functions.Accent.deaccent(lower(col("text"))), "[^a-z0-9]+", " "))
+    val blocked = docs(spark, dir)
+      .select(col("doc_id"), canon.as("c"))
+      .withColumn("blk", substring(col("c"), 1, 12))
+      .withColumn("len", length(col("c")))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("blk")))
+      .filter(col("bn") <= EditBlockCap)
+    val l = blocked.select(col("blk"), col("doc_id").as("a_id"),
+      col("c").as("ca"), col("len").as("la"))
+    val r = blocked.select(col("blk"), col("doc_id").as("b_id"),
+      col("c").as("cb"), col("len").as("lb"))
+    l.join(r, Seq("blk"))
+      .filter(col("a_id") < col("b_id") && abs(col("la") - col("lb")) <= EditMax)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("ca"), col("cb"), EditMax).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+      .orderBy("a_id", "b_id")
+  }
+
+  val dedupEditSql: String = s"""
+    WITH c AS (
+      SELECT doc_id,
+        trim(regexp_replace(strip_accents(lower(text)), '[^a-z0-9]+', ' ', 'g')) AS c
+      FROM documents),
+    b AS (
+      SELECT doc_id, c, substring(c, 1, 12) AS blk, length(c) AS len
+      FROM c
+      QUALIFY count(*) OVER (PARTITION BY substring(c, 1, 12)) <= $EditBlockCap)
+    SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+      cast(levenshtein(a.c, b2.c) AS BIGINT) AS dist
+    FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+      AND abs(a.len - b2.len) <= $EditMax
+    WHERE levenshtein(a.c, b2.c) <= $EditMax
+    ORDER BY a_id, b_id"""
+
   // ------------------------------------------------------- quality score
 
   def qualityScoreQ(spark: SparkSession, dir: String): DataFrame =
@@ -687,6 +780,8 @@ object TextQueries {
     "doc_fingerprint" -> (docFingerprint _),
     "dedup_exact"     -> (dedupExact _),
     "dedup_canonical" -> (dedupCanonical _),
+    "dedup_edit"      -> (dedupEdit _),
+    "langid_confusion" -> (langidConfusion _),
     "multimodal_meta" -> (multimodalMeta _),
     "top_words"       -> (topWords _),
     "token_rarity"    -> (tokenRarity _),
@@ -708,6 +803,8 @@ object TextQueries {
     "doc_fingerprint" -> docFingerprintSql,
     "dedup_exact"     -> dedupExactSql,
     "dedup_canonical" -> dedupCanonicalSql,
+    "dedup_edit"      -> dedupEditSql,
+    "langid_confusion" -> langidConfusionSql,
     "multimodal_meta" -> multimodalMetaSql,
     "top_words"       -> topWordsSql,
     "token_rarity"    -> tokenRaritySql,

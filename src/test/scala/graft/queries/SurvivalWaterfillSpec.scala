@@ -58,6 +58,34 @@ class SurvivalWaterfillSpec extends AnyFunSuite {
     assert(got.map(_._3).sum == 6L)
   }
 
+  test("dedup_edit: a two-char edit within the same canonical block is " +
+       "found with its exact distance; unrelated text is not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edit").toString
+    Seq((1L, "the quick brown fox"), (2L, "the quick brown fox x"),
+        (3L, "completely different text"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.dedupEdit(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 2L, 2L)))
+  }
+
+  test("langid_confusion: mislabeled docs land on the off-diagonal " +
+       "with per-label shares summing to 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-conf").toString
+    Seq((1L, "the and is of", "en"), (2L, "the of and was", "en"),
+        (3L, "the of and in", "fr")) // English text wearing a French label
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.langidConfusion(spark, dir)
+      .as[(String, String, Long, Double)].collect().toList
+    assert(got == List(("en", "en", 2L, 1.0), ("fr", "en", 1L, 1.0)))
+  }
+
   test("dedup_canonical: case/diacritic/punctuation/whitespace variants " +
        "collapse to one keeper; distinct content survives") {
     val dir = java.nio.file.Files.createTempDirectory("graft-canon").toString
