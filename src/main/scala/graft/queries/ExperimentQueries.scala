@@ -658,8 +658,10 @@ object ExperimentQueries {
       .select(col("n"), col("n_langs"), col("n_sources"),
         ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
         round(col("s").cast("double"), 6).as("chi2"),
-        round(sqrt(col("s").cast("double") / (col("n").cast("double")
-          * least(col("n_langs") - 1, col("n_sources") - 1).cast("double"))), 6)
+        // dof-0 guard (single lang or source): V is undefined, not ±NaN
+        when(least(col("n_langs") - 1, col("n_sources") - 1) > 0,
+          round(sqrt(col("s").cast("double") / (col("n").cast("double")
+            * least(col("n_langs") - 1, col("n_sources") - 1).cast("double"))), 6))
           .as("cramers_v"))
   }
 
@@ -686,8 +688,10 @@ object ExperimentQueries {
     SELECT n, n_langs, n_sources,
       (n_langs - 1) * (n_sources - 1) AS dof,
       round(cast(s AS DOUBLE), 6) AS chi2,
-      round(sqrt(cast(s AS DOUBLE) / (cast(n AS DOUBLE)
-        * least(n_langs - 1, n_sources - 1))), 6) AS cramers_v
+      CASE WHEN least(n_langs - 1, n_sources - 1) > 0
+           THEN round(sqrt(cast(s AS DOUBLE) / (cast(n AS DOUBLE)
+             * least(n_langs - 1, n_sources - 1))), 6)
+           END AS cramers_v
     FROM s"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

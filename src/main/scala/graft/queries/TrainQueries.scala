@@ -198,6 +198,9 @@ object TrainQueries {
           .as("aff"), col("c_label")).as("s"))
       .groupBy("vec_id")
       .agg(reverse(array_sort(collect_list(col("s")))).as("arr"))
+      // single-label corpus guard: no second centroid → no margin; drop
+      // rather than emit NULLs whose sort order differs across engines
+      .filter(size(col("arr")) >= 2)
     scored.select(col("vec_id"),
         col("arr")(0).getField("c_label").cast("long").as("top_label"),
         col("arr")(1).getField("c_label").cast("long").as("second_label"),
@@ -238,6 +241,7 @@ object TrainQueries {
         - max(CASE WHEN r = 2 THEN aff END), 6) AS margin
     FROM aff WHERE r <= 2
     GROUP BY vec_id
+    HAVING count(*) = 2
     ORDER BY margin, vec_id
     LIMIT 20"""
 

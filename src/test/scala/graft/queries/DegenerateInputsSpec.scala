@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Degenerate-input totality for the second-continuation operators —
+  * the ab_lift/psi_drift guard discipline: single-token corpora,
+  * single-label embeddings, single-source tables, and no-churn streams
+  * must yield empty or well-defined frames, never NaN orderings or
+  * divide-by-zero throws.
+  */
+class DegenerateInputsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-degen").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("cond_entropy: a corpus of single-token docs has no bigrams — " +
+       "empty frame, no throw") {
+    val dir = docsDir(Seq((1L, "one", "en", "s"), (2L, "two", "en", "s")))
+    assert(TextQueries.condEntropy(spark, dir).count() == 0L)
+  }
+
+  test("chi2_assoc: single lang × single source has dof 0 — χ² = 0 and " +
+       "V is NULL, not NaN") {
+    val dir = docsDir(Seq((1L, "a", "en", "s"), (2L, "b", "en", "s")))
+    val row = ExperimentQueries.chi2Assoc(spark, dir).head()
+    assert(row.getLong(3) == 0L)          // dof
+    assert(row.getDouble(4) == 0.0)       // chi2
+    assert(row.isNullAt(5))               // cramers_v
+  }
+
+  test("margin_sample: a single-label embedding table has no second " +
+       "centroid — empty frame, no NULL-margin ordering") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-degen-e").toString
+    Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.5f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(TrainQueries.marginSample(spark, dir).count() == 0L)
+  }
+
+  test("mix_waterfill: a single source takes the whole halved budget") {
+    // 8 bytes → B = 4, the lone source is unsaturated and absorbs it
+    val got = PipelineQueries.mixWaterfill(spark,
+      docsDir(Seq((1L, "aaaaaaaa", "en", "only"))))
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(("only", 8L, 4L, 0L)))
+  }
+
+  test("survival_km: every user active on the final day → all censored, " +
+       "empty curve") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-degen-s").toString
+    val day = 86400L * 1000000000L
+    Seq((1L, 5 * day, 1L, "a"), (2L, 5 * day + 1, 2L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(SignalQueries.survivalKm(spark, dir).count() == 0L)
+  }
+
+  test("dedup_edit and dedup_canonical: a one-doc corpus yields no pairs " +
+       "and one canonical group") {
+    val dir = docsDir(Seq((1L, "lonely document", "en", "s")))
+    assert(TextQueries.dedupEdit(spark, dir).count() == 0L)
+    assert(TextQueries.dedupCanonical(spark, dir).count() == 1L)
+  }
+
+  test("hits_rank: empty purchase graph (no matching orders) → empty " +
+       "report, no throw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-degen-h").toString
+    Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+      .withColumn("l_quantity", lit(50.0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(InsightQueries.hitsRank(spark, dir).count() == 0L)
+  }
+}
