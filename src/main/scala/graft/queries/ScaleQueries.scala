@@ -551,6 +551,87 @@ object ScaleQueries {
     GROUP BY a.c_id
     ORDER BY c_id"""
 
+  /** Product-quantization codebook report: split the 64-dim embedding
+    * into 2 subspaces of 32 dims, train an 8-cell codebook per
+    * subspace (1 Lloyd round, deterministic lowest-id init — the
+    * established k-means pipeline on SUB-vectors), and report per
+    * (subspace, cell) member count + exact-decimal mean affinity. PQ
+    * is THE vector-compression layer of a 100 TB ANN deployment: a
+    * vector's code is its pair of cell ids (here 2×3 bits vs 64×32-bit
+    * floats), distances decompose per subspace, and this report is the
+    * codebook-health check run after training. Everything reuses the
+    * [[Similarity]] machinery — map-only assignment against literal
+    * sub-centroid banks, one aggregation per subspace; the whole
+    * pipeline (slices included) unrolls into SQL like `sem_dedup`.
+    */
+  def embPq(spark: SparkSession, dir: String): DataFrame = {
+    val raw = embs(spark, dir)
+    def subReport(lo: Int, len: Int, space: Int): DataFrame = {
+      val prepped = raw.select(col("vec_id").as("id"),
+          slice(col("embedding"), lit(lo), lit(len)).as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val cent = Similarity.kmeansCentroids(prepped, k = 8, iters = 1)
+      Similarity.assignCells(prepped, cent)
+        .join(broadcast(cent), "c_id")
+        .select(lit(space.toLong).as("subspace"), col("c_id"),
+          Similarity.cosine(col("v"), col("nrm"), col("cv"), col("cn")).as("aff"))
+    }
+    subReport(1, 32, 0).union(subReport(33, 32, 1))
+      .groupBy("subspace", "c_id")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("aff").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("mean_aff"))
+      .select(col("subspace"), col("c_id").cast("long").as("c_id"),
+        col("n_members"), col("mean_aff"))
+      .orderBy("subspace", "c_id")
+  }
+
+  /** One k-means CTE chain over a sub-vector slice, tables suffixed by
+    * subspace — the [[kmeansCtePrefix]] shape parameterized for PQ.
+    */
+  private def pqChain(lo: Int, hi: Int, s: Int): String = s"""
+    e$s AS (
+      SELECT vec_id, cast(embedding[$lo:$hi] AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(cast(embedding[$lo:$hi] AS DOUBLE[]),
+          cast(embedding[$lo:$hi] AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    c0$s AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v AS cv, nrm AS cn
+      FROM (SELECT * FROM e$s ORDER BY vec_id LIMIT 8)),
+    a1$s AS (
+      SELECT e.vec_id, e.v, c.c_id,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY list_inner_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.c_id DESC) AS rn
+      FROM e$s e, c0$s c
+      QUALIFY rn = 1),
+    m1$s AS (
+      SELECT c_id, i,
+        cast(sum(cast(v[i] AS DECIMAL(28,12))) AS DOUBLE) / cast(count(*) AS DOUBLE) AS m
+      FROM a1$s, unnest(range(1, len(v) + 1)) AS u(i)
+      GROUP BY c_id, i),
+    c1$s AS (
+      SELECT c_id, cv, sqrt(list_inner_product(cv, cv)) AS cn
+      FROM (SELECT c_id, list(m ORDER BY i) AS cv FROM m1$s GROUP BY c_id)),
+    a2$s AS (
+      SELECT e.vec_id, e.v, e.nrm, c.c_id,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY list_inner_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.c_id DESC) AS rn
+      FROM e$s e, c1$s c
+      QUALIFY rn = 1),
+    q$s AS (
+      SELECT cast($s AS BIGINT) AS subspace, cast(a.c_id AS BIGINT) AS c_id,
+        count(*) AS n_members,
+        round(cast(sum(cast(list_inner_product(a.v, c.cv) / (a.nrm * c.cn)
+            AS DECIMAL(28,12))) AS DOUBLE) / cast(count(*) AS DOUBLE), 6) AS mean_aff
+      FROM a2$s a JOIN c1$s c USING (c_id)
+      GROUP BY a.c_id)"""
+
+  val embPqSql: String = s"""
+    WITH ${pqChain(1, 32, 0).trim},
+    ${pqChain(33, 64, 1).trim}
+    SELECT * FROM (SELECT * FROM q0 UNION ALL SELECT * FROM q1)
+    ORDER BY subspace, c_id"""
+
   /** Symmetric int8 embedding quantization, long format: per-vector
     * scale = 127 / max|v|, q = round-half-up(v·scale) — the compression
     * step an ANN index at 100 TB actually ships (4× smaller vectors, dot
@@ -950,6 +1031,7 @@ object ScaleQueries {
     "knn_ivf_hi"    -> (knnIvfHi _),
     "sem_dedup"     -> (semDedup _),
     "kmeans_quality" -> (kmeansQuality _),
+    "emb_pq"         -> (embPq _),
     "fingerprint_winnow" -> (fingerprintWinnow _),
     "multimodal_join" -> (multimodalJoin _),
     "emb_near_dup"  -> (embNearDup _),
@@ -987,6 +1069,7 @@ object ScaleQueries {
     "knn_ivf_hi_recall" -> knnIvfRecallSql,
     "sem_dedup"     -> semDedupSql,
     "kmeans_quality" -> kmeansQualitySql,
+    "emb_pq"         -> embPqSql,
     "minhash_recall" -> minhashRecallSql,
     "simhash_recall" -> simhashRecallSql,
     "simhash_precision" -> simhashPrecisionSql)

@@ -72,6 +72,20 @@ class DegenerateInputsSpec extends AnyFunSuite {
     assert(TextQueries.dedupCanonical(spark, dir).count() == 1L)
   }
 
+  test("emb_pq: both subspace codebooks partition the corpus — 8 cells " +
+       "each, member counts sum to n_vecs, affinities in (0, 1]") {
+    val dir = "/root/testdata/sf0.001"
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val got = ScaleQueries.embPq(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got.map(_._1).toSet == Set(0L, 1L))
+    for (s <- Seq(0L, 1L)) {
+      val cells = got.filter(_._1 == s)
+      assert(cells.map(_._3).sum == nVecs, s"subspace $s member sum")
+      assert(cells.forall(c => c._4 > 0.0 && c._4 <= 1.0), s"subspace $s aff range")
+    }
+  }
+
   test("hits_rank: empty purchase graph (no matching orders) → empty " +
        "report, no throw") {
     val dir = java.nio.file.Files.createTempDirectory("graft-degen-h").toString
