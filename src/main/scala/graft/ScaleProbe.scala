@@ -33,7 +33,12 @@ object ScaleProbe {
     // scan, and the global-window shard ranking (the W1 single-sort
     // exposure, probed on purpose)
     "cond_entropy", "modularity", "assortativity", "bloom_prefilter",
-    "margin_sample", "shard_plan")
+    "margin_sample", "shard_plan",
+    // round-8 continuation batch 3: graph audits, PQ, χ², survival,
+    // interpolated LM, canonical/edit dedup, skip-grams, decayed counts
+    "clustering_coeff", "hits_rank", "chi2_assoc", "decay_counts",
+    "survival_km", "doc_logprob_jm", "mix_waterfill", "skipgram_pairs",
+    "dedup_canonical", "dedup_edit", "langid_confusion", "emb_pq")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -80,6 +85,18 @@ object ScaleProbe {
       println("GENERATED sf1 orders")
     }
 
+    // events replication (decay/survival probes) — disjoint event/user
+    // ids, timestamps unchanged: each replica contributes the same day
+    // span so the days-sized frames stay fixed while the stream is 10×
+    if (!new java.io.File(s"$out/events.parquet").exists()) {
+      val reps = spark.range(0, 10).select(col("id").as("rep"))
+      spark.read.parquet(s"$src/events.parquet").crossJoin(reps)
+        .withColumn("event_id", col("event_id") + col("rep") * 1000000000L)
+        .withColumn("user_id", col("user_id") + col("rep") * 10000000L)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      println("GENERATED sf1 events")
+    }
     // embeddings replication (margin_sample probe) — disjoint vec_ids,
     // labels unchanged so the centroid bank stays label-count-sized
     if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
