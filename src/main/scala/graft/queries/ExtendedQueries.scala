@@ -305,6 +305,28 @@ object ExtendedQueries {
       SELECT r.n, u.dst FROM r JOIN und u ON u.src = r.m)
     SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n ORDER BY doc_id"""
 
+  /** Near-dup family-size distribution: how many clusters of each size
+    * the winnow components form — the one-page dedup-health artifact
+    * (a fat tail of large families means boilerplate; all-singletons
+    * means the near-dup layer is finding nothing). Two dims-sized
+    * aggregations over the verified [[dupClusters]] labeling; the
+    * oracle nests the recursive-CTE clustering as a derived table.
+    */
+  def dupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    dupClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("family_size"))
+      .groupBy("family_size").agg(count(lit(1)).as("n_families"))
+      .orderBy("family_size")
+
+  val dupClusterSizesSql: String = s"""
+    SELECT family_size, count(*) AS n_families
+    FROM (
+      SELECT cluster_id, count(*) AS family_size
+      FROM ($dupClustersSql)
+      GROUP BY cluster_id)
+    GROUP BY family_size
+    ORDER BY family_size"""
+
   /** Per-cluster representative selection — the step that actually
     * COLLAPSES a near-dup corpus: each connected component keeps its
     * highest-quality member (ties → lowest doc_id). Composes the
@@ -739,6 +761,7 @@ object ExtendedQueries {
     "range_join_events" -> (rangeJoinEvents _),
     "topk_agg"          -> (topkAgg _),
     "dup_clusters"      -> (dupClusters _),
+    "dup_cluster_sizes" -> (dupClusterSizes _),
     "sql_surface"       -> (sqlSurface _),
     "lateral_topk"      -> (lateralTopk _),
     "pipe_syntax"       -> (pipeSyntax _),
@@ -768,6 +791,7 @@ object ExtendedQueries {
     "range_join_events" -> rangeJoinEventsSql,
     "topk_agg"          -> topkAggSql,
     "dup_clusters"      -> dupClustersSql,
+    "dup_cluster_sizes" -> dupClusterSizesSql,
     "sql_surface"       -> sqlSurfaceSql,
     "lateral_topk"      -> lateralTopkSql,
     "pipe_syntax"       -> pipeSyntaxSql,

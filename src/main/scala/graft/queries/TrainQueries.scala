@@ -245,17 +245,65 @@ object TrainQueries {
     ORDER BY margin, vec_id
     LIMIT 20"""
 
+  // -------------------------------------------------- mutual nearest pairs
+
+  /** Mutual-nearest-neighbor pairs within each label block: (a, b) such
+    * that b is a's top-1 cosine neighbor AND a is b's — the standard
+    * unsupervised alignment/anchor-pair filter (far higher precision
+    * than one-directional top-1, since an asymmetric hub can be
+    * many vectors' top-1 while reciprocating none). Top-1 extraction
+    * is ONE argmax aggregation per side (max over (cos, −id) structs —
+    * map-side combinable, ties take the LOWEST neighbor id), then
+    * mutuality is a self-equi-join of the two id-keyed top-1 frames.
+    */
+  def mutualNn(spark: SparkSession, dir: String): DataFrame = {
+    val p = labelled(spark, dir)
+    val r = p.select(col("label").as("n_label"), col("id").as("n_id"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    val scored = p.join(r, col("label") === col("n_label") && col("id") =!= col("n_id"))
+      .select(col("id"),
+        Similarity.cosine(col("v"), col("nrm"), col("nv"), col("nn")).as("cos"),
+        col("n_id"))
+    val top1 = scored.groupBy("id")
+      .agg(max(struct(col("cos"), (-col("n_id")).as("neg"))).as("m"))
+      .select(col("id"), (-col("m.neg")).as("nbr"), col("m.cos").as("cos"))
+    val b = top1.select(col("id").as("b_id"), col("nbr").as("b_nbr"))
+    top1.join(b, col("nbr") === col("b_id") && col("b_nbr") === col("id")
+        && col("id") < col("b_id"))
+      .select(col("id").as("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("a_id")
+  }
+
+  val mutualNnSql: String = """
+    WITH e AS (
+      SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    s AS (
+      SELECT a.vec_id AS id, b.vec_id AS n_id,
+        list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id),
+    t AS (
+      SELECT id, n_id, cos,
+        row_number() OVER (PARTITION BY id ORDER BY cos DESC, n_id) AS r
+      FROM s QUALIFY r = 1)
+    SELECT a.id AS a_id, b.id AS b_id, round(a.cos, 6) AS cosine
+    FROM t a JOIN t b ON a.n_id = b.id AND b.n_id = a.id AND a.id < b.id
+    ORDER BY a_id"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "triplet_mine"  -> (tripletMine _),
     "emb_health"    -> (embHealth _),
     "margin_sample" -> (marginSample _),
+    "mutual_nn"     -> (mutualNn _),
     "epoch_shuffle" -> (epochShuffle _))
 
   val oracle: Map[String, String] = Map(
     "triplet_mine"  -> tripletMineSql,
     "emb_health"    -> embHealthSql,
     "margin_sample" -> marginSampleSql,
+    "mutual_nn"     -> mutualNnSql,
     "epoch_shuffle" -> epochShuffleSql)
 }

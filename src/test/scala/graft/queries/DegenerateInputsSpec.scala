@@ -72,6 +72,30 @@ class DegenerateInputsSpec extends AnyFunSuite {
     assert(TextQueries.dedupCanonical(spark, dir).count() == 1L)
   }
 
+  test("mutual_nn: only reciprocated top-1 pairs survive — the hub's " +
+       "unreciprocated admirer is dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mnn").toString
+    // v1↔v2 are each other's top-1; v3's top-1 is v2, unreciprocated
+    Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+        (3L, Seq(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = TrainQueries.mutualNn(spark, dir)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got.map(p => (p._1, p._2)) == List((1L, 2L)))
+  }
+
+  test("dup_cluster_sizes: a planted duplicate pair shows up as one " +
+       "2-family among singletons") {
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = docsDir(Seq(
+      (1L, dupText, "en", "s"), (2L, dupText, "en", "s"),
+      (3L, "entirely unrelated text with other words here", "en", "s")))
+    val got = ExtendedQueries.dupClusterSizes(spark, dir)
+      .as[(Long, Long)].collect().toList
+    assert(got == List((1L, 1L), (2L, 1L)))
+  }
+
   test("emb_pq: both subspace codebooks partition the corpus — 8 cells " +
        "each, member counts sum to n_vecs, affinities in (0, 1]") {
     val dir = "/root/testdata/sf0.001"
