@@ -114,6 +114,26 @@ class SurvivalWaterfillSpec extends AnyFunSuite {
     assert(got == Set(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L)))
   }
 
+  test("mix_waterfill fairness laws hold on randomized capacity vectors: " +
+       "Σ alloc = B, alloc ≤ cap, saturated ⇔ full, unsaturated within ±1") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val nSrc = 2 + rnd.nextInt(6)
+      val caps = (0 until nSrc).map(i => (f"s$i%02d", 1 + rnd.nextInt(40)))
+      val got = PipelineQueries.mixWaterfill(spark, sourcesDir(caps))
+        .as[(String, Long, Long, Long)].collect().toList
+      val total = caps.map(_._2.toLong).sum
+      val b = total / 2
+      assert(got.map(_._3).sum == b, s"trial $trial: sum != B")
+      assert(got.forall(r => r._3 <= r._2), s"trial $trial: alloc > cap")
+      assert(got.forall(r => r._4 == 0L || r._3 == r._2),
+        s"trial $trial: saturated source not at capacity")
+      val unsat = got.filter(_._4 == 0L).map(_._3)
+      if (unsat.nonEmpty)
+        assert(unsat.max - unsat.min <= 1, s"trial $trial: unfair split $unsat")
+    }
+  }
+
   test("doc_logprob_jm: single-doc rational mixture pinned — " +
        "(7·c_ab·N + 3·c_a·c_b)/(10·c_a·N) = 69/90 on 'x x x'") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jm").toString
