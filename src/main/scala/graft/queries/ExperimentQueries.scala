@@ -647,8 +647,14 @@ object ExperimentQueries {
         coalesce(col("o"), lit(0L)).as("o"))
       .crossJoin(broadcast(n))
     val term = {
-      val d = dec(col("o")) * dec(col("n")) - dec(col("r")) * dec(col("c"))
-      dec9((d * d).cast("double")
+      // d is exact (products ≤ count², inside DECIMAL(38,0)); the SQUARE
+      // is count⁴ and would overflow BOTH the decimal lane and HUGEINT
+      // at corpus scale, so it runs in double on the exactly-computed d
+      // (both engines square the identical rounded double — the same
+      // move the gini fix made for its n²·x̄ products)
+      val d = (dec(col("o")) * dec(col("n")) - dec(col("r")) * dec(col("c")))
+        .cast("double")
+      dec9(d * d
         / (dec(col("n")) * dec(col("r")) * dec(col("c"))).cast("double"))
     }
     dense.agg(max(col("n")).as("n"),
@@ -675,12 +681,15 @@ object ExperimentQueries {
       FROM r CROSS JOIN c
       LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
       CROSS JOIN n),
+    diffs AS (
+      SELECT n, lang, source, r, c,
+        cast(cast(o AS HUGEINT) * n - cast(r AS HUGEINT) * c AS DOUBLE) AS d
+      FROM dense),
     terms AS (
       SELECT n, lang, source,
-        cast(cast((cast(o AS HUGEINT) * n - cast(r AS HUGEINT) * c)
-            * (cast(o AS HUGEINT) * n - cast(r AS HUGEINT) * c) AS DOUBLE)
-          / cast(cast(n AS HUGEINT) * r * c AS DOUBLE) AS DECIMAL(18,9)) AS t
-      FROM dense),
+        cast(d * d / cast(cast(n AS HUGEINT) * r * c AS DOUBLE)
+          AS DECIMAL(18,9)) AS t
+      FROM diffs),
     s AS (
       SELECT max(n) AS n, count(DISTINCT lang) AS n_langs,
         count(DISTINCT source) AS n_sources, sum(t) AS s
