@@ -32,6 +32,7 @@ object ExperimentQueries {
     * type that disappears entirely still contributes its full mass.
     */
   def topicDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec: Column => Column = _.cast(DecimalType(38, 0))
     val e = Tables.events(spark, dir)
       .select(col("ts").cast("date").as("day"), col("event_type"))
     val cnt = e.groupBy("day", "event_type").agg(count(lit(1)).as("c"))
@@ -47,7 +48,11 @@ object ExperimentQueries {
         col("event_type") === col("ptype") &&
           col("day") === date_add(col("pday"), 1))
       .groupBy("day", "t", "pt")
-      .agg(sum(abs(col("c") * col("pt") - col("pc") * col("t"))).as("num"))
+      // decimal lane BEFORE the cross-products: c·pt is daily-count ×
+      // daily-total and crosses 2⁶³ at extreme event rates (the
+      // gini/chi2/epoch_shuffle product-audit class)
+      .agg(sum(abs(dec(col("c")) * dec(col("pt"))
+        - dec(col("pc")) * dec(col("t")))).as("num"))
       .select(col("day"),
         round(col("num").cast("double") /
           (col("t").cast("double") * col("pt").cast("double")), 6).as("l1_drift"))
@@ -64,7 +69,7 @@ object ExperimentQueries {
       FROM days d CROSS JOIN types ty
       LEFT JOIN cnt c ON c.day = d.day AND c.event_type = ty.event_type)
     SELECT g.day,
-      round(CAST(sum(abs(g.c * p.t - p.c * g.t)) AS DOUBLE)
+      round(CAST(sum(abs(cast(g.c AS HUGEINT) * p.t - cast(p.c AS HUGEINT) * g.t)) AS DOUBLE)
         / (CAST(g.t AS DOUBLE) * CAST(p.t AS DOUBLE)), 6) AS l1_drift
     FROM grid g JOIN grid p
       ON g.event_type = p.event_type AND g.day = p.day + INTERVAL 1 DAY
@@ -460,13 +465,18 @@ object ExperimentQueries {
       .withColumn("cum_t", sum("ct").over(w))
       .join(broadcast(totals), "source")
       .select(col("source"), col("ns"), col("n"),
-        abs(col("cum_s") * (col("n") - col("ns")) -
-          (col("cum_t") - col("cum_s")) * col("ns")).as("num"))
+        // decimal lane BEFORE the CDF cross-products: cum·total crosses
+        // 2⁶³ at corpus scale (the topic_drift product-audit class);
+        // the denominator multiplies as two exact doubles for the same
+        // reason, mirrored verbatim in the oracle
+        abs(col("cum_s").cast(DecimalType(38, 0)) * (col("n") - col("ns")) -
+          (col("cum_t") - col("cum_s")).cast(DecimalType(38, 0)) * col("ns")).as("num"))
       .groupBy("source", "ns", "n")
       .agg(max("num").as("mx"))
       .select(col("source"), col("ns").as("n_docs"),
         round(col("mx").cast("double") /
-          (col("ns") * (col("n") - col("ns"))).cast("double"), 6).as("ks_d"))
+          (col("ns").cast("double") * (col("n") - col("ns")).cast("double")), 6)
+          .as("ks_d"))
       .orderBy("source")
   }
 
@@ -488,8 +498,9 @@ object ExperimentQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t
       FROM grid)
     SELECT c.source, t.ns AS n_docs,
-      round(CAST(max(abs(c.cum_s * (n.n - t.ns) - (c.cum_t - c.cum_s) * t.ns)) AS DOUBLE)
-        / CAST(t.ns * (n.n - t.ns) AS DOUBLE), 6) AS ks_d
+      round(CAST(max(abs(cast(c.cum_s AS HUGEINT) * (n.n - t.ns)
+          - cast(c.cum_t - c.cum_s AS HUGEINT) * t.ns)) AS DOUBLE)
+        / (CAST(t.ns AS DOUBLE) * CAST(n.n - t.ns AS DOUBLE)), 6) AS ks_d
     FROM cums c JOIN totals t USING (source) CROSS JOIN tot n
     GROUP BY c.source, t.ns, n.n
     ORDER BY c.source"""

@@ -322,7 +322,11 @@ object InsightQueries {
       col("nt").as("nb"), col("c").as("cb"))
     a.join(b, col("tok") === col("tokb") && col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b", "na", "nb")
-      .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("num"))
+      // decimal lane BEFORE the cross-products: per-token count ×
+      // source token TOTAL crosses 2⁶³ on a 10¹³-token corpus (the
+      // gini/chi2/topic_drift product-audit class)
+      .agg(sum(abs(col("ca").cast(DecimalType(38, 0)) * col("nb")
+        - col("cb").cast(DecimalType(38, 0)) * col("na"))).as("num"))
       .select(col("source_a"), col("source_b"),
         round(col("num").cast("double") /
           (col("na").cast("double") * col("nb").cast("double")), 6).as("l1_dist"))
@@ -345,7 +349,7 @@ object InsightQueries {
       FROM totals t CROSS JOIN top v
       LEFT JOIN cnt c ON c.source = t.source AND c.tok = v.tok)
     SELECT a.source AS source_a, b.source AS source_b,
-      round(cast(sum(abs(a.c * b.nt - b.c * a.nt)) AS DOUBLE)
+      round(cast(sum(abs(cast(a.c AS HUGEINT) * b.nt - cast(b.c AS HUGEINT) * a.nt)) AS DOUBLE)
         / (cast(a.nt AS DOUBLE) * cast(b.nt AS DOUBLE)), 6) AS l1_dist
     FROM filled a JOIN filled b
       ON a.tok = b.tok AND a.source < b.source

@@ -124,8 +124,12 @@ object SignalQueries {
     joint.join(broadcast(mx), "source").join(broadcast(my), "lang")
       .crossJoin(broadcast(n))
       .select(col("source"), col("lang"), col("c_xy"),
-        round(log((col("c_xy") * col("n_total")).cast("double") /
-          (col("c_x") * col("c_y")).cast("double")), 6).as("lift"))
+        // decimal lane BEFORE the cross-products: count × corpus total
+        // crosses 2⁶³ at billion-doc scale (the product-audit class)
+        round(log((col("c_xy").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("n_total")).cast("double") /
+          (col("c_x").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("c_y")).cast("double")), 6).as("lift"))
       .orderBy("source", "lang")
   }
 
@@ -135,8 +139,8 @@ object SignalQueries {
     my AS (SELECT lang, count(*) AS c_y FROM documents GROUP BY 1),
     n AS (SELECT count(*) AS n_total FROM documents)
     SELECT j.source, j.lang, j.c_xy,
-      round(ln(CAST(j.c_xy * n.n_total AS DOUBLE) /
-               CAST(mx.c_x * my.c_y AS DOUBLE)), 6) AS lift
+      round(ln(CAST(cast(j.c_xy AS HUGEINT) * n.n_total AS DOUBLE) /
+               CAST(cast(mx.c_x AS HUGEINT) * my.c_y AS DOUBLE)), 6) AS lift
     FROM joint j JOIN mx USING (source) JOIN my USING (lang) CROSS JOIN n
     ORDER BY j.source, j.lang"""
 

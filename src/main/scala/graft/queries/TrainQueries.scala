@@ -137,8 +137,11 @@ object TrainQueries {
     a.join(b, Seq("doc_id")).filter(col("epoch_a") < col("epoch_b"))
       .groupBy("epoch_a", "epoch_b")
       .agg(count(lit(1)).as("n_docs"),
-        sum(((col("ra") - col("rb")) * (col("ra") - col("rb")))
-          .cast(DecimalType(38, 0))).as("sd2"))
+        // cast BEFORE squaring: d ≤ n, so a long d·d crosses 2⁶³ past
+        // ~3×10⁹ docs and Spark-4 ANSI throws — the decimal lane must
+        // carry the product, not just receive it (the gini/chi2 fix)
+        sum((col("ra") - col("rb")).cast(DecimalType(38, 0))
+          * (col("ra") - col("rb")).cast(DecimalType(38, 0))).as("sd2"))
       .select(col("epoch_a"), col("epoch_b"), col("n_docs"),
         round(lit(1.0) - lit(6.0) * col("sd2").cast("double") /
           (col("n_docs").cast("double") *
@@ -155,7 +158,7 @@ object TrainQueries {
           AS BIGINT) AS rk
       FROM documents, unnest([0, 1, 2]) AS u(e))
     SELECT a.epoch AS epoch_a, b.epoch AS epoch_b, count(*) AS n_docs,
-      round(1.0 - 6.0 * CAST(sum(cast((a.rk - b.rk) * (a.rk - b.rk) AS HUGEINT)) AS DOUBLE)
+      round(1.0 - 6.0 * CAST(sum(cast(a.rk - b.rk AS HUGEINT) * (a.rk - b.rk)) AS DOUBLE)
         / (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) * count(*) - 1.0)), 6)
         AS spearman
     FROM ranked a JOIN ranked b ON a.doc_id = b.doc_id AND a.epoch < b.epoch
