@@ -66,6 +66,65 @@ object AdvancedQueries {
     FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_us > s.s_ts
     ORDER BY p.event_id"""
 
+  /** NEAREST-match as-of: each purchase pairs with the signup whose
+    * timestamp is closest in EITHER direction — the variant sensor
+    * alignment wants when readings may lag or lead (DuckDB's ASOF picks
+    * one direction; nearest needs both). Composed from TWO runs of the
+    * same one-shuffle carry-forward operator: the backward pass as-is,
+    * the forward pass on NEGATED timestamps (largest −t before −ts ⟺
+    * smallest t after ts) — still linear per key, no pair blow-up, no
+    * new machinery. Exact-tie |gap| prefers the earlier (prev) match;
+    * equal-timestamp signups are strictly neither before nor after (the
+    * operator's tie rule on both passes) and are excluded, mirrored by
+    * the oracle's strict inequalities.
+    */
+  def asofNearestQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("s_event"), col("ts_us").as("s_ts"))
+    val withPrev = AsofJoin(purchases, signups,
+      key = "user_id", leftTs = "ts_us", rightTs = "s_ts", leftSeq = "event_id",
+      rightPayload = Map("s_event" -> "p_event", "s_ts" -> "p_ts"),
+      rightSeq = Some("s_event"), leftOuter = true)
+    val withBoth = AsofJoin(
+      withPrev.withColumn("neg_ts", -col("ts_us")),
+      signups.withColumn("neg_sts", -col("s_ts")),
+      key = "user_id", leftTs = "neg_ts", rightTs = "neg_sts", leftSeq = "event_id",
+      rightPayload = Map("s_event" -> "n_event", "s_ts" -> "n_ts"),
+      rightSeq = Some("s_event"), leftOuter = true)
+    val gp = col("ts_us") - col("p_ts")
+    val gn = col("n_ts") - col("ts_us")
+    val takePrev = col("p_ts").isNotNull && (col("n_ts").isNull || gp <= gn)
+    withBoth
+      .select(col("event_id"), col("user_id"),
+        when(takePrev, lit("prev")).when(col("n_ts").isNotNull, lit("next")).as("side"),
+        when(takePrev, col("p_event")).when(col("n_ts").isNotNull, col("n_event")).as("near_event"),
+        when(takePrev, gp).when(col("n_ts").isNotNull, -gn).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val asofNearestSql: String = """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+    p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+    s AS (SELECT event_id AS s_event, user_id, ts_us AS s_ts FROM e WHERE event_type = 'signup'),
+    prevj AS (
+      SELECT p.event_id, p.user_id, p.ts_us, s.s_event AS p_event, s.s_ts AS p_ts
+      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_us > s.s_ts),
+    bothj AS (
+      SELECT pv.*, s.s_event AS n_event, s.s_ts AS n_ts
+      FROM prevj pv ASOF LEFT JOIN s ON pv.user_id = s.user_id AND pv.ts_us < s.s_ts)
+    SELECT event_id, user_id,
+      CASE WHEN p_ts IS NOT NULL AND (n_ts IS NULL OR ts_us - p_ts <= n_ts - ts_us)
+           THEN 'prev' WHEN n_ts IS NOT NULL THEN 'next' END AS side,
+      CASE WHEN p_ts IS NOT NULL AND (n_ts IS NULL OR ts_us - p_ts <= n_ts - ts_us)
+           THEN p_event WHEN n_ts IS NOT NULL THEN n_event END AS near_event,
+      CASE WHEN p_ts IS NOT NULL AND (n_ts IS NULL OR ts_us - p_ts <= n_ts - ts_us)
+           THEN ts_us - p_ts WHEN n_ts IS NOT NULL THEN ts_us - n_ts END AS gap_us
+    FROM bothj
+    ORDER BY event_id"""
+
   /** Pivot order counts: one column per order status. */
   def pivotStatus(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "orders")
@@ -212,6 +271,7 @@ object AdvancedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join"    -> (asofJoinQ _),
+    "asof_nearest" -> (asofNearestQ _),
     "asof_join_left" -> (asofJoinLeftQ _),
     "pivot_status" -> (pivotStatus _),
     "events_json"  -> (eventsJson _),
@@ -223,6 +283,7 @@ object AdvancedQueries {
 
   val oracle: Map[String, String] = Map(
     "asof_join"    -> asofJoinSql,
+    "asof_nearest" -> asofNearestSql,
     "asof_join_left" -> asofJoinLeftSql,
     "pivot_status" -> pivotStatusSql,
     "events_json"  -> eventsJsonSql,

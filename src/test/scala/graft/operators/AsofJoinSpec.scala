@@ -80,4 +80,33 @@ class AsofJoinSpec extends AnyFunSuite {
       Map("r_id" -> "r_id")).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("asof_nearest: picks the closer side, prev on |gap| ties, next-only " +
+       "and no-match users handled") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-asofnear").toString
+    // per user: (purchase ts, signup tss)
+    // u1: 100 vs {90, 105}  → next (gap −5)
+    // u2: 100 vs {95, 105}  → |5| tie → prev (gap +5)
+    // u3: 100 vs {200}      → next (gap −100)
+    // u4: 100 vs {}         → NULL side
+    val us = 1000L // µs → ns
+    val rows = Seq(
+      (1L, 100L, 1L, "purchase"), (2L, 90L, 1L, "signup"), (3L, 105L, 1L, "signup"),
+      (4L, 100L, 2L, "purchase"), (5L, 95L, 2L, "signup"), (6L, 105L, 2L, "signup"),
+      (7L, 100L, 3L, "purchase"), (8L, 200L, 3L, "signup"),
+      (9L, 100L, 4L, "purchase"))
+    rows.map { case (e, t, u, ty) => (e, t * us, u, ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.AdvancedQueries.asofNearestQ(spark, dir)
+      .select("event_id", "side", "near_event", "gap_us")
+      .as[(Long, Option[String], Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, Some("next"), Some(3L), Some(-5L)),
+      (4L, Some("prev"), Some(5L), Some(5L)),
+      (7L, Some("next"), Some(8L), Some(-100L)),
+      (9L, None, None, None)))
+  }
 }
