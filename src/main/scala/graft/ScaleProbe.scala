@@ -50,6 +50,28 @@ object ScaleProbe {
     val src = "/root/testdata/sf0.1"
     val out = "target/scaledata/sf1"
 
+    // replica-offset soundness: each table's offset must clear its max
+    // base id by ≥10 replicas, or replica key spaces silently MERGE and
+    // every sub-linearity ratio is measured on a corrupted corpus. One
+    // cheap max() per table, checked before any replication runs.
+    def assertOffsetClear(table: String, idCol: String, offset: Long): Unit = {
+      val mx = spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(idCol).cast("long"))).head.getLong(0)
+      require(mx < offset,
+        s"replica offset unsound: max($table.$idCol)=$mx >= offset=$offset")
+    }
+    for ((t, c, o) <- Seq(
+        ("documents", "doc_id", 1000000L),
+        ("lineitem", "l_orderkey", 1000000000L),
+        ("lineitem", "l_partkey", 10000000L),
+        ("part", "p_partkey", 10000000L),
+        ("orders", "o_orderkey", 1000000000L),
+        ("orders", "o_custkey", 10000000L),
+        ("events", "event_id", 1000000000L),
+        ("events", "user_id", 10000000L),
+        ("embeddings", "vec_id", 1000000L)))
+      assertOffsetClear(t, c, o)
+
     if (!new java.io.File(s"$out/documents.parquet").exists()) {
       val reps = spark.range(0, 10).select(col("id").as("rep"))
       def replicate(table: String, tf: DataFrame => DataFrame): Unit =

@@ -39,6 +39,47 @@ object Relational {
       .filter(col(rankCol) <= k)
   }
 
+  /** Scale-safe GLOBAL dense row rank (0-based) over a total order —
+    * the two-phase shape that replaces `row_number().over(Window
+    * .orderBy(...))`'s single-partition sort on data-scale frames:
+    *
+    *  1. range-repartition on the sort keys (parallel sampling + range
+    *     exchange — every partition holds a contiguous key range, in
+    *     partition-id order);
+    *  2. per-partition local row_number (window PARTITIONED by the
+    *     physical partition id — never a single reducer);
+    *  3. global rank = local rank + the broadcast cumulative count of
+    *     earlier partitions (a partitions-sized frame; its own window
+    *     is bounded by the partition count, not the data).
+    *
+    * Determinism: the sort keys must totally order the frame (callers
+    * pass a unique tiebreak). The range boundaries are sampled with
+    * Spark's fixed per-partition seeds, so the pid column is a pure
+    * function of the row for a given input — the offsets join (on pid)
+    * and the local window agree even though the base frame is computed
+    * twice (counts + ranks); nothing is materialized.
+    *
+    * @param keys total-order sort keys (use `.desc` for descending)
+    * @return input columns + `rankCol` (0-based global rank as long)
+    */
+  def globalRank(df: DataFrame, keys: Seq[Column], rankCol: String = "rk",
+                 numParts: Int = 0): DataFrame = {
+    val p = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = df.repartitionByRange(p, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = base.withColumn("__lrk",
+      row_number().over(Window.partitionBy("__pid").orderBy(keys: _*)).cast("long"))
+    val offsets = base.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(rankCol, col("__off") + col("__lrk") - 1)
+      .drop("__pid", "__lrk", "__off")
+  }
+
   /** CDC merge (upsert): rows of `changes` override base rows sharing
     * their key ROW-WISE — a matched change row replaces every payload
     * column, including columns it carries as NULL (the Delta/Iceberg

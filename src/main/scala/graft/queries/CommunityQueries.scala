@@ -498,10 +498,16 @@ object CommunityQueries {
       sum(dec(col("x")) * dec(col("y"))).as("sxy"),
       sum(dec(col("x")) * dec(col("x"))).as("sxx"),
       sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    // degenerate guard (the chi2_assoc dof-0 pattern): on a degree-
+    // regular graph both variance terms are exactly 0 and r is 0/0 —
+    // NaN in Spark but engine-dependent elsewhere; emit NULL, decided
+    // on the EXACT decimal sums so the guard can't misfire on rounding
     s.select(col("n").as("n_edges"),
-      round((dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
-        / sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
-          * (dec(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+      when(dec(col("n")) * col("sxx") =!= col("sx") * col("sx") &&
+           dec(col("n")) * col("syy") =!= col("sy") * col("sy"),
+        round((dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (dec(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")), 6))
         .as("r"))
   }
 
@@ -525,9 +531,12 @@ object CommunityQueries {
         cast(sum(cast(y AS HUGEINT) * y) AS HUGEINT) AS syy
       FROM p)
     SELECT n AS n_edges,
-      round(cast(cast(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
-        / sqrt(cast(cast(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
-          * cast(cast(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6) AS r
+      CASE WHEN cast(n AS HUGEINT) * sxx <> sx * sx
+            AND cast(n AS HUGEINT) * syy <> sy * sy
+           THEN round(cast(cast(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+             / sqrt(cast(cast(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+               * cast(cast(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6)
+           END AS r
     FROM s"""
 
   // ----------------------------------------------------------- registry

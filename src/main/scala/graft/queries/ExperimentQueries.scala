@@ -648,7 +648,12 @@ object ExperimentQueries {
     */
   def chi2Assoc(spark: SparkSession, dir: String): DataFrame = {
     val dec: Column => Column = _.cast(DecimalType(38, 0))
-    val dec9: Column => Column = _.cast(DecimalType(18, 9))
+    // DECIMAL(28,9), not (18,9): a cell term d²/(N·r·c) is bounded by N,
+    // not a constant — a strongly-associated cell at ~1e9+ docs exceeds a
+    // 10⁹ integral range and the snap would THROW under ANSI. 19 integral
+    // digits hold any N < 2⁶³; the 9-digit fractional snap (the part that
+    // buys partition-order independence) is unchanged.
+    val dec9: Column => Column = _.cast(DecimalType(28, 9))
     val o = docs(spark, dir).groupBy("lang", "source").agg(count(lit(1)).as("o"))
     val r = o.groupBy("lang").agg(sum(col("o")).as("r"))
     val c = o.groupBy("source").agg(sum(col("o")).as("c"))
@@ -699,7 +704,7 @@ object ExperimentQueries {
     terms AS (
       SELECT n, lang, source,
         cast(d * d / cast(cast(n AS HUGEINT) * r * c AS DOUBLE)
-          AS DECIMAL(18,9)) AS t
+          AS DECIMAL(28,9)) AS t
       FROM diffs),
     s AS (
       SELECT max(n) AS n, count(DISTINCT lang) AS n_langs,

@@ -690,14 +690,23 @@ object PipelineQueries {
     val bloomHits = trainGrams.filter(mightContain).select("doc_id").distinct()
     val exactHits = trainGrams.join(broadcast(evalGrams), "gh")
       .select("doc_id").distinct()
+    // fp bound DERIVED from the observed probe count, not a fixed 5% of
+    // docs: each false-positive gram PROBE can flag at most one extra
+    // doc, and expected FP probes = n_tg·fpp — so excess ≤ 5·n_tg·1e-4
+    // (+10 additive floor for tiny corpora) holds with overwhelming
+    // probability at ANY grams-per-doc ratio, where the old doc-count
+    // bound went flaky past ~500 grams/doc. Integer cross-multiplied;
+    // n_tg (the probe count) is pure position arithmetic, so the oracle
+    // checks it exactly.
     train.agg(count(lit(1)).as("n_train"))
+      .crossJoin(trainGrams.agg(count(lit(1)).as("n_tg")))
       .crossJoin(exactHits.agg(count(lit(1)).as("n_exact")))
       .crossJoin(exactHits.join(bloomHits, Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("n_missed")))
       .crossJoin(bloomHits.agg(count(lit(1)).as("n_bloom")))
-      .select(col("n_train"), col("n_exact"),
+      .select(col("n_train"), col("n_tg"), col("n_exact"),
         (col("n_missed") === 0).cast("long").as("superset_ok"),
-        ((col("n_bloom") - col("n_exact")) * 100 <= col("n_train") * 5)
+        ((col("n_bloom") - col("n_exact")) * 10000 <= col("n_tg") * 5 + 100000)
           .cast("long").as("fp_ok"))
   }
 
@@ -715,6 +724,7 @@ object PipelineQueries {
     bad AS (SELECT DISTINCT doc_id FROM grams
             WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM ev))
     SELECT (SELECT count(*) FROM documents WHERE doc_id % 97 <> 0) AS n_train,
+      (SELECT count(*) FROM grams WHERE doc_id % 97 <> 0) AS n_tg,
       (SELECT count(*) FROM bad) AS n_exact,
       cast(1 AS BIGINT) AS superset_ok,
       cast(1 AS BIGINT) AS fp_ok"""
@@ -856,15 +866,16 @@ object PipelineQueries {
     * Everything is exact integer arithmetic except the final share,
     * one IEEE division per shard row.
     *
-    * The global row_number is the RANK DEFINITION; at cluster scale it
-    * materializes under a range partitioner on (n_chars desc, doc_id)
-    * (the W1 guarded-global-window note), not a single-partition sort.
+    * The global row_number is the RANK DEFINITION; it materializes via
+    * [[graft.operators.Relational.globalRank]] — range-repartition on
+    * (n_chars desc, doc_id), per-partition row_number, broadcast
+    * partition-offset cumsum — never a single-partition WindowExec
+    * (`ShardPlanSpec` pins the plan shape).
     */
   def shardPlan(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = docs(spark, dir)
-      .select(col("doc_id"), col("n_chars"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("n_chars").desc, col("doc_id"))).cast("long") - 1)
+    val ranked = graft.operators.Relational.globalRank(
+      docs(spark, dir).select(col("doc_id"), col("n_chars")),
+      Seq(col("n_chars").desc, col("doc_id")))
     val s = ranked
       .select(when(expr(s"(rk div $ShardK) % 2") === 0, col("rk") % ShardK)
         .otherwise(lit(ShardK - 1) - col("rk") % ShardK).as("shard"),
