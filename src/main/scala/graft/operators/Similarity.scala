@@ -221,6 +221,98 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
   }
 
+  /** Product-quantization ANN: asymmetric-distance (ADC) scan over PQ
+    * codes + exact re-rank — the compression layer of a 100 TB vector
+    * deployment. Each corpus vector is encoded once as one sub-codebook
+    * cell id PER SUBSPACE (here 2×3 bits vs 64×32-bit floats); the
+    * candidate scan then reads ONLY the code columns — at corpus scale
+    * the full vectors never leave the parquet files except for the
+    * nQ·rerank rows the exact re-rank touches.
+    *
+    * ADC: the query precomputes, per subspace, its dot product against
+    * every sub-centroid (an 8-entry table built ONCE per query row,
+    * before the broadcast) — a candidate's approximate cosine is then
+    * two O(1) table lookups:
+    *   cos(q, x) ≈ (Σ_s qtab_s[code_s]) / (‖q‖ · √(Σ_s cn_s[code_s]²))
+    * (x ≈ its concatenated sub-centroids, whose subspace norms are
+    * orthogonal-by-construction, so ‖x‖ ≈ √Σ cn²). The per-pair cost
+    * drops from O(dim) multiplies to O(#subspaces) map lookups.
+    *
+    * Scale shape: code assignment is map-only against literal
+    * sub-centroid banks (same as [[assignCells]]); the ADC scan is a
+    * broadcast of the small query set over the codes-only projection;
+    * the re-rank joins the tiny candidate list (broadcast) back to the
+    * full vectors. Recall vs [[knnBrute]] is floor-audited in
+    * `knn_pq_recall`.
+    *
+    * Determinism: every score is pure IEEE arithmetic over
+    * deterministic k-means centroids — fully SQL-mirrorable, ties break
+    * on n_id in both lanes.
+    *
+    * @param subspaces (lo 1-based, len, trained sub-centroid frame) per
+    *                  subspace — [[kmeansCentroids]] output on the
+    *                  matching `slice` of the corpus
+    * @param rerank    ADC candidates kept per query for the exact pass
+    */
+  def knnPq(queries: DataFrame, corpus: DataFrame, k: Int, rerank: Int,
+            subspaces: Seq[(Int, Int, DataFrame)]): DataFrame = {
+    val subs = subspaces.zipWithIndex.map { case ((lo, len, cent), s) =>
+      (lo, len, centArrays(cent), s)
+    }
+    // corpus → codes: stage the sub-slices + sub-norms in one projection
+    // (the argmax divides by the sub-norm 8×; staging keeps it computed
+    // once), then the row-local argmax per subspace. The ADC scan frame
+    // carries (n_id, code per subspace) — longs only, no vectors.
+    val staged = corpus.select(col("id").as("n_id") +: subs.map {
+      case (lo, len, _, s) => slice(col("v"), lit(lo), lit(len)).as(s"sv$s")
+    }: _*)
+    val withNorms = staged.select(col("n_id") +: subs.flatMap {
+      case (_, _, _, s) => Seq(col(s"sv$s"), norm(col(s"sv$s")).as(s"sn$s"))
+    }: _*)
+    val codes = withNorms.select(col("n_id") +: subs.map {
+      case (_, _, cents, s) =>
+        bestCell(col(s"sv$s"), col(s"sn$s"), cents).as(s"code$s")
+    }: _*)
+    // query → per-subspace dot table over the literal sub-centroid bank,
+    // built BEFORE the broadcast so each dot runs once per query row
+    val qTabs = subs.map { case (lo, len, cents, s) =>
+      map_from_arrays(
+        array(cents.map(c => lit(c._1)): _*),
+        array(cents.map { case (_, cv, _) =>
+          dot(slice(col("v"), lit(lo), lit(len)), array(cv.map(lit): _*))
+        }: _*)).as(s"qtab$s")
+    }
+    val qb = broadcast(queries.select(
+      Seq(col("id").as("q_id"), col("nrm").as("qn")) ++ qTabs: _*))
+    // squared sub-centroid norms: pure model parameters → literal maps
+    val sqMaps = subs.map { case (_, _, cents, s) =>
+      s -> map_from_arrays(
+        array(cents.map(c => lit(c._1)): _*),
+        array(cents.map { case (_, _, cn) => lit(cn * cn) }: _*))
+    }.toMap
+    val adc = qb.join(codes, col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (subs.map { case (_, _, _, s) =>
+          element_at(col(s"qtab$s"), col(s"code$s"))
+        }.reduce(_ + _) /
+          (col("qn") * sqrt(subs.map { case (_, _, _, s) =>
+            element_at(sqMaps(s), col(s"code$s"))
+          }.reduce(_ + _)))).as("adc"))
+    val cand = Relational.topKPerGroup(adc, Seq("q_id"), col("adc"),
+        col("n_id"), rerank)
+      .select(col("q_id"), col("n_id"))
+    // exact re-rank: the tiny candidate list broadcasts into one pass
+    // over the full-vector corpus — the only place whole vectors move
+    val qv = broadcast(queries.select(col("id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qn")))
+    val scored = corpus.join(broadcast(cand), col("id") === col("n_id"))
+      .join(qv, Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+    Relational.topKPerGroup(scored, Seq("q_id"), col("cos"), col("n_id"), k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
+  }
+
   /** Row-local Voronoi cell assignment of a prepped frame against a
     * centroid frame: (id, v, nrm, c_id). Map-only — the centroid bank
     * becomes literal arrays (model parameters), so no join or shuffle.

@@ -282,6 +282,31 @@ object ScaleQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** The emb_pq sub-codebooks (2×32-dim subspaces, 8 cells each, one
+    * Lloyd round) as [[Similarity.knnPq]] inputs — kept as a helper so
+    * the search query and its recall audit train the IDENTICAL index.
+    */
+  private def pqSubspaces(corpus: DataFrame): Seq[(Int, Int, DataFrame)] =
+    Seq(1, 33).map { lo =>
+      val sub = corpus.select(col("id"),
+          slice(col("v"), lit(lo), lit(32)).as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      (lo, 32, Similarity.kmeansCentroids(sub, k = 8, iters = 1))
+    }
+
+  /** PQ-based ANN over the same query set: the `emb_pq` codebooks
+    * composed into an actual search path — ADC scan over the 2×3-bit
+    * codes, exact re-rank of the top 25 candidates (5·k). Fully
+    * oracle-checked (pure arithmetic end to end, like the IVF family);
+    * recall vs brute force is floor-audited in `knn_pq_recall`.
+    */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
+    val queries = prepped.filter(col("id") % 50 === 0)
+    Similarity.knnPq(queries, prepped, k = 5, rerank = 25,
+      pqSubspaces(prepped)).orderBy("q_id", "rk")
+  }
+
   /** Winnowing (rolling-hash) fingerprints over documents — engine-
     * portable md5 gram hashes, so fully oracle-checked.
     */
@@ -509,6 +534,55 @@ object ScaleQueries {
   val knnIvfSql: String = knnIvfOracleSql(nProbe = 6)
   val knnIvfHiSql: String = knnIvfOracleSql(nProbe = 12)
 
+  /** Exact SQL mirror of [[knnPq]]: the two PQ codebook chains (shared
+    * with the emb_pq oracle), per-query ADC tables as a query ×
+    * sub-centroid join, the ADC cut at rank 25 with the (a desc, n_id)
+    * tie-break, then the exact re-rank — every score pure arithmetic,
+    * so the whole search path hash-checks like the IVF family.
+    */
+  val knnPqSql: String = s"""
+    WITH ${pqChainCore(1, 32, 0).trim},
+    ${pqChainCore(33, 64, 1).trim},
+    e AS (
+      SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    codes AS (
+      SELECT a0.vec_id, a0.c_id AS code0, a1.c_id AS code1
+      FROM a20 a0 JOIN a21 a1 USING (vec_id)),
+    qd0 AS (
+      SELECT q.vec_id AS q_id, c.c_id, list_inner_product(q.v, c.cv) AS d,
+        c.cn * c.cn AS sq
+      FROM e0 q, c10 c WHERE q.vec_id % 50 = 0),
+    qd1 AS (
+      SELECT q.vec_id AS q_id, c.c_id, list_inner_product(q.v, c.cv) AS d,
+        c.cn * c.cn AS sq
+      FROM e1 q, c11 c WHERE q.vec_id % 50 = 0),
+    adc AS (
+      SELECT q0.q_id, x.vec_id AS n_id,
+        (q0.d + q1.d) / (eq.nrm * sqrt(q0.sq + q1.sq)) AS a
+      FROM codes x
+      JOIN qd0 q0 ON q0.c_id = x.code0
+      JOIN qd1 q1 ON q1.q_id = q0.q_id AND q1.c_id = x.code1
+      JOIN e eq ON eq.vec_id = q0.q_id
+      WHERE x.vec_id != q0.q_id),
+    cand AS (
+      SELECT q_id, n_id FROM adc
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY a DESC, n_id) <= 25),
+    scored AS (
+      SELECT c.q_id, c.n_id,
+        list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
+      FROM cand c
+      JOIN e q ON q.vec_id = c.q_id
+      JOIN e x ON x.vec_id = c.n_id),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+        cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+      FROM scored)
+    SELECT q_id, n_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY q_id, rk"""
+
   val semDedupSql: String = s"""$kmeansCtePrefix,
     dropped AS (
       SELECT DISTINCT b.vec_id
@@ -588,8 +662,11 @@ object ScaleQueries {
 
   /** One k-means CTE chain over a sub-vector slice, tables suffixed by
     * subspace — the [[kmeansCtePrefix]] shape parameterized for PQ.
+    * [[pqChainCore]] ends at the trained codebook (c1\$s) + final
+    * assignment (a2\$s) — shared by the emb_pq report and the knn_pq
+    * search oracle; [[pqChain]] appends the report aggregate.
     */
-  private def pqChain(lo: Int, hi: Int, s: Int): String = s"""
+  private def pqChainCore(lo: Int, hi: Int, s: Int): String = s"""
     e$s AS (
       SELECT vec_id, cast(embedding[$lo:$hi] AS DOUBLE[]) AS v,
         sqrt(list_inner_product(cast(embedding[$lo:$hi] AS DOUBLE[]),
@@ -617,7 +694,10 @@ object ScaleQueries {
         row_number() OVER (PARTITION BY e.vec_id
           ORDER BY list_inner_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.c_id DESC) AS rn
       FROM e$s e, c1$s c
-      QUALIFY rn = 1),
+      QUALIFY rn = 1)"""
+
+  private def pqChain(lo: Int, hi: Int, s: Int): String =
+    pqChainCore(lo, hi, s) + s""",
     q$s AS (
       SELECT cast($s AS BIGINT) AS subspace, cast(a.c_id AS BIGINT) AS c_id,
         count(*) AS n_members,
@@ -850,6 +930,16 @@ object ScaleQueries {
         centroids = Some(Similarity.kmeansCentroids(c, k = 16, iters = 1))),
       minPct = 90)
 
+  /** Recall floor for the PQ/ADC path at rerank = 25 (5·k): measured
+    * 96 / 94 / 90.5 % at sf0.001/0.01/0.1 (RecallSweep PQ section) —
+    * the 2×3-bit code is coarse, but a 5× re-rank margin recovers ≥90%;
+    * floor 70 leaves ~20pp for a corpus regeneration.
+    */
+  def knnPqRecall(spark: SparkSession, dir: String): DataFrame =
+    annRecall(spark, dir, (q, c) =>
+      Similarity.knnPq(q, c, k = 5, rerank = 25, pqSubspaces(c)),
+      minPct = 70)
+
   private val annRecallSql: String = """
     WITH e AS (
       SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
@@ -1029,6 +1119,8 @@ object ScaleQueries {
     "knn_lsh"       -> (knnLsh _),
     "knn_ivf"       -> (knnIvf _),
     "knn_ivf_hi"    -> (knnIvfHi _),
+    "knn_pq"        -> (knnPq _),
+    "knn_pq_recall" -> (knnPqRecall _),
     "sem_dedup"     -> (semDedup _),
     "kmeans_quality" -> (kmeansQuality _),
     "emb_pq"         -> (embPq _),
@@ -1065,8 +1157,10 @@ object ScaleQueries {
     "knn_lsh_recall" -> knnLshRecallSql,
     "knn_ivf"       -> knnIvfSql,
     "knn_ivf_hi"    -> knnIvfHiSql,
+    "knn_pq"        -> knnPqSql,
     "knn_ivf_recall" -> knnIvfRecallSql,
     "knn_ivf_hi_recall" -> knnIvfRecallSql,
+    "knn_pq_recall" -> knnIvfRecallSql,
     "sem_dedup"     -> semDedupSql,
     "kmeans_quality" -> kmeansQualitySql,
     "emb_pq"         -> embPqSql,
