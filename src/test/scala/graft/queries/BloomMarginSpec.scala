@@ -26,9 +26,11 @@ class BloomMarginSpec extends AnyFunSuite {
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // n_tg = train 5-gram probes: doc 1 has 6 tokens (2 grams), docs 2-3
+    // have 8 tokens (4 grams each) → 10
     val got = PipelineQueries.bloomPrefilter(spark, dir)
-      .as[(Long, Long, Long, Long)].collect().toList
-    assert(got == List((3L, 1L, 1L, 1L))) // n_train, n_exact, superset_ok, fp_ok
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List((3L, 10L, 1L, 1L, 1L))) // n_train, n_tg, n_exact, superset_ok, fp_ok
   }
 
   test("margin_sample: two-label geometry — the off-axis member is the " +
