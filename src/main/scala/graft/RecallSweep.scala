@@ -39,6 +39,14 @@ object RecallSweep {
         recall(s"lsh(planes=4,tables=$tables)",
           Similarity.knnLsh(queries, prepped, k = 5, dim = 64,
             planes = 4, tables = tables))
+      // PQ section: ADC recall at the search-grade 8×8-dim codebooks
+      // across sub-codebook size and rerank — feeds the knn_pq_recall
+      // floor (which must sit under every number the shipped (subK,
+      // rerank) config prints here)
+      for (subK <- Seq(8, 16); rerank <- Seq(25, 50, 100))
+        recall(s"pq(8x8dim,subK=$subK,rerank=$rerank)",
+          Similarity.knnPq(queries, prepped, k = 5, rerank = rerank,
+            graft.queries.ScaleQueries.pqSubspaces(prepped, subK = subK)))
       // near-dup audits: recall of the found pair sets vs rare-gram truth
       val (grams, truth) = graft.queries.ScaleQueries.raregramTruth(spark, dir)
       val nTrue = truth.count()
@@ -49,18 +57,21 @@ object RecallSweep {
       }
       pairRecall("minhash(t=0.5)",
         graft.operators.Dedup.minhashNearDupsFromGrams(grams, threshold = 0.5))
-      pairRecall("simhash(h<=3)",
-        graft.operators.Dedup.simhashNearDups(
-          spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 3))
-      // precision of the simhash pair set vs the same truth (minhash
-      // pairs are exact-verified, so only simhash has a precision
-      // question) — feeds the simhash_precision floor
-      val sh = graft.operators.Dedup.simhashNearDups(
-        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        maxHamming = 3).select(col("a_id"), col("b_id"))
-      val nFound = sh.count()
-      val shHit = sh.join(truth, Seq("a_id", "b_id"), "left_semi").count()
-      println(f"$dir simhash(h<=3) precision=${shHit * 100.0 / nFound}%.1f%% ($shHit/$nFound)")
+      // simhash recall AND precision vs the same truth across the accept
+      // threshold (minhash pairs are exact-verified, so only simhash has
+      // a precision question) — feeds the simhash_recall /
+      // simhash_precision floors: pick the maxHamming whose precision
+      // clears the floor at EVERY SF with recall still over its floor
+      for (mh <- Seq(1, 2, 3)) {
+        val sh = graft.operators.Dedup.simhashNearDups(
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          maxHamming = mh).select(col("a_id"), col("b_id"))
+        val nFound = sh.count()
+        val shHit = sh.join(truth, Seq("a_id", "b_id"), "left_semi").count()
+        val tHit = truth.join(sh, Seq("a_id", "b_id"), "left_semi").count()
+        println(f"$dir simhash(h<=$mh) recall=${tHit * 100.0 / nTrue}%.1f%% " +
+          f"($tHit/$nTrue) precision=${shHit * 100.0 / math.max(nFound, 1)}%.1f%% ($shHit/$nFound)")
+      }
       brute.unpersist()
     }
     spark.stop()

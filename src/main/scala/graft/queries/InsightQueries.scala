@@ -505,15 +505,26 @@ object InsightQueries {
   /** Bounded report size (support desc, then itemset — total order). */
   val FreqTopK = 100
 
+  /** Hard bound on frequent items kept per basket before the k³
+    * expansion (the [[LinkDegCap]] convention: turn the pathological
+    * fan-out into a cost bound the oracle can mirror). A mega-basket
+    * would otherwise contribute C(k,3) rows alone — 64 caps that at
+    * ~42k rows per basket, and the kept slice (the 64 SMALLEST
+    * frequent part keys, a total order) mirrors as a QUALIFY
+    * row_number in the oracle.
+    */
+  val FreqBasketCap = 64
+
   /** Frequent 3-itemsets over order baskets (market-basket mining, the
     * A-priori shape): parts that appear in ≥ [[FreqMinSupport]] baskets
     * TOGETHER with two others. Scale shape: the A-priori prune drops
     * items below the support floor BEFORE any expansion (an item can't
-    * be in a frequent triple if it isn't frequent alone), then triples
-    * expand ROW-LOCALLY from each basket's sorted distinct item array —
-    * cost k³/6 per basket (TPC-H baskets are ≤ 13 items; a 100 TB
-    * deployment caps basket size the same way `dedup_contain` caps
-    * gram df) — and one (p1,p2,p3)-keyed count finishes. No basket
+    * be in a frequent triple if it isn't frequent alone), each basket
+    * is then capped to its [[FreqBasketCap]] smallest frequent items
+    * (TPC-H baskets are ≤ 13 items, so the cap only exists for the
+    * planted-mega-basket regime), and triples expand ROW-LOCALLY from
+    * the basket's sorted capped item array — bounded cost k³/6 per
+    * basket — and one (p1,p2,p3)-keyed count finishes. No basket
     * self-join ever materializes.
     */
   def freqTriples(spark: SparkSession, dir: String): DataFrame = {
@@ -524,7 +535,8 @@ object InsightQueries {
       .filter(col("ic") >= FreqMinSupport).select("l_partkey")
     val baskets = li.join(freq1, Seq("l_partkey"), "left_semi")
       .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps0"))
+      .select(slice(col("ps0"), 1, FreqBasketCap).as("ps"))
       .filter(size(col("ps")) >= 3) // a <3-item basket yields no triple
     baskets
       .select(col("ps"), explode(col("ps")).as("p1"))
@@ -539,7 +551,15 @@ object InsightQueries {
   }
 
   val freqTriplesSql: String = s"""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq1 AS (
+      SELECT l_partkey FROM li0 GROUP BY 1
+      HAVING count(*) >= $FreqMinSupport),
+    li AS (
+      SELECT l_orderkey, l_partkey FROM li0
+      WHERE l_partkey IN (SELECT l_partkey FROM freq1)
+      QUALIFY row_number() OVER (PARTITION BY l_orderkey
+        ORDER BY l_partkey) <= $FreqBasketCap),
     t AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
         count(*) AS support

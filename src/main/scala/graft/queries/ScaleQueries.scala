@@ -282,28 +282,48 @@ object ScaleQueries {
       .orderBy("q_id", "rk")
   }
 
-  /** The emb_pq sub-codebooks (2×32-dim subspaces, 8 cells each, one
-    * Lloyd round) as [[Similarity.knnPq]] inputs — kept as a helper so
-    * the search query and its recall audit train the IDENTICAL index.
+  /** Search-grade PQ configuration — SINGLE source of truth for the
+    * Spark query, the generated SQL oracle ([[knnPqSql]]), the recall
+    * audit, and the RecallSweep measurement: 8 subspaces × 8 dims over
+    * the 64-dim embedding, 16 cells per sub-codebook → 16⁸ ≈ 4.3e9
+    * distinct ADC codes. The round-9 path reused the emb_pq REPORT
+    * codebooks (2×32-dim, 8 cells = 64 codes corpus-wide), so ADC
+    * scores collapsed into giant tie groups and the rank cut selected
+    * near-random lowest-id candidates (~18% recall). Finer codes — not
+    * more rerank — is the fix; the emb_pq report keeps its own coarse
+    * layout (that one measures compression, not search).
     */
-  private def pqSubspaces(corpus: DataFrame): Seq[(Int, Int, DataFrame)] =
-    Seq(1, 33).map { lo =>
+  private[graft] val PqSubLen = 8
+  private[graft] val PqSubK = 16
+  private[graft] val PqK = 5
+  private[graft] val PqRerank = 50
+  private[graft] val PqQueryMod = 50
+  private[graft] val pqLos: Seq[Int] = (0 until Dim / PqSubLen).map(1 + _ * PqSubLen)
+
+  /** The search codebooks as [[Similarity.knnPq]] inputs — kept as a
+    * helper so the search query and its recall audit train the
+    * IDENTICAL index. `subK` is swept by RecallSweep; queries pass the
+    * default.
+    */
+  private[graft] def pqSubspaces(corpus: DataFrame,
+                                 subK: Int = PqSubK): Seq[(Int, Int, DataFrame)] =
+    pqLos.map { lo =>
       val sub = corpus.select(col("id"),
-          slice(col("v"), lit(lo), lit(32)).as("v"))
+          slice(col("v"), lit(lo), lit(PqSubLen)).as("v"))
         .withColumn("nrm", Similarity.norm(col("v")))
-      (lo, 32, Similarity.kmeansCentroids(sub, k = 8, iters = 1))
+      (lo, PqSubLen, Similarity.kmeansCentroids(sub, k = subK, iters = 1))
     }
 
-  /** PQ-based ANN over the same query set: the `emb_pq` codebooks
-    * composed into an actual search path — ADC scan over the 2×3-bit
-    * codes, exact re-rank of the top 25 candidates (5·k). Fully
-    * oracle-checked (pure arithmetic end to end, like the IVF family);
-    * recall vs brute force is floor-audited in `knn_pq_recall`.
+  /** PQ-based ANN over the same query set: ADC scan over the 8×4-bit
+    * codes, exact re-rank of the top `PqRerank` candidates (10·k).
+    * Fully oracle-checked (pure arithmetic end to end, like the IVF
+    * family); recall vs brute force is floor-audited in
+    * `knn_pq_recall`.
     */
   def knnPq(spark: SparkSession, dir: String): DataFrame = {
     val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
-    val queries = prepped.filter(col("id") % 50 === 0)
-    Similarity.knnPq(queries, prepped, k = 5, rerank = 25,
+    val queries = prepped.filter(col("id") % PqQueryMod === 0)
+    Similarity.knnPq(queries, prepped, k = PqK, rerank = PqRerank,
       pqSubspaces(prepped)).orderBy("q_id", "rk")
   }
 
@@ -534,41 +554,52 @@ object ScaleQueries {
   val knnIvfSql: String = knnIvfOracleSql(nProbe = 6)
   val knnIvfHiSql: String = knnIvfOracleSql(nProbe = 12)
 
-  /** Exact SQL mirror of [[knnPq]]: the two PQ codebook chains (shared
-    * with the emb_pq oracle), per-query ADC tables as a query ×
-    * sub-centroid join, the ADC cut at rank 25 with the (a desc, n_id)
-    * tie-break, then the exact re-rank — every score pure arithmetic,
-    * so the whole search path hash-checks like the IVF family.
+  /** Exact SQL mirror of [[knnPq]], GENERATED from the same constants
+    * the Spark query reads (`PqSubLen`/`PqSubK`/`PqK`/`PqRerank`/
+    * `PqQueryMod`/`pqLos`), so the two sides cannot desync: one
+    * codebook chain per subspace, per-query ADC tables as a query ×
+    * sub-centroid join, the ADC cut at rank `PqRerank` with the
+    * (a desc, n_id) tie-break, then the exact re-rank — every score
+    * pure arithmetic, so the whole search path hash-checks like the
+    * IVF family. Addition order matches the Spark side's left-assoc
+    * reduce exactly.
     */
-  val knnPqSql: String = s"""
-    WITH ${pqChainCore(1, 32, 0).trim},
-    ${pqChainCore(33, 64, 1).trim},
+  val knnPqSql: String = {
+    val ss = pqLos.indices
+    val chains = ss.map(s =>
+      pqChainCore(pqLos(s), pqLos(s) + PqSubLen - 1, s, PqSubK).trim)
+    val codeCols = ss.map(s => s"a2$s.c_id AS code$s").mkString(", ")
+    val codeJoins = ss.tail.map(s => s"JOIN a2$s USING (vec_id)").mkString("\n      ")
+    val qds = ss.map(s => s"""qd$s AS (
+      SELECT q.vec_id AS q_id, c.c_id, list_inner_product(q.v, c.cv) AS d,
+        c.cn * c.cn AS sq
+      FROM e$s q, c1$s c WHERE q.vec_id % $PqQueryMod = 0)""")
+    val qdJoins = ss.tail.map(s =>
+      s"JOIN qd$s q$s ON q$s.q_id = q0.q_id AND q$s.c_id = x.code$s")
+      .mkString("\n      ")
+    val dSum = ss.map(s => s"q$s.d").mkString(" + ")
+    val sqSum = ss.map(s => s"q$s.sq").mkString(" + ")
+    s"""
+    WITH ${chains.mkString(",\n    ")},
     e AS (
       SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
         sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) AS nrm
       FROM embeddings),
     codes AS (
-      SELECT a0.vec_id, a0.c_id AS code0, a1.c_id AS code1
-      FROM a20 a0 JOIN a21 a1 USING (vec_id)),
-    qd0 AS (
-      SELECT q.vec_id AS q_id, c.c_id, list_inner_product(q.v, c.cv) AS d,
-        c.cn * c.cn AS sq
-      FROM e0 q, c10 c WHERE q.vec_id % 50 = 0),
-    qd1 AS (
-      SELECT q.vec_id AS q_id, c.c_id, list_inner_product(q.v, c.cv) AS d,
-        c.cn * c.cn AS sq
-      FROM e1 q, c11 c WHERE q.vec_id % 50 = 0),
+      SELECT a20.vec_id, $codeCols
+      FROM a20 $codeJoins),
+    ${qds.mkString(",\n    ")},
     adc AS (
       SELECT q0.q_id, x.vec_id AS n_id,
-        (q0.d + q1.d) / (eq.nrm * sqrt(q0.sq + q1.sq)) AS a
+        ($dSum) / (eq.nrm * sqrt($sqSum)) AS a
       FROM codes x
       JOIN qd0 q0 ON q0.c_id = x.code0
-      JOIN qd1 q1 ON q1.q_id = q0.q_id AND q1.c_id = x.code1
+      $qdJoins
       JOIN e eq ON eq.vec_id = q0.q_id
       WHERE x.vec_id != q0.q_id),
     cand AS (
       SELECT q_id, n_id FROM adc
-      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY a DESC, n_id) <= 25),
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY a DESC, n_id) <= $PqRerank),
     scored AS (
       SELECT c.q_id, c.n_id,
         list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
@@ -580,8 +611,9 @@ object ScaleQueries {
         cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
       FROM scored)
     SELECT q_id, n_id, round(cos, 6) AS cosine, rk
-    FROM ranked WHERE rk <= 5
+    FROM ranked WHERE rk <= $PqK
     ORDER BY q_id, rk"""
+  }
 
   val semDedupSql: String = s"""$kmeansCtePrefix,
     dropped AS (
@@ -666,7 +698,7 @@ object ScaleQueries {
     * assignment (a2\$s) — shared by the emb_pq report and the knn_pq
     * search oracle; [[pqChain]] appends the report aggregate.
     */
-  private def pqChainCore(lo: Int, hi: Int, s: Int): String = s"""
+  private def pqChainCore(lo: Int, hi: Int, s: Int, k: Int = 8): String = s"""
     e$s AS (
       SELECT vec_id, cast(embedding[$lo:$hi] AS DOUBLE[]) AS v,
         sqrt(list_inner_product(cast(embedding[$lo:$hi] AS DOUBLE[]),
@@ -674,7 +706,7 @@ object ScaleQueries {
       FROM embeddings),
     c0$s AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v AS cv, nrm AS cn
-      FROM (SELECT * FROM e$s ORDER BY vec_id LIMIT 8)),
+      FROM (SELECT * FROM e$s ORDER BY vec_id LIMIT $k)),
     a1$s AS (
       SELECT e.vec_id, e.v, c.c_id,
         row_number() OVER (PARTITION BY e.vec_id
@@ -930,14 +962,14 @@ object ScaleQueries {
         centroids = Some(Similarity.kmeansCentroids(c, k = 16, iters = 1))),
       minPct = 90)
 
-  /** Recall floor for the PQ/ADC path at rerank = 25 (5·k): measured
-    * 96 / 94 / 90.5 % at sf0.001/0.01/0.1 (RecallSweep PQ section) —
-    * the 2×3-bit code is coarse, but a 5× re-rank margin recovers ≥90%;
-    * floor 70 leaves ~20pp for a corpus regeneration.
+  /** Recall floor for the PQ/ADC path at the search-grade codebooks
+    * (8×8-dim, 16 cells, rerank = PqRerank = 10·k). Floor set from the
+    * RecallSweep PQ section's measured minimum with ~20pp margin — see
+    * the sweep output quoted there before changing this.
     */
   def knnPqRecall(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, (q, c) =>
-      Similarity.knnPq(q, c, k = 5, rerank = 25, pqSubspaces(c)),
+      Similarity.knnPq(q, c, k = PqK, rerank = PqRerank, pqSubspaces(c)),
       minPct = 70)
 
   private val annRecallSql: String = """

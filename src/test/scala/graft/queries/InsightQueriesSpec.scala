@@ -90,6 +90,30 @@ class InsightQueriesSpec extends AnyFunSuite {
     assert(got == List((1L, 2L, 3L, 2L)))
   }
 
+  test("freq_triples: a planted mega-basket is capped to its FreqBasketCap " +
+       "smallest frequent items before the k-cubed expansion") {
+    val dir = tempDir()
+    // two identical 70-item baskets: every item is frequent (2 baskets),
+    // so uncapped expansion would emit C(70,3) triples including
+    // (1,2,65..70); the cap keeps only items 1..64 per basket
+    val mega = (1L to 70L).toSeq
+    Seq((300L, mega), (301L, mega))
+      .flatMap { case (o, ps) => ps.map(p => (o, p, 50.0)) }
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = InsightQueries.freqTriples(spark, dir)
+      .select("p1", "p2", "p3", "support").as[(Long, Long, Long, Long)]
+      .collect().toList
+    assert(got.nonEmpty && got.forall(_._4 == 2L))
+    // every reported member sits inside the capped 64-item slice
+    assert(got.forall(t => t._1 <= 64 && t._2 <= 64 && t._3 <= 64),
+      s"uncapped item leaked: ${got.filter(_._3 > 64)}")
+    // the ordering means (1,2,64) must appear before the report fills,
+    // and (1,2,65) must never exist
+    assert(got.contains((1L, 2L, 64L, 2L)) || got.size == InsightQueries.FreqTopK)
+    assert(!got.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 65L))
+  }
+
   test("link_predict: a hub center above LinkDegCap contributes no wedges") {
     val dir = tempDir()
     // star: hub 10 with LinkDegCap+6 leaves — every leaf pair's ONLY
