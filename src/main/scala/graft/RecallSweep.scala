@@ -43,7 +43,7 @@ object RecallSweep {
       // across sub-codebook size and rerank — feeds the knn_pq_recall
       // floor (which must sit under every number the shipped (subK,
       // rerank) config prints here)
-      for (subK <- Seq(8, 16); rerank <- Seq(25, 50, 100))
+      for (subK <- Seq(16, 32); rerank <- Seq(25, 50, 100))
         recall(s"pq(8x8dim,subK=$subK,rerank=$rerank)",
           Similarity.knnPq(queries, prepped, k = 5, rerank = rerank,
             graft.queries.ScaleQueries.pqSubspaces(prepped, subK = subK)))

@@ -28,6 +28,36 @@ object Relational {
   /** Deterministic mean: exact sum divided by count, in double. */
   def avgExact(c: Column): Column = sumExact(c) / count(lit(1))
 
+  /** Hub-proof equi-join of a fact frame against a PER-KEY-SINGLE-ROW
+    * dimension (a count/stat frame keyed by the join keys): the fact
+    * side gets `salt = hash(spreadBy) % salts` row-locally, the dim
+    * replicates `salts`× via a literal salt frame, and the join runs on
+    * (keys :+ salt) — so a hot key's fact rows spread over `salts`
+    * reducers BY CONSTRUCTION. This is the [[graft.queries
+    * .CorpusQueries.pagerankOn]] defense extracted: AQE's skew split
+    * cannot fire on these joins because the dim child is
+    * Sort(HashAggregate(ShuffleQueryStage)), never the bare
+    * Sort(ShuffleQueryStage) the OptimizeSkewedJoin pattern requires
+    * (verified empirically — QuerySkewSpec documents the finalized
+    * plans). Results are salt-invariant: the dim carries one row per
+    * (key, salt) and the join multiplicity per fact row stays exactly 1.
+    *
+    * Cost: the dim shuffle is `salts`× its size — sized for dim ≪ fact
+    * (vocabulary / key-cardinality frames against token/edge-scale
+    * facts).
+    */
+  def saltedDimJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                    spreadBy: Column, salts: Int): DataFrame = {
+    if (salts <= 1) fact.join(dim, keys)
+    else {
+      val saltDf = dim.sparkSession.range(0, salts.toLong)
+        .select(col("id").cast("int").as("salt"))
+      fact.withColumn("salt", pmod(hash(spreadBy), lit(salts)))
+        .join(dim.crossJoin(saltDf), keys :+ "salt")
+        .drop("salt")
+    }
+  }
+
   /** Top-k rows per group by `order` (descending), ties broken by
     * `tieBreak` ascending so the result is total-ordered. One shuffle on
     * the group keys; no global window.

@@ -146,7 +146,33 @@ object Similarity {
     * @return centroid frame (c_id, cv, cn) for [[knnIvf]] — zero
     *         lineage, safe to reference any number of times
     */
-  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    lloyd(corpus, k, iters, bestCell(col("v"), col("nrm"), _))
+
+  /** L2-objective Lloyd k-means — the PQ sub-quantizer trainer.
+    * Identical loop to [[kmeansCentroids]] (deterministic lowest-id
+    * init, exact-decimal mean recompute, empty cells drop) but
+    * assignment minimizes ‖v − c‖², i.e. argmax (v·c − ‖c‖²/2) — the
+    * objective ADC's inner-product tables assume. Run it on NORMALIZED
+    * vectors for cosine search ([[knnPq]]).
+    */
+  def kmeansCentroidsL2(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    lloyd(corpus, k, iters, bestCellL2(col("v"), _))
+
+  /** Argmin-L2 cell id, row-local: argmax (v·c − ‖c‖²/2) over literal
+    * centroid banks; ties take the highest c_id like [[bestCell]].
+    */
+  private def bestCellL2(v: Column,
+                         cents: Seq[(Long, Seq[Double], Double)]): Column = {
+    val affs = cents.map { case (cid, cv, cn) =>
+      struct((dot(v, array(cv.map(lit): _*)) - lit(cn * cn / 2)).as("aff"),
+        lit(cid).as("c_id"))
+    }
+    (if (affs.length == 1) affs.head else greatest(affs: _*)).getField("c_id")
+  }
+
+  private def lloyd(corpus: DataFrame, k: Int, iters: Int,
+                    assign: Seq[(Long, Seq[Double], Double)] => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -155,7 +181,7 @@ object Similarity {
       .select(col("c_id"), col("v").as("cv"), col("nrm").as("cn")))
     for (_ <- 0 until iters) {
       val assigned = corpus.select(
-        bestCell(col("v"), col("nrm"), cents).as("c_id"), col("v"))
+        assign(cents).as("c_id"), col("v"))
       cents = centArrays(assigned
         .select(col("c_id"), posexplode(col("v")))
         .groupBy(col("c_id"), col("pos"))
@@ -221,37 +247,47 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
   }
 
+  /** Normalized slice of a prepped vector: the storage float slice
+    * widened and divided element-wise by the FULL-vector norm — the
+    * unit-sphere projection PQ-for-cosine quantizes. Mirrors as
+    * `list_transform(v[lo:hi], x -> x / nrm)`.
+    */
+  def unitSlice(v: Column, nrm: Column, lo: Int, len: Int): Column =
+    transform(slice(v, lo, len), x => x / nrm)
+
   /** Product-quantization ANN: asymmetric-distance (ADC) scan over PQ
     * codes + exact re-rank — the compression layer of a 100 TB vector
     * deployment. Each corpus vector is encoded once as one sub-codebook
-    * cell id PER SUBSPACE (here 2×3 bits vs 64×32-bit floats); the
+    * cell id PER SUBSPACE (e.g. 8×4 bits vs 64×32-bit floats); the
     * candidate scan then reads ONLY the code columns — at corpus scale
     * the full vectors never leave the parquet files except for the
     * nQ·rerank rows the exact re-rank touches.
     *
-    * ADC: the query precomputes, per subspace, its dot product against
-    * every sub-centroid (an 8-entry table built ONCE per query row,
-    * before the broadcast) — a candidate's approximate cosine is then
-    * two O(1) table lookups:
-    *   cos(q, x) ≈ (Σ_s qtab_s[code_s]) / (‖q‖ · √(Σ_s cn_s[code_s]²))
-    * (x ≈ its concatenated sub-centroids, whose subspace norms are
-    * orthogonal-by-construction, so ‖x‖ ≈ √Σ cn²). The per-pair cost
-    * drops from O(dim) multiplies to O(#subspaces) map lookups.
+    * Cosine-correct construction (the FAISS `IndexPQ` + inner-product
+    * recipe): both sides are first projected to the UNIT SPHERE
+    * (û = v/‖v‖), sub-quantizers are trained with the L2 objective on
+    * the normalized slices ([[kmeansCentroidsL2]]), and the ADC score
+    * is then a pure inner-product sum
+    *   cos(q, x) = û_q · û_x ≈ Σ_s qtab_s[code_s]
+    * with NO norm-denominator approximation at all (‖û_x‖ = 1 by
+    * construction; the per-query 1/‖q‖ factor is rank-invariant and
+    * folded into the normalized qtab). The per-pair cost is
+    * O(#subspaces) map lookups instead of O(dim) multiplies.
     *
     * Scale shape: code assignment is map-only against literal
     * sub-centroid banks (same as [[assignCells]]); the ADC scan is a
     * broadcast of the small query set over the codes-only projection;
     * the re-rank joins the tiny candidate list (broadcast) back to the
     * full vectors. Recall vs [[knnBrute]] is floor-audited in
-    * `knn_pq_recall`.
+    * `knn_pq_recall` and swept in RecallSweep's PQ section.
     *
     * Determinism: every score is pure IEEE arithmetic over
     * deterministic k-means centroids — fully SQL-mirrorable, ties break
     * on n_id in both lanes.
     *
     * @param subspaces (lo 1-based, len, trained sub-centroid frame) per
-    *                  subspace — [[kmeansCentroids]] output on the
-    *                  matching `slice` of the corpus
+    *                  subspace — [[kmeansCentroidsL2]] output on the
+    *                  matching NORMALIZED slice of the corpus
     * @param rerank    ADC candidates kept per query for the exact pass
     */
   def knnPq(queries: DataFrame, corpus: DataFrame, k: Int, rerank: Int,
@@ -259,45 +295,31 @@ object Similarity {
     val subs = subspaces.zipWithIndex.map { case ((lo, len, cent), s) =>
       (lo, len, centArrays(cent), s)
     }
-    // corpus → codes: stage the sub-slices + sub-norms in one projection
-    // (the argmax divides by the sub-norm 8×; staging keeps it computed
-    // once), then the row-local argmax per subspace. The ADC scan frame
-    // carries (n_id, code per subspace) — longs only, no vectors.
+    // corpus → codes: row-local L2 argmax per subspace over the
+    // normalized slices. The ADC scan frame carries (n_id, code per
+    // subspace) — longs only, no vectors.
     val staged = corpus.select(col("id").as("n_id") +: subs.map {
-      case (lo, len, _, s) => slice(col("v"), lit(lo), lit(len)).as(s"sv$s")
+      case (lo, len, _, s) => unitSlice(col("v"), col("nrm"), lo, len).as(s"sv$s")
     }: _*)
-    val withNorms = staged.select(col("n_id") +: subs.flatMap {
-      case (_, _, _, s) => Seq(col(s"sv$s"), norm(col(s"sv$s")).as(s"sn$s"))
+    val codes = staged.select(col("n_id") +: subs.map {
+      case (_, _, cents, s) => bestCellL2(col(s"sv$s"), cents).as(s"code$s")
     }: _*)
-    val codes = withNorms.select(col("n_id") +: subs.map {
-      case (_, _, cents, s) =>
-        bestCell(col(s"sv$s"), col(s"sn$s"), cents).as(s"code$s")
-    }: _*)
-    // query → per-subspace dot table over the literal sub-centroid bank,
-    // built BEFORE the broadcast so each dot runs once per query row
+    // query → per-subspace dot table of the NORMALIZED query slice
+    // against the literal sub-centroid bank, built ONCE per query row
+    // before the broadcast
     val qTabs = subs.map { case (lo, len, cents, s) =>
       map_from_arrays(
         array(cents.map(c => lit(c._1)): _*),
         array(cents.map { case (_, cv, _) =>
-          dot(slice(col("v"), lit(lo), lit(len)), array(cv.map(lit): _*))
+          dot(unitSlice(col("v"), col("nrm"), lo, len), array(cv.map(lit): _*))
         }: _*)).as(s"qtab$s")
     }
-    val qb = broadcast(queries.select(
-      Seq(col("id").as("q_id"), col("nrm").as("qn")) ++ qTabs: _*))
-    // squared sub-centroid norms: pure model parameters → literal maps
-    val sqMaps = subs.map { case (_, _, cents, s) =>
-      s -> map_from_arrays(
-        array(cents.map(c => lit(c._1)): _*),
-        array(cents.map { case (_, _, cn) => lit(cn * cn) }: _*))
-    }.toMap
+    val qb = broadcast(queries.select(col("id").as("q_id") +: qTabs: _*))
     val adc = qb.join(codes, col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        (subs.map { case (_, _, _, s) =>
+        subs.map { case (_, _, _, s) =>
           element_at(col(s"qtab$s"), col(s"code$s"))
-        }.reduce(_ + _) /
-          (col("qn") * sqrt(subs.map { case (_, _, _, s) =>
-            element_at(sqMaps(s), col(s"code$s"))
-          }.reduce(_ + _)))).as("adc"))
+        }.reduce(_ + _).as("adc"))
     val cand = Relational.topKPerGroup(adc, Seq("q_id"), col("adc"),
         col("n_id"), rerank)
       .select(col("q_id"), col("n_id"))

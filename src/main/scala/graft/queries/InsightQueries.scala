@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{DupClusters, Materialize, TextAnalysis, ZOrder}
+import graft.operators.{DupClusters, Materialize, Relational, TextAnalysis, ZOrder}
 import graft.sources.Tables
 
 /** Graph, warehouse-ops, and corpus-insight operators: triangle
@@ -657,6 +657,10 @@ object InsightQueries {
     * true 100 TB scale keep the decimal column). Scale shape: two keyed
     * aggregation exchanges per round, top-k via TakeOrderedAndProject.
     */
+  /** Salt fan-out for [[hitsRank]]'s two score joins (the
+    * [[CorpusQueries.PrSalt]] convention — physical only). */
+  val HitsSalt = 8
+
   def hitsRank(spark: SparkSession, dir: String): DataFrame = {
     val dec: Column => Column = _.cast(DecimalType(38, 0))
     val e = Materialize(spark.read.parquet(s"$dir/orders.parquet")
@@ -666,9 +670,15 @@ object InsightQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct())
+    // both score joins are fact × per-key-single-row frames where a hot
+    // part (or a whale customer) concentrates one SMJ reducer and AQE's
+    // skew split structurally can't fire (QuerySkewSpec) — salted like
+    // pagerank: physical distribution only, exact sums unchanged
     val a1 = e.groupBy("p").agg(count(lit(1)).as("a1"))
-    val h1 = e.join(a1, "p").groupBy("c").agg(sum(dec(col("a1"))).as("h1"))
-    val a2 = e.join(h1, "c").groupBy("p").agg(sum(col("h1")).as("a2"))
+    val h1 = Relational.saltedDimJoin(e, a1, Seq("p"), col("c"), HitsSalt)
+      .groupBy("c").agg(sum(dec(col("a1"))).as("h1"))
+    val a2 = Relational.saltedDimJoin(e, h1, Seq("c"), col("p"), HitsSalt)
+      .groupBy("p").agg(sum(col("h1")).as("a2"))
     val top = a2.join(a1, "p")
       .select(col("p").as("partkey"), col("a1"), col("a2").cast("long").as("a2"))
       .orderBy(col("a2").desc, col("partkey"))

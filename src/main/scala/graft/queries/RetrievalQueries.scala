@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.TextAnalysis
+import graft.operators.{Relational, TextAnalysis}
 
 /** Retrieval-stack operators over the documents corpus: BM25 keyword
   * scoring, reciprocal-rank fusion of two candidate lists, unigram-LM
@@ -249,6 +249,13 @@ object RetrievalQueries {
     * contract). Docs with < 2 tokens have no transitions and are
     * absent, matching the oracle.
     */
+  /** Salt fan-out for the bigram-count joins in [[docLogprob2]] /
+    * [[docLogprobInterp]]: a Zipf-hot bigram spreads over `LmSalt`
+    * reducers instead of one (the [[graft.queries.CorpusQueries.PrSalt]]
+    * convention — physical distribution only, results salt-invariant).
+    */
+  val LmSalt = 8
+
   def docLogprob2(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .select(col("doc_id"), TextAnalysis.wordTokens(lower(col("text"))).as("t"))
@@ -259,7 +266,10 @@ object RetrievalQueries {
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val cab = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
     val ca = toks(docs(spark, dir)).groupBy("term").agg(count(lit(1)).as("c_a"))
-    bi.join(cab, Seq("a", "b"))
+    // hub-proof bigram join: a boilerplate bigram ("of the" at corpus
+    // scale) would otherwise land its whole token stream on one SMJ
+    // reducer, and AQE's skew split can't fire here (QuerySkewSpec)
+    Relational.saltedDimJoin(bi, cab, Seq("a", "b"), col("doc_id"), LmSalt)
       .join(broadcast(ca.select(col("term").as("a"), col("c_a"))), Seq("a"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -316,7 +326,7 @@ object RetrievalQueries {
       (dec(lit(7)) * dec(col("c_ab")) * dec(col("n"))
         + dec(lit(3)) * dec(col("c_a")) * dec(col("c_b"))).cast("double")
       / (dec(lit(10)) * dec(col("c_a")) * dec(col("n"))).cast("double"))
-    bi.join(cab, Seq("a", "b"))
+    Relational.saltedDimJoin(bi, cab, Seq("a", "b"), col("doc_id"), LmSalt)
       .join(broadcast(uni.select(col("term").as("a"), col("c").as("c_a"))), Seq("a"))
       .join(broadcast(uni.select(col("term").as("b"), col("c").as("c_b"))), Seq("b"))
       .crossJoin(broadcast(n))
