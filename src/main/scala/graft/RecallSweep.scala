@@ -47,6 +47,18 @@ object RecallSweep {
         recall(s"pq(8x8dim,subK=$subK,rerank=$rerank)",
           Similarity.knnPq(queries, prepped, k = 5, rerank = rerank,
             graft.queries.ScaleQueries.pqSubspaces(prepped, subK = subK)))
+      // IVF+PQ section: composed index (coarse cell pruning + residual
+      // ADC) across coarse training depth, residual sub-codebook size,
+      // probe count and rerank — feeds the knn_ivfpq_recall floor.
+      for (cIters <- Seq(1, 3); subK <- Seq(16, 32)) {
+        val coarse = Similarity.kmeansCentroids(prepped, k = 16, iters = cIters)
+        val subs = graft.queries.ScaleQueries.ivfPqSubspaces(prepped, coarse,
+          subK = subK)
+        for (nProbe <- Seq(8, 10, 12, 16); rerank <- Seq(50, 100))
+          recall(s"ivfpq(16c,it=$cIters,8x8dim,subK=$subK,nProbe=$nProbe,rerank=$rerank)",
+            Similarity.knnIvfPq(queries, prepped, k = 5, rerank = rerank,
+              nProbe = nProbe, coarse = coarse, subspaces = subs))
+      }
       // near-dup audits: recall of the found pair sets vs rare-gram truth
       val (grams, truth) = graft.queries.ScaleQueries.raregramTruth(spark, dir)
       val nTrue = truth.count()

@@ -140,6 +140,43 @@ object ScaleProbe {
       }
       times.min
     }
+    // Two-decade mode (`runMain graft.ScaleProbe 100x`): a 100×-replica
+    // corpus (same disjoint-key/disjoint-gram construction, 100 reps)
+    // for the cheap pipelines, probing sf0.1 → sf1 → sf10 so each
+    // DECADE's ratio is measured, not extrapolated. Offsets are the
+    // sf1 ones — they clear 100 replicas too (doc_id < 1e6 · 100 reps
+    // < Long; o_orderkey 1e9 · 100 ≪ Long), asserted above.
+    if (args.contains("100x")) {
+      val out10 = "target/scaledata/sf10"
+      if (!new java.io.File(s"$out10/documents.parquet").exists()) {
+        val reps = spark.range(0, 100).select(col("id").as("rep"))
+        spark.read.parquet(s"$src/documents.parquet").crossJoin(reps)
+          .select(
+            (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+            when(col("rep") === 0, col("text")).otherwise(
+              regexp_replace(col("text"), lit("(\\S+)"),
+                concat(lit("$1r"), col("rep").cast("string")))).as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .write.mode("overwrite").parquet(s"$out10/documents.parquet")
+        spark.read.parquet(s"$src/orders.parquet").crossJoin(reps)
+          .withColumn("o_orderkey", col("o_orderkey") + col("rep") * 1000000000L)
+          .withColumn("o_custkey", col("o_custkey") + col("rep") * 10000000L)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$out10/orders.parquet")
+        println("GENERATED sf10 corpus (documents + orders, 100 reps)")
+      }
+      for (q <- Seq("dedup_rewrite", "novelty_rate", "cdc_apply", "rfm_segment")) {
+        val t01 = timeQ(q, src)
+        val t1 = timeQ(q, out)
+        val t10 = timeQ(q, out10)
+        println(f"PROBE100 $q sf0.1=$t01%.2f s sf1=$t1%.2f s sf10=$t10%.2f s " +
+          f"ratio10=${t1 / t01}%.1f ratio100=${t10 / t01}%.1f")
+      }
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_ONLY restricts the probe (same contract as Bench)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     for (q <- Queries if only.forall(_(q))) {

@@ -50,10 +50,12 @@ object Relational {
                     spreadBy: Column, salts: Int): DataFrame = {
     if (salts <= 1) fact.join(dim, keys)
     else {
-      val saltDf = dim.sparkSession.range(0, salts.toLong)
-        .select(col("id").cast("int").as("salt"))
+      // dim replication is a row-local explode of a literal salt array —
+      // a generator, not a join, so the plan stays free of BNLJ/cartesian
+      // nodes even on the replicated side
+      val saltArr = explode(array((0 until salts).map(lit): _*))
       fact.withColumn("salt", pmod(hash(spreadBy), lit(salts)))
-        .join(dim.crossJoin(saltDf), keys :+ "salt")
+        .join(dim.withColumn("salt", saltArr), keys :+ "salt")
         .drop("salt")
     }
   }

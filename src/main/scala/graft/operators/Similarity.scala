@@ -258,7 +258,7 @@ object Similarity {
   /** Product-quantization ANN: asymmetric-distance (ADC) scan over PQ
     * codes + exact re-rank — the compression layer of a 100 TB vector
     * deployment. Each corpus vector is encoded once as one sub-codebook
-    * cell id PER SUBSPACE (e.g. 8×4 bits vs 64×32-bit floats); the
+    * cell id PER SUBSPACE (e.g. 8×5 bits vs 64×32-bit floats); the
     * candidate scan then reads ONLY the code columns — at corpus scale
     * the full vectors never leave the parquet files except for the
     * nQ·rerank rows the exact re-rank touches.
@@ -325,6 +325,116 @@ object Similarity {
       .select(col("q_id"), col("n_id"))
     // exact re-rank: the tiny candidate list broadcasts into one pass
     // over the full-vector corpus — the only place whole vectors move
+    val qv = broadcast(queries.select(col("id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qn")))
+    val scored = corpus.join(broadcast(cand), col("id") === col("n_id"))
+      .join(qv, Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+    Relational.topKPerGroup(scored, Seq("q_id"), col("cos"), col("n_id"), k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
+  }
+
+  /** Coarse-residual frame for IVF+PQ: each prepped vector is assigned
+    * to its Voronoi cell (row-local argmax against the literal coarse
+    * bank, same tie-break as [[assignCells]]) and re-expressed as the
+    * residual from the cell's UNIT centroid:
+    *   r = û − ĉ(cell),  û = v/‖v‖,  ĉ = cv/‖cv‖.
+    * Because û = ĉ + r exactly, the cosine against any unit query
+    * decomposes as û_q·û = û_q·ĉ + û_q·r — the first term is exact
+    * per probed cell and only the residual needs quantizing. Residuals
+    * concentrate near 0 far more tightly than raw vectors, which is
+    * why per-cell-residual sub-codebooks of the same bit budget rank
+    * candidates much better than flat-PQ codes (the FAISS `IndexIVFPQ`
+    * construction). Map-only: the centroid bank rides along as a
+    * literal `map(c_id → ĉ)`, no join or shuffle.
+    *
+    * @return (id, c_id, r) with r already double-typed
+    */
+  def residualFrame(corpus: DataFrame, coarse: DataFrame): DataFrame = {
+    val cents = centArrays(coarse)
+    val unitCentMap = map_from_arrays(
+      array(cents.map(c => lit(c._1)): _*),
+      array(cents.map { case (_, cv, cn) => array(cv.map(x => lit(x / cn)): _*) }: _*))
+    corpus.select(col("id"),
+        bestCell(col("v"), col("nrm"), cents).as("c_id"),
+        transform(col("v"), x => x / col("nrm")).as("u"))
+      .select(col("id"), col("c_id"),
+        zip_with(col("u"), element_at(unitCentMap, col("c_id")),
+          (a, b) => a - b).as("r"))
+  }
+
+  /** Composed IVF+PQ ANN — the index shape a 100 TB vector consumer
+    * actually deploys: the coarse quantizer prunes the corpus to
+    * `nProbe` Voronoi cells per query, and within the probed cells the
+    * scan reads PQ codes only (8 longs per vector), scoring each
+    * candidate as
+    *   score = û_q·ĉ(cell)  +  Σ_s qtab_s[code_s]
+    * i.e. the exact query-centroid affinity plus the ADC estimate of
+    * û_q·r from per-subspace RESIDUAL codebooks ([[residualFrame]]).
+    * The top `rerank` candidates per query get an exact re-rank — the
+    * only place full vectors move.
+    *
+    * Contrast with the two halves it composes: [[knnIvf]] prunes cells
+    * but carries full vectors through the candidate join; [[knnPq]]
+    * compresses every comparison but scans ALL codes per query batch.
+    * Here the scanned fraction is nProbe/nCells of the CODES — at
+    * corpus scale, with the codes frame written partitioned by c_id,
+    * cell pruning becomes parquet partition pruning and the full
+    * vectors are touched only for the nQ·rerank re-rank rows.
+    *
+    * Determinism: pure IEEE arithmetic over deterministic k-means
+    * banks end to end (coarse affinities, residual code argmins, ADC
+    * map lookups) — fully SQL-mirrorable; ties break on n_id.
+    *
+    * @param coarse    coarse centroid frame ([[kmeansCentroids]])
+    * @param subspaces (lo 1-based, len, sub-centroid frame) trained by
+    *                  [[kmeansCentroidsL2]] on the matching SLICE of
+    *                  [[residualFrame]]'s r column
+    */
+  def knnIvfPq(queries: DataFrame, corpus: DataFrame, k: Int, rerank: Int,
+               nProbe: Int, coarse: DataFrame,
+               subspaces: Seq[(Int, Int, DataFrame)]): DataFrame = {
+    val cents = centArrays(coarse)
+    val subs = subspaces.zipWithIndex.map { case ((lo, len, cent), s) =>
+      (lo, len, centArrays(cent), s)
+    }
+    // corpus → (c_id, code per subspace): row-local residual + L2
+    // argmin per subspace. Longs only — this is the frame a deployment
+    // persists, partitioned by c_id.
+    val resid = residualFrame(corpus, coarse)
+    val codes = resid.select(col("id").as("n_id") +: col("c_id") +: subs.map {
+      case (lo, len, sc, s) => bestCellL2(slice(col("r"), lo, len), sc).as(s"code$s")
+    }: _*)
+    // query → nProbe (cell, exact affinity) pairs from an in-row struct
+    // sort (ties toward the LOWEST c_id, the knnIvf probe convention),
+    // plus one ADC dot-table per subspace over the UNIT query slice —
+    // all built before the broadcast.
+    val probed = explode(slice(array_sort(array(cents.map { case (cid, cv, cn) =>
+      val aff = cosine(col("v"), col("nrm"), array(cv.map(lit): _*), lit(cn))
+      struct((-aff).as("negaff"), lit(cid).as("c_id"), aff.as("aff"))
+    }: _*)), 1, nProbe))
+    val qTabs = subs.map { case (lo, len, sc, s) =>
+      map_from_arrays(
+        array(sc.map(c => lit(c._1)): _*),
+        array(sc.map { case (_, cv, _) =>
+          dot(unitSlice(col("v"), col("nrm"), lo, len), array(cv.map(lit): _*))
+        }: _*)).as(s"qtab$s")
+    }
+    val qb = broadcast(queries
+      .select(col("id").as("q_id") +: probed.as("p") +: qTabs: _*)
+      .select(Seq(col("q_id"), col("p.c_id").as("c_id"), col("p.aff").as("aff")) ++
+        subs.map { case (_, _, _, s) => col(s"qtab$s") }: _*))
+    val adc = qb.join(codes, Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        subs.map { case (_, _, _, s) =>
+          element_at(col(s"qtab$s"), col(s"code$s"))
+        }.foldLeft(col("aff"))(_ + _).as("adc"))
+    val cand = Relational.topKPerGroup(adc, Seq("q_id"), col("adc"),
+        col("n_id"), rerank)
+      .select(col("q_id"), col("n_id"))
+    // exact re-rank, identical to knnPq's tail
     val qv = broadcast(queries.select(col("id").as("q_id"),
       col("v").as("qv"), col("nrm").as("qn")))
     val scored = corpus.join(broadcast(cand), col("id") === col("n_id"))

@@ -303,19 +303,34 @@ object ScaleQueries {
   /** Search-grade PQ configuration — SINGLE source of truth for the
     * Spark query, the generated SQL oracle ([[knnPqSql]]), the recall
     * audit, and the RecallSweep measurement: 8 subspaces × 8 dims over
-    * the 64-dim embedding, 16 cells per sub-codebook → 16⁸ ≈ 4.3e9
-    * distinct ADC codes. The round-9 path reused the emb_pq REPORT
-    * codebooks (2×32-dim, 8 cells = 64 codes corpus-wide), so ADC
-    * scores collapsed into giant tie groups and the rank cut selected
+    * the 64-dim embedding, 32 cells per sub-codebook (5 bits × 8 = 40
+    * bits/vector). The round-9 path reused the emb_pq REPORT codebooks
+    * (2×32-dim, 8 cells = 64 codes corpus-wide), so ADC scores
+    * collapsed into giant tie groups and the rank cut selected
     * near-random lowest-id candidates (~18% recall). Finer codes — not
-    * more rerank — is the fix; the emb_pq report keeps its own coarse
-    * layout (that one measures compression, not search).
+    * only more rerank — is the fix; the emb_pq report keeps its own
+    * coarse layout (that one measures compression, not search).
+    *
+    * RecallSweep PQ section, measured 2026-08-14 (this round):
+    *   sf0.001: subK=16 r=25/50/100 → 48/64/88; subK=32 → 70/84/96
+    *   sf0.01:  subK=16 r=25/50/100 → 56/68/86; subK=32 → 70/84/92
+    * Shipped (subK=32, rerank=100) = 96/92 ⇒ floor 70 has ≥22pp margin.
+    * The previous shipped point (subK=16, rerank=50) measured 64/68 —
+    * UNDER the 70 floor at both gate SFs, which is why round-9/early-10
+    * knn_pq_recall was red.
     */
   private[graft] val PqSubLen = 8
-  private[graft] val PqSubK = 16
+  private[graft] val PqSubK = 32
   private[graft] val PqK = 5
-  private[graft] val PqRerank = 50
+  private[graft] val PqRerank = 100
   private[graft] val PqQueryMod = 50
+  /** Recall floors (pct) for the two PQ search paths — the single
+    * source for the `knn_pq_recall`/`knn_ivfpq_recall` tolerance
+    * oracles AND the SimilaritySpec pins; set from the RecallSweep
+    * sections' measured minima with margin.
+    */
+  private[graft] val PqMinPct = 70
+  private[graft] val IvfPqMinPct = 70
   private[graft] val pqLos: Seq[Int] = (0 until Dim / PqSubLen).map(1 + _ * PqSubLen)
 
   /** The search codebooks as [[Similarity.knnPq]] inputs — kept as a
@@ -333,8 +348,8 @@ object ScaleQueries {
       (lo, PqSubLen, Similarity.kmeansCentroidsL2(sub, k = subK, iters = 1))
     }
 
-  /** PQ-based ANN over the same query set: ADC scan over the 8×4-bit
-    * codes, exact re-rank of the top `PqRerank` candidates (10·k).
+  /** PQ-based ANN over the same query set: ADC scan over the 8×5-bit
+    * codes, exact re-rank of the top `PqRerank` candidates (20·k).
     * Fully oracle-checked (pure arithmetic end to end, like the IVF
     * family); recall vs brute force is floor-audited in
     * `knn_pq_recall`.
@@ -344,6 +359,53 @@ object ScaleQueries {
     val queries = prepped.filter(col("id") % PqQueryMod === 0)
     Similarity.knnPq(queries, prepped, k = PqK, rerank = PqRerank,
       pqSubspaces(prepped)).orderBy("q_id", "rk")
+  }
+
+  /** IVF+PQ probe count — 12 of 16 cells, the RecallSweep IVF+PQ
+    * section's knee at the shipped residual codebooks (iters=1 coarse,
+    * subK=32, rerank=100), measured 2026-08-14:
+    *   sf0.001: nProbe=8/10/12/16 → 84/88/90/92
+    *   sf0.01:  nProbe=8/10/12/16 → 72/80/88/90
+    * Shipped (nProbe=12) = 90/88 ⇒ floor 70 has ≥18pp margin while
+    * scanning 75% of the CODES (the IVF-flat ceiling at 12 probes is
+    * 98/96). A 3-round coarse quantizer only helps at rerank=50
+    * (72→84-level at sf0.001) and would cost a 3-round unrolled SQL
+    * mirror; at rerank=100 it is within noise of iters=1, so the
+    * composed index shares knn_ivf's 1-round coarse chain.
+    */
+  private[graft] val IvfPqNProbe = 12
+
+  /** Residual sub-codebooks for the composed IVF+PQ index — trained by
+    * [[Similarity.kmeansCentroidsL2]] on SLICES of
+    * [[Similarity.residualFrame]]'s r column (û − ĉ(cell)), sharing
+    * the flat-PQ layout constants so the two PQ paths differ ONLY in
+    * what they quantize.
+    */
+  private[graft] def ivfPqSubspaces(corpus: DataFrame, coarse: DataFrame,
+                                    subK: Int = PqSubK): Seq[(Int, Int, DataFrame)] = {
+    val resid = Similarity.residualFrame(corpus, coarse)
+    pqLos.map { lo =>
+      val sub = resid.select(col("id"),
+          slice(col("r"), lo, PqSubLen).as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      (lo, PqSubLen, Similarity.kmeansCentroidsL2(sub, k = subK, iters = 1))
+    }
+  }
+
+  /** Composed IVF+PQ ANN — coarse cell pruning (the knn_ivf index,
+    * 16 cells / 1 Lloyd round) + ADC over per-subspace RESIDUAL
+    * codebooks within the probed cells + exact re-rank. The
+    * deployment-shape index: scans nProbe/16 of the CODES, touches
+    * full vectors only for the rerank rows. Pure arithmetic end to
+    * end → fully oracle-checked like the IVF and flat-PQ paths.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
+    val queries = prepped.filter(col("id") % PqQueryMod === 0)
+    val coarse = Similarity.kmeansCentroids(prepped, k = 16, iters = 1)
+    Similarity.knnIvfPq(queries, prepped, k = PqK, rerank = PqRerank,
+      nProbe = IvfPqNProbe, coarse = coarse,
+      subspaces = ivfPqSubspaces(prepped, coarse)).orderBy("q_id", "rk")
   }
 
   /** Winnowing (rolling-hash) fingerprints over documents — engine-
@@ -592,12 +654,18 @@ object ScaleQueries {
     * from [[pqChainCore]], which mirrors the emb_pq REPORT's
     * cosine-trained codebooks.
     */
-  private def pqL2ChainCore(lo: Int, hi: Int, s: Int, k: Int): String = s"""
-    e$s AS (
+  private def pqL2ChainCore(lo: Int, hi: Int, s: Int, k: Int): String =
+    pqL2Chain(s, k, s"""
       SELECT vec_id, list_transform(cast(embedding[$lo:$hi] AS DOUBLE[]),
         x -> x / sqrt(list_inner_product(cast(embedding AS DOUBLE[]),
                                          cast(embedding AS DOUBLE[])))) AS v
-      FROM embeddings),
+      FROM embeddings""")
+
+  /** The same L2 chain over an arbitrary (vec_id, v) source — the
+    * residual-slice variant feeds the IVF+PQ oracle.
+    */
+  private def pqL2Chain(s: Int, k: Int, srcSql: String): String = s"""
+    e$s AS ($srcSql),
     c0$s AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v AS cv,
         sqrt(list_inner_product(v, v)) AS cn
@@ -623,7 +691,17 @@ object ScaleQueries {
       FROM e$s e, c1$s c
       QUALIFY rn = 1)"""
 
-  val knnPqSql: String = {
+  /** DuckDB planner guard for the generated many-CTE oracles: mark
+    * every CTE `AS MATERIALIZED`. Without it DuckDB 1.0 INLINES each
+    * CTE reference, and the PQ oracles' ~40 inlined relations blow up
+    * join-order planning (measured: knn_pq >5 min / knn_ivfpq >70 GB
+    * at sf0.01); with it both run in ~0.5 s. Purely a planner hint —
+    * results are identical.
+    */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
+  val knnPqSql: String = materializeCtes {
     val ss = pqLos.indices
     val chains = ss.map(s =>
       pqL2ChainCore(pqLos(s), pqLos(s) + PqSubLen - 1, s, PqSubK).trim)
@@ -653,6 +731,76 @@ object ScaleQueries {
       JOIN qd0 q0 ON q0.c_id = x.code0
       $qdJoins
       WHERE x.vec_id != q0.q_id),
+    cand AS (
+      SELECT q_id, n_id FROM adc
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY a DESC, n_id) <= $PqRerank),
+    scored AS (
+      SELECT c.q_id, c.n_id,
+        list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
+      FROM cand c
+      JOIN e q ON q.vec_id = c.q_id
+      JOIN e x ON x.vec_id = c.n_id),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+        cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+      FROM scored)
+    SELECT q_id, n_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= $PqK
+    ORDER BY q_id, rk"""
+  }
+
+  /** Exact SQL mirror of [[knnIvfPq]], generated from the shared PQ
+    * constants plus [[IvfPqNProbe]]: the coarse k-means chain
+    * (`kmeansCtePrefix`), the residual frame (û − ĉ(cell), element
+    * divisions in the same order as `Similarity.residualFrame`), one
+    * residual-slice L2 chain per subspace ([[pqL2Chain]]), probes with
+    * the (aff desc, c_id ASC) tie-break carrying the exact affinity
+    * term, ADC = aff + Σ d_s in the Spark side's left-assoc order,
+    * rank cuts tie-broken on n_id in both lanes.
+    */
+  val knnIvfPqSql: String = materializeCtes {
+    val ss = pqLos.indices
+    val residSql = """
+    resid AS (
+      SELECT a.vec_id, a.c_id,
+        list_transform(range(1, len(a.v) + 1),
+          i -> a.v[i] / a.nrm - c.cv[i] / c.cn) AS r
+      FROM a2 a JOIN c1 c ON a.c_id = c.c_id)"""
+    val chains = ss.map(s => pqL2Chain(s, PqSubK,
+      s"SELECT vec_id, r[${pqLos(s)}:${pqLos(s) + PqSubLen - 1}] AS v FROM resid").trim)
+    val codeCols = ss.map(s => s"a2$s.c_id AS code$s").mkString(", ")
+    val codeJoins = ss.map(s => s"JOIN a2$s USING (vec_id)").mkString("\n      ")
+    val qds = ss.map { s =>
+      val (lo, hi) = (pqLos(s), pqLos(s) + PqSubLen - 1)
+      s"""qd$s AS (
+      SELECT q.vec_id AS q_id, c.c_id,
+        list_inner_product(list_transform(q.v[$lo:$hi], x -> x / q.nrm), c.cv) AS d
+      FROM e q, c1$s c WHERE q.vec_id % $PqQueryMod = 0)"""
+    }
+    val qdJoins = ss.map(s =>
+      s"JOIN qd$s q$s ON q$s.q_id = p.q_id AND q$s.c_id = x.code$s")
+      .mkString("\n      ")
+    val dSum = ss.map(s => s"q$s.d").mkString(" + ")
+    s"""$kmeansCtePrefix,
+    ${residSql.trim},
+    ${chains.mkString(",\n    ")},
+    codes AS (
+      SELECT r.vec_id, r.c_id, $codeCols
+      FROM resid r $codeJoins),
+    probe AS (
+      SELECT q.vec_id AS q_id, c.c_id,
+        list_inner_product(q.v, c.cv) / (q.nrm * c.cn) AS aff
+      FROM e q, c1 c
+      WHERE q.vec_id % $PqQueryMod = 0
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_inner_product(q.v, c.cv) / (q.nrm * c.cn) DESC, c.c_id) <= $IvfPqNProbe),
+    ${qds.mkString(",\n    ")},
+    adc AS (
+      SELECT p.q_id, x.vec_id AS n_id,
+        (p.aff + $dSum) AS a
+      FROM codes x
+      JOIN probe p ON p.c_id = x.c_id AND x.vec_id != p.q_id
+      $qdJoins),
     cand AS (
       SELECT q_id, n_id FROM adc
       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY a DESC, n_id) <= $PqRerank),
@@ -1019,14 +1167,29 @@ object ScaleQueries {
       minPct = 90)
 
   /** Recall floor for the PQ/ADC path at the search-grade codebooks
-    * (8×8-dim, 16 cells, rerank = PqRerank = 10·k). Floor set from the
-    * RecallSweep PQ section's measured minimum with ~20pp margin — see
-    * the sweep output quoted there before changing this.
+    * (8×8-dim, 32 cells, rerank = PqRerank = 20·k). Floor set from the
+    * RecallSweep PQ section's measured minimum (92 at sf0.01, quoted
+    * at [[PqSubK]]) with ≥22pp margin — re-run the sweep before
+    * changing this.
     */
   def knnPqRecall(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, (q, c) =>
       Similarity.knnPq(q, c, k = PqK, rerank = PqRerank, pqSubspaces(c)),
-      minPct = 70)
+      minPct = PqMinPct)
+
+  /** Recall floor for the composed IVF+PQ index at (nProbe=12/16,
+    * rerank = PqRerank). Floor set from the RecallSweep IVF+PQ
+    * section's measured minimum (88 at sf0.01, curve quoted at
+    * [[IvfPqNProbe]]) with ≥18pp margin — re-run the sweep before
+    * changing this.
+    */
+  def knnIvfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    annRecall(spark, dir, (q, c) => {
+      val coarse = Similarity.kmeansCentroids(c, k = 16, iters = 1)
+      Similarity.knnIvfPq(q, c, k = PqK, rerank = PqRerank,
+        nProbe = IvfPqNProbe, coarse = coarse,
+        subspaces = ivfPqSubspaces(c, coarse))
+    }, minPct = IvfPqMinPct)
 
   private val annRecallSql: String = """
     WITH e AS (
@@ -1212,6 +1375,8 @@ object ScaleQueries {
     "knn_ivf_hi"    -> (knnIvfHi _),
     "knn_pq"        -> (knnPq _),
     "knn_pq_recall" -> (knnPqRecall _),
+    "knn_ivfpq"     -> (knnIvfPq _),
+    "knn_ivfpq_recall" -> (knnIvfPqRecall _),
     "sem_dedup"     -> (semDedup _),
     "kmeans_quality" -> (kmeansQuality _),
     "emb_pq"         -> (embPq _),
@@ -1249,9 +1414,11 @@ object ScaleQueries {
     "knn_ivf"       -> knnIvfSql,
     "knn_ivf_hi"    -> knnIvfHiSql,
     "knn_pq"        -> knnPqSql,
+    "knn_ivfpq"     -> knnIvfPqSql,
     "knn_ivf_recall" -> knnIvfRecallSql,
     "knn_ivf_hi_recall" -> knnIvfRecallSql,
     "knn_pq_recall" -> knnIvfRecallSql,
+    "knn_ivfpq_recall" -> knnIvfRecallSql,
     "sem_dedup"     -> semDedupSql,
     "kmeans_quality" -> kmeansQualitySql,
     "emb_pq"         -> embPqSql,

@@ -81,6 +81,67 @@ class SimilaritySpec extends AnyFunSuite {
       s"k-means cells regressed recall: $trainedRecall < $recall")
   }
 
+  test("pq knn recall vs brute force on the real sf0.001 embeddings") {
+    // pins the flat-PQ path at the SHIPPED operating point
+    // (ScaleQueries constants) so the knn_pq_recall gate can't regress
+    // without this spec failing first
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val prepped = Similarity.prep(embs, "vec_id", "embedding")
+    val queries = prepped.filter(col("id") % 50 === 0)
+    val brute = Similarity.knnBrute(queries, prepped, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val sq = graft.queries.ScaleQueries
+    val pq = Similarity.knnPq(queries, prepped, k = sq.PqK, rerank = sq.PqRerank,
+        sq.pqSubspaces(prepped))
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= (sq.PqMinPct - 5) / 100.0,
+      s"PQ recall $recall under the floor-with-margin at the shipped config")
+    assert(pq.forall { case (q, n) => q != n })
+  }
+
+  test("ivf+pq knn recall vs brute force on the real sf0.001 embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val prepped = Similarity.prep(embs, "vec_id", "embedding")
+    val queries = prepped.filter(col("id") % 50 === 0)
+    val brute = Similarity.knnBrute(queries, prepped, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val sq = graft.queries.ScaleQueries
+    val coarse = Similarity.kmeansCentroids(prepped, k = 16, iters = 1)
+    val ivfpq = Similarity.knnIvfPq(queries, prepped, k = sq.PqK,
+        rerank = sq.PqRerank, nProbe = sq.IvfPqNProbe, coarse = coarse,
+        subspaces = sq.ivfPqSubspaces(prepped, coarse))
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = ivfpq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= (sq.IvfPqMinPct - 5) / 100.0,
+      s"IVF+PQ recall $recall under the floor-with-margin at the shipped config")
+    assert(ivfpq.forall { case (q, n) => q != n })
+  }
+
+  test("residualFrame reconstructs the unit vector exactly per cell") {
+    // û = ĉ(cell) + r by construction — verify the identity on real
+    // embeddings: adding the residual back to the assigned unit
+    // centroid must reproduce v/‖v‖ to double round-off
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val prepped = Similarity.prep(embs, "vec_id", "embedding")
+    val coarse = Similarity.kmeansCentroids(prepped, k = 16, iters = 1)
+    val resid = Similarity.residualFrame(prepped, coarse)
+    val cents = coarse.select(col("c_id"), col("cv"), col("cn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).map(_ / r.getDouble(2))))
+      .toMap
+    val rows = resid.join(prepped, "id")
+      .select("id", "c_id", "r", "v", "nrm").collect()
+    for (row <- rows.take(200)) {
+      val c = cents(row.getLong(1))
+      val r = row.getSeq[Double](2)
+      val v = row.getSeq[Float](3)
+      val nrm = row.getDouble(4)
+      val err = c.zip(r).zip(v).map { case ((ci, ri), vi) =>
+        math.abs(ci + ri - vi / nrm) }.max
+      assert(err < 1e-12, s"residual identity broke: $err")
+    }
+  }
+
   test("blocked cosine near-dup finds planted duplicate vectors") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f), 0),
