@@ -47,6 +47,23 @@ object RecallSweep {
         recall(s"pq(8x8dim,subK=$subK,rerank=$rerank)",
           Similarity.knnPq(queries, prepped, k = 5, rerank = rerank,
             graft.queries.ScaleQueries.pqSubspaces(prepped, subK = subK)))
+      // deep-PQ section (env SWEEP_PQ_DEEP=1): sub-quantizer training
+      // depth × codebook size × rerank — run when re-picking the
+      // operating point; the default sweep keeps the fast grid
+      if (sys.env.contains("SWEEP_PQ_DEEP")) {
+        for (subK <- Seq(32, 64); iters <- Seq(1, 3); rerank <- Seq(100, 200))
+          recall(s"pqdeep(8x8dim,subK=$subK,it=$iters,rerank=$rerank)",
+            Similarity.knnPq(queries, prepped, k = 5, rerank = rerank,
+              graft.queries.ScaleQueries.pqSubspaces(prepped, subK = subK,
+                iters = iters)))
+        val coarse = Similarity.kmeansCentroids(prepped, k = 16, iters = 1)
+        for (subK <- Seq(32, 64); iters <- Seq(1, 3); rerank <- Seq(100, 200))
+          recall(s"ivfpqdeep(16c,8x8dim,subK=$subK,it=$iters,nProbe=12,rerank=$rerank)",
+            Similarity.knnIvfPq(queries, prepped, k = 5, rerank = rerank,
+              nProbe = 12, coarse = coarse,
+              subspaces = graft.queries.ScaleQueries.ivfPqSubspaces(prepped,
+                coarse, subK = subK, iters = iters)))
+      }
       // IVF+PQ section: composed index (coarse cell pruning + residual
       // ADC) across coarse training depth, residual sub-codebook size,
       // probe count and rerank — feeds the knn_ivfpq_recall floor.

@@ -394,18 +394,39 @@ object Similarity {
     */
   def knnIvfPq(queries: DataFrame, corpus: DataFrame, k: Int, rerank: Int,
                nProbe: Int, coarse: DataFrame,
-               subspaces: Seq[(Int, Int, DataFrame)]): DataFrame = {
+               subspaces: Seq[(Int, Int, DataFrame)]): DataFrame =
+    knnIvfPqOnCodes(queries, corpus, ivfPqCodes(corpus, coarse, subspaces),
+      k, rerank, nProbe, coarse, subspaces)
+
+  /** The persistable IVF+PQ index frame: (n_id, c_id, code0..codeS) —
+    * row-local residual + L2 argmin per subspace, longs only. A
+    * deployment writes this ONCE, `partitionBy("c_id")`, so probing
+    * becomes parquet partition pruning (proven in `CellIndexSpec`);
+    * the search side is [[knnIvfPqOnCodes]].
+    */
+  def ivfPqCodes(corpus: DataFrame, coarse: DataFrame,
+                 subspaces: Seq[(Int, Int, DataFrame)]): DataFrame = {
+    val subs = subspaces.zipWithIndex.map { case ((lo, len, cent), s) =>
+      (lo, len, centArrays(cent), s)
+    }
+    val resid = residualFrame(corpus, coarse)
+    resid.select(col("id").as("n_id") +: col("c_id") +: subs.map {
+      case (lo, len, sc, s) => bestCellL2(slice(col("r"), lo, len), sc).as(s"code$s")
+    }: _*)
+  }
+
+  /** IVF+PQ search over a prebuilt codes frame ([[ivfPqCodes]], inline
+    * or read back from a cell-partitioned parquet index). `corpus` is
+    * touched only for the nQ·rerank exact re-rank rows.
+    */
+  def knnIvfPqOnCodes(queries: DataFrame, corpus: DataFrame,
+                      codes: DataFrame, k: Int, rerank: Int,
+                      nProbe: Int, coarse: DataFrame,
+                      subspaces: Seq[(Int, Int, DataFrame)]): DataFrame = {
     val cents = centArrays(coarse)
     val subs = subspaces.zipWithIndex.map { case ((lo, len, cent), s) =>
       (lo, len, centArrays(cent), s)
     }
-    // corpus → (c_id, code per subspace): row-local residual + L2
-    // argmin per subspace. Longs only — this is the frame a deployment
-    // persists, partitioned by c_id.
-    val resid = residualFrame(corpus, coarse)
-    val codes = resid.select(col("id").as("n_id") +: col("c_id") +: subs.map {
-      case (lo, len, sc, s) => bestCellL2(slice(col("r"), lo, len), sc).as(s"code$s")
-    }: _*)
     // query → nProbe (cell, exact affinity) pairs from an in-row struct
     // sort (ties toward the LOWEST c_id, the knnIvf probe convention),
     // plus one ADC dot-table per subspace over the UNIT query slice —

@@ -303,26 +303,30 @@ object ScaleQueries {
   /** Search-grade PQ configuration — SINGLE source of truth for the
     * Spark query, the generated SQL oracle ([[knnPqSql]]), the recall
     * audit, and the RecallSweep measurement: 8 subspaces × 8 dims over
-    * the 64-dim embedding, 32 cells per sub-codebook (5 bits × 8 = 40
-    * bits/vector). The round-9 path reused the emb_pq REPORT codebooks
-    * (2×32-dim, 8 cells = 64 codes corpus-wide), so ADC scores
-    * collapsed into giant tie groups and the rank cut selected
-    * near-random lowest-id candidates (~18% recall). Finer codes — not
-    * only more rerank — is the fix; the emb_pq report keeps its own
-    * coarse layout (that one measures compression, not search).
+    * the 64-dim embedding, 64 cells per sub-codebook (6 bits × 8 = 48
+    * bits/vector vs 2048 bits raw). The round-9 path reused the emb_pq
+    * REPORT codebooks (2×32-dim, 8 cells = 64 codes corpus-wide), so
+    * ADC scores collapsed into giant tie groups and the rank cut
+    * selected near-random lowest-id candidates (~18% recall). Finer
+    * codes — not only more rerank — is the fix; the emb_pq report
+    * keeps its own coarse layout (that one measures compression, not
+    * search).
     *
-    * RecallSweep PQ section, measured 2026-08-14 (this round):
-    *   sf0.001: subK=16 r=25/50/100 → 48/64/88; subK=32 → 70/84/96
-    *   sf0.01:  subK=16 r=25/50/100 → 56/68/86; subK=32 → 70/84/92
-    * Shipped (subK=32, rerank=100) = 96/92 ⇒ floor 70 has ≥22pp margin.
-    * The previous shipped point (subK=16, rerank=50) measured 64/68 —
-    * UNDER the 70 floor at both gate SFs, which is why round-9/early-10
-    * knn_pq_recall was red.
+    * RecallSweep, measured 2026-08-14 at ALL THREE SFs (the round-9
+    * failure mode was a floor validated only below the bench SF):
+    *   standard grid: subK=16 r=50 → 64/68/47, subK=32 r=100 →
+    *     96/92/68.5 (sf0.001/0.01/0.1) — recall at fixed (subK, rerank)
+    *     DEGRADES with corpus size, so the bench SF binds the config
+    *   deep grid (SWEEP_PQ_DEEP): subK=64 it=1 r=100 → 98/98/80.5;
+    *     r=200 → 100/100/93.5; 3 Lloyd rounds ≈ +0-2pp (not worth a
+    *     3-round SQL mirror)
+    * Shipped (subK=64, iters=1, rerank=200) = 100/100/93.5 ⇒ floor 70
+    * holds at every SF with ≥23pp margin.
     */
   private[graft] val PqSubLen = 8
-  private[graft] val PqSubK = 32
+  private[graft] val PqSubK = 64
   private[graft] val PqK = 5
-  private[graft] val PqRerank = 100
+  private[graft] val PqRerank = 200
   private[graft] val PqQueryMod = 50
   /** Recall floors (pct) for the two PQ search paths — the single
     * source for the `knn_pq_recall`/`knn_ivfpq_recall` tolerance
@@ -331,6 +335,8 @@ object ScaleQueries {
     */
   private[graft] val PqMinPct = 70
   private[graft] val IvfPqMinPct = 70
+  /** Lloyd rounds for the PQ sub-quantizers (both paths). */
+  private[graft] val PqSubIters = 1
   private[graft] val pqLos: Seq[Int] = (0 until Dim / PqSubLen).map(1 + _ * PqSubLen)
 
   /** The search codebooks as [[Similarity.knnPq]] inputs — kept as a
@@ -340,16 +346,17 @@ object ScaleQueries {
     * `subK` is swept by RecallSweep; queries pass the default.
     */
   private[graft] def pqSubspaces(corpus: DataFrame,
-                                 subK: Int = PqSubK): Seq[(Int, Int, DataFrame)] =
+                                 subK: Int = PqSubK,
+                                 iters: Int = PqSubIters): Seq[(Int, Int, DataFrame)] =
     pqLos.map { lo =>
       val sub = corpus.select(col("id"),
           Similarity.unitSlice(col("v"), col("nrm"), lo, PqSubLen).as("v"))
         .withColumn("nrm", Similarity.norm(col("v")))
-      (lo, PqSubLen, Similarity.kmeansCentroidsL2(sub, k = subK, iters = 1))
+      (lo, PqSubLen, Similarity.kmeansCentroidsL2(sub, k = subK, iters = iters))
     }
 
-  /** PQ-based ANN over the same query set: ADC scan over the 8×5-bit
-    * codes, exact re-rank of the top `PqRerank` candidates (20·k).
+  /** PQ-based ANN over the same query set: ADC scan over the 8×6-bit
+    * codes, exact re-rank of the top `PqRerank` candidates (40·k).
     * Fully oracle-checked (pure arithmetic end to end, like the IVF
     * family); recall vs brute force is floor-audited in
     * `knn_pq_recall`.
@@ -361,16 +368,16 @@ object ScaleQueries {
       pqSubspaces(prepped)).orderBy("q_id", "rk")
   }
 
-  /** IVF+PQ probe count — 12 of 16 cells, the RecallSweep IVF+PQ
-    * section's knee at the shipped residual codebooks (iters=1 coarse,
-    * subK=32, rerank=100), measured 2026-08-14:
-    *   sf0.001: nProbe=8/10/12/16 → 84/88/90/92
-    *   sf0.01:  nProbe=8/10/12/16 → 72/80/88/90
-    * Shipped (nProbe=12) = 90/88 ⇒ floor 70 has ≥18pp margin while
-    * scanning 75% of the CODES (the IVF-flat ceiling at 12 probes is
-    * 98/96). A 3-round coarse quantizer only helps at rerank=50
-    * (72→84-level at sf0.001) and would cost a 3-round unrolled SQL
-    * mirror; at rerank=100 it is within noise of iters=1, so the
+  /** IVF+PQ probe count — 12 of 16 cells. RecallSweep IVF+PQ sections,
+    * measured 2026-08-14 at the shipped residual codebooks (iters=1
+    * coarse, subK=64, rerank=200):
+    *   shipped point → 98/96/82 at sf0.001/0.01/0.1 ⇒ floor 70 holds
+    *   at every SF with ≥12pp margin
+    *   (nProbe curve at subK=32 r=100: 8/10/12/16 → 84/88/90/92 at
+    *   sf0.001, 72/80/88/90 at sf0.01 — 12 is the knee; the IVF-flat
+    *   ceiling at 12 probes is 98/96/94.5)
+    * A 3-round coarse or sub-quantizer moves the shipped point ≤2pp
+    * (deep grid) and would cost a 3-round unrolled SQL mirror, so the
     * composed index shares knn_ivf's 1-round coarse chain.
     */
   private[graft] val IvfPqNProbe = 12
@@ -382,13 +389,14 @@ object ScaleQueries {
     * what they quantize.
     */
   private[graft] def ivfPqSubspaces(corpus: DataFrame, coarse: DataFrame,
-                                    subK: Int = PqSubK): Seq[(Int, Int, DataFrame)] = {
+                                    subK: Int = PqSubK,
+                                    iters: Int = PqSubIters): Seq[(Int, Int, DataFrame)] = {
     val resid = Similarity.residualFrame(corpus, coarse)
     pqLos.map { lo =>
       val sub = resid.select(col("id"),
           slice(col("r"), lo, PqSubLen).as("v"))
         .withColumn("nrm", Similarity.norm(col("v")))
-      (lo, PqSubLen, Similarity.kmeansCentroidsL2(sub, k = subK, iters = 1))
+      (lo, PqSubLen, Similarity.kmeansCentroidsL2(sub, k = subK, iters = iters))
     }
   }
 
@@ -1167,9 +1175,9 @@ object ScaleQueries {
       minPct = 90)
 
   /** Recall floor for the PQ/ADC path at the search-grade codebooks
-    * (8×8-dim, 32 cells, rerank = PqRerank = 20·k). Floor set from the
-    * RecallSweep PQ section's measured minimum (92 at sf0.01, quoted
-    * at [[PqSubK]]) with ≥22pp margin — re-run the sweep before
+    * (8×8-dim, 64 cells, rerank = PqRerank = 40·k). Floor set from the
+    * RecallSweep measurements at all three SFs (minimum 93.5 at sf0.1,
+    * quoted at [[PqSubK]]) with ≥23pp margin — re-run the sweep before
     * changing this.
     */
   def knnPqRecall(spark: SparkSession, dir: String): DataFrame =
@@ -1178,10 +1186,9 @@ object ScaleQueries {
       minPct = PqMinPct)
 
   /** Recall floor for the composed IVF+PQ index at (nProbe=12/16,
-    * rerank = PqRerank). Floor set from the RecallSweep IVF+PQ
-    * section's measured minimum (88 at sf0.01, curve quoted at
-    * [[IvfPqNProbe]]) with ≥18pp margin — re-run the sweep before
-    * changing this.
+    * rerank = PqRerank). Floor set from the RecallSweep measurements
+    * at all three SFs (minimum 82 at sf0.1, quoted at [[IvfPqNProbe]])
+    * with ≥12pp margin — re-run the sweep before changing this.
     */
   def knnIvfPqRecall(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, (q, c) => {
