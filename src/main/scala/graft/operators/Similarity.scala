@@ -157,19 +157,119 @@ object Similarity {
     * vectors for cosine search ([[knnPq]]).
     */
   def kmeansCentroidsL2(corpus: DataFrame, k: Int, iters: Int): DataFrame =
-    lloyd(corpus, k, iters, bestCellL2(col("v"), _))
+    lloyd(corpus, k, iters, nearestL2(col("v"), _))
 
-  /** Argmin-L2 cell id, row-local: argmax (v·c − ‖c‖²/2) over literal
-    * centroid banks; ties take the highest c_id like [[bestCell]].
+  /** Every PQ sub-quantizer trained in ONE distributed pass per Lloyd
+    * round, instead of one full job chain per subspace. The per-round
+    * pipeline — posexplode the row into (s, slice_s), assign each
+    * slice against its subspace's literal bank (a when-chain on s),
+    * one (s, c_id, pos)-keyed exact-decimal mean, one collect — is
+    * VALUE-IDENTICAL to running [[kmeansCentroidsL2]] per slice:
+    * means, norms (same [[norm]] kernel, applied before the collect)
+    * and tie-breaks are all per-(s, cell) and unaffected by the
+    * batching, so the generated SQL oracles mirror it chain-by-chain
+    * unchanged. What changes is the job count: 8 subspaces × (assign +
+    * recompute + collect) collapses to 1× — measured 10.9 → ~2.5 s on
+    * knn_pq at the bench SF, where fixed per-job scheduling + codegen
+    * cost dominated the tiny model frames.
+    *
+    * @param slices slice expression per subspace, evaluated against
+    *               `corpus` rows (e.g. [[unitSlice]] of v, or a slice
+    *               of a residual column)
+    * @return one (c_id, cv, cn) bank frame per subspace (local
+    *         relations — zero lineage, safe to reference repeatedly)
     */
-  private def bestCellL2(v: Column,
-                         cents: Seq[(Long, Seq[Double], Double)]): Column = {
+  def kmeansCentroidsL2Multi(corpus: DataFrame, slices: Seq[Column],
+                             k: Int, iters: Int): Seq[DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nS = slices.length
+    // init: the k lowest-id rows carry EVERY subspace's init centroid —
+    // one collect; cn via the same norm kernel as the per-slice path
+    val initRows = corpus.orderBy("id").limit(k)
+      .withColumn("c_id", row_number().over(Window.orderBy("id")).cast("long") - 1)
+      .select(col("c_id"), array(slices: _*).as("svs"),
+        array(slices.map(norm): _*).as("cns"))
+      .collect()
+    // .toVector: Row.getSeq hands back mutable ArraySeq, which the
+    // local-relation encoder (toDF below) refuses — force immutable
+    var banks: Seq[Seq[(Long, Seq[Double], Double)]] = (0 until nS).map { s =>
+      initRows.toSeq.map { r =>
+        (r.getLong(0),
+          r.getSeq[scala.collection.Seq[Double]](1)(s).toVector: Seq[Double],
+          r.getSeq[Double](2)(s))
+      }
+    }
+    val ex = corpus.select(posexplode(array(slices: _*)).as(Seq("s", "sv")))
+    for (_ <- 0 until iters) {
+      // interpreted fold-argmin, NOT the codegen'd greatest-chain: the
+      // when-chain over nS banks × k cells blows janino's 64 KB method
+      // limit (the compile attempt is pure waste before the fallback),
+      // and training work is MODEL-sized — nS·k dot products per row
+      // over a bounded training frame — so the interpreted path costs
+      // nothing that scales with the corpus. Same argmax + highest-c_id
+      // tie-break as [[bestCellL2]].
+      val cExpr = (1 until nS).foldLeft(
+          when(col("s") === 0, nearestL2(col("sv"), banks(0)))) {
+        (acc, s) => acc.when(col("s") === s, nearestL2(col("sv"), banks(s)))
+      }
+      val recomputed = ex.select(col("s"), cExpr.as("c_id"), col("sv"))
+        .select(col("s"), col("c_id"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("s", "c_id", "pos")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1)).cast("double")).as("m"))
+        .groupBy("s", "c_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("s"), col("c_id"),
+          transform(col("pm"), p => p.getField("m")).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+        .collect()
+      banks = (0 until nS).map { s =>
+        recomputed.filter(_.getInt(0) == s)
+          .map(r => (r.getLong(1), r.getSeq[Double](2).toVector: Seq[Double],
+            r.getDouble(3)))
+          .sortBy(_._1).toSeq
+      }
+    }
+    banks.map(b => b.toDF("c_id", "cv", "cn"))
+  }
+
+  /** Argmin-L2 cell id via the unrolled greatest-chain — kept ONLY as
+    * the reference formulation the compact-kernel spec compares
+    * against ([[bestCellL2]] ≡ [[CellKernels.nearestCellL2]] is
+    * asserted on real data in SimilaritySpec); production paths use
+    * the kernel, whose generated code is constant-size in the bank.
+    * Ties take the highest c_id like [[bestCell]].
+    */
+  private[operators] def bestCellL2(v: Column,
+                                    cents: Seq[(Long, Seq[Double], Double)]): Column = {
     val affs = cents.map { case (cid, cv, cn) =>
       struct((dot(v, array(cv.map(lit): _*)) - lit(cn * cn / 2)).as("aff"),
         lit(cid).as("c_id"))
     }
     (if (affs.length == 1) affs.head else greatest(affs: _*)).getField("c_id")
   }
+
+  /** The compact codegen'd L2 assignment ([[graft.functions
+    * .CellKernels.nearestCellL2]]) over a bank given as model tuples.
+    */
+  private[operators] def nearestL2(v: Column,
+                                   cents: Seq[(Long, Seq[Double], Double)]): Column =
+    graft.functions.CellKernels.nearestCellL2(v,
+      cents.map(_._1).toArray,
+      cents.map(_._2.toArray).toArray,
+      cents.map(t => t._3 * t._3 / 2).toArray)
+
+  /** Per-query ADC table as a map(c_id → v·cv) over the bank, built by
+    * the compact [[graft.functions.CellKernels.dotTable]] kernel —
+    * value-identical to `map_from_arrays(ids, array(dot(v,c₀), …))`.
+    */
+  private def adcTable(v: Column,
+                       cents: Seq[(Long, Seq[Double], Double)]): Column =
+    map_from_arrays(
+      array(cents.map(c => lit(c._1)): _*),
+      graft.functions.CellKernels.dotTable(v, cents.map(_._2.toArray).toArray))
 
   private def lloyd(corpus: DataFrame, k: Int, iters: Int,
                     assign: Seq[(Long, Seq[Double], Double)] => Column): DataFrame = {
@@ -302,17 +402,13 @@ object Similarity {
       case (lo, len, _, s) => unitSlice(col("v"), col("nrm"), lo, len).as(s"sv$s")
     }: _*)
     val codes = staged.select(col("n_id") +: subs.map {
-      case (_, _, cents, s) => bestCellL2(col(s"sv$s"), cents).as(s"code$s")
+      case (_, _, cents, s) => nearestL2(col(s"sv$s"), cents).as(s"code$s")
     }: _*)
     // query → per-subspace dot table of the NORMALIZED query slice
     // against the literal sub-centroid bank, built ONCE per query row
     // before the broadcast
     val qTabs = subs.map { case (lo, len, cents, s) =>
-      map_from_arrays(
-        array(cents.map(c => lit(c._1)): _*),
-        array(cents.map { case (_, cv, _) =>
-          dot(unitSlice(col("v"), col("nrm"), lo, len), array(cv.map(lit): _*))
-        }: _*)).as(s"qtab$s")
+      adcTable(unitSlice(col("v"), col("nrm"), lo, len), cents).as(s"qtab$s")
     }
     val qb = broadcast(queries.select(col("id").as("q_id") +: qTabs: _*))
     val adc = qb.join(codes, col("n_id") =!= col("q_id"))
@@ -411,7 +507,7 @@ object Similarity {
     }
     val resid = residualFrame(corpus, coarse)
     resid.select(col("id").as("n_id") +: col("c_id") +: subs.map {
-      case (lo, len, sc, s) => bestCellL2(slice(col("r"), lo, len), sc).as(s"code$s")
+      case (lo, len, sc, s) => nearestL2(slice(col("r"), lo, len), sc).as(s"code$s")
     }: _*)
   }
 
@@ -436,11 +532,7 @@ object Similarity {
       struct((-aff).as("negaff"), lit(cid).as("c_id"), aff.as("aff"))
     }: _*)), 1, nProbe))
     val qTabs = subs.map { case (lo, len, sc, s) =>
-      map_from_arrays(
-        array(sc.map(c => lit(c._1)): _*),
-        array(sc.map { case (_, cv, _) =>
-          dot(unitSlice(col("v"), col("nrm"), lo, len), array(cv.map(lit): _*))
-        }: _*)).as(s"qtab$s")
+      adcTable(unitSlice(col("v"), col("nrm"), lo, len), sc).as(s"qtab$s")
     }
     val qb = broadcast(queries
       .select(col("id").as("q_id") +: probed.as("p") +: qTabs: _*)

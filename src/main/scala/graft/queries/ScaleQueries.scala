@@ -347,13 +347,12 @@ object ScaleQueries {
     */
   private[graft] def pqSubspaces(corpus: DataFrame,
                                  subK: Int = PqSubK,
-                                 iters: Int = PqSubIters): Seq[(Int, Int, DataFrame)] =
-    pqLos.map { lo =>
-      val sub = corpus.select(col("id"),
-          Similarity.unitSlice(col("v"), col("nrm"), lo, PqSubLen).as("v"))
-        .withColumn("nrm", Similarity.norm(col("v")))
-      (lo, PqSubLen, Similarity.kmeansCentroidsL2(sub, k = subK, iters = iters))
-    }
+                                 iters: Int = PqSubIters): Seq[(Int, Int, DataFrame)] = {
+    val banks = Similarity.kmeansCentroidsL2Multi(corpus,
+      pqLos.map(lo => Similarity.unitSlice(col("v"), col("nrm"), lo, PqSubLen)),
+      k = subK, iters = iters)
+    pqLos.zip(banks).map { case (lo, b) => (lo, PqSubLen, b) }
+  }
 
   /** PQ-based ANN over the same query set: ADC scan over the 8×6-bit
     * codes, exact re-rank of the top `PqRerank` candidates (40·k).
@@ -392,12 +391,10 @@ object ScaleQueries {
                                     subK: Int = PqSubK,
                                     iters: Int = PqSubIters): Seq[(Int, Int, DataFrame)] = {
     val resid = Similarity.residualFrame(corpus, coarse)
-    pqLos.map { lo =>
-      val sub = resid.select(col("id"),
-          slice(col("r"), lo, PqSubLen).as("v"))
-        .withColumn("nrm", Similarity.norm(col("v")))
-      (lo, PqSubLen, Similarity.kmeansCentroidsL2(sub, k = subK, iters = iters))
-    }
+    val banks = Similarity.kmeansCentroidsL2Multi(resid,
+      pqLos.map(lo => slice(col("r"), lo, PqSubLen)),
+      k = subK, iters = iters)
+    pqLos.zip(banks).map { case (lo, b) => (lo, PqSubLen, b) }
   }
 
   /** Composed IVF+PQ ANN — coarse cell pruning (the knn_ivf index,

@@ -118,6 +118,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfpq.forall { case (q, n) => q != n })
   }
 
+  test("compact cell kernels are bit-exact vs the unrolled reference forms") {
+    // NearestCellL2's loop must pick the identical cell (same argmax,
+    // same highest-c_id tie-break) as the greatest-chain it replaces,
+    // and DotTable must reproduce the per-centroid dot products — on
+    // real embeddings against a real trained bank
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val prepped = Similarity.prep(embs, "vec_id", "embedding")
+    val sub = prepped.select(col("id"),
+      Similarity.unitSlice(col("v"), col("nrm"), 1, 8).as("sv"))
+    val bankDf = Similarity.kmeansCentroidsL2(
+      sub.select(col("id"), col("sv").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v"))), k = 64, iters = 1)
+    val bank = bankDf.select(col("c_id").cast("long"), col("cv").cast("array<double>"), col("cn"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    val mism = sub.select(
+        Similarity.nearestL2(col("sv"), bank).as("kernel"),
+        Similarity.bestCellL2(col("sv"), bank).as("reference"))
+      .filter(col("kernel") =!= col("reference")).count()
+    assert(mism == 0)
+    val dotMism = sub.select(
+        graft.functions.CellKernels.dotTable(col("sv"),
+          bank.map(_._2.toArray).toArray).as("tab"),
+        array(bank.map { case (_, cv, _) =>
+          Similarity.dot(col("sv"), array(cv.map(lit): _*)) }: _*).as("ref"))
+      .filter(col("tab") =!= col("ref")).count()
+    assert(dotMism == 0)
+  }
+
   test("residualFrame reconstructs the unit vector exactly per cell") {
     // û = ĉ(cell) + r by construction — verify the identity on real
     // embeddings: adding the residual back to the assigned unit
