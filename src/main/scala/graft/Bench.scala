@@ -62,12 +62,16 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // full per-query artifact committed to the repo each round so
     // regression tracking covers ALL queries regardless of how much of
-    // the stdout line the harness retains
-    val benchDir = new java.io.File("/root/repo/bench")
-    benchDir.mkdirs()
-    val sfName = new java.io.File(sfDir).getName
-    val fw = new java.io.FileWriter(new java.io.File(benchDir, s"full_$sfName.json"))
-    try fw.write(line + "\n") finally fw.close()
+    // the stdout line the harness retains. FULL runs only — a
+    // SPARK_GRAFT_ONLY iteration run must never clobber the committed
+    // whole-surface artifact with a subset
+    if (only.isEmpty) {
+      val benchDir = new java.io.File("/root/repo/bench")
+      benchDir.mkdirs()
+      val sfName = new java.io.File(sfDir).getName
+      val fw = new java.io.FileWriter(new java.io.File(benchDir, s"full_$sfName.json"))
+      try fw.write(line + "\n") finally fw.close()
+    }
     println(line)
     spark.stop()
   }

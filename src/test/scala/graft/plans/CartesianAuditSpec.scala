@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalTableScanExec, RDDScanExec, RangeExec, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+import graft.{SparkEntry, TestSpark}
+
+/** Surface-wide audit: no query may plan a CartesianProductExec or
+  * BroadcastNestedLoopJoinExec where BOTH sides are data-scale. A
+  * cartesian between two corpus-sized frames is O(N²) rows — it passes
+  * every small-SF gate and is unrunnable at 100 TB (the all-pairs shape
+  * every dedup operator here exists to avoid).
+  *
+  * A nested-loop/cartesian site is acceptable only when at least one
+  * side is structurally BOUNDED: a grouped aggregate (row count capped
+  * at key cardinality — the one-row stat-frame crossJoins used by every
+  * recall/precision audit), a global limit, a literal local relation, a
+  * checkpointed tiny frame, a rank-limit, or a small literal Range (the
+  * salt-replication shape). The audit walks every registered query's
+  * pre-AQE physical plan; a NEW unbounded cartesian fails this test at
+  * introduction time. This is the executable form of the per-round
+  * manual crossJoin sweep (round-9 verdict's anti-pattern audit).
+  */
+class CartesianAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Queries hand-audited as safe despite an unbounded-looking side
+    * (each bounded by input construction, not plan shape). Keep
+    * JUSTIFIED, keyed by query name. The composed `knn_ivfpq` is
+    * deliberately ABSENT: its coarse-cell equi-join replaces the flat
+    * scan — this audit is the executable proof it's the scale path.
+    */
+  private val whitelist: Map[String, String] = Map(
+    // Brute-force exact top-k IS the quadratic baseline: in deployment
+    // the left side is a small query batch; at the fixture it's the
+    // %PqQueryMod sample. Every ANN operator exists to beat this shape.
+    "knn_brute" -> "exact-kNN baseline; query batch x corpus by contract",
+    // The recall audits embed the brute-force truth above.
+    "knn_lsh_recall" -> "embeds brute-force truth",
+    "knn_ivf_recall" -> "embeds brute-force truth",
+    "knn_ivf_hi_recall" -> "embeds brute-force truth",
+    "knn_ivfpq_recall" -> "embeds brute-force truth",
+    "knn_pq_recall" -> "embeds brute-force truth + flat-ADC contract",
+    // Flat ADC scans every CODE per query batch — the documented
+    // compression-layer contract (48-bit codes, not raw vectors); the
+    // composed knn_ivfpq prunes to nProbe/16 of the codes and plans
+    // equi-joins only.
+    "knn_pq" -> "flat-ADC code scan by contract; knn_ivfpq is the scale path",
+    // One broadcast query vector (vec_id = 0 equality filter -> 1 row)
+    // scored against the corpus: a linear per-query scan, not a blowup.
+    "rrf_fusion" -> "single broadcast query vector x corpus scoring scan",
+    // Offline hard-negative mining: every 25th vector as anchor x
+    // corpus, single aggregation exchange — the between-epoch miner
+    // shape; anchor count is the operator's knob.
+    "triplet_mine" -> "anchor sample x corpus mining scan by contract")
+
+  /** A literal Range this small is a salt/replica dimension, not data. */
+  private val MaxLiteralRange = 4096L
+
+  private def bounded(p: SparkPlan): Boolean = p.find {
+    case _: BaseAggregateExec => true // stat frames: rows ≤ key cardinality
+    case _: GlobalLimitExec => true
+    case _: LocalTableScanExec => true // literal frames (calendars, salts)
+    case _: RDDScanExec => true // checkpointed tiny frames
+    case _: TakeOrderedAndProjectExec => true
+    case _: WindowGroupLimitExec => true
+    case r: RangeExec if r.numElements <= MaxLiteralRange => true
+    case _ => false
+  }.isDefined
+
+  test("no unbounded cartesian/nested-loop join, any query") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.sparkPlan
+        val bad = plan.collect {
+          case j: CartesianProductExec if !bounded(j.left) && !bounded(j.right) => j
+          case j: BroadcastNestedLoopJoinExec if !bounded(j.left) && !bounded(j.right) => j
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    val unexplained = offenders.filterNot(whitelist.contains)
+    assert(unexplained.isEmpty,
+      s"unbounded cartesian/BNLJ in: ${unexplained.mkString(", ")}")
+  }
+}
