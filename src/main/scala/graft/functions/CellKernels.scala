@@ -28,6 +28,13 @@ object CellKernels {
   /** Argmax_c (v·cv_c − h_c) over the bank, ties to the HIGHEST cell id
     * — the [[graft.operators.Similarity]] L2 assignment rule. NULL iff
     * v is NULL.
+    *
+    * NaN caveat: `greatest` over the unrolled struct chain treats NaN
+    * as larger than any value, while this loop's `acc > best` never
+    * selects a NaN affinity — so the two forms differ on a vector
+    * containing NaN. All callers feed finite vectors by construction
+    * (parquet float embeddings and their residuals; norms > 0), so the
+    * bit-identity claim is scoped to finite inputs.
     */
   def nearestCellL2(v: Column, cids: Array[Long], cvs: Array[Array[Double]],
                     hs: Array[Double]): Column =

@@ -358,7 +358,8 @@ object Similarity {
   /** Product-quantization ANN: asymmetric-distance (ADC) scan over PQ
     * codes + exact re-rank — the compression layer of a 100 TB vector
     * deployment. Each corpus vector is encoded once as one sub-codebook
-    * cell id PER SUBSPACE (e.g. 8×5 bits vs 64×32-bit floats); the
+    * cell id PER SUBSPACE (8×6 bits at the shipped subK=64 vs
+    * 64×32-bit floats); the
     * candidate scan then reads ONLY the code columns — at corpus scale
     * the full vectors never leave the parquet files except for the
     * nQ·rerank rows the exact re-rank touches.

@@ -701,10 +701,14 @@ object ScaleQueries {
     * CTE reference, and the PQ oracles' ~40 inlined relations blow up
     * join-order planning (measured: knn_pq >5 min / knn_ivfpq >70 GB
     * at sf0.01); with it both run in ~0.5 s. Purely a planner hint —
-    * results are identical.
+    * results are identical. Anchored to line-start CTE headers
+    * (optionally after WITH) so a future non-CTE `<alias> AS (` inside
+    * an expression can never be rewritten by accident; every CTE the
+    * PQ generators emit starts its own line by construction.
     */
   private def materializeCtes(sql: String): String =
-    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+    sql.replaceAll("""(?m)^(\s*)(WITH\s+)?(\w+) AS \(""",
+      "$1$2$3 AS MATERIALIZED (")
 
   val knnPqSql: String = materializeCtes {
     val ss = pqLos.indices

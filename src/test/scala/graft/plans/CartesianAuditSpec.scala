@@ -2,9 +2,9 @@ package graft.plans
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.{GlobalLimitExec, LocalTableScanExec, RDDScanExec, RangeExec, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{GenerateExec, GlobalLimitExec, LocalTableScanExec, RDDScanExec, RangeExec, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.window.WindowGroupLimitExec
 import graft.{SparkEntry, TestSpark}
 
@@ -60,16 +60,26 @@ class CartesianAuditSpec extends AnyFunSuite {
   /** A literal Range this small is a salt/replica dimension, not data. */
   private val MaxLiteralRange = 4096L
 
-  private def bounded(p: SparkPlan): Boolean = p.find {
+  /** Walks only the spine between the join input and the first
+    * row-count-bounding operator: a bounding node below a JOIN or a
+    * GENERATE does NOT make the side bounded (those nodes re-expand row
+    * counts above it), so the walk stops there instead of scanning the
+    * whole subtree. Multi-child non-join nodes (unions) are bounded only
+    * if EVERY branch is.
+    */
+  private def bounded(p: SparkPlan): Boolean = p match {
     case _: BaseAggregateExec => true // stat frames: rows ≤ key cardinality
     case _: GlobalLimitExec => true
     case _: LocalTableScanExec => true // literal frames (calendars, salts)
     case _: RDDScanExec => true // checkpointed tiny frames
     case _: TakeOrderedAndProjectExec => true
     case _: WindowGroupLimitExec => true
-    case r: RangeExec if r.numElements <= MaxLiteralRange => true
-    case _ => false
-  }.isDefined
+    case r: RangeExec => r.numElements <= MaxLiteralRange
+    case _: BaseJoinExec => false // joins re-expand: stop the descent
+    case _: GenerateExec => false // explode re-expands: stop the descent
+    case u if u.children.length > 1 => u.children.forall(bounded) // unions
+    case other => other.children.exists(bounded) // 1:≤1 pass-throughs
+  }
 
   test("no unbounded cartesian/nested-loop join, any query") {
     val dir = "/root/testdata/sf0.001"
