@@ -512,6 +512,31 @@ object Similarity {
     }: _*)
   }
 
+  /** The query side's exploded (negaff, c_id, aff) probe structs: the
+    * nProbe nearest coarse cells per query row from an in-row struct
+    * sort (ties toward the LOWEST c_id, the knnIvf probe convention).
+    * Shared by [[knnIvfPqOnCodes]] and [[probedCells]] so the search
+    * path and the partition-pruning predicate can never disagree on
+    * which cells a query probes.
+    */
+  private def probeExploded(cents: Seq[(Long, Seq[Double], Double)],
+                            nProbe: Int): Column =
+    explode(slice(array_sort(array(cents.map { case (cid, cv, cn) =>
+      val aff = cosine(col("v"), col("nrm"), array(cv.map(lit): _*), lit(cn))
+      struct((-aff).as("negaff"), lit(cid).as("c_id"), aff.as("aff"))
+    }: _*)), 1, nProbe))
+
+  /** Distinct coarse cells the query batch probes — the ≤ nCells-row
+    * frame a deployment collects (model-sized: bounded by the coarse
+    * bank, not the corpus) to turn cell probing over a persisted
+    * `partitionBy("c_id")` codes index into a STATIC partition
+    * predicate, i.e. parquet directory pruning visible in the scan's
+    * PartitionFilters (asserted in AnnIndexSpec).
+    */
+  def probedCells(queries: DataFrame, coarse: DataFrame, nProbe: Int): DataFrame =
+    queries.select(probeExploded(centArrays(coarse), nProbe).as("p"))
+      .select(col("p.c_id").as("c_id")).distinct()
+
   /** IVF+PQ search over a prebuilt codes frame ([[ivfPqCodes]], inline
     * or read back from a cell-partitioned parquet index). `corpus` is
     * touched only for the nQ·rerank exact re-rank rows.
@@ -524,14 +549,10 @@ object Similarity {
     val subs = subspaces.zipWithIndex.map { case ((lo, len, cent), s) =>
       (lo, len, centArrays(cent), s)
     }
-    // query → nProbe (cell, exact affinity) pairs from an in-row struct
-    // sort (ties toward the LOWEST c_id, the knnIvf probe convention),
-    // plus one ADC dot-table per subspace over the UNIT query slice —
-    // all built before the broadcast.
-    val probed = explode(slice(array_sort(array(cents.map { case (cid, cv, cn) =>
-      val aff = cosine(col("v"), col("nrm"), array(cv.map(lit): _*), lit(cn))
-      struct((-aff).as("negaff"), lit(cid).as("c_id"), aff.as("aff"))
-    }: _*)), 1, nProbe))
+    // query → the shared probe structs, plus one ADC dot-table per
+    // subspace over the UNIT query slice — all built before the
+    // broadcast.
+    val probed = probeExploded(cents, nProbe)
     val qTabs = subs.map { case (lo, len, sc, s) =>
       adcTable(unitSlice(col("v"), col("nrm"), lo, len), sc).as(s"qtab$s")
     }
