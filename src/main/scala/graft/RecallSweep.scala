@@ -14,6 +14,11 @@ object RecallSweep {
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SWEEP_ONLY=filtered (comma-separable: ivf,lsh,pq,ivfpq,filtered,
+    // neardup) restricts to named sections while re-measuring one
+    // operating point
+    def want(s: String): Boolean =
+      sys.env.get("SWEEP_ONLY").forall(_.split(",").contains(s))
     val dirs = if (args.nonEmpty) args.toSeq
                else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
     for (dir <- dirs) {
@@ -28,14 +33,14 @@ object RecallSweep {
           Seq("q_id", "n_id"), "left_semi").count()
         println(f"$dir $name recall=${hit * 100.0 / nBrute}%.1f%% ($hit/$nBrute)")
       }
-      for (nc <- Seq(16, 32); iters <- Seq(1); nProbe <- Seq(4, 6, 8, 10, 12, 16, 20)
+      if (want("ivf")) for (nc <- Seq(16, 32); iters <- Seq(1); nProbe <- Seq(4, 6, 8, 10, 12, 16, 20)
            if nProbe <= nc) {
         val cent = Some(Similarity.kmeansCentroids(prepped, k = nc, iters = iters))
         recall(s"ivf(nc=$nc,iters=$iters,nProbe=$nProbe)",
           Similarity.knnIvf(queries, prepped, k = 5, nCentroids = nc,
             nProbe = nProbe, centroids = cent))
       }
-      for (tables <- Seq(4, 8, 12))
+      if (want("lsh")) for (tables <- Seq(4, 8, 12))
         recall(s"lsh(planes=4,tables=$tables)",
           Similarity.knnLsh(queries, prepped, k = 5, dim = 64,
             planes = 4, tables = tables))
@@ -43,7 +48,7 @@ object RecallSweep {
       // across sub-codebook size and rerank — feeds the knn_pq_recall
       // floor (which must sit under every number the shipped (subK,
       // rerank) config prints here)
-      for (subK <- Seq(16, 32); rerank <- Seq(25, 50, 100))
+      if (want("pq")) for (subK <- Seq(16, 32); rerank <- Seq(25, 50, 100))
         recall(s"pq(8x8dim,subK=$subK,rerank=$rerank)",
           Similarity.knnPq(queries, prepped, k = 5, rerank = rerank,
             graft.queries.ScaleQueries.pqSubspaces(prepped, subK = subK)))
@@ -67,7 +72,7 @@ object RecallSweep {
       // IVF+PQ section: composed index (coarse cell pruning + residual
       // ADC) across coarse training depth, residual sub-codebook size,
       // probe count and rerank — feeds the knn_ivfpq_recall floor.
-      for (cIters <- Seq(1, 3); subK <- Seq(16, 32)) {
+      if (want("ivfpq")) for (cIters <- Seq(1, 3); subK <- Seq(16, 32)) {
         val coarse = Similarity.kmeansCentroids(prepped, k = 16, iters = cIters)
         val subs = graft.queries.ScaleQueries.ivfPqSubspaces(prepped, coarse,
           subK = subK)
@@ -76,7 +81,38 @@ object RecallSweep {
             Similarity.knnIvfPq(queries, prepped, k = 5, rerank = rerank,
               nProbe = nProbe, coarse = coarse, subspaces = subs))
       }
+      // filtered-ANN section: label-filtered IVF+PQ search vs the
+      // FILTERED brute truth, across the rerank pool — feeds the
+      // knn_filtered_recall floor and the FilteredRerank operating
+      // point. Filter-before-rank means the pool is spent entirely on
+      // same-label candidates; the curve shows where widening stops
+      // paying.
+      if (want("filtered")) {
+        val preppedL = Similarity.prep(
+          spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          keep = Seq("label"))
+        val queriesL = preppedL.filter(col("id") % 50 === 0)
+        val bruteF = Similarity.knnBruteFiltered(queriesL, preppedL, k = 5,
+            labCol = "label")
+          .select(col("q_id"), col("n_id")).cache()
+        val nBruteF = bruteF.count()
+        val coarse = Similarity.kmeansCentroids(preppedL, k = 16, iters = 1)
+        val subs = graft.queries.ScaleQueries.ivfPqSubspaces(preppedL, coarse)
+        val codes = Similarity.ivfPqCodes(preppedL, coarse, subs,
+          keep = Seq("label"))
+        for (rerank <- Seq(50, 100, 200, 400)) {
+          val found = Similarity.knnIvfPqFilteredOnCodes(queriesL, preppedL,
+            codes, k = 5, rerank = rerank, nProbe = 12,
+            coarse = coarse, subspaces = subs, labCol = "label")
+          val hit = bruteF.join(found.select(col("q_id"), col("n_id")),
+            Seq("q_id", "n_id"), "left_semi").count()
+          println(f"$dir filtered-ivfpq(nProbe=12,rerank=$rerank) " +
+            f"recall=${hit * 100.0 / nBruteF}%.1f%% ($hit/$nBruteF)")
+        }
+        bruteF.unpersist()
+      }
       // near-dup audits: recall of the found pair sets vs rare-gram truth
+      if (want("neardup")) {
       val (grams, truth) = graft.queries.ScaleQueries.raregramTruth(spark, dir)
       val nTrue = truth.count()
       def pairRecall(name: String, found: org.apache.spark.sql.DataFrame): Unit = {
@@ -100,6 +136,7 @@ object RecallSweep {
         val tHit = truth.join(sh, Seq("a_id", "b_id"), "left_semi").count()
         println(f"$dir simhash(h<=$mh) recall=${tHit * 100.0 / nTrue}%.1f%% " +
           f"($tHit/$nTrue) precision=${shHit * 100.0 / math.max(nFound, 1)}%.1f%% ($shHit/$nFound)")
+      }
       }
       brute.unpersist()
     }

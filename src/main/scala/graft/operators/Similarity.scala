@@ -32,11 +32,32 @@ object Similarity {
 
   /** Normalize an embeddings frame: id, v (kept as the storage float
     * array — the kernel widens per element, so no interpreted cast pass
-    * or array copy), norm in double.
+    * or array copy), norm in double. `keep` carries attribute columns
+    * (e.g. a label for filtered search) through the projection — still
+    * map-only, no join.
     */
-  def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+  def prep(df: DataFrame, idCol: String, vecCol: String,
+           keep: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as("id") +: col(vecCol).as("v") +: keep.map(col): _*)
       .withColumn("nrm", norm(col("v")))
+
+  /** Brute-force cosine top-k RESTRICTED to corpus rows satisfying a
+    * per-query attribute predicate (`lab` equality) — the exact truth
+    * set for filtered-ANN recall audits ([[knnIvfPqFilteredOnCodes]]).
+    * Both frames are prepped with `keep = Seq(labCol)`; same broadcast
+    * map-only shape as [[knnBrute]], the predicate just rides the join.
+    */
+  def knnBruteFiltered(queries: DataFrame, corpus: DataFrame, k: Int,
+                       labCol: String): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qn"), col(labCol).as("qlab")))
+    val scored = q.join(corpus,
+        col("id") =!= col("q_id") && col(labCol) === col("qlab"))
+      .select(col("q_id"), col("id").as("n_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+    Relational.topKPerGroup(scored, Seq("q_id"), col("cos"), col("n_id"), k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
+  }
 
   /** Brute-force cosine top-k of `corpus` for each row of `queries`
     * (both prepped). Queries are broadcast; the corpus is scanned once.
@@ -448,17 +469,18 @@ object Similarity {
     *
     * @return (id, c_id, r) with r already double-typed
     */
-  def residualFrame(corpus: DataFrame, coarse: DataFrame): DataFrame = {
+  def residualFrame(corpus: DataFrame, coarse: DataFrame,
+                    keep: Seq[String] = Nil): DataFrame = {
     val cents = centArrays(coarse)
     val unitCentMap = map_from_arrays(
       array(cents.map(c => lit(c._1)): _*),
       array(cents.map { case (_, cv, cn) => array(cv.map(x => lit(x / cn)): _*) }: _*))
-    corpus.select(col("id"),
-        bestCell(col("v"), col("nrm"), cents).as("c_id"),
-        transform(col("v"), x => x / col("nrm")).as("u"))
-      .select(col("id"), col("c_id"),
+    corpus.select(col("id") +:
+        bestCell(col("v"), col("nrm"), cents).as("c_id") +:
+        transform(col("v"), x => x / col("nrm")).as("u") +: keep.map(col): _*)
+      .select(col("id") +: col("c_id") +:
         zip_with(col("u"), element_at(unitCentMap, col("c_id")),
-          (a, b) => a - b).as("r"))
+          (a, b) => a - b).as("r") +: keep.map(col): _*)
   }
 
   /** Composed IVF+PQ ANN — the index shape a 100 TB vector consumer
@@ -498,18 +520,22 @@ object Similarity {
   /** The persistable IVF+PQ index frame: (n_id, c_id, code0..codeS) —
     * row-local residual + L2 argmin per subspace, longs only. A
     * deployment writes this ONCE, `partitionBy("c_id")`, so probing
-    * becomes parquet partition pruning (proven in `CellIndexSpec`);
-    * the search side is [[knnIvfPqOnCodes]].
+    * becomes parquet partition pruning (proven in `CellIndexSpec` and
+    * `AnnIndexSpec`); the search side is [[knnIvfPqOnCodes]]. `keep`
+    * stores attribute columns (e.g. a label for filtered search) IN the
+    * index rows — projected in the same single coding pass, no join, so
+    * at corpus scale filtered search never touches a second table.
     */
   def ivfPqCodes(corpus: DataFrame, coarse: DataFrame,
-                 subspaces: Seq[(Int, Int, DataFrame)]): DataFrame = {
+                 subspaces: Seq[(Int, Int, DataFrame)],
+                 keep: Seq[String] = Nil): DataFrame = {
     val subs = subspaces.zipWithIndex.map { case ((lo, len, cent), s) =>
       (lo, len, centArrays(cent), s)
     }
-    val resid = residualFrame(corpus, coarse)
-    resid.select(col("id").as("n_id") +: col("c_id") +: subs.map {
+    val resid = residualFrame(corpus, coarse, keep)
+    resid.select(col("id").as("n_id") +: col("c_id") +: (subs.map {
       case (lo, len, sc, s) => nearestL2(slice(col("r"), lo, len), sc).as(s"code$s")
-    }: _*)
+    } ++ keep.map(col)): _*)
   }
 
   /** The query side's exploded (negaff, c_id, aff) probe structs: the
@@ -531,7 +557,10 @@ object Similarity {
     * bank, not the corpus) to turn cell probing over a persisted
     * `partitionBy("c_id")` codes index into a STATIC partition
     * predicate, i.e. parquet directory pruning visible in the scan's
-    * PartitionFilters (asserted in AnnIndexSpec).
+    * PartitionFilters. Wired into the registered `ann_index_search` /
+    * `knn_filtered` queries via `ScaleQueries.prunedIndexCodes`;
+    * AnnIndexSpec asserts both the pruning predicate and agreement
+    * with an independently-computed probe set.
     */
   def probedCells(queries: DataFrame, coarse: DataFrame, nProbe: Int): DataFrame =
     queries.select(probeExploded(centArrays(coarse), nProbe).as("p"))
@@ -544,7 +573,35 @@ object Similarity {
   def knnIvfPqOnCodes(queries: DataFrame, corpus: DataFrame,
                       codes: DataFrame, k: Int, rerank: Int,
                       nProbe: Int, coarse: DataFrame,
-                      subspaces: Seq[(Int, Int, DataFrame)]): DataFrame = {
+                      subspaces: Seq[(Int, Int, DataFrame)]): DataFrame =
+    ivfPqSearchCore(queries, corpus, codes, k, rerank, nProbe, coarse,
+      subspaces, labCol = None)
+
+  /** Filtered ANN over the composed IVF+PQ index: same probing + ADC +
+    * exact re-rank as [[knnIvfPqOnCodes]], with a per-query attribute
+    * predicate (equality on `labCol`) applied DURING the ADC code scan
+    * — filter-before-rank, the production retrieval shape (the rerank
+    * pool is spent entirely on rows that satisfy the predicate, so no
+    * post-filter starvation). `queries` must carry `labCol` (prep with
+    * `keep`); `codes` must carry `labCol` stored in the index rows
+    * ([[ivfPqCodes]]'s `keep` — no second table at scan time). Recall
+    * vs the filtered brute truth ([[knnBruteFiltered]]) is floor-
+    * audited in `knn_filtered_recall` and swept in RecallSweep's
+    * filtered section.
+    */
+  def knnIvfPqFilteredOnCodes(queries: DataFrame, corpus: DataFrame,
+                              codes: DataFrame, k: Int, rerank: Int,
+                              nProbe: Int, coarse: DataFrame,
+                              subspaces: Seq[(Int, Int, DataFrame)],
+                              labCol: String): DataFrame =
+    ivfPqSearchCore(queries, corpus, codes, k, rerank, nProbe, coarse,
+      subspaces, labCol = Some(labCol))
+
+  private def ivfPqSearchCore(queries: DataFrame, corpus: DataFrame,
+                              codes: DataFrame, k: Int, rerank: Int,
+                              nProbe: Int, coarse: DataFrame,
+                              subspaces: Seq[(Int, Int, DataFrame)],
+                              labCol: Option[String]): DataFrame = {
     val cents = centArrays(coarse)
     val subs = subspaces.zipWithIndex.map { case ((lo, len, cent), s) =>
       (lo, len, centArrays(cent), s)
@@ -557,11 +614,14 @@ object Similarity {
       adcTable(unitSlice(col("v"), col("nrm"), lo, len), sc).as(s"qtab$s")
     }
     val qb = broadcast(queries
-      .select(col("id").as("q_id") +: probed.as("p") +: qTabs: _*)
+      .select(col("id").as("q_id") +: probed.as("p") +:
+        (qTabs ++ labCol.map(c => col(c).as("qlab"))): _*)
       .select(Seq(col("q_id"), col("p.c_id").as("c_id"), col("p.aff").as("aff")) ++
-        subs.map { case (_, _, _, s) => col(s"qtab$s") }: _*))
-    val adc = qb.join(codes, Seq("c_id"))
+        subs.map { case (_, _, _, s) => col(s"qtab$s") } ++
+        labCol.map(_ => col("qlab")): _*))
+    val joined = qb.join(codes, Seq("c_id"))
       .filter(col("n_id") =!= col("q_id"))
+    val adc = labCol.fold(joined)(c => joined.filter(col(c) === col("qlab")))
       .select(col("q_id"), col("n_id"),
         subs.map { case (_, _, _, s) =>
           element_at(col(s"qtab$s"), col(s"code$s"))
@@ -569,7 +629,8 @@ object Similarity {
     val cand = Relational.topKPerGroup(adc, Seq("q_id"), col("adc"),
         col("n_id"), rerank)
       .select(col("q_id"), col("n_id"))
-    // exact re-rank, identical to knnPq's tail
+    // exact re-rank, identical to knnPq's tail (candidates are already
+    // predicate-satisfying in the filtered variant)
     val qv = broadcast(queries.select(col("id").as("q_id"),
       col("v").as("qv"), col("nrm").as("qn")))
     val scored = corpus.join(broadcast(cand), col("id") === col("n_id"))

@@ -137,10 +137,16 @@ object CorpusQueries {
     * under ANY consistent order, and exact verification filters both
     * down to the identical pair set, so the query hash-matches.
     */
-  def dedupPrefix(spark: SparkSession, dir: String): DataFrame = {
-    // materialized once: doc-frequency, sizes, ranking, and verification
-    // all read the gram frame (same rationale as dedup_ngram)
-    val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text", n = 3))
+  def dedupPrefix(spark: SparkSession, dir: String): DataFrame =
+    prefixPairsFromGrams(
+      Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text", n = 3)))
+      .orderBy("a_id", "b_id")
+
+  /** The PPJoin body over an already-materialized gram frame — shared
+    * by [[dedupPrefix]] and the consensus union ([[dedupConsensus]]),
+    * which feeds prefix and containment from ONE gram materialization.
+    */
+  private[graft] def prefixPairsFromGrams(grams: DataFrame): DataFrame = {
     val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
     // sizes join, NOT a count window: A/B'd at sf0.1 under bench
@@ -179,7 +185,7 @@ object CorpusQueries {
       .filter(lit(3) * (lit(1) + least(col("casz") - col("pa"), col("cbsz") - col("pb"))) >=
         col("casz") + col("cbsz"))
       .select("a_id", "b_id")
-    Dedup.verifyJaccard(cands, grams, 0.5).orderBy("a_id", "b_id")
+    Dedup.verifyJaccard(cands, grams, 0.5)
   }
 
   val dedupPrefixSql: String = """
@@ -304,8 +310,15 @@ object CorpusQueries {
       .select("a_id", "b_id").distinct()
   }
 
-  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text", n = 3))
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsFromGrams(
+      Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text", n = 3)))
+      .orderBy("a_id", "b_id")
+
+  /** Candidate + verify body over an already-materialized gram frame —
+    * shared by [[dedupContainment]] and the consensus union.
+    */
+  private[graft] def containmentPairsFromGrams(grams: DataFrame): DataFrame = {
     val cands = containmentCandidates(grams)
     // verify via ROW-LOCAL array_intersect over per-doc gram arrays
     // (A/B'd under the bench methodology vs the old explode-join-
@@ -325,7 +338,6 @@ object CorpusQueries {
         ContainNum.toDouble / ContainDen)
       .select(col("a_id"), col("b_id"),
         round(col("inter").cast("double") / col("na"), 6).as("containment"))
-      .orderBy("a_id", "b_id")
   }
 
   val dedupContainmentSql: String = s"""
@@ -900,9 +912,101 @@ object CorpusQueries {
     GROUP BY f.source
     ORDER BY source"""
 
+  // ---------------------------------------------------- consensus dedup
+
+  /** Evidence edges from the three ORACLE-PORTABLE near-dup families,
+    * tagged with their modality and normalized to undirected (a < b)
+    * pairs — the input a real curation pipeline accumulates after
+    * maintaining several near-dup detectors over the same corpus:
+    *   - `jaccard`:     the PPJoin prefix-filtered set-similarity join
+    *     (word-3-gram J ≥ 0.5, [[prefixPairsFromGrams]]);
+    *   - `containment`: the directional 80 % gram-containment join
+    *     ([[containmentPairsFromGrams]]), collapsed to undirected;
+    *   - `edit`:        blocked Levenshtein ≤ 3 on the canonical form
+    *     (`TextQueries.editPairs`).
+    * The hash-seeded families (MinHash/SimHash) plug into the SAME
+    * union — ConsensusDedupSpec exercises a planted corpus with their
+    * edges included — but the REGISTERED query sticks to the portable
+    * three so the whole resolution stays hash-checkable end to end
+    * (xxhash64 signatures are Spark-specific; the same reason
+    * `dedup_minhash` is rows-only by design).
+    *
+    * Scale shape: ONE gram materialization feeds both set-overlap
+    * families; each family keeps its own quadratic guard (PPJoin
+    * prefix + positional filter, df-cap, block cap); the union is
+    * columnar concat, no shuffle of its own.
+    */
+  private[graft] def consensusEdges(d: DataFrame): DataFrame = {
+    val grams = Materialize(Dedup.explodedNgrams(d, "doc_id", "text", n = 3))
+    val jac = prefixPairsFromGrams(grams)
+      .select(col("a_id"), col("b_id"), lit("jaccard").as("modality"))
+    val con = containmentPairsFromGrams(grams)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        lit("containment").as("modality"))
+      .distinct() // both containment directions collapse to one edge
+    val edit = TextQueries.editPairs(d)
+      .select(col("a_id"), col("b_id"), lit("edit").as("modality"))
+    jac.union(con).union(edit)
+  }
+
+  /** Consensus dedup over any (doc_id, text) frame: union the evidence
+    * edges, aggregate per-edge provenance (how many detectors agree,
+    * and which), resolve ONE set of connected components over the
+    * union graph, and emit each evidence edge with its provenance and
+    * final component id — the artifact that lets a curation pipeline
+    * collapse once across all detectors (and audit WHY any two
+    * documents were merged). Components via the verified
+    * [[graft.operators.DupClusters]] min-label machinery; the oracle
+    * recomputes them with a recursive CTE over the SAME union of the
+    * three families' SQL mirrors.
+    */
+  private[graft] def dedupConsensusOn(d: DataFrame): DataFrame = {
+    val prov = consensusEdges(d)
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).cast("long").as("n_modalities"),
+        array_join(array_sort(collect_set(col("modality"))), ",").as("modalities"))
+    val comp = graft.operators.DupClusters.connectedComponents(
+      d.select(col("doc_id").as("id")),
+      prov.select(col("a_id").as("src"), col("b_id").as("dst")),
+      smallGraphMaxEdges = 2_000_000L) // same opt-in bound as dup_clusters
+    prov.join(comp.select(col("id").as("a_id"), col("cluster_id")), "a_id")
+      .select(col("a_id"), col("b_id"), col("n_modalities"),
+        col("modalities"), col("cluster_id"))
+      .orderBy("a_id", "b_id")
+  }
+
+  def dedupConsensus(spark: SparkSession, dir: String): DataFrame =
+    dedupConsensusOn(docs(spark, dir))
+
+  val dedupConsensusSql: String = s"""
+    WITH RECURSIVE edges AS (
+      SELECT a_id, b_id, 'jaccard' AS modality FROM ($dedupPrefixSql)
+      UNION
+      SELECT least(a_id, b_id), greatest(a_id, b_id), 'containment'
+      FROM ($dedupContainmentSql)
+      UNION
+      SELECT a_id, b_id, 'edit' FROM (${TextQueries.dedupEditSql})),
+    prov AS (
+      SELECT a_id, b_id, cast(count(*) AS BIGINT) AS n_modalities,
+        string_agg(modality, ',' ORDER BY modality) AS modalities
+      FROM edges GROUP BY 1, 2),
+    und AS (
+      SELECT a_id AS src, b_id AS dst FROM prov
+      UNION ALL SELECT b_id, a_id FROM prov),
+    r(n, m) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.n, u.dst FROM r JOIN und u ON u.src = r.m),
+    comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n)
+    SELECT p.a_id, p.b_id, p.n_modalities, p.modalities, c.cluster_id
+    FROM prov p JOIN comp c ON p.a_id = c.doc_id
+    ORDER BY p.a_id, p.b_id"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_consensus" -> (dedupConsensus _),
     "dup_spans"      -> (dupSpans _),
     "dedup_prefix"   -> (dedupPrefix _),
     "dedup_contain"  -> (dedupContainment _),
@@ -917,6 +1021,7 @@ object CorpusQueries {
     "data_card"      -> (dataCard _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_consensus" -> dedupConsensusSql,
     "dup_spans"      -> dupSpansSql,
     "dedup_prefix"   -> dedupPrefixSql,
     "dedup_contain"  -> dedupContainmentSql,

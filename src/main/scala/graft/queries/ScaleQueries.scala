@@ -413,6 +413,162 @@ object ScaleQueries {
       subspaces = ivfPqSubspaces(prepped, coarse)).orderBy("q_id", "rk")
   }
 
+  // ------------------------------------------ persisted ANN index
+
+  /** Rerank pool for the label-filtered search. RecallSweep filtered
+    * section (SWEEP_ONLY=filtered), measured 2026-08-14 vs the
+    * FILTERED brute truth at nProbe=12 across rerank ∈ {50,100,200,400}
+    * (sf0.001 / 0.01 / 0.1):
+    *   50 → 94 / 94 / 87.5;  100 → 94 / 94 / 93;
+    *   200 → 94 / 94 / 93;   400 → 94 / 94 / 93
+    * The knee is 100 (the pool is spent only on same-label candidates,
+    * so filter-before-rank needs NO widening over the unfiltered point
+    * — widening past the knee pays nothing); shipped 200 to share the
+    * unfiltered [[PqRerank]] pool with measured headroom on both sides.
+    */
+  private[graft] val FilteredRerank = 200
+
+  /** Recall floor (pct) for `knn_filtered_recall`: measured 94/94/93
+    * at the shipped point (curve at [[FilteredRerank]]) ⇒ 70 holds at
+    * every SF with ≥ 23pp margin. (Filtered recall sits ABOVE the
+    * unfiltered IVF+PQ's 82% at sf0.1: the same-label truth set lives
+    * in the cells the label's queries probe.)
+    */
+  private[graft] val FilteredMinPct = 70
+
+  /** On-disk home of the persisted IVF+PQ index for one corpus dir,
+    * keyed by an md5 of the SOURCE parquet files' (path, length,
+    * mtime) so a regenerated corpus can never be served a stale index
+    * — a mismatched corpus simply hashes to a different directory and
+    * triggers a rebuild.
+    */
+  private def annIndexDir(dir: String): java.io.File = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(s"$dir/embeddings.parquet"))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new java.io.File(new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-ann-index"), md)
+  }
+
+  /** `ann_index_build` — the write half of the deployment-shape ANN
+    * lifecycle (build once, search many): train the coarse quantizer +
+    * per-cell residual sub-codebooks, code every vector ONCE, and
+    * persist
+    *   - `codes/`  — (n_id, code0..7, label) `partitionBy("c_id")`, so
+    *     probing becomes parquet DIRECTORY pruning at search time (the
+    *     label attribute is stored in the index rows — filtered search
+    *     never touches a second table);
+    *   - `coarse/`, `subs/` — the codebook sidecars (model-sized:
+    *     16 + 8×64 centroid rows), read back by the search half.
+    * Returns the codes frame READ BACK from the persisted index — the
+    * oracle checks the on-disk truth, not the in-memory plan. A
+    * completion marker is written last so a crashed build is never
+    * mistaken for an index.
+    */
+  def annIndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    val root = annIndexDir(dir)
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding",
+      keep = Seq("label"))
+    val coarse = Similarity.kmeansCentroids(prepped, k = 16, iters = 1)
+    val subs = ivfPqSubspaces(prepped, coarse)
+    val marker = new java.io.File(root, "_GRAFT_INDEX_COMPLETE")
+    marker.delete()
+    Similarity.ivfPqCodes(prepped, coarse, subs, keep = Seq("label"))
+      .write.mode("overwrite").partitionBy("c_id")
+      .parquet(new java.io.File(root, "codes").toString)
+    coarse.write.mode("overwrite")
+      .parquet(new java.io.File(root, "coarse").toString)
+    subs.zipWithIndex.map { case ((_, _, bank), s) =>
+        bank.select(lit(s).as("s"), col("c_id"), col("cv"), col("cn"))
+      }.reduce(_ union _)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(root, "subs").toString)
+    java.nio.file.Files.writeString(marker.toPath, "ok")
+    val codeCols = pqLos.indices.map(s => col(s"code$s"))
+    spark.read.parquet(new java.io.File(root, "codes").toString)
+      .select(col("n_id") +: codeCols :+ col("label") :+
+        col("c_id").cast("long").as("c_id"): _*)
+      .orderBy("n_id")
+  }
+
+  /** The persisted index, read back — (codes, coarse, subspaces).
+    * Builds first if the completion marker is absent (queries are an
+    * unordered map, so `ann_index_search`/`knn_filtered` cannot assume
+    * `ann_index_build` ran first in this session). Banks are re-sorted
+    * by c_id so the collected model arrays are order-identical to the
+    * trainer's output regardless of parquet file order.
+    */
+  private[graft] def annIndexParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[(Int, Int, DataFrame)]) = {
+    val root = annIndexDir(dir)
+    if (!new java.io.File(root, "_GRAFT_INDEX_COMPLETE").exists())
+      annIndexBuild(spark, dir).count()
+    val codes = spark.read.parquet(new java.io.File(root, "codes").toString)
+    val coarse = spark.read.parquet(new java.io.File(root, "coarse").toString)
+      .orderBy("c_id")
+    val subsDf = spark.read.parquet(new java.io.File(root, "subs").toString)
+    val subs = pqLos.indices.map { s =>
+      (pqLos(s), PqSubLen,
+        subsDf.filter(col("s") === s).select("c_id", "cv", "cn").orderBy("c_id"))
+    }
+    (codes, coarse, subs)
+  }
+
+  /** The probed slice of the persisted codes index: the query batch's
+    * distinct coarse cells ([[Similarity.probedCells]] — model-sized,
+    * ≤ nCells rows) collected into a STATIC `isin` predicate over the
+    * partition column, so the scan reads only the probed cells'
+    * parquet directories (PartitionFilters — asserted in AnnIndexSpec).
+    */
+  private[graft] def prunedIndexCodes(queries: DataFrame, codes: DataFrame,
+                                      coarse: DataFrame): DataFrame = {
+    val cells = Similarity.probedCells(queries, coarse, IvfPqNProbe)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    codes.filter(col("c_id").isin(cells: _*))
+  }
+
+  /** `ann_index_search` — the read half: identical results to the
+    * inline-trained [[knnIvfPq]] (same oracle), but ALL training and
+    * coding cost lives in `ann_index_build`; this query only reads the
+    * probed cells' code partitions + the model sidecars, which is why
+    * its bench time sits far under the build's.
+    */
+  def annIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
+    val queries = prepped.filter(col("id") % PqQueryMod === 0)
+    val (codes, coarse, subs) = annIndexParts(spark, dir)
+    Similarity.knnIvfPqOnCodes(queries, prepped,
+        prunedIndexCodes(queries, codes, coarse),
+        k = PqK, rerank = PqRerank, nProbe = IvfPqNProbe,
+        coarse = coarse, subspaces = subs)
+      .orderBy("q_id", "rk")
+  }
+
+  /** `knn_filtered` — predicate + top-k over the persisted index: each
+    * query retrieves its k nearest SAME-LABEL vectors, the most common
+    * production retrieval shape after plain top-k. The label predicate
+    * is applied DURING the ADC code scan (filter-before-rank; the
+    * label is stored in the index rows), so the whole rerank pool is
+    * spent on predicate-satisfying candidates. Recall vs the filtered
+    * brute truth is floor-audited in `knn_filtered_recall`.
+    */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding",
+      keep = Seq("label"))
+    val queries = prepped.filter(col("id") % PqQueryMod === 0)
+    val (codes, coarse, subs) = annIndexParts(spark, dir)
+    Similarity.knnIvfPqFilteredOnCodes(queries, prepped,
+        prunedIndexCodes(queries, codes, coarse),
+        k = PqK, rerank = FilteredRerank, nProbe = IvfPqNProbe,
+        coarse = coarse, subspaces = subs, labCol = "label")
+      .orderBy("q_id", "rk")
+  }
+
   /** Winnowing (rolling-hash) fingerprints over documents — engine-
     * portable md5 gram hashes, so fully oracle-checked.
     */
@@ -521,7 +677,7 @@ object ScaleQueries {
     */
   private val kmeansCtePrefix: String = """
     WITH e AS (
-      SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+      SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v,
         sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) AS nrm
       FROM embeddings),
     c0 AS (
@@ -542,7 +698,7 @@ object ScaleQueries {
       SELECT c_id, cv, sqrt(list_inner_product(cv, cv)) AS cn
       FROM (SELECT c_id, list(m ORDER BY i) AS cv FROM m1 GROUP BY c_id)),
     a2 AS (
-      SELECT e.vec_id, e.v, e.nrm, c.c_id,
+      SELECT e.vec_id, e.label, e.v, e.nrm, c.c_id,
         row_number() OVER (PARTITION BY e.vec_id
           ORDER BY list_inner_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.c_id DESC) AS rn
       FROM e, c1 c
@@ -704,11 +860,24 @@ object ScaleQueries {
     * results are identical. Anchored to line-start CTE headers
     * (optionally after WITH) so a future non-CTE `<alias> AS (` inside
     * an expression can never be rewritten by accident; every CTE the
-    * PQ generators emit starts its own line by construction.
+    * PQ generators emit starts its own line by construction — and a
+    * MISS is now loud, not silent: the rewrite count is required to
+    * equal the count of `<word> AS (` occurrences ANYWHERE in the
+    * input (the generated SQL contains no non-CTE `AS (`), so a future
+    * comma-led or same-line CTE header that escapes the line anchor
+    * throws at class-init instead of quietly reintroducing the
+    * measured planner blowup.
     */
-  private def materializeCtes(sql: String): String =
-    sql.replaceAll("""(?m)^(\s*)(WITH\s+)?(\w+) AS \(""",
+  private def materializeCtes(sql: String): String = {
+    val out = sql.replaceAll("""(?m)^(\s*)(WITH\s+)?(\w+) AS \(""",
       "$1$2$3 AS MATERIALIZED (")
+    val headers = """\w+ AS \(""".r.findAllIn(sql).size
+    val rewritten = """\w+ AS MATERIALIZED \(""".r.findAllIn(out).size
+    require(rewritten == headers,
+      s"materializeCtes missed ${headers - rewritten} CTE header(s) — " +
+        "a header not at line start would silently skip AS MATERIALIZED")
+    out
+  }
 
   val knnPqSql: String = materializeCtes {
     val ss = pqLos.indices
@@ -758,20 +927,21 @@ object ScaleQueries {
     ORDER BY q_id, rk"""
   }
 
-  /** Exact SQL mirror of [[knnIvfPq]], generated from the shared PQ
-    * constants plus [[IvfPqNProbe]]: the coarse k-means chain
-    * (`kmeansCtePrefix`), the residual frame (û − ĉ(cell), element
-    * divisions in the same order as `Similarity.residualFrame`), one
-    * residual-slice L2 chain per subspace ([[pqL2Chain]]), probes with
-    * the (aff desc, c_id ASC) tie-break carrying the exact affinity
-    * term, ADC = aff + Σ d_s in the Spark side's left-assoc order,
-    * rank cuts tie-broken on n_id in both lanes.
+  /** Shared CTE block for the IVF+PQ coding chain — the residual frame
+    * (û − ĉ(cell), element divisions in the same order as
+    * `Similarity.residualFrame`), one residual-slice L2 chain per
+    * subspace ([[pqL2Chain]]) and the final `codes` CTE. `withLabel`
+    * mirrors [[Similarity.ivfPqCodes]]'s `keep = Seq("label")`: the
+    * attribute column rides IN the codes rows, exactly as the
+    * persisted index stores it.
     */
-  val knnIvfPqSql: String = materializeCtes {
+  private def ivfPqCodesCtes(withLabel: Boolean): String = {
     val ss = pqLos.indices
-    val residSql = """
+    val labA = if (withLabel) ", a.label" else ""
+    val labR = if (withLabel) ", r.label" else ""
+    val residSql = s"""
     resid AS (
-      SELECT a.vec_id, a.c_id,
+      SELECT a.vec_id, a.c_id$labA,
         list_transform(range(1, len(a.v) + 1),
           i -> a.v[i] / a.nrm - c.cv[i] / c.cn) AS r
       FROM a2 a JOIN c1 c ON a.c_id = c.c_id)"""
@@ -779,6 +949,30 @@ object ScaleQueries {
       s"SELECT vec_id, r[${pqLos(s)}:${pqLos(s) + PqSubLen - 1}] AS v FROM resid").trim)
     val codeCols = ss.map(s => s"a2$s.c_id AS code$s").mkString(", ")
     val codeJoins = ss.map(s => s"JOIN a2$s USING (vec_id)").mkString("\n      ")
+    s"""${residSql.trim},
+    ${chains.mkString(",\n    ")},
+    codes AS (
+      SELECT r.vec_id, r.c_id$labR, $codeCols
+      FROM resid r $codeJoins)"""
+  }
+
+  /** Exact SQL mirror of the IVF+PQ search ([[knnIvfPq]] and the
+    * persisted-index `ann_index_search`, which CellIndexSpec/
+    * AnnIndexSpec prove value-identical), generated from the shared PQ
+    * constants plus [[IvfPqNProbe]]: the coarse k-means chain
+    * (`kmeansCtePrefix`), the coding chain ([[ivfPqCodesCtes]]), probes
+    * with the (aff desc, c_id ASC) tie-break carrying the exact
+    * affinity term, ADC = aff + Σ d_s in the Spark side's left-assoc
+    * order, rank cuts tie-broken on n_id in both lanes.
+    * `labelFiltered` additionally mirrors
+    * [[Similarity.knnIvfPqFilteredOnCodes]]: the query's label rides
+    * the probe CTE and the ADC scan keeps only label-equal candidates
+    * (filter-before-rank), with `rerank` parameterized so the filtered
+    * operating point can move independently.
+    */
+  private def ivfPqSearchSql(labelFiltered: Boolean, rerank: Int): String =
+    materializeCtes {
+    val ss = pqLos.indices
     val qds = ss.map { s =>
       val (lo, hi) = (pqLos(s), pqLos(s) + PqSubLen - 1)
       s"""qd$s AS (
@@ -790,14 +984,12 @@ object ScaleQueries {
       s"JOIN qd$s q$s ON q$s.q_id = p.q_id AND q$s.c_id = x.code$s")
       .mkString("\n      ")
     val dSum = ss.map(s => s"q$s.d").mkString(" + ")
+    val qlab = if (labelFiltered) ", q.label AS qlab" else ""
+    val labFilter = if (labelFiltered) " AND x.label = p.qlab" else ""
     s"""$kmeansCtePrefix,
-    ${residSql.trim},
-    ${chains.mkString(",\n    ")},
-    codes AS (
-      SELECT r.vec_id, r.c_id, $codeCols
-      FROM resid r $codeJoins),
+    ${ivfPqCodesCtes(labelFiltered)},
     probe AS (
-      SELECT q.vec_id AS q_id, c.c_id,
+      SELECT q.vec_id AS q_id, c.c_id$qlab,
         list_inner_product(q.v, c.cv) / (q.nrm * c.cn) AS aff
       FROM e q, c1 c
       WHERE q.vec_id % $PqQueryMod = 0
@@ -808,11 +1000,11 @@ object ScaleQueries {
       SELECT p.q_id, x.vec_id AS n_id,
         (p.aff + $dSum) AS a
       FROM codes x
-      JOIN probe p ON p.c_id = x.c_id AND x.vec_id != p.q_id
+      JOIN probe p ON p.c_id = x.c_id AND x.vec_id != p.q_id$labFilter
       $qdJoins),
     cand AS (
       SELECT q_id, n_id FROM adc
-      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY a DESC, n_id) <= $PqRerank),
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY a DESC, n_id) <= $rerank),
     scored AS (
       SELECT c.q_id, c.n_id,
         list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
@@ -826,6 +1018,32 @@ object ScaleQueries {
     SELECT q_id, n_id, round(cos, 6) AS cosine, rk
     FROM ranked WHERE rk <= $PqK
     ORDER BY q_id, rk"""
+  }
+
+  val knnIvfPqSql: String = ivfPqSearchSql(labelFiltered = false, rerank = PqRerank)
+
+  /** `ann_index_search` reads back the index [[annIndexBuild]] wrote and
+    * must return exactly what the inline-trained search returns (the
+    * training is deterministic and parquet round-trips doubles
+    * bit-exactly — asserted in CellIndexSpec/AnnIndexSpec), so it
+    * shares the inline mirror.
+    */
+  val annIndexSearchSql: String = knnIvfPqSql
+
+  val knnFilteredSql: String =
+    ivfPqSearchSql(labelFiltered = true, rerank = FilteredRerank)
+
+  /** Mirror of [[annIndexBuild]]'s persisted codes frame: the full
+    * coding chain, dumped as one row per vector with the stored label
+    * attribute — the on-disk truth the search side scans.
+    */
+  val annIndexBuildSql: String = materializeCtes {
+    val codeCols = pqLos.indices.map(s => s"code$s").mkString(", ")
+    s"""$kmeansCtePrefix,
+    ${ivfPqCodesCtes(withLabel = true)}
+    SELECT vec_id AS n_id, $codeCols, label, cast(c_id AS BIGINT) AS c_id
+    FROM codes
+    ORDER BY n_id"""
   }
 
   val semDedupSql: String = s"""$kmeansCtePrefix,
@@ -1199,6 +1417,46 @@ object ScaleQueries {
         subspaces = ivfPqSubspaces(c, coarse))
     }, minPct = IvfPqMinPct)
 
+  /** Recall floor for the label-filtered search (`knn_filtered`) vs
+    * the FILTERED brute truth ([[Similarity.knnBruteFiltered]]) — the
+    * truth set itself is the exact hash-checked quantity, same audit
+    * contract as the other recall rows. Floor at [[FilteredMinPct]],
+    * set from RecallSweep's filtered section across all three SFs.
+    */
+  def knnFilteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding",
+      keep = Seq("label"))
+    val queries = prepped.filter(col("id") % PqQueryMod === 0)
+    val brute = Similarity.knnBruteFiltered(queries, prepped, k = PqK,
+        labCol = "label")
+      .select(col("q_id"), col("n_id"))
+    val hits = brute.join(
+      knnFiltered(spark, dir).select(col("q_id"), col("n_id")),
+      Seq("q_id", "n_id"), "left_semi")
+    brute.agg(count(lit(1)).as("n_brute"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_brute").cast("long").as("n_brute"),
+        (col("n_hit") * 100 >= col("n_brute") * FilteredMinPct)
+          .cast("long").as("recall_ok"))
+  }
+
+  val knnFilteredRecallSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      FROM e q JOIN e c ON q.vec_id % $PqQueryMod = 0
+        AND c.vec_id != q.vec_id AND c.label = q.label),
+    ranked AS (
+      SELECT q_id, n_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+      FROM scored)
+    SELECT cast(count(*) AS BIGINT) AS n_brute, cast(1 AS BIGINT) AS recall_ok
+    FROM ranked WHERE rk <= $PqK"""
+
   private val annRecallSql: String = """
     WITH e AS (
       SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
@@ -1385,6 +1643,10 @@ object ScaleQueries {
     "knn_pq_recall" -> (knnPqRecall _),
     "knn_ivfpq"     -> (knnIvfPq _),
     "knn_ivfpq_recall" -> (knnIvfPqRecall _),
+    "ann_index_build"  -> (annIndexBuild _),
+    "ann_index_search" -> (annIndexSearch _),
+    "knn_filtered"     -> (knnFiltered _),
+    "knn_filtered_recall" -> (knnFilteredRecall _),
     "sem_dedup"     -> (semDedup _),
     "kmeans_quality" -> (kmeansQuality _),
     "emb_pq"         -> (embPq _),
@@ -1423,6 +1685,10 @@ object ScaleQueries {
     "knn_ivf_hi"    -> knnIvfHiSql,
     "knn_pq"        -> knnPqSql,
     "knn_ivfpq"     -> knnIvfPqSql,
+    "ann_index_build"  -> annIndexBuildSql,
+    "ann_index_search" -> annIndexSearchSql,
+    "knn_filtered"     -> knnFilteredSql,
+    "knn_filtered_recall" -> knnFilteredRecallSql,
     "knn_ivf_recall" -> knnIvfRecallSql,
     "knn_ivf_hi_recall" -> knnIvfRecallSql,
     "knn_pq_recall" -> knnIvfRecallSql,

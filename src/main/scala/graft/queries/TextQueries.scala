@@ -148,11 +148,18 @@ object TextQueries {
     * recomputes it unbounded and filters. Pure function surface, fully
     * oracle-checkable (unlike the hash-seeded signature paths).
     */
-  def dedupEdit(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEdit(spark: SparkSession, dir: String): DataFrame =
+    editPairs(docs(spark, dir)).orderBy("a_id", "b_id")
+
+  /** The blocked Levenshtein body over any (doc_id, text) frame —
+    * shared by [[dedupEdit]] and the consensus union
+    * (`CorpusQueries.dedupConsensus`).
+    */
+  private[graft] def editPairs(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val canon = trim(regexp_replace(
       graft.functions.Accent.deaccent(lower(col("text"))), "[^a-z0-9]+", " "))
-    val blocked = docs(spark, dir)
+    val blocked = d
       .select(col("doc_id"), canon.as("c"))
       .withColumn("blk", substring(col("c"), 1, 12))
       .withColumn("len", length(col("c")))
@@ -167,7 +174,6 @@ object TextQueries {
       .select(col("a_id"), col("b_id"),
         levenshtein(col("ca"), col("cb"), EditMax).cast("long").as("dist"))
       .filter(col("dist") >= 0)
-      .orderBy("a_id", "b_id")
   }
 
   val dedupEditSql: String = s"""

@@ -27,11 +27,32 @@ object Xlsx {
     f
   }
 
+  /** OLE2 compound-document magic — the container of legacy BIFF `.xls`
+    * workbooks (and every other pre-OOXML Office format).
+    */
+  private val Ole2Magic: Array[Byte] =
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+
   /** Rows of the first worksheet, sparse cells resolved by their `r`
     * reference: missing cells are null, trailing width ragged (callers
     * pad to their schema width). Driver-side by design — see class doc.
+    *
+    * Legacy `.xls` parity (`app.py:792` accepts `*.xls *.xlsx` in the
+    * file dialog, but `pd.read_excel` then needs the xlrd engine the
+    * reference never ships): a BIFF workbook is DETECTED by its OLE2
+    * container magic — not by file extension, which lies — and rejected
+    * with a typed, actionable error instead of the opaque ZipException
+    * a zip open would throw. Asserted in RosterReaderSpec.
     */
   def readRows(path: String): Vector[Vector[String]] = {
+    val head = {
+      val in = new java.io.FileInputStream(path)
+      try in.readNBytes(Ole2Magic.length) finally in.close()
+    }
+    if (java.util.Arrays.equals(head, Ole2Magic))
+      throw new IllegalArgumentException(
+        s"$path is a legacy .xls (BIFF/OLE2) workbook; this reader supports " +
+          ".xlsx (OOXML) only — re-save the roster as .xlsx")
     val zip = new ZipFile(path)
     try {
       val shared = entry(zip, "xl/sharedStrings.xml").map(parseSharedStrings).getOrElse(Vector.empty)

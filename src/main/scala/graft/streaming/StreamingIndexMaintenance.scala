@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+import graft.operators.Similarity
+
+/** Streaming maintenance of the persisted IVF+PQ index (the
+  * `ann_index_build` layout): vectors arriving on a stream are coded
+  * against the FROZEN codebooks — coarse centroids + residual
+  * sub-quantizers are model parameters, compiled into the plan as
+  * literal banks exactly as in the batch coder — and appended as a
+  * DELTA segment next to the base index, where the search side picks
+  * them up ([[deltaCodes]] ∪ base feeds
+  * `Similarity.knnIvfPqOnCodes`). This is the FAISS add-after-train
+  * contract: appends never retrain; codebook refresh is a batch
+  * rebuild (`ann_index_build`).
+  *
+  * Deliberately STATELESS: cell assignment + sub-quantization is a
+  * pure row-local projection, so there is no per-key state to manage —
+  * `transformWithState` here would buy a shuffle and a state store for
+  * nothing. Exactly-once comes from the file sink's commit log (a
+  * replayed micro-batch never re-appends), which matters because a
+  * duplicated code row would duplicate ADC candidates and could shift
+  * the rank cut.
+  *
+  * Scale shape: the delta segment is `partitionBy("c_id")` like the
+  * base, so cell probing prunes BOTH segments' directories; a
+  * compaction run folds deltas into the base by re-running the build
+  * (or simply concatenating segments — codes are frozen-model outputs,
+  * so base ∪ delta is byte-identical to a cold recode, asserted in
+  * StreamingIndexSpec).
+  */
+object StreamingIndexMaintenance {
+
+  /** The coding projection lifted onto a stream: [[Similarity.prep]] +
+    * [[Similarity.ivfPqCodes]] are pure selects against literal banks,
+    * so they apply to a streaming frame unchanged (no shuffle, no
+    * state).
+    */
+  def codeStream(raw: DataFrame, coarse: DataFrame,
+                 subspaces: Seq[(Int, Int, DataFrame)],
+                 keep: Seq[String] = Nil): DataFrame =
+    Similarity.ivfPqCodes(
+      Similarity.prep(raw, "vec_id", "embedding", keep), coarse, subspaces, keep)
+
+  /** Append-only file-sink writer for the delta segment — same
+    * partitioning as the base index so probe pruning covers it.
+    */
+  def writer(codes: DataFrame, deltaDir: String,
+             checkpointDir: String): DataStreamWriter[Row] =
+    codes.writeStream
+      .outputMode("append")
+      .partitionBy("c_id")
+      .format("parquet")
+      .option("path", deltaDir)
+      .option("checkpointLocation", checkpointDir)
+
+  /** The delta segment as a batch frame for the search side; an absent
+    * or not-yet-committed delta reads as an empty frame of the base's
+    * schema, so `base.unionByName(deltaCodes(...))` is always valid.
+    */
+  def deltaCodes(spark: SparkSession, deltaDir: String,
+                 like: DataFrame): DataFrame = {
+    val hasData = new java.io.File(deltaDir, "_spark_metadata").exists()
+    if (hasData) spark.read.schema(like.schema).parquet(deltaDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], like.schema)
+  }
+}

@@ -134,6 +134,20 @@ class RosterReaderSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("username") == "anasoto")
   }
 
+  test("legacy .xls (BIFF/OLE2) roster is rejected with a typed, actionable error") {
+    // the reference's file dialog accepts *.xls too (app.py:792); parity
+    // here is detection by the OLE2 container magic (extensions lie) and
+    // a clear re-save instruction instead of an opaque ZipException
+    val f = java.nio.file.Files.createTempFile("roster", ".xls")
+    val ole2 = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+    java.nio.file.Files.write(f, ole2 ++ Array.fill[Byte](512)(0))
+    val e = intercept[IllegalArgumentException] {
+      RosterReader.readXlsx(spark, f.toString)
+    }
+    assert(e.getMessage.contains("legacy .xls") &&
+      e.getMessage.contains("re-save the roster as .xlsx"))
+  }
+
   test("xlsx column reference math") {
     import graft.sources.Xlsx
     assert(Xlsx.colIndex("A1") == 0)

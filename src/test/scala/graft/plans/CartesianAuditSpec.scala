@@ -68,6 +68,16 @@ class CartesianAuditSpec extends AnyFunSuite {
     * if EVERY branch is.
     */
   private def bounded(p: SparkPlan): Boolean = p match {
+    // Residual gap (documented, accepted): an aggregate bounds rows only
+    // at GROUPING-KEY cardinality, which can itself be data-scale (e.g.
+    // GROUP BY vec_id over the corpus) — such a side crossed with the
+    // corpus would still pass this audit. Every current cross in the
+    // surface aggregates to stat frames (grand totals / per-label /
+    // per-source rows) or sits in the JUSTIFIED map; tightening to
+    // "grouping-free aggregates only" was tried and rejects those
+    // legitimate stat-frame crosses wholesale. A data-keyed aggregate
+    // feeding a cartesian therefore needs a per-query JUSTIFIED entry,
+    // reviewed when the whitelist changes.
     case _: BaseAggregateExec => true // stat frames: rows ≤ key cardinality
     case _: GlobalLimitExec => true
     case _: LocalTableScanExec => true // literal frames (calendars, salts)
