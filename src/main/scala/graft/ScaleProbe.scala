@@ -166,12 +166,37 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(s"$out10/orders.parquet")
         println("GENERATED sf10 corpus (documents + orders, 100 reps)")
       }
-      for (q <- Seq("dedup_rewrite", "novelty_rate", "cdc_apply", "rfm_segment")) {
+      // round-12: dedup_ngram joins the two-decade list — the heaviest
+      // gram family (3-gram doc-pair Jaccard with the df ≤ 20 cap); its
+      // disjoint-gram replicas keep per-gram doc lists replica-local, so
+      // the capped candidate pairs grow linearly with bytes by design
+      // and the probe checks the cap actually delivers that.
+      for (q <- Seq("dedup_rewrite", "novelty_rate", "cdc_apply", "rfm_segment",
+          "dedup_ngram")) {
         val t01 = timeQ(q, src)
         val t1 = timeQ(q, out)
         val t10 = timeQ(q, out10)
         println(f"PROBE100 $q sf0.1=$t01%.2f s sf1=$t1%.2f s sf10=$t10%.2f s " +
           f"ratio10=${t1 / t01}%.1f ratio100=${t10 / t01}%.1f")
+      }
+      spark.stop()
+      return
+    }
+
+    // Re-measure mode (`runMain graft.ScaleProbe remeasure`): the
+    // round-11 verdict's bench-methodology check — warm pass + min of 2
+    // timed passes, isolated from the other 240 queries — for the knn
+    // family (which moved 1.2–1.5× in lockstep in BENCH_r11) and
+    // hits_rank (drifting two consecutive rounds). Prints one line per
+    // query at bench SF for committing alongside the BENCH_r11 numbers.
+    if (args.contains("remeasure")) {
+      val qs = Seq("knn_ivf", "knn_ivf_hi", "knn_ivf_recall",
+        "knn_ivf_hi_recall", "knn_pq", "knn_pq_recall", "knn_lsh",
+        "knn_lsh_recall", "knn_ivfpq", "knn_ivfpq_recall", "knn_brute",
+        "dedup_minhash", "hits_rank")
+      for (q <- qs) {
+        val t = timeQ(q, src)
+        println(f"REMEASURE $q sf0.1 min-of-2-warm=$t%.2f s")
       }
       spark.stop()
       return

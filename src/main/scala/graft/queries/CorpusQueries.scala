@@ -1003,10 +1003,75 @@ object CorpusQueries {
     FROM prov p JOIN comp c ON p.a_id = c.doc_id
     ORDER BY p.a_id, p.b_id"""
 
+  /** `dedup_consensus_keep_best` — the curation end of the consensus
+    * pipeline: every document mapped to its consensus component (the
+    * union of the jaccard/containment/edit evidence families, same
+    * edges as [[dedupConsensus]]) with ONE quality-chosen survivor per
+    * component. One row per document: its component, the component's
+    * keeper, and whether the row survives — the frame a pruning pass
+    * anti-joins the corpus against, and the audit trail for why a
+    * document was dropped (its keeper displaced it).
+    *
+    * Keeper choice is (quality DESC, doc_id ASC) — a total order
+    * (quality is round-6 on both engines, ties broken by id), so the
+    * keeper is deterministic. The per-component window partitions by
+    * cluster_id: component-sized partitions, never corpus-sized (the
+    * giant-component risk is the same one `dup_clusters` documents —
+    * bounded here by the same capped evidence families).
+    */
+  private[graft] def dedupConsensusKeepBestOn(d: DataFrame): DataFrame = {
+    val edges = consensusEdges(d).select("a_id", "b_id").distinct()
+    val comp = graft.operators.DupClusters.connectedComponents(
+      d.select(col("doc_id").as("id")),
+      edges.select(col("a_id").as("src"), col("b_id").as("dst")),
+      smallGraphMaxEdges = 2_000_000L)
+    val scored = comp.select(col("id").as("doc_id"), col("cluster_id"))
+      .join(d.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality")), "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    scored.withColumn("keep_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("keep_id"), (col("doc_id") === col("keep_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  def dedupConsensusKeepBest(spark: SparkSession, dir: String): DataFrame =
+    dedupConsensusKeepBestOn(docs(spark, dir))
+
+  val dedupConsensusKeepBestSql: String = s"""
+    WITH RECURSIVE edges AS (
+      SELECT a_id, b_id FROM ($dedupPrefixSql)
+      UNION
+      SELECT least(a_id, b_id), greatest(a_id, b_id)
+      FROM ($dedupContainmentSql)
+      UNION
+      SELECT a_id, b_id FROM (${TextQueries.dedupEditSql})),
+    und AS (
+      SELECT a_id AS src, b_id AS dst FROM edges
+      UNION ALL SELECT b_id, a_id FROM edges),
+    r(n, m) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.n, u.dst FROM r JOIN und u ON u.src = r.m),
+    comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n),
+    q AS (${TextQueries.qualityScoreSql}),
+    j AS (
+      SELECT c.doc_id, c.cluster_id, q.quality
+      FROM comp c JOIN q ON c.doc_id = q.doc_id)
+    SELECT doc_id, cluster_id, quality,
+      first_value(doc_id) OVER (PARTITION BY cluster_id
+        ORDER BY quality DESC, doc_id ASC) AS keep_id,
+      doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+        ORDER BY quality DESC, doc_id ASC) AS kept
+    FROM j
+    ORDER BY doc_id"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_consensus" -> (dedupConsensus _),
+    "dedup_consensus_keep_best" -> (dedupConsensusKeepBest _),
     "dup_spans"      -> (dupSpans _),
     "dedup_prefix"   -> (dedupPrefix _),
     "dedup_contain"  -> (dedupContainment _),
@@ -1022,6 +1087,7 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_consensus" -> dedupConsensusSql,
+    "dedup_consensus_keep_best" -> dedupConsensusKeepBestSql,
     "dup_spans"      -> dupSpansSql,
     "dedup_prefix"   -> dedupPrefixSql,
     "dedup_contain"  -> dedupContainmentSql,

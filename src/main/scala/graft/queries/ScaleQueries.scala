@@ -613,6 +613,59 @@ object ScaleQueries {
     WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
     ORDER BY a_id, b_id"""
 
+  private val DeconTau = 0.35
+  private val DeconEvalMod = 101
+
+  /** `decon_semantic` — eval-set decontamination in embedding space:
+    * drop every training vector whose cosine to ANY eval-split vector
+    * (vec_id % [[DeconEvalMod]] = 0, a benchmark-suite-sized ~1% slice)
+    * reaches [[DeconTau]]. The gram-space `decontaminate` contract
+    * (`PipelineQueries.scala`) lifted to vectors: the eval side is
+    * model-sized and explicitly BROADCAST, so the corpus streams
+    * map-side through the dot-product probe and never shuffles — the
+    * only exchanges are the contaminated-id distinct (bounded by the
+    * hit count) and the final anti-join against that tiny frame (itself
+    * broadcast). An eval set too large to broadcast composes with the
+    * persisted IVF index instead: probe the eval vectors' coarse cells
+    * ([[annIndexParts]] + [[prunedIndexCodes]]) and brute-check only
+    * cell-mates.
+    *
+    * τ = 0.35 was picked from the measured cross-split cosine
+    * distribution (9/495 removals at sf0.01, 92 hit-pairs at sf0.1);
+    * the nearest pair sits ≥ 1e-4 from the threshold at both SFs, five
+    * orders above double-accumulation noise, so the engines cannot
+    * disagree on membership.
+    */
+  private[graft] def deconSemanticOn(e: DataFrame): DataFrame = {
+    val ev = broadcast(e.filter(col("id") % DeconEvalMod === 0)
+      .select(col("id").as("e_id"), col("v").as("evec"), col("nrm").as("en")))
+    val train = e.filter(col("id") % DeconEvalMod =!= 0)
+    val bad = train.join(ev,
+        Similarity.cosine(col("v"), col("nrm"), col("evec"), col("en")) >= DeconTau)
+      .select(col("id")).distinct()
+    train.join(bad, Seq("id"), "left_anti")
+      .select(col("id").as("vec_id")).orderBy("vec_id")
+  }
+
+  def deconSemantic(spark: SparkSession, dir: String): DataFrame =
+    deconSemanticOn(Similarity.prep(embs(spark, dir), "vec_id", "embedding"))
+
+  val deconSemanticSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(cast(embedding AS DOUBLE[]),
+             cast(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    ev AS (SELECT * FROM e WHERE vec_id % $DeconEvalMod = 0),
+    bad AS (
+      SELECT DISTINCT t.vec_id FROM e t JOIN ev
+        ON list_inner_product(t.v, ev.v) / (t.nrm * ev.nrm) >= $DeconTau
+      WHERE t.vec_id % $DeconEvalMod <> 0)
+    SELECT vec_id FROM embeddings
+    WHERE vec_id % $DeconEvalMod <> 0
+      AND vec_id NOT IN (SELECT vec_id FROM bad)
+    ORDER BY vec_id"""
+
   /** Cross-modal join: text-side quality metadata joined with the
     * vector-side norm for the overlapping ids — the shape of a curation
     * pass that gates on BOTH text quality and embedding sanity.
@@ -1647,6 +1700,7 @@ object ScaleQueries {
     "ann_index_search" -> (annIndexSearch _),
     "knn_filtered"     -> (knnFiltered _),
     "knn_filtered_recall" -> (knnFilteredRecall _),
+    "decon_semantic"   -> (deconSemantic _),
     "sem_dedup"     -> (semDedup _),
     "kmeans_quality" -> (kmeansQuality _),
     "emb_pq"         -> (embPq _),
@@ -1689,6 +1743,7 @@ object ScaleQueries {
     "ann_index_search" -> annIndexSearchSql,
     "knn_filtered"     -> knnFilteredSql,
     "knn_filtered_recall" -> knnFilteredRecallSql,
+    "decon_semantic"   -> deconSemanticSql,
     "knn_ivf_recall" -> knnIvfRecallSql,
     "knn_ivf_hi_recall" -> knnIvfRecallSql,
     "knn_pq_recall" -> knnIvfRecallSql,

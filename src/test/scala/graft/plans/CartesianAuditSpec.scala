@@ -55,7 +55,11 @@ class CartesianAuditSpec extends AnyFunSuite {
     // Offline hard-negative mining: every 25th vector as anchor x
     // corpus, single aggregation exchange — the between-epoch miner
     // shape; anchor count is the operator's knob.
-    "triplet_mine" -> "anchor sample x corpus mining scan by contract")
+    "triplet_mine" -> "anchor sample x corpus mining scan by contract",
+    // Eval slice (vec_id % 101 = 0, ~1% of the table — benchmark-suite
+    // sized by construction) broadcast against the train side: the
+    // decontaminate contract in vector space, linear in the corpus.
+    "decon_semantic" -> "modulus eval slice broadcast x corpus probe")
 
   /** A literal Range this small is a salt/replica dimension, not data. */
   private val MaxLiteralRange = 4096L
