@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Materialize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Logistic, Materialize, Pca, Similarity, TextAnalysis}
 
 
 /** Scale-path operators: near-dup detection (MinHash-LSH, SimHash,
@@ -665,6 +665,481 @@ object ScaleQueries {
     WHERE vec_id % $DeconEvalMod <> 0
       AND vec_id NOT IN (SELECT vec_id FROM bad)
     ORDER BY vec_id"""
+
+  // ------------------------------------------------- linear probe
+
+  private val ProbeDims = 16
+  private val ProbeIters = 6
+  private val ProbeLr = 4.0
+
+  /** Feature frame for the `linear_probe*` queries: y = (label = 0)
+    * one-vs-rest, x0 = intercept, x1..x[[ProbeDims]] = the leading
+    * embedding dimensions z-standardized against the corpus (mean /
+    * population stddev from ONE aggregation, broadcast back as a
+    * 1-row frame). Standardization bounds every feature at O(1), which
+    * bounds the GD steps and keeps σ away from the exp-overflow range —
+    * the precondition [[graft.operators.Logistic.logLoss]] documents.
+    */
+  private[graft] def probeFeatures(e: DataFrame): DataFrame = {
+    val dims = 1 to ProbeDims
+    val raw = e.select(
+      col("vec_id") +:
+        when(col("label") === 0, 1.0).otherwise(0.0).as("y") +:
+        dims.map(j => element_at(col("embedding"), j).cast("double").as(s"r$j")): _*)
+    val statCols = dims.flatMap(j => Seq(
+      avg(col(s"r$j")).as(s"m$j"), stddev_pop(col(s"r$j")).as(s"s$j")))
+    val st = raw.agg(statCols.head, statCols.tail: _*)
+    raw.crossJoin(broadcast(st)).select(
+      col("vec_id") +: col("y") +: lit(1.0).as("x0") +:
+        dims.map(j => ((col(s"r$j") - col(s"m$j")) / col(s"s$j")).as(s"x$j")): _*)
+  }
+
+  /** `linear_probe` — model-in-the-loop curation head, training half:
+    * [[ProbeIters]] unrolled full-batch GD steps of one-vs-rest
+    * logistic regression ([[graft.operators.Logistic]]) over the
+    * standardized leading embedding dims. Output: one row with the
+    * corpus size, the final mean log-loss, and every weight — the
+    * whole training trajectory is deterministic (zero init, fixed
+    * steps), so the DuckDB oracle REPLAYS training as a generated CTE
+    * chain and the weights must agree to the round-6 cell. On this
+    * synthetic corpus the labels are only weakly linearly separable
+    * (loss prior 0.325 → 0.312); LogisticSpec proves the trainer
+    * drives loss ~0 on planted separable data, and the oracle proves
+    * the distributed recurrence is exact — accuracy on real labels is
+    * a property of the data, not the operator.
+    */
+  def linearProbe(spark: SparkSession, dir: String): DataFrame = {
+    val feats = probeFeatures(embs(spark, dir))
+    val w = Logistic.train(feats, ProbeDims + 1, ProbeIters, ProbeLr)
+    Logistic.logLoss(feats, w).select(
+      col("n") +: round(col("log_loss"), 6).as("log_loss") +:
+        w.indices.map(j => round(lit(w(j)), 6).as(s"w$j")): _*)
+  }
+
+  /** `linear_probe_score` — the scoring half: every vector's predicted
+    * probability under the trained head (the corpus-wide gate pass a
+    * quality classifier exists for). Pure map-side projection once the
+    * model-sized weights fold in as literals.
+    */
+  def linearProbeScore(spark: SparkSession, dir: String): DataFrame = {
+    val feats = probeFeatures(embs(spark, dir))
+    val w = Logistic.train(feats, ProbeDims + 1, ProbeIters, ProbeLr)
+    feats.select(col("vec_id"), col("y"),
+        round(Logistic.prob(w), 6).as("p"))
+      .orderBy("vec_id")
+  }
+
+  /** Generated CTE chain replaying the probe's training in DuckDB —
+    * from the SAME constants as the Scala path, so query and oracle
+    * cannot desync (the `knnPqSql` precedent). Ends at weight frame
+    * `w[[ProbeIters]]`.
+    */
+  private def probeTrainCtes: String = {
+    val dims = 1 to ProbeDims
+    val nf = ProbeDims + 1
+    def zExpr = (0 until nf).map(j => s"w.w$j*f.x$j").mkString("(", " + ", ")")
+    def pExpr = s"(1.0/(1.0 + exp(-$zExpr)))"
+    val steps = (1 to ProbeIters).flatMap { it =>
+      val grads = (0 until nf)
+        .map(j => s"sum(($pExpr - f.y) * f.x$j) / count(*) AS g$j")
+        .mkString(",\n        ")
+      val updates = (0 until nf)
+        .map(j => s"w.w$j - $ProbeLr * g.g$j AS w$j").mkString(", ")
+      Seq(
+        s"""g$it AS (
+      SELECT $grads
+      FROM feats f, w${it - 1} w)""",
+        s"""w$it AS (SELECT $updates FROM w${it - 1} w, g$it g)""")
+    }
+    s"""raw AS (
+      SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y,
+        ${dims.map(j => s"cast(embedding[$j] AS DOUBLE) AS r$j").mkString(",\n        ")}
+      FROM embeddings),
+    st AS (
+      SELECT ${dims.map(j => s"avg(r$j) AS m$j, stddev_pop(r$j) AS s$j").mkString(",\n        ")}
+      FROM raw),
+    feats AS (
+      SELECT vec_id, y, 1.0 AS x0,
+        ${dims.map(j => s"(r$j - s.m$j) / s.s$j AS x$j").mkString(",\n        ")}
+      FROM raw, st s),
+    w0 AS (SELECT ${(0 until nf).map(j => s"0.0 AS w$j").mkString(", ")}),
+    ${steps.mkString(",\n    ")}"""
+  }
+
+  val linearProbeSql: String = materializeCtes {
+    val nf = ProbeDims + 1
+    val z = (0 until nf).map(j => s"w.w$j*f.x$j").mkString("(", " + ", ")")
+    val p = s"(1.0/(1.0 + exp(-$z)))"
+    s"""
+    WITH $probeTrainCtes,
+    loss AS (
+      SELECT -sum(f.y*ln($p) + (1.0-f.y)*ln(1.0-$p))/count(*) AS ll,
+        cast(count(*) AS BIGINT) AS n
+      FROM feats f, w$ProbeIters w)
+    SELECT l.n, round(l.ll, 6) AS log_loss,
+      ${(0 until nf).map(j => s"round(w.w$j, 6) AS w$j").mkString(", ")}
+    FROM loss l, w$ProbeIters w"""
+  }
+
+  val linearProbeScoreSql: String = materializeCtes {
+    val nf = ProbeDims + 1
+    val z = (0 until nf).map(j => s"w.w$j*f.x$j").mkString("(", " + ", ")")
+    val p = s"(1.0/(1.0 + exp(-$z)))"
+    s"""
+    WITH $probeTrainCtes
+    SELECT f.vec_id, f.y, round($p, 6) AS p
+    FROM feats f, w$ProbeIters w
+    ORDER BY f.vec_id"""
+  }
+
+  /** `probe_calibration` — reliability diagram of the trained head:
+    * decile bins of the predicted probability vs the empirical positive
+    * rate (is p=0.7 right 70% of the time?), the standard go/no-go
+    * check before a probe's scores gate a corpus. Binning is on the
+    * ROUND-6 probability — the exact value `linear_probe_score` proves
+    * hash-identical across engines — so bin membership is deterministic
+    * on both sides (a raw-double floor could flip a knife-edge row).
+    * One corpus aggregation into ≤10 rows; scales like any keyed agg.
+    */
+  def probeCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val feats = probeFeatures(embs(spark, dir))
+    val w = Logistic.train(feats, ProbeDims + 1, ProbeIters, ProbeLr)
+    feats.select(col("y"), round(Logistic.prob(w), 6).as("p"))
+      .withColumn("bin", least(floor(col("p") * 10), lit(9.0)).cast("int"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        round(avg("p"), 6).as("mean_p"),
+        round(avg("y"), 6).as("frac_pos"))
+      .orderBy("bin")
+  }
+
+  /** `probe_auc` — exact ROC-AUC of the trained head via the rank-sum
+    * (Mann–Whitney) identity over the ROUND-6 score histogram: ranks
+    * from cumulative value counts, 2U = Σ_pos(lo+hi) − n_pos(n_pos+1)
+    * (the `auc_score` kernel, applied to a LEARNED score instead of a
+    * proxy). The global window runs over the score histogram, which is
+    * bounded at ≤ 10⁶+1 rows by the round-6 domain regardless of
+    * corpus size — nothing data-sized is globally sorted. Rank sums in
+    * DECIMAL(38,0)/HUGEINT: quadratic in N, past 2⁶³ at cluster scale.
+    */
+  def probeAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val feats = probeFeatures(embs(spark, dir))
+    val w = Logistic.train(feats, ProbeDims + 1, ProbeIters, ProbeLr)
+    val d = feats.select(round(Logistic.prob(w), 6).as("v"),
+      col("y").cast("long").as("y"))
+    val hist = d.groupBy("v").agg(count(lit(1)).as("c"), sum("y").as("pos"))
+      .withColumn("hi", sum("c").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("lo", col("hi") - col("c") + 1)
+    hist.agg(
+        sum(col("pos").cast(DecimalType(38, 0)) * (col("lo") + col("hi"))).as("rsum2"),
+        sum("pos").as("np"), sum(col("c") - col("pos")).as("nn"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        round((col("rsum2") - col("np").cast(DecimalType(38, 0)) * (col("np") + 1)).cast("double") /
+          (lit(2) * col("np").cast(DecimalType(38, 0)) * col("nn")).cast("double"), 6).as("auc"))
+  }
+
+  val probeCalibrationSql: String = materializeCtes {
+    val nf = ProbeDims + 1
+    val z = (0 until nf).map(j => s"w.w$j*f.x$j").mkString("(", " + ", ")")
+    val p = s"(1.0/(1.0 + exp(-$z)))"
+    s"""
+    WITH $probeTrainCtes,
+    scored AS (
+      SELECT f.y, round($p, 6) AS p
+      FROM feats f, w$ProbeIters w)
+    SELECT least(cast(floor(p * 10) AS INT), 9) AS bin,
+      count(*) AS n, round(avg(p), 6) AS mean_p,
+      round(avg(y), 6) AS frac_pos
+    FROM scored GROUP BY 1
+    ORDER BY bin"""
+  }
+
+  val probeAucSql: String = materializeCtes {
+    val nf = ProbeDims + 1
+    val z = (0 until nf).map(j => s"w.w$j*f.x$j").mkString("(", " + ", ")")
+    val p = s"(1.0/(1.0 + exp(-$z)))"
+    s"""
+    WITH $probeTrainCtes,
+    scored AS (
+      SELECT round($p, 6) AS v, cast(f.y AS BIGINT) AS y
+      FROM feats f, w$ProbeIters w),
+    hist AS (
+      SELECT v, count(*) AS c, sum(y) AS pos FROM scored GROUP BY v),
+    cum AS (
+      SELECT v, c, pos,
+        sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM hist)
+    SELECT cast(sum(pos) AS BIGINT) AS n_pos,
+      cast(sum(c - pos) AS BIGINT) AS n_neg,
+      round(CAST(sum(cast(pos AS HUGEINT) * ((hi - c + 1) + hi))
+                 - cast(sum(pos) AS HUGEINT) * (sum(pos) + 1) AS DOUBLE)
+        / CAST(2 * cast(sum(pos) AS HUGEINT) * sum(c - pos) AS DOUBLE), 6) AS auc
+    FROM cum"""
+  }
+
+  /** `probe_pr_curve` — precision / recall / F1 of the trained head's
+    * TOP-q% GATE for q ∈ {10..90}, completing the probe-eval suite
+    * (probe_auc ranks, probe_calibration calibrates, this picks the
+    * OPERATING POINT a curation gate deploys: "keep the best q%").
+    * Quantile gates, not absolute thresholds — the head's scores live
+    * in [0.03, 0.30] on this corpus (measured at every SF), so a fixed
+    * decile threshold grid would leave most gates EMPTY and precision
+    * 0/0; keep-fraction gates are non-empty by construction. Shape:
+    * cuts come from the ROUND-6 score histogram (bounded ≤ 10⁶+1 rows
+    * regardless of corpus size — the probe_auc domain argument), with
+    * descending cumulative counts under a global window over that
+    * bounded frame; each gate keeps whole score-groups, so `n_kept`
+    * is the smallest group-closed count ≥ ⌈qN/100⌉ and both engines
+    * agree exactly. The gate target uses integer-safe arithmetic
+    * (floor((qN+99)/100): the true quotient is ≥ 0.01 from the next
+    * integer, so fp floor cannot disagree).
+    */
+  def probePrCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = probeFeatures(embs(spark, dir))
+    val w = Logistic.train(feats, ProbeDims + 1, ProbeIters, ProbeLr)
+    val scored = feats.select(col("y"), round(Logistic.prob(w), 6).as("p"))
+    val hist = scored.groupBy("p")
+      .agg(count(lit(1)).as("c"), sum("y").cast("long").as("pos"))
+      .withColumn("cum_n", sum("c").over(
+        Window.orderBy(col("p").desc).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_hit", sum("pos").over(
+        Window.orderBy(col("p").desc).rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = hist.agg(sum("c").as("n_total"), sum("pos").as("p_total"))
+    val qs = spark.range(1, 10).select((col("id") * 10).cast("int").as("keep_pct"))
+    val gates = qs.join(broadcast(tot))
+      .join(hist, col("cum_n") >= floor((col("keep_pct") * col("n_total") + 99) / 100))
+      .groupBy("keep_pct")
+      .agg(min_by(struct(col("p"), col("cum_n"), col("cum_hit"), col("p_total")),
+        col("cum_n")).as("g"))
+      .select(col("keep_pct"), col("g.p").as("cut_p"),
+        col("g.cum_n").as("n_kept"), col("g.cum_hit").as("hits"),
+        col("g.p_total").as("p_total"))
+    val prec = col("hits").cast("double") / col("n_kept")
+    val rec = col("hits").cast("double") / col("p_total")
+    gates.select(col("keep_pct"), col("cut_p"), col("n_kept"),
+        round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+        when(col("hits") === 0, 0.0)
+          .otherwise(round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
+      .orderBy("keep_pct")
+  }
+
+  val probePrCurveSql: String = materializeCtes {
+    val nf = ProbeDims + 1
+    val z = (0 until nf).map(j => s"w.w$j*f.x$j").mkString("(", " + ", ")")
+    val p = s"(1.0/(1.0 + exp(-$z)))"
+    s"""
+    WITH $probeTrainCtes,
+    scored AS (
+      SELECT f.y, round($p, 6) AS p
+      FROM feats f, w$ProbeIters w),
+    hist AS (
+      SELECT p, count(*) AS c, cast(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY p),
+    cum AS (
+      SELECT p, c, pos,
+        sum(c) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        sum(pos) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hit
+      FROM hist),
+    tot AS (SELECT sum(c) AS n_total, sum(pos) AS p_total FROM hist),
+    gates AS (
+      SELECT q.keep_pct,
+        min_by(struct_pack(p := c.p, cum_n := c.cum_n, cum_hit := c.cum_hit), c.cum_n) AS g
+      FROM (SELECT cast(t.k * 10 AS INT) AS keep_pct FROM range(1, 10) t(k)) q
+      JOIN tot ON true
+      JOIN cum c ON c.cum_n >= floor((q.keep_pct * tot.n_total + 99) / 100)
+      GROUP BY q.keep_pct)
+    SELECT g.keep_pct, g.g.p AS cut_p,
+      cast(g.g.cum_n AS BIGINT) AS n_kept,
+      round(g.g.cum_hit / CAST(g.g.cum_n AS DOUBLE), 6) AS precision,
+      round(g.g.cum_hit / CAST(t.p_total AS DOUBLE), 6) AS recall,
+      CASE WHEN g.g.cum_hit = 0 THEN 0.0 ELSE
+        round(2.0 * (g.g.cum_hit / CAST(g.g.cum_n AS DOUBLE)) * (g.g.cum_hit / CAST(t.p_total AS DOUBLE))
+          / ((g.g.cum_hit / CAST(g.g.cum_n AS DOUBLE)) + (g.g.cum_hit / CAST(t.p_total AS DOUBLE))), 6)
+      END AS f1
+    FROM gates g, tot t ORDER BY g.keep_pct"""
+  }
+
+  // ------------------------------------- between-label scatter axis
+
+  private val ScatterSquarings = 7
+
+  /** `label_scatter_pc1` — the drift axis: dominant eigendirection of
+    * the between-label scatter ([[graft.operators.Pca]]), 64 rows
+    * (dimension, loading). One label-keyed corpus aggregation; the
+    * eigen-solve is model-sized driver math (power-by-squaring on the
+    * L×L centroid matrix — see Pca's scaladoc for why vanilla power
+    * iteration is the wrong tool on this near-isotropic corpus). The
+    * oracle replays the identical recurrence in long-form SQL:
+    * centroid frames → L²-row matrix squarings → lift → svd_flip sign.
+    */
+  def labelScatterPc1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sc = Pca.labelScatter(embs(spark, dir), "embedding", Dim)
+    val (_, v, _, _) = Pca.dominantDirection(sc.w, sc.dMat, ScatterSquarings)
+    v.toSeq.zipWithIndex.map { case (x, i) => (i + 1, x) }
+      .toDF("i", "raw")
+      .select(col("i"), round(col("raw"), 6).as("loading"))
+      .orderBy("i")
+  }
+
+  /** `label_scatter_power` — the certificate row: λ₁, its share of
+    * trace(B) (how concentrated inter-label drift is on one axis), and
+    * the convergence residual ‖Bv − λv‖/λ (measured ~1e-14 after
+    * [[ScatterSquarings]] squarings; a non-converged run would surface
+    * as a nonzero round-6 resid AND an oracle hash break).
+    */
+  def labelScatterPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sc = Pca.labelScatter(embs(spark, dir), "embedding", Dim)
+    val (lambda, _, resid, trace) = Pca.dominantDirection(sc.w, sc.dMat, ScatterSquarings)
+    Seq((lambda, lambda / trace, resid)).toDF("l", "s", "r")
+      .select(round(col("l"), 6).as("lambda"),
+        round(col("s"), 6).as("scatter_share"),
+        round(col("r"), 6).as("resid"))
+  }
+
+  /** Long-form SQL replaying the scatter solve up to the UNROUNDED
+    * signed pc1 frame — shared by both `label_scatter_*` oracles.
+    */
+  private def scatterCtes: String = {
+    val squarings = (1 to ScatterSquarings).flatMap(k => Seq(
+      s"""a${k}r AS (
+      SELECT a.l, b.r, sum(a.g * b.g) AS g
+      FROM a${k - 1} a JOIN a${k - 1} b ON a.r = b.l GROUP BY a.l, b.r)""",
+      s"""a$k AS (
+      SELECT l, r, g / (SELECT sqrt(sum(g * g)) FROM a${k}r) AS g FROM a${k}r)"""))
+    s"""el AS (
+      SELECT label, t.i, cast(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, ${Dim + 1}) t(i)),
+    wgt AS (
+      SELECT label, count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM embeddings) AS w
+      FROM embeddings GROUP BY label),
+    cent AS (SELECT label, i, avg(x) AS c FROM el GROUP BY label, i),
+    mu AS (
+      SELECT c.i, sum(w.w * c.c) AS m
+      FROM cent c JOIN wgt w USING (label) GROUP BY c.i),
+    d AS (
+      SELECT c.label, c.i, c.c - m.m AS dv
+      FROM cent c JOIN mu m USING (i)),
+    a0 AS (
+      SELECT x.label AS l, y.label AS r, sqrt(wx.w * wy.w) * sum(x.dv * y.dv) AS g
+      FROM d x JOIN d y USING (i)
+      JOIN wgt wx ON wx.label = x.label JOIN wgt wy ON wy.label = y.label
+      GROUP BY x.label, y.label, wx.w, wy.w),
+    ${squarings.mkString(",\n    ")},
+    dg AS (
+      SELECT l FROM a$ScatterSquarings WHERE l = r
+      ORDER BY g DESC, l ASC LIMIT 1),
+    u0 AS (
+      SELECT a.l, a.g AS u
+      FROM a$ScatterSquarings a JOIN dg ON a.r = dg.l),
+    u AS (SELECT l, u / (SELECT sqrt(sum(u * u)) FROM u0) AS u FROM u0),
+    v0 AS (
+      SELECT d.i, sum(sqrt(w.w) * u.u * d.dv) AS v
+      FROM d JOIN u ON u.l = d.label JOIN wgt w ON w.label = d.label
+      GROUP BY d.i),
+    vn AS (SELECT i, v / (SELECT sqrt(sum(v * v)) FROM v0) AS v FROM v0),
+    sgn AS (
+      SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+      FROM vn ORDER BY abs(v) DESC, i ASC LIMIT 1),
+    pc1 AS (SELECT i, v * s AS loading FROM vn, sgn)"""
+  }
+
+  val labelScatterPc1Sql: String = materializeCtes {
+    s"""
+    WITH $scatterCtes
+    SELECT i, round(loading, 6) AS loading FROM pc1 ORDER BY i"""
+  }
+
+  val labelScatterPowerSql: String = materializeCtes {
+    s"""
+    WITH $scatterCtes,
+    proj AS (
+      SELECT d.label, sum(d.dv * p.loading) AS pr
+      FROM d JOIN pc1 p ON p.i = d.i GROUP BY d.label),
+    lam AS (
+      SELECT sum(w.w * pr * pr) AS lambda
+      FROM proj JOIN wgt w USING (label)),
+    tr AS (
+      SELECT sum(w.w * dv * dv) AS trace
+      FROM d JOIN wgt w USING (label)),
+    bv AS (
+      SELECT d.i, sum(w.w * pr.pr * d.dv) AS bv
+      FROM d JOIN proj pr ON pr.label = d.label JOIN wgt w ON w.label = d.label
+      GROUP BY d.i)
+    SELECT round(l.lambda, 6) AS lambda,
+      round(l.lambda / t.trace, 6) AS scatter_share,
+      round(sqrt((SELECT sum((bv.bv - l2.lambda * p.loading) * (bv.bv - l2.lambda * p.loading))
+                  FROM bv JOIN pc1 p USING (i), lam l2)) / l.lambda, 6) AS resid
+    FROM lam l, tr t"""
+  }
+
+  /** `label_scatter_project` — the apply step: every vector's
+    * coordinate along the drift axis, score = v·(x − μ) with the
+    * model-sized (v, μ) folded in as LITERALS — a pure map-side
+    * projection over the corpus, zero shuffles beyond the final sort
+    * (the linear_probe_score shape: train once on the driver, score
+    * everywhere). Cross-engine fp: v diverges only by ~ΔA/gap ≈ 1e-13,
+    * so the round-6 score cannot knife-edge at any registered SF.
+    */
+  def labelScatterProject(spark: SparkSession, dir: String): DataFrame = {
+    val sc = Pca.labelScatter(embs(spark, dir), "embedding", Dim)
+    val (_, v, _, _) = Pca.dominantDirection(sc.w, sc.dMat, ScatterSquarings)
+    val score = (1 to Dim).map(i =>
+      lit(v(i - 1)) * (element_at(col("embedding"), i).cast("double") - lit(sc.mu(i - 1))))
+      .reduce(_ + _)
+    embs(spark, dir).select(col("vec_id"), round(score, 6).as("drift"))
+      .orderBy("vec_id")
+  }
+
+  /** `label_scatter_contrib` — which labels DRIVE the drift axis:
+    * per-label weight, projection d_l·v, and contribution share
+    * w_l·(d_l·v)²/λ (sums to 1 by the λ identity). Model-sized on the
+    * driver; the oracle re-derives it from the same long-form chain.
+    */
+  def labelScatterContrib(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sc = Pca.labelScatter(embs(spark, dir), "embedding", Dim)
+    val (lambda, v, _, _) = Pca.dominantDirection(sc.w, sc.dMat, ScatterSquarings)
+    val rows = sc.w.indices.map { l =>
+      val pr = sc.dMat(l).lazyZip(v).map(_ * _).sum
+      (sc.labels(l), sc.w(l), pr, sc.w(l) * pr * pr / lambda)
+    }
+    rows.toDF("label", "wr", "pr", "cr")
+      .select(col("label").cast("int").as("label"), round(col("wr"), 6).as("weight"),
+        round(col("pr"), 6).as("projection"), round(col("cr"), 6).as("contrib_share"))
+      .orderBy("label")
+  }
+
+  val labelScatterProjectSql: String = materializeCtes {
+    s"""
+    WITH $scatterCtes
+    SELECT e.vec_id,
+      round(sum(p.loading * (cast(e.embedding[p.i] AS DOUBLE) - m.m)), 6) AS drift
+    FROM embeddings e, pc1 p JOIN mu m USING (i)
+    GROUP BY e.vec_id
+    ORDER BY e.vec_id"""
+  }
+
+  val labelScatterContribSql: String = materializeCtes {
+    s"""
+    WITH $scatterCtes,
+    proj AS (
+      SELECT d.label, sum(d.dv * p.loading) AS pr
+      FROM d JOIN pc1 p ON p.i = d.i GROUP BY d.label),
+    lam AS (
+      SELECT sum(w.w * pr * pr) AS lambda
+      FROM proj JOIN wgt w USING (label))
+    SELECT cast(p.label AS INT) AS label, round(w.w, 6) AS weight,
+      round(p.pr, 6) AS projection,
+      round(w.w * p.pr * p.pr / l.lambda, 6) AS contrib_share
+    FROM proj p JOIN wgt w USING (label), lam l
+    ORDER BY p.label"""
+  }
 
   /** Cross-modal join: text-side quality metadata joined with the
     * vector-side norm for the overlapping ids — the shape of a curation
@@ -1701,6 +2176,15 @@ object ScaleQueries {
     "knn_filtered"     -> (knnFiltered _),
     "knn_filtered_recall" -> (knnFilteredRecall _),
     "decon_semantic"   -> (deconSemantic _),
+    "linear_probe"       -> (linearProbe _),
+    "linear_probe_score" -> (linearProbeScore _),
+    "probe_calibration"  -> (probeCalibration _),
+    "probe_auc"          -> (probeAuc _),
+    "probe_pr_curve"     -> (probePrCurve _),
+    "label_scatter_pc1"   -> (labelScatterPc1 _),
+    "label_scatter_power" -> (labelScatterPower _),
+    "label_scatter_project" -> (labelScatterProject _),
+    "label_scatter_contrib" -> (labelScatterContrib _),
     "sem_dedup"     -> (semDedup _),
     "kmeans_quality" -> (kmeansQuality _),
     "emb_pq"         -> (embPq _),
@@ -1744,6 +2228,15 @@ object ScaleQueries {
     "knn_filtered"     -> knnFilteredSql,
     "knn_filtered_recall" -> knnFilteredRecallSql,
     "decon_semantic"   -> deconSemanticSql,
+    "linear_probe"       -> linearProbeSql,
+    "linear_probe_score" -> linearProbeScoreSql,
+    "probe_calibration"  -> probeCalibrationSql,
+    "probe_auc"          -> probeAucSql,
+    "probe_pr_curve"     -> probePrCurveSql,
+    "label_scatter_pc1"   -> labelScatterPc1Sql,
+    "label_scatter_power" -> labelScatterPowerSql,
+    "label_scatter_project" -> labelScatterProjectSql,
+    "label_scatter_contrib" -> labelScatterContribSql,
     "knn_ivf_recall" -> knnIvfRecallSql,
     "knn_ivf_hi_recall" -> knnIvfRecallSql,
     "knn_pq_recall" -> knnIvfRecallSql,
