@@ -31,6 +31,82 @@ object ScaleQueries {
     Dedup.minhashNearDups(docs(spark, dir), "doc_id", "text", threshold = 0.5)
       .orderBy("a_id", "b_id")
 
+  /** `dedup_minhash_md5` — the SAME banded MinHash-LSH pipeline as
+    * `dedup_minhash` (32 mins, 8 bands × 4 rows, exact-Jaccard verify
+    * at 0.5) but with every hash an md5 derivation DuckDB can replay,
+    * so CANDIDACY itself is oracle-checked pair-for-pair — closing the
+    * one thing `minhash_recall` only bounds statistically (the fast
+    * path's xxhash64 signatures are engine-local by design; this
+    * variant is the parity witness, the xxhash64 one stays the scale
+    * path). Word-3-gram STRINGS travel here instead of gram hashes —
+    * acceptable for a parity query, wrong for the scale path (the
+    * scaladoc on [[graft.operators.Dedup.minhashSignatures]] explains
+    * the codegen/explode design the fast path keeps). Verification
+    * reuses [[graft.operators.Dedup.verifyJaccard]] verbatim.
+    */
+  def dedupMinhashMd5(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.wordTokens(lower(col("text")))
+    val gramArr = array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+    val grams = Materialize(docs(spark, dir)
+      .select(col("doc_id").as("id"), explode(gramArr).as("gh")))
+    val md5min = (s: Int) => min(conv(substring(md5(
+      concat(lit(s + "|"), col("gh"))), 1, 8), 16, 10).cast("long")).as(s"m$s")
+    val sigs = grams.groupBy("id").agg(md5min(0), (1 until 32).map(md5min): _*)
+    val banded = sigs.select(col("id"), explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", (0 until 4).map(r => col(s"m${4 * b + r}")): _*).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.select(col("band").as("l_band"), col("key").as("l_key"),
+      col("id").as("a_id"))
+    val r = banded.select(col("band").as("r_band"), col("key").as("r_key"),
+      col("id").as("b_id"))
+    val cands = l.join(r, col("l_band") === col("r_band") &&
+        col("l_key") === col("r_key") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    Dedup.verifyJaccard(cands, grams, 0.5).orderBy("a_id", "b_id")
+  }
+
+  val dedupMinhashMd5Sql: String = {
+    val mins = (0 until 32).map(s =>
+      s"min(CAST(concat('0x', substr(md5(concat('$s|', gh)), 1, 8)) AS BIGINT)) AS m$s")
+      .mkString(",\n        ")
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT id, $b AS band, concat_ws(':', m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3}) AS key FROM sig")
+      .mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH t AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    g AS (
+      SELECT id, unnest(list_distinct(
+        [array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])) AS gh
+      FROM t),
+    sig AS (
+      SELECT id,
+        $mins
+      FROM g GROUP BY id),
+    bands AS (
+      $bandSelects),
+    cand AS (
+      SELECT DISTINCT a.id AS a_id, b.id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+    sz AS (SELECT id, CAST(count(*) AS DOUBLE) AS n FROM g GROUP BY id),
+    inter AS (
+      SELECT c.a_id, c.b_id, CAST(count(*) AS DOUBLE) AS i
+      FROM cand c
+      JOIN g ga ON ga.id = c.a_id
+      JOIN g gb ON gb.id = c.b_id AND gb.gh = ga.gh
+      GROUP BY c.a_id, c.b_id),
+    j AS (
+      SELECT i.a_id, i.b_id, i.i / (na.n + nb.n - i.i) AS jr
+      FROM inter i JOIN sz na ON na.id = i.a_id JOIN sz nb ON nb.id = i.b_id)
+    SELECT a_id, b_id, round(jr, 6) AS jaccard_sim FROM j
+    WHERE jr >= 0.5 ORDER BY a_id, b_id"""
+  }
+
   /** SimHash near-dup pairs at the h ≤ SimhashMaxHamming operating
     * point — see [[simhashPrecision]] for the measured recall/precision
     * tradeoff curve that picked it.
@@ -729,6 +805,31 @@ object ScaleQueries {
       .orderBy("vec_id")
   }
 
+  /** Generated GD-step CTE chain `w0..w{iters}` over an existing CTE
+    * `frame` with columns y, x0..x{nf-1} — the SQL replay of
+    * [[graft.operators.Logistic.train]], shared by the embedding probe
+    * and the text distillation probe so every probe oracle derives
+    * from one generator (constants can't desync per-family).
+    */
+  private def gdChainCtes(nf: Int, iters: Int, lr: Double, frame: String): String = {
+    def zExpr = (0 until nf).map(j => s"w.w$j*f.x$j").mkString("(", " + ", ")")
+    def pExpr = s"(1.0/(1.0 + exp(-$zExpr)))"
+    val steps = (1 to iters).flatMap { it =>
+      val grads = (0 until nf)
+        .map(j => s"sum(($pExpr - f.y) * f.x$j) / count(*) AS g$j")
+        .mkString(",\n        ")
+      val updates = (0 until nf)
+        .map(j => s"w.w$j - $lr * g.g$j AS w$j").mkString(", ")
+      Seq(
+        s"""g$it AS (
+      SELECT $grads
+      FROM $frame f, w${it - 1} w)""",
+        s"""w$it AS (SELECT $updates FROM w${it - 1} w, g$it g)""")
+    }
+    s"""w0 AS (SELECT ${(0 until nf).map(j => s"0.0 AS w$j").mkString(", ")}),
+    ${steps.mkString(",\n    ")}"""
+  }
+
   /** Generated CTE chain replaying the probe's training in DuckDB —
     * from the SAME constants as the Scala path, so query and oracle
     * cannot desync (the `knnPqSql` precedent). Ends at weight frame
@@ -736,21 +837,6 @@ object ScaleQueries {
     */
   private def probeTrainCtes: String = {
     val dims = 1 to ProbeDims
-    val nf = ProbeDims + 1
-    def zExpr = (0 until nf).map(j => s"w.w$j*f.x$j").mkString("(", " + ", ")")
-    def pExpr = s"(1.0/(1.0 + exp(-$zExpr)))"
-    val steps = (1 to ProbeIters).flatMap { it =>
-      val grads = (0 until nf)
-        .map(j => s"sum(($pExpr - f.y) * f.x$j) / count(*) AS g$j")
-        .mkString(",\n        ")
-      val updates = (0 until nf)
-        .map(j => s"w.w$j - $ProbeLr * g.g$j AS w$j").mkString(", ")
-      Seq(
-        s"""g$it AS (
-      SELECT $grads
-      FROM feats f, w${it - 1} w)""",
-        s"""w$it AS (SELECT $updates FROM w${it - 1} w, g$it g)""")
-    }
     s"""raw AS (
       SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y,
         ${dims.map(j => s"cast(embedding[$j] AS DOUBLE) AS r$j").mkString(",\n        ")}
@@ -762,8 +848,7 @@ object ScaleQueries {
       SELECT vec_id, y, 1.0 AS x0,
         ${dims.map(j => s"(r$j - s.m$j) / s.s$j AS x$j").mkString(",\n        ")}
       FROM raw, st s),
-    w0 AS (SELECT ${(0 until nf).map(j => s"0.0 AS w$j").mkString(", ")}),
-    ${steps.mkString(",\n    ")}"""
+    ${gdChainCtes(ProbeDims + 1, ProbeIters, ProbeLr, "feats")}"""
   }
 
   val linearProbeSql: String = materializeCtes {
@@ -961,6 +1046,211 @@ object ScaleQueries {
           / ((g.g.cum_hit / CAST(g.g.cum_n AS DOUBLE)) + (g.g.cum_hit / CAST(t.p_total AS DOUBLE))), 6)
       END AS f1
     FROM gates g, tot t ORDER BY g.keep_pct"""
+  }
+
+  // ------------------------------------- text distillation probe
+
+  private val TpBuckets = 16
+  private val TpFeats = TpBuckets + 3 // bucket rates + n_toks, ttr, avg_len
+  private val TpIters = 12
+  private val TpLr = 4.0
+  private val TpQualityCut = 0.6
+
+  /** TRAIN flag: md5 80/20 split on doc_id (the `sample_hash` recipe) —
+    * the held-out 20% never touches training OR the standardization
+    * stats, so `text_probe_eval` is a real generalization measurement.
+    */
+  private def tpIsTrain(id: org.apache.spark.sql.Column) =
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 5) =!= 0
+
+  /** Feature frame for the `text_probe*` queries — the fastText-style
+    * distillation shape: y = (round-6 quality ≥ [[TpQualityCut]]), the
+    * label a cheap heuristic assigns and the head learns to imitate
+    * from DIFFERENT features: 16 hashed-token-bucket rates (md5 →
+    * bucket, the reproducible-hash recipe) plus token count, type-token
+    * ratio, and mean word length, z-standardized against TRAIN-ONLY
+    * stats. One explode + one doc-keyed aggregation builds every
+    * feature. Bucket rates alone can't see length (they're rate-
+    * normalized) and quality is 40% length — measured: buckets-only
+    * held-out AUC 0.53-0.62, with the three shape features 0.94-0.98.
+    * A structurally EMPTY bucket (small-vocabulary corpus: every token
+    * type hashes elsewhere) yields an all-zero rate column whose
+    * stddev_pop is EXACTLY 0.0 in both engines (sums of zeros), so the
+    * s=0 guard → feature 0 → weight stays at zero init; no knife edge.
+    */
+  private[graft] def textProbeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      explode(TextAnalysis.wordTokens(lower(col("text")))).as("tok"))
+    val bkt = conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long") % TpBuckets
+    val aggs = Seq(
+      count(lit(1)).cast("double").as("n"),
+      countDistinct(col("tok")).cast("double").as("dt"),
+      sum(length(col("tok"))).cast("double").as("chars")) ++
+      (0 until TpBuckets).map(b =>
+        sum(when(bkt === b, 1).otherwise(0)).cast("double").as(s"k$b"))
+    val per = toks.groupBy("doc_id", "quality").agg(aggs.head, aggs.tail: _*)
+    val raw = per.select(
+      col("doc_id") +:
+        tpIsTrain(col("doc_id")).as("tr") +:
+        when(col("quality") >= TpQualityCut, 1.0).otherwise(0.0).as("y") +:
+        ((1 to TpBuckets).map(j => (col(s"k${j - 1}") / col("n")).as(s"r$j")) ++ Seq(
+          col("n").as(s"r${TpBuckets + 1}"),
+          (col("dt") / col("n")).as(s"r${TpBuckets + 2}"),
+          (col("chars") / col("n")).as(s"r${TpBuckets + 3}"))): _*)
+    val dims = 1 to TpFeats
+    val statCols = dims.flatMap(j => Seq(
+      avg(col(s"r$j")).as(s"m$j"), stddev_pop(col(s"r$j")).as(s"s$j")))
+    val st = raw.filter(col("tr")).agg(statCols.head, statCols.tail: _*)
+    raw.crossJoin(broadcast(st)).select(
+      col("doc_id") +: col("tr") +: col("y") +: lit(1.0).as("x0") +:
+        dims.map(j => when(col(s"s$j") === 0.0, 0.0)
+          .otherwise((col(s"r$j") - col(s"m$j")) / col(s"s$j")).as(s"x$j")): _*)
+  }
+
+  /** `text_probe` — distill the composite quality heuristic into a
+    * linear head over hashed-token features (the fastText/CCNet
+    * curation-classifier shape: an expensive gate becomes a cheap
+    * scan-time score). [[TpIters]] GD steps on the TRAIN split only;
+    * output: train size, train log-loss, every weight (round 6). The
+    * feature frame is [[graft.operators.Materialize]]d before training
+    * — the opposite call from `linear_probe`, deliberately: its
+    * recompute is a pruned-scan projection, this one's is a full
+    * explode + two-level aggregation over the text, so pinning the
+    * (rows × 20 doubles) numeric frame for 12 passes is the right
+    * trade at any scale. Oracle replays training via [[gdChainCtes]].
+    */
+  def textProbe(spark: SparkSession, dir: String): DataFrame = {
+    val train = Materialize(textProbeFeatures(spark, dir).filter(col("tr")))
+    val w = Logistic.train(train, TpFeats + 1, TpIters, TpLr)
+    Logistic.logLoss(train, w).select(
+      col("n") +: round(col("log_loss"), 6).as("log_loss") +:
+        w.indices.map(j => round(lit(w(j)), 6).as(s"w$j")): _*)
+  }
+
+  /** `text_probe_eval` — the generalization certificate: exact rank-sum
+    * AUC (the `probe_auc` kernel), accuracy at p ≥ 0.5, and base rate,
+    * all on the HELD-OUT 20% the training never saw (neither GD nor
+    * the standardization stats). Measured 0.94-0.98 AUC across SFs —
+    * the heuristic genuinely distills, unlike the weakly-separable
+    * embedding probe (documented there). Comparisons are on the
+    * round-6 probability, so engines agree on every gate membership.
+    */
+  def textProbeEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val feats = Materialize(textProbeFeatures(spark, dir))
+    val w = Logistic.train(feats.filter(col("tr")), TpFeats + 1, TpIters, TpLr)
+    val test = feats.filter(!col("tr"))
+      .select(round(Logistic.prob(w), 6).as("p"), col("y"))
+    val hist = test.groupBy("p")
+      .agg(count(lit(1)).as("c"), sum("y").cast("long").as("pos"))
+      .withColumn("hi", sum("c").over(
+        Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("lo", col("hi") - col("c") + 1)
+    val acc = test.agg(avg(when((col("p") >= 0.5) === (col("y") === 1.0), 1.0)
+      .otherwise(0.0)).as("acc"))
+    hist.agg(
+        sum(col("pos").cast(DecimalType(38, 0)) * (col("lo") + col("hi"))).as("rsum2"),
+        sum("pos").as("np"), sum(col("c") - col("pos")).as("nn"),
+        sum("c").as("n"))
+      .crossJoin(broadcast(acc))
+      .select(col("n").as("n_test"),
+        round(col("np").cast("double") / col("n"), 6).as("base_rate"),
+        round((col("rsum2") - col("np").cast(DecimalType(38, 0)) * (col("np") + 1)).cast("double") /
+          (lit(2) * col("np").cast(DecimalType(38, 0)) * col("nn")).cast("double"), 6).as("auc"),
+        round(col("acc"), 6).as("accuracy"))
+  }
+
+  /** Shared feature CTEs for the text-probe oracles: quality gate →
+    * hashed buckets → per-doc counts → train-only standardization →
+    * `ftr` (train) / `fte` (held-out) frames. Generated from the SAME
+    * constants as the Scala path.
+    */
+  private def textProbeCtes: String = {
+    val dims = 1 to TpFeats
+    s"""q AS (${TextQueries.qualityScoreSql}),
+    tk AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    bt AS (
+      SELECT doc_id, tok,
+        CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $TpBuckets AS b
+      FROM tk),
+    per AS (
+      SELECT bt.doc_id, q.quality,
+        CAST(count(*) AS DOUBLE) AS n,
+        CAST(count(DISTINCT tok) AS DOUBLE) AS dt,
+        CAST(sum(length(tok)) AS DOUBLE) AS chars,
+        ${(0 until TpBuckets).map(b =>
+           s"CAST(sum(CASE WHEN b = $b THEN 1 ELSE 0 END) AS DOUBLE) AS k$b")
+          .mkString(",\n        ")}
+      FROM bt JOIN q USING (doc_id) GROUP BY bt.doc_id, q.quality),
+    raw AS (
+      SELECT doc_id,
+        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 != 0 AS tr,
+        CASE WHEN quality >= $TpQualityCut THEN 1.0 ELSE 0.0 END AS y,
+        ${(1 to TpBuckets).map(j => s"k${j - 1} / n AS r$j").mkString(",\n        ")},
+        n AS r${TpBuckets + 1}, dt / n AS r${TpBuckets + 2}, chars / n AS r${TpBuckets + 3}
+      FROM per),
+    st AS (
+      SELECT ${dims.map(j => s"avg(r$j) AS m$j, stddev_pop(r$j) AS s$j").mkString(",\n        ")}
+      FROM raw WHERE tr),
+    feats AS (
+      SELECT doc_id, tr, y, 1.0 AS x0,
+        ${dims.map(j =>
+           s"CASE WHEN s.s$j = 0 THEN 0.0 ELSE (r$j - s.m$j) / s.s$j END AS x$j")
+          .mkString(",\n        ")}
+      FROM raw, st s),
+    ftr AS (SELECT * FROM feats WHERE tr),
+    fte AS (SELECT * FROM feats WHERE NOT tr),
+    ${gdChainCtes(TpFeats + 1, TpIters, TpLr, "ftr")}"""
+  }
+
+  val textProbeSql: String = materializeCtes {
+    val nf = TpFeats + 1
+    val z = (0 until nf).map(j => s"w.w$j*f.x$j").mkString("(", " + ", ")")
+    val p = s"(1.0/(1.0 + exp(-$z)))"
+    s"""
+    WITH $textProbeCtes,
+    loss AS (
+      SELECT -sum(f.y*ln($p) + (1.0-f.y)*ln(1.0-$p))/count(*) AS ll,
+        cast(count(*) AS BIGINT) AS n
+      FROM ftr f, w$TpIters w)
+    SELECT l.n, round(l.ll, 6) AS log_loss,
+      ${(0 until nf).map(j => s"round(w.w$j, 6) AS w$j").mkString(", ")}
+    FROM loss l, w$TpIters w"""
+  }
+
+  val textProbeEvalSql: String = materializeCtes {
+    val nf = TpFeats + 1
+    val z = (0 until nf).map(j => s"w.w$j*f.x$j").mkString("(", " + ", ")")
+    val p = s"(1.0/(1.0 + exp(-$z)))"
+    s"""
+    WITH $textProbeCtes,
+    scored AS (
+      SELECT round($p, 6) AS p, f.y
+      FROM fte f, w$TpIters w),
+    hist AS (
+      SELECT p, count(*) AS c, cast(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY p),
+    cum AS (
+      SELECT p, c, pos,
+        sum(c) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM hist),
+    acc AS (
+      SELECT avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END) AS acc
+      FROM scored)
+    SELECT cast(sum(c) AS BIGINT) AS n_test,
+      round(CAST(sum(pos) AS DOUBLE) / sum(c), 6) AS base_rate,
+      round(CAST(sum(cast(pos AS HUGEINT) * ((hi - c + 1) + hi))
+                 - cast(sum(pos) AS HUGEINT) * (sum(pos) + 1) AS DOUBLE)
+        / CAST(2 * cast(sum(pos) AS HUGEINT) * sum(c - pos) AS DOUBLE), 6) AS auc,
+      round((SELECT acc FROM acc), 6) AS accuracy
+    FROM cum"""
   }
 
   // ------------------------------------- between-label scatter axis
@@ -2159,6 +2449,7 @@ object ScaleQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_md5" -> (dedupMinhashMd5 _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram"   -> (dedupNgram _),
     "dedup_sweep"   -> (dedupSweep _),
@@ -2181,6 +2472,8 @@ object ScaleQueries {
     "probe_calibration"  -> (probeCalibration _),
     "probe_auc"          -> (probeAuc _),
     "probe_pr_curve"     -> (probePrCurve _),
+    "text_probe"         -> (textProbe _),
+    "text_probe_eval"    -> (textProbeEval _),
     "label_scatter_pc1"   -> (labelScatterPc1 _),
     "label_scatter_power" -> (labelScatterPower _),
     "label_scatter_project" -> (labelScatterProject _),
@@ -2205,6 +2498,7 @@ object ScaleQueries {
     "simhash_precision" -> (simhashPrecision _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_minhash_md5" -> dedupMinhashMd5Sql,
     "dedup_ngram"  -> dedupNgramSql,
     "dedup_sweep"  -> dedupSweepSql,
     "novelty_rate" -> noveltyRateSql,
@@ -2233,6 +2527,8 @@ object ScaleQueries {
     "probe_calibration"  -> probeCalibrationSql,
     "probe_auc"          -> probeAucSql,
     "probe_pr_curve"     -> probePrCurveSql,
+    "text_probe"         -> textProbeSql,
+    "text_probe_eval"    -> textProbeEvalSql,
     "label_scatter_pc1"   -> labelScatterPc1Sql,
     "label_scatter_power" -> labelScatterPowerSql,
     "label_scatter_project" -> labelScatterProjectSql,
