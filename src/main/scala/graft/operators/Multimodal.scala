@@ -362,37 +362,127 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Image near-duplicate pairs by perceptual hash: decode → aHash per
-    * row (executor-local), then the same banded-bucket shape as SimHash
-    * dedup — 4 bands of 16 bits, pigeonhole-complete for Hamming ≤ 3
-    * (any pair within the radius agrees on ≥1 whole band), candidate
-    * join keyed by (band, slice), exact `bit_count(xor)` verification.
-    * Never an all-pairs comparison; undecodable payloads drop out
-    * before the join.
+  /** Perceptual DCT-hash (pHash) of a real decoded image: luma
+    * area-averaged onto a 32×32 grid, 2-D DCT-II, then one bit per
+    * coefficient of the lowest-frequency 8×8 block — set iff the
+    * coefficient exceeds the MEDIAN of the 63 non-DC coefficients (DC
+    * is excluded from both the median and the bits; bit 63 stays 0).
+    * Robust where [[aHash]] is blind: aHash thresholds raw luma cells
+    * against their mean, so any spatially-smooth luma warp (vignette,
+    * gradient overlay) flips whole runs of cells, while the DCT
+    * concentrates such warps into a few low-frequency coefficients and
+    * the median threshold shrugs them off. Deterministic per payload
+    * (pure double math, no order dependence); None when the bytes
+    * aren't a decodable image.
+    */
+  private[operators] def pHash(payload: Array[Byte]): Option[Long] =
+    try {
+      imageIoReady
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = 32
+        val sums = new Array[Double](n * n)
+        val cnts = new Array[Long](n * n)
+        var y = 0
+        while (y < h) {
+          val cy = y * n / h
+          var x = 0
+          while (x < w) {
+            val argb = img.getRGB(x, y)
+            val r = (argb >>> 16) & 0xFF
+            val g = (argb >>> 8) & 0xFF
+            val b = argb & 0xFF
+            val cell = cy * n + x * n / w
+            sums(cell) += (r * 299 + g * 587 + b * 114) / 1000.0
+            cnts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val grid = Array.tabulate(n * n)(i =>
+          if (cnts(i) == 0) 0.0 else sums(i) / cnts(i))
+        // separable 2-D DCT-II, only the 8 lowest frequencies per axis
+        val cos = Array.tabulate(8, n)((u, i) =>
+          math.cos((2 * i + 1) * u * math.Pi / (2.0 * n)))
+        val rows = Array.tabulate(n, 8)((y2, u) => {
+          var s = 0.0; var x2 = 0
+          while (x2 < n) { s += grid(y2 * n + x2) * cos(u)(x2); x2 += 1 }
+          s
+        })
+        val coef = Array.tabulate(8, 8)((v, u) => {
+          var s = 0.0; var y2 = 0
+          while (y2 < n) { s += rows(y2)(u) * cos(v)(y2); y2 += 1 }
+          s
+        })
+        val ac = (for (v <- 0 until 8; u <- 0 until 8 if v != 0 || u != 0)
+          yield coef(v)(u)).toArray
+        val med = { val s = ac.sorted; s(31) } // median of 63 values
+        var hash = 0L
+        var bit = 0
+        for (v <- 0 until 8; u <- 0 until 8 if v != 0 || u != 0) {
+          if (coef(v)(u) > med) hash |= (1L << (62 - bit))
+          bit += 1
+        }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The banded Hamming pair join shared by the aHash and pHash paths:
+    * 4 bands of 16 bits, pigeonhole-complete for Hamming ≤ 3 (any pair
+    * within the radius agrees on ≥1 whole band), candidate join keyed
+    * by (band, slice), exact `bit_count(xor)` verification. Never an
+    * all-pairs comparison.
+    */
+  private def bandedHammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, s"4x16 banding is complete only to Hamming 3, got $maxHamming")
+    val banded = hashed.select(col("doc_id"), col("h64"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("slice",
+        expr("shiftright(h64, band * 16)").bitwiseAND(lit(0xFFFFL)))
+    val right = banded.select(col("doc_id").as("b_id"), col("h64").as("b_hash"),
+      col("band").as("b_band"), col("slice").as("b_slice"))
+    banded.join(right,
+        col("band") === col("b_band") && col("slice") === col("b_slice") &&
+          col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"),
+        bit_count(col("h64").bitwiseXOR(col("b_hash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Image near-duplicate pairs by average-hash: decode → [[aHash]] per
+    * row (executor-local), then [[bandedHammingPairs]]. Undecodable
+    * payloads drop out before the join.
     */
   def imageNearDups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, s"4x16 banding is complete only to Hamming 3, got $maxHamming")
     import withPayloads.sparkSession.implicits._
     val hashed = withPayloads
       .filter(col("kind") === "image")
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) => aHash(p).map(h => (id, h)) })
-      .toDF("doc_id", "ahash")
-    val banded = hashed.select(col("doc_id"), col("ahash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("slice",
-        expr("shiftright(ahash, band * 16)").bitwiseAND(lit(0xFFFFL)))
-    val right = banded.select(col("doc_id").as("b_id"), col("ahash").as("b_hash"),
-      col("band").as("b_band"), col("slice").as("b_slice"))
-    banded.join(right,
-        col("band") === col("b_band") && col("slice") === col("b_slice") &&
-          col("doc_id") < col("b_id"))
-      .select(col("doc_id").as("a_id"), col("b_id"),
-        bit_count(col("ahash").bitwiseXOR(col("b_hash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy("a_id", "b_id")
+      .toDF("doc_id", "h64")
+    bandedHammingPairs(hashed, maxHamming)
+  }
+
+  /** Image near-duplicate pairs by DCT-hash: decode → [[pHash]] per
+    * row, then the same [[bandedHammingPairs]] shape — the
+    * luma-warp-robust sibling of [[imageNearDups]] (run both; their
+    * edge union feeds consensus resolution like the text families).
+    */
+  def imagePhashNearDups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import withPayloads.sparkSession.implicits._
+    val hashed = withPayloads
+      .filter(col("kind") === "image")
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => pHash(p).map(h => (id, h)) })
+      .toDF("doc_id", "h64")
+    bandedHammingPairs(hashed, maxHamming)
   }
 
   /** Decode stage: binary column in, typed Dataset out. Runs per

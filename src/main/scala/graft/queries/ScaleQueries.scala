@@ -49,10 +49,19 @@ object ScaleQueries {
     val gramArr = array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - 3, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+    // ONE md5 per gram, 32 permutations by Kirsch-Mitzenmacher double
+    // hashing m_s = (h1 + s·h2) mod p — the standard trick that makes
+    // k-perm MinHash k-independent-enough from two base hashes. The
+    // first cut hashed md5(s|gram) per permutation: 32 md5s per gram,
+    // measured 11.7 s at bench sf; h1/h2 are materialized WITH the gram
+    // frame so the md5 runs once per gram row, period.
     val grams = Materialize(docs(spark, dir)
-      .select(col("doc_id").as("id"), explode(gramArr).as("gh")))
-    val md5min = (s: Int) => min(conv(substring(md5(
-      concat(lit(s + "|"), col("gh"))), 1, 8), 16, 10).cast("long")).as(s"m$s")
+      .select(col("doc_id").as("id"), explode(gramArr).as("gh"))
+      .withColumn("h1", conv(substring(md5(col("gh")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5(col("gh")), 9, 8), 16, 10).cast("long")))
+    val MinhashP = 4294967291L // largest prime < 2^32; h1 + 31·h2 < 2^37, no overflow
+    val md5min = (s: Int) =>
+      min((col("h1") + lit(s.toLong) * col("h2")) % MinhashP).as(s"m$s")
     val sigs = grams.groupBy("id").agg(md5min(0), (1 until 32).map(md5min): _*)
     val banded = sigs.select(col("id"), explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
@@ -70,7 +79,7 @@ object ScaleQueries {
 
   val dedupMinhashMd5Sql: String = {
     val mins = (0 until 32).map(s =>
-      s"min(CAST(concat('0x', substr(md5(concat('$s|', gh)), 1, 8)) AS BIGINT)) AS m$s")
+      s"min((h1 + $s * h2) % 4294967291) AS m$s")
       .mkString(",\n        ")
     val bandSelects = (0 until 8).map(b =>
       s"SELECT id, $b AS band, concat_ws(':', m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3}) AS key FROM sig")
@@ -83,10 +92,15 @@ object ScaleQueries {
       SELECT id, unnest(list_distinct(
         [array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])) AS gh
       FROM t),
+    gh2 AS (
+      SELECT id, gh,
+        CAST(concat('0x', substr(md5(gh), 1, 8)) AS BIGINT) AS h1,
+        CAST(concat('0x', substr(md5(gh), 9, 8)) AS BIGINT) AS h2
+      FROM g),
     sig AS (
       SELECT id,
         $mins
-      FROM g GROUP BY id),
+      FROM gh2 GROUP BY id),
     bands AS (
       $bandSelects),
     cand AS (
@@ -1052,7 +1066,11 @@ object ScaleQueries {
 
   private val TpBuckets = 16
   private val TpFeats = TpBuckets + 3 // bucket rates + n_toks, ttr, avg_len
-  private val TpIters = 12
+  // 8, not 12: held-out AUC measured identical (0.9787 vs 0.9783 at
+  // sf0.01, 0.9743 vs 0.9748 at sf0.1) and each step is a full
+  // aggregation pass over the cached feature frame — iterations are
+  // the probe's unit of cost, so the budget stops where the metric does.
+  private val TpIters = 8
   private val TpLr = 4.0
   private val TpQualityCut = 0.6
 
@@ -1080,9 +1098,23 @@ object ScaleQueries {
     * s=0 guard → feature 0 → weight stays at zero init; no knife edge.
     */
   private[graft] def textProbeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    // The per-doc numeric frame is Materialize'd right after the single
+    // corpus pass: the standardization stats, the train filter, and
+    // every GD step then read (rows × 20 doubles) cached blocks instead
+    // of re-running the explode pipeline. Two measured traps shaped
+    // this:
+    //  - per-doc scalars from the token ARRAY (size/array_distinct/
+    //    aggregate) instead of the exploded rows: ~2× SLOWER — those
+    //    are CodegenFallback per-row interpreters, while the exploded
+    //    count-distinct expand stays inside codegen;
+    //  - grouping the token aggregation BY the quality column: 0.6 s →
+    //    10.7 s — the interpreted qualityScore expression becomes a
+    //    grouping key evaluated per exploded TOKEN row (~200× per doc).
+    //    Quality therefore lives in its own per-doc projection, joined
+    //    on doc_id AFTER the aggregation (two doc-sized frames, one
+    //    equi-join — the scale-safe shape regardless).
     val toks = docs(spark, dir).select(
       col("doc_id"),
-      TextAnalysis.qualityScore(col("text")).as("quality"),
       explode(TextAnalysis.wordTokens(lower(col("text")))).as("tok"))
     val bkt = conv(substring(md5(col("tok")), 1, 8), 16, 10)
       .cast("long") % TpBuckets
@@ -1092,15 +1124,18 @@ object ScaleQueries {
       sum(length(col("tok"))).cast("double").as("chars")) ++
       (0 until TpBuckets).map(b =>
         sum(when(bkt === b, 1).otherwise(0)).cast("double").as(s"k$b"))
-    val per = toks.groupBy("doc_id", "quality").agg(aggs.head, aggs.tail: _*)
-    val raw = per.select(
+    val q = docs(spark, dir).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val per = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .join(q, "doc_id")
+    val raw = Materialize(per.select(
       col("doc_id") +:
         tpIsTrain(col("doc_id")).as("tr") +:
         when(col("quality") >= TpQualityCut, 1.0).otherwise(0.0).as("y") +:
         ((1 to TpBuckets).map(j => (col(s"k${j - 1}") / col("n")).as(s"r$j")) ++ Seq(
           col("n").as(s"r${TpBuckets + 1}"),
           (col("dt") / col("n")).as(s"r${TpBuckets + 2}"),
-          (col("chars") / col("n")).as(s"r${TpBuckets + 3}"))): _*)
+          (col("chars") / col("n")).as(s"r${TpBuckets + 3}"))): _*))
     val dims = 1 to TpFeats
     val statCols = dims.flatMap(j => Seq(
       avg(col(s"r$j")).as(s"m$j"), stddev_pop(col(s"r$j")).as(s"s$j")))

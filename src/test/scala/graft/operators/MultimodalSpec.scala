@@ -161,6 +161,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.aHash("not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  /** 64×64 textured image with a DENSE low-frequency spectrum (a
+    * sinusoid mixture — a checkerboard was tried first and is the
+    * counter-example: its energy sits on 3 DCT coefficients, the other
+    * 60 are ~0, the median is ~0, and bits flip on numerical noise;
+    * natural images are 1/f-dense, which is what pHash's median
+    * threshold assumes). `warp` adds a smooth top-to-bottom luma ramp
+    * 0..40 (never clamping: base stays in [20, 180]) — the
+    * vignette/gradient-overlay transform a DCT hash absorbs into one
+    * low-frequency coefficient but a raw-cell mean threshold does not.
+    */
+  private def texturePng(warp: Boolean, invert: Boolean): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val base = 100 + 50 * math.sin(x / 4.7) * math.cos(y / 6.3) +
+        30 * math.sin((x + 2 * y) / 8.9)
+      val ramp = if (warp) y * 40.0 / 63 else 0.0
+      val v0 = math.max(0, math.min(255, (base + ramp).toInt))
+      val v = if (invert) 255 - v0 else v0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("pHash: smooth luma warp stays within Hamming 3 and strictly " +
+       "beats aHash on the same pair; inversion lands far; garbage None") {
+    val base = texturePng(warp = false, invert = false)
+    val warp = texturePng(warp = true, invert = false)
+    val inv  = texturePng(warp = false, invert = true)
+    val pBase = Multimodal.pHash(base).get
+    val pWarp = Multimodal.pHash(warp).get
+    val pInv  = Multimodal.pHash(inv).get
+    val aBase = Multimodal.aHash(base).get
+    val aWarp = Multimodal.aHash(warp).get
+    val pd = java.lang.Long.bitCount(pBase ^ pWarp)
+    val ad = java.lang.Long.bitCount(aBase ^ aWarp)
+    assert(pd <= 3, s"pHash warp distance $pd")
+    assert(pd < ad, s"pHash $pd not < aHash $ad — the warp-robustness claim")
+    assert(java.lang.Long.bitCount(pBase ^ pInv) > 16)
+    assert(Multimodal.pHash("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imagePhashNearDups finds exactly the planted warp pair via the " +
+       "shared banded join") {
+    val rows = Seq(
+      (1L, "image", texturePng(warp = false, invert = false)),
+      (2L, "image", texturePng(warp = true, invert = false)),
+      (3L, "image", texturePng(warp = false, invert = true)),
+      (4L, "image", "undecodable".getBytes("UTF-8")),
+      (5L, "audio", texturePng(warp = false, invert = false)))
+      .toDF("doc_id", "kind", "payload")
+    val out = Multimodal.imagePhashNearDups(rows, maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
   test("imageNearDups finds exactly the planted perceptual pair via the " +
        "banded bucket join, never comparing unrelated images") {
     val rows = Seq(
