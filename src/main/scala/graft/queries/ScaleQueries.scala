@@ -1466,6 +1466,88 @@ object ScaleQueries {
     ORDER BY p.label"""
   }
 
+  // ------------------------------------------ k-center coreset
+
+  private val CoresetK = 8
+
+  /** `coreset_kcenter` — greedy diversity selection
+    * ([[graft.operators.Coreset]]): the k vectors that SPREAD over the
+    * corpus, with the selection-time distance as the coverage-radius
+    * trajectory. k−1 single-struct argmax aggregations; oracle replays
+    * the greedy run as a CTE chain (argmax = ORDER BY d DESC, vec_id
+    * LIMIT 1 — measured selection margins ≥ 1.3e-3 at every SF, so
+    * engines cannot disagree on a pick).
+    */
+  def coresetKcenter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cs = graft.operators.Coreset.kCenter(embs(spark, dir), "vec_id", "embedding", CoresetK, Dim)
+    cs.map(c => (c.rank, c.id, c.dist)).toDF("rk", "vec_id", "d")
+      .select(col("rk"), col("vec_id"), round(col("d"), 6).as("dist"))
+      .orderBy("rk")
+  }
+
+  /** `coreset_cover` — the coverage report: every vector assigned to
+    * its nearest chosen center (distance ties → lowest rank), per
+    * center (members, radius). One corpus aggregation with the centers
+    * folded in as literals; max radius is the k-center objective the
+    * greedy selection 2-approximates.
+    */
+  def coresetCover(spark: SparkSession, dir: String): DataFrame = {
+    val cs = graft.operators.Coreset.kCenter(embs(spark, dir), "vec_id", "embedding", CoresetK, Dim)
+    graft.operators.Coreset.cover(embs(spark, dir), "embedding", cs, Dim)
+  }
+
+  /** Greedy-selection CTE chain shared by both coreset oracles: ends
+    * with center frames c1..c{k}. Distance uses the dot-product
+    * identity with a greatest(0,·) guard (fp can push the true-zero
+    * case a hair negative); the Scala side's Σdiff² differs only at
+    * ~1e-13, ten orders inside the measured selection margins.
+    */
+  private def coresetCtes: String = {
+    def dist(a: String, b: String) =
+      s"sqrt(greatest(0.0, list_inner_product($a, $a) + list_inner_product($b, $b)" +
+        s" - 2 * list_inner_product($a, $b)))"
+    val steps = (2 to CoresetK).flatMap { r =>
+      val prev = if (r == 2) s"SELECT e.vec_id, e.v, ${dist("e.v", "c1.v")} AS d FROM e, c1"
+        else s"SELECT m.vec_id, m.v, least(m.d, ${dist("m.v", "c.v")}) AS d FROM m${r - 2} m, c${r - 1} c"
+      Seq(
+        s"""m${r - 1} AS ($prev)""",
+        s"""c$r AS (SELECT vec_id, v, d FROM m${r - 1} ORDER BY d DESC, vec_id LIMIT 1)""")
+    }
+    s"""e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+    ${steps.mkString(",\n    ")}"""
+  }
+
+  val coresetKcenterSql: String = materializeCtes {
+    val sel = s"SELECT 1 AS rk, vec_id, 0.0 AS dist FROM c1" +:
+      (2 to CoresetK).map(r => s"SELECT $r AS rk, vec_id, round(d, 6) AS dist FROM c$r")
+    s"""
+    WITH $coresetCtes
+    ${sel.mkString("\n    UNION ALL ")}
+    ORDER BY rk"""
+  }
+
+  val coresetCoverSql: String = materializeCtes {
+    def dist(a: String, b: String) =
+      s"sqrt(greatest(0.0, list_inner_product($a, $a) + list_inner_product($b, $b)" +
+        s" - 2 * list_inner_product($a, $b)))"
+    val cents = s"SELECT 1 AS rk, vec_id AS cid, v FROM c1" +:
+      (2 to CoresetK).map(r => s"SELECT $r AS rk, vec_id AS cid, v FROM c$r")
+    s"""
+    WITH $coresetCtes,
+    cents AS (
+      ${cents.mkString("\n      UNION ALL ")}),
+    ad AS (
+      SELECT e.vec_id,
+        min(struct_pack(dist := ${dist("e.v", "c.v")}, rk := c.rk, cid := c.cid)) AS nr
+      FROM e, cents c GROUP BY e.vec_id)
+    SELECT cast(nr.rk AS INT) AS rk, nr.cid AS center_id,
+      cast(count(*) AS BIGINT) AS members, round(max(nr.dist), 6) AS radius
+    FROM ad GROUP BY 1, 2
+    ORDER BY rk"""
+  }
+
   /** Cross-modal join: text-side quality metadata joined with the
     * vector-side norm for the overlapping ids — the shape of a curation
     * pass that gates on BOTH text quality and embedding sanity.
@@ -2513,6 +2595,8 @@ object ScaleQueries {
     "label_scatter_power" -> (labelScatterPower _),
     "label_scatter_project" -> (labelScatterProject _),
     "label_scatter_contrib" -> (labelScatterContrib _),
+    "coreset_kcenter"     -> (coresetKcenter _),
+    "coreset_cover"       -> (coresetCover _),
     "sem_dedup"     -> (semDedup _),
     "kmeans_quality" -> (kmeansQuality _),
     "emb_pq"         -> (embPq _),
@@ -2568,6 +2652,8 @@ object ScaleQueries {
     "label_scatter_power" -> labelScatterPowerSql,
     "label_scatter_project" -> labelScatterProjectSql,
     "label_scatter_contrib" -> labelScatterContribSql,
+    "coreset_kcenter"     -> coresetKcenterSql,
+    "coreset_cover"       -> coresetCoverSql,
     "knn_ivf_recall" -> knnIvfRecallSql,
     "knn_ivf_hi_recall" -> knnIvfRecallSql,
     "knn_pq_recall" -> knnIvfRecallSql,
