@@ -1097,7 +1097,31 @@ object ScaleQueries {
     * stddev_pop is EXACTLY 0.0 in both engines (sums of zeros), so the
     * s=0 guard → feature 0 → weight stays at zero init; no knife edge.
     */
-  private[graft] def textProbeFeatures(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def textProbeFeatures(spark: SparkSession, dir: String): DataFrame =
+    textProbeStandardize(textProbeRaw(spark, dir))
+
+  /** Frozen text-probe model for DEPLOYMENT (the streaming scorer):
+    * train-split standardization stats + trained weights, all
+    * model-sized. One corpus pass + the GD steps, same constants as
+    * the registered queries — `StreamingProbeScoreSpec` proves a
+    * stream scored with this model emits round-6-identical
+    * probabilities to the batch pipeline.
+    */
+  private[graft] def textProbeModel(spark: SparkSession, dir: String): (Array[Double], Array[Double], Array[Double]) = {
+    val raw = textProbeRaw(spark, dir)
+    val dims = 1 to TpFeats
+    val statCols = dims.flatMap(j => Seq(
+      avg(col(s"r$j")).as(s"m$j"), stddev_pop(col(s"r$j")).as(s"s$j")))
+    val st = raw.filter(col("tr")).agg(statCols.head, statCols.tail: _*).head()
+    val m = dims.map(j => st.getDouble(2 * (j - 1))).toArray
+    val s = dims.map(j => st.getDouble(2 * (j - 1) + 1)).toArray
+    val w = Logistic.train(
+      Materialize(textProbeStandardize(raw).filter(col("tr"))),
+      TpFeats + 1, TpIters, TpLr)
+    (m, s, w.toArray)
+  }
+
+  private def textProbeRaw(spark: SparkSession, dir: String): DataFrame = {
     // The per-doc numeric frame is Materialize'd right after the single
     // corpus pass: the standardization stats, the train filter, and
     // every GD step then read (rows × 20 doubles) cached blocks instead
@@ -1128,7 +1152,7 @@ object ScaleQueries {
       TextAnalysis.qualityScore(col("text")).as("quality"))
     val per = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .join(q, "doc_id")
-    val raw = Materialize(per.select(
+    Materialize(per.select(
       col("doc_id") +:
         tpIsTrain(col("doc_id")).as("tr") +:
         when(col("quality") >= TpQualityCut, 1.0).otherwise(0.0).as("y") +:
@@ -1136,6 +1160,9 @@ object ScaleQueries {
           col("n").as(s"r${TpBuckets + 1}"),
           (col("dt") / col("n")).as(s"r${TpBuckets + 2}"),
           (col("chars") / col("n")).as(s"r${TpBuckets + 3}"))): _*))
+  }
+
+  private def textProbeStandardize(raw: DataFrame): DataFrame = {
     val dims = 1 to TpFeats
     val statCols = dims.flatMap(j => Seq(
       avg(col(s"r$j")).as(s"m$j"), stddev_pop(col(s"r$j")).as(s"s$j")))
