@@ -35,12 +35,18 @@ object Coreset {
   final case class Center(rank: Int, id: Long, dist: Double, vec: Array[Double])
 
   /** Σ(x_i − c_i)² against a literal center, then sqrt — the center is
-    * folded into codegen; no join against a center frame.
+    * folded into codegen; no join against a center frame. Squaring is
+    * a self-multiply, not `pow(·, 2)` (a StrictMath call per element;
+    * the switch measured cover 4.7 → 4.0 s at bench sf — the remaining
+    * cost is the k·d element_at fan-out itself, which is the operator's
+    * honest per-row work).
     */
-  private def distTo(vecCol: String, c: Array[Double], d: Int): Column =
+  private def distTo(vecCol: String, c: Array[Double], d: Int): Column = {
+    def sq(x: Column): Column = x * x
     sqrt((1 to d).map(i =>
-      pow(element_at(col(vecCol), i).cast("double") - lit(c(i - 1)), 2))
+      sq(element_at(col(vecCol), i).cast("double") - lit(c(i - 1))))
       .reduce(_ + _))
+  }
 
   /** Greedy selection: seed = lowest `idCol`, then k−1 rounds of
     * "farthest point from the chosen set" (ties → lowest id).
