@@ -58,14 +58,24 @@ object Logistic {
     w
   }
 
+  /** Probability clamp shared by [[logLoss]] and its SQL oracle
+    * mirrors: with the trained probes' bounded steps the round-trip
+    * probability never reaches 0/1, but a caller with a hotter
+    * schedule could saturate σ and turn ln(p) into -Infinity — the
+    * clamp makes that a bounded-loss row instead of a NaN aggregate.
+    * ln(1-1e-15) ≈ -1e-15 rounds to 0 at the 6th decimal, so on
+    * non-saturating data the clamp is value-invisible.
+    */
+  val ProbEps = 1e-15
+
   /** Mean binary cross-entropy of `w` on the feature frame, as a
-    * single-row (log_loss, n) aggregate. Safe while |w·x| stays far
-    * from the exp overflow range — true for the bounded-step training
-    * above (|w| ≤ iters · lr · max|grad|, and grads of standardized
-    * features are O(1)).
+    * single-row (log_loss, n) aggregate. Probabilities are clamped
+    * into [ [[ProbEps]], 1−[[ProbEps]] ] (mirrored in the generated
+    * SQL oracles) so a saturated sigmoid yields a finite loss rather
+    * than -Infinity/NaN.
     */
   def logLoss(feats: DataFrame, w: Seq[Double]): DataFrame = {
-    val p = prob(w)
+    val p = greatest(least(prob(w), lit(1.0 - ProbEps)), lit(ProbEps))
     feats.agg(
       (-sum(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p))
         / count(lit(1))).as("log_loss"),

@@ -779,9 +779,13 @@ object ScaleQueries {
     val statCols = dims.flatMap(j => Seq(
       avg(col(s"r$j")).as(s"m$j"), stddev_pop(col(s"r$j")).as(s"s$j")))
     val st = raw.agg(statCols.head, statCols.tail: _*)
+    // s=0 guard mirrors textProbeStandardize (and the CASE WHEN in
+    // probeTrainCtes): a constant feature dimension standardizes to 0
+    // in BOTH engines instead of Spark-NULL-vs-DuckDB-inf divergence
     raw.crossJoin(broadcast(st)).select(
       col("vec_id") +: col("y") +: lit(1.0).as("x0") +:
-        dims.map(j => ((col(s"r$j") - col(s"m$j")) / col(s"s$j")).as(s"x$j")): _*)
+        dims.map(j => when(col(s"s$j") === 0.0, 0.0)
+          .otherwise((col(s"r$j") - col(s"m$j")) / col(s"s$j")).as(s"x$j")): _*)
   }
 
   /** `linear_probe` — model-in-the-loop curation head, training half:
@@ -860,7 +864,9 @@ object ScaleQueries {
       FROM raw),
     feats AS (
       SELECT vec_id, y, 1.0 AS x0,
-        ${dims.map(j => s"(r$j - s.m$j) / s.s$j AS x$j").mkString(",\n        ")}
+        ${dims.map(j =>
+           s"CASE WHEN s.s$j = 0 THEN 0.0 ELSE (r$j - s.m$j) / s.s$j END AS x$j")
+          .mkString(",\n        ")}
       FROM raw, st s),
     ${gdChainCtes(ProbeDims + 1, ProbeIters, ProbeLr, "feats")}"""
   }
@@ -868,7 +874,8 @@ object ScaleQueries {
   val linearProbeSql: String = materializeCtes {
     val nf = ProbeDims + 1
     val z = (0 until nf).map(j => s"w.w$j*f.x$j").mkString("(", " + ", ")")
-    val p = s"(1.0/(1.0 + exp(-$z)))"
+    // Logistic.ProbEps clamp, mirrored (1e0 literals keep DOUBLE math)
+    val p = s"greatest(least((1.0/(1.0 + exp(-$z))), 1e0 - 1e-15), 1e-15)"
     s"""
     WITH $probeTrainCtes,
     loss AS (
@@ -1101,13 +1108,16 @@ object ScaleQueries {
     textProbeStandardize(textProbeRaw(spark, dir))
 
   /** Frozen text-probe model for DEPLOYMENT (the streaming scorer):
-    * train-split standardization stats + trained weights, all
-    * model-sized. One corpus pass + the GD steps, same constants as
-    * the registered queries — `StreamingProbeScoreSpec` proves a
-    * stream scored with this model emits round-6-identical
+    * train-split standardization stats + trained weights + the bucket
+    * count, all model-sized. One corpus pass + the GD steps, same
+    * constants as the registered queries — including [[TpBuckets]], so
+    * a deployed scorer can never hash into a different bucket space
+    * than the batch pipeline trained in. `StreamingProbeScoreSpec`
+    * proves a stream scored with this model emits round-6-identical
     * probabilities to the batch pipeline.
     */
-  private[graft] def textProbeModel(spark: SparkSession, dir: String): (Array[Double], Array[Double], Array[Double]) = {
+  private[graft] def textProbeModel(spark: SparkSession, dir: String)
+      : graft.streaming.StreamingProbeScore.ProbeModel = {
     val raw = textProbeRaw(spark, dir)
     val dims = 1 to TpFeats
     val statCols = dims.flatMap(j => Seq(
@@ -1118,7 +1128,7 @@ object ScaleQueries {
     val w = Logistic.train(
       Materialize(textProbeStandardize(raw).filter(col("tr"))),
       TpFeats + 1, TpIters, TpLr)
-    (m, s, w.toArray)
+    graft.streaming.StreamingProbeScore.ProbeModel(m, s, w.toArray, TpBuckets)
   }
 
   private def textProbeRaw(spark: SparkSession, dir: String): DataFrame = {
@@ -1275,7 +1285,8 @@ object ScaleQueries {
   val textProbeSql: String = materializeCtes {
     val nf = TpFeats + 1
     val z = (0 until nf).map(j => s"w.w$j*f.x$j").mkString("(", " + ", ")")
-    val p = s"(1.0/(1.0 + exp(-$z)))"
+    // Logistic.ProbEps clamp, mirrored (1e0 literals keep DOUBLE math)
+    val p = s"greatest(least((1.0/(1.0 + exp(-$z))), 1e0 - 1e-15), 1e-15)"
     s"""
     WITH $textProbeCtes,
     loss AS (

@@ -40,15 +40,20 @@ object StreamingProbeScore {
 
   /** Row-local raw features r1..r{buckets+3}: bucket rates, token
     * count, type-token ratio, mean word length — the batch pipeline's
-    * exact values.
+    * exact values. Reads the STAGED token/bucket columns: each token is
+    * md5-bucketed exactly once (the `__b` transform in [[score]]); the
+    * per-bucket counts then run over the small int array with no
+    * hashing. The first cut evaluated `bucketOf` inside each bucket's
+    * `filter` — `buckets` md5s per token per row (16× the hash work;
+    * measured 6.6× wall-clock batch-scoring the sf0.1 corpus,
+    * 3.79 s → 0.57 s min-of-2-warm, values doc-for-doc identical).
     */
-  private def rawFeatures(textCol: Column, buckets: Int): Seq[Column] = {
-    val t = TextAnalysis.wordTokens(lower(textCol))
+  private def rawFeatures(t: Column, bks: Column, buckets: Int): Seq[Column] = {
     val n = size(t).cast("double")
     val dt = size(array_distinct(t)).cast("double")
     val chars = TextAnalysis.totalTokenLength(t).cast("double")
     (0 until buckets).map(b =>
-      size(filter(t, tok => bucketOf(tok, buckets) === b)).cast("double") / n) ++
+      size(filter(bks, x => x === b)).cast("double") / n) ++
       Seq(n, dt / n, chars / n)
   }
 
@@ -56,14 +61,25 @@ object StreamingProbeScore {
     * streaming or a batch frame (pure projection either way). Emits
     * (doc_id, p round-6) — the same cell `linear_probe_score`-style
     * outputs hash on.
+    *
+    * Tokens and their buckets are staged in their own projections:
+    * `__t` (and the md5-per-token `__b` transform) are referenced many
+    * times downstream, and CollapseProject declines to inline a
+    * non-cheap alias with multiple references — so each evaluates once
+    * per row instead of once per reference.
     */
   def score(docs: DataFrame, m: ProbeModel): DataFrame = {
-    val raw = rawFeatures(col("text"), m.buckets)
+    val staged = docs
+      .select(col("doc_id"),
+        TextAnalysis.wordTokens(lower(col("text"))).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        transform(col("__t"), tok => bucketOf(tok, m.buckets)).as("__b"))
+    val raw = rawFeatures(col("__t"), col("__b"), m.buckets)
     val xs = lit(1.0) +: raw.indices.map(j =>
       when(lit(m.std(j)) === 0.0, 0.0)
         .otherwise((raw(j) - lit(m.mean(j))) / lit(m.std(j))))
     val z = xs.indices.map(j => lit(m.weights(j)) * xs(j)).reduce(_ + _)
-    docs.select(col("doc_id"),
+    staged.select(col("doc_id"),
       round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p"))
   }
 }

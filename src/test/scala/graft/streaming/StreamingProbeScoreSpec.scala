@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import graft.TestSpark
 import graft.operators.Logistic
 import graft.queries.ScaleQueries
-import graft.streaming.StreamingProbeScore.ProbeModel
 
 /** Train-batch / score-stream for the text quality probe: the frozen
   * model extracted from the batch pipeline must score a stream
@@ -20,12 +19,14 @@ class StreamingProbeScoreSpec extends AnyFunSuite {
   test("streamed scores equal the batch pipeline's, across micro-batches") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
-    val (m, s, w) = ScaleQueries.textProbeModel(spark, dir)
-    val model = ProbeModel(m, s, w, 16)
+    // the model carries its own bucket count (TpBuckets travels INSIDE
+    // ProbeModel) — a constant change in the batch pipeline can no
+    // longer desync the frozen scorer's hashing from the training run
+    val model = ScaleQueries.textProbeModel(spark, dir)
 
     // batch truth: the full explode+groupBy pipeline, same constants
     val batch = ScaleQueries.textProbeFeatures(spark, dir)
-      .select(col("doc_id"), round(Logistic.prob(w.toSeq), 6).as("p"))
+      .select(col("doc_id"), round(Logistic.prob(model.weights.toSeq), 6).as("p"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
