@@ -108,6 +108,45 @@ object Pca {
     (lambda, v, resid, trace)
   }
 
+  /** Driver-side dominant direction of an EXPLICIT symmetric PSD
+    * matrix — the corpus-covariance sibling of [[dominantDirection]]
+    * (which works in the L×L label space and lifts): same
+    * Frobenius-normalized power-by-squaring, same max-diagonal-column
+    * init, same svd_flip sign rule, but the eigenvector is read
+    * directly off the converged matrix (no lift). Used by `emb_pca`,
+    * where A is the d×d corpus covariance: the corpus covariance here
+    * is near-isotropic (λ2/λ1 ≈ 0.93–0.99 measured at every SF), so
+    * squarings are the only convergent power scheme — 12 squarings =
+    * A^4096, factor (0.99)^4096 ≈ 1e-18; measured resid ≈ 3e-16 at
+    * every SF, with diag-argmax gap ≥ 4.6e-3 and sign-rule margin
+    * ≥ 7.7e-3, both ≥ 10¹⁰× the measured summation-order fp
+    * divergence (~1e-16), so engines cannot disagree.
+    * Returns (λ₁, v, resid = ‖Av−λv‖/λ, trace(A)).
+    */
+  def dominantOfSymmetric(a0: Array[Array[Double]], squarings: Int)
+      : (Double, Array[Double], Double, Double) = {
+    val d = a0.length
+    var a = a0.map(_.clone())
+    for (_ <- 1 to squarings) {
+      val sq = Array.tabulate(d, d)((l, m) =>
+        (0 until d).map(k => a(l)(k) * a(k)(m)).sum)
+      val fro = math.sqrt(sq.flatten.map(x => x * x).sum)
+      a = sq.map(_.map(_ / fro))
+    }
+    val diag = Array.tabulate(d)(l => a(l)(l))
+    val k = diag.indexOf(diag.max)
+    val v0 = a.map(_(k)) // max-diagonal column of A^(2^squarings)
+    val vn = math.sqrt(v0.map(x => x * x).sum)
+    var v = v0.map(_ / vn)
+    val mx = v.map(math.abs).max
+    if (v(v.map(math.abs).indexOf(mx)) < 0) v = v.map(-_)
+    val av = Array.tabulate(d)(i => dot(a0(i), v))
+    val lambda = dot(v, av)
+    val resid = math.sqrt(av.indices.map(i => sq2(av(i) - lambda * v(i))).sum) / lambda
+    val trace = (0 until d).map(i => a0(i)(i)).sum
+    (lambda, v, resid, trace)
+  }
+
   private def sq2(x: Double): Double = x * x
   private def dot(a: Array[Double], b: Array[Double]): Double =
     a.lazyZip(b).map(_ * _).sum

@@ -1716,6 +1716,155 @@ object ScaleQueries {
     ORDER BY p.label"""
   }
 
+  // ------------------------------------- corpus-covariance PCA
+
+  /** 12 squarings = C^4096: the corpus covariance is near-isotropic
+    * (λ2/λ1 = 0.932 / 0.987 / 0.983 measured at sf0.001/0.01/0.1), so
+    * 2^12 is the first power putting the convergence factor below fp
+    * noise (0.987^4096 ≈ 1e-23; 10 squarings measured resid 2e-9 at
+    * sf0.01, 12 → 3e-16). See [[graft.operators.Pca.dominantOfSymmetric]]
+    * for the measured decision margins.
+    */
+  private val EmbPcaSquarings = 12
+
+  /** ONE corpus pass for the d×d covariance, shaped as a DOUBLE
+    * GENERATOR chain: append a sentinel 1.0 dimension, `posexplode`
+    * the (d+1) positions, re-explode the carried vector per position,
+    * keep the upper triangle, and sum x·y keyed by (i, j) — the
+    * sentinel row folds the d mean-sums (j = d) and the count
+    * ((d, d)) into the same pass, so NOTHING scans the corpus twice.
+    * Both generators and the keyed aggregation stay inside whole-stage
+    * codegen; map-side partial aggregation collapses each task to
+    * ≤ (d+1)(d+2)/2 rows, so the only exchange is model-sized
+    * regardless of corpus size.
+    *
+    * Shape was MEASURED against the obvious alternative — a single
+    * 2 145-column aggregate (count + d sums + d(d+1)/2 product sums):
+    * that agg plans AND executes pathologically (6.9 s warm at sf0.1
+    * for 2 000 rows — per-row maintenance of thousands of named buffer
+    * slots; the wide-aggregate sibling of the grouping-key traps) vs
+    * 0.26 s for this chain, identical covariance to the last bit.
+    * C_ij = S_ij/n − μ_i μ_j, mirrored symmetric on the driver
+    * (model-sized).
+    */
+  private[queries] def embPcaCovOf(e: DataFrame, d: Int = Dim): Array[Array[Double]] = {
+    val aug = e.select(concat(col("embedding").cast("array<double>"),
+      array(lit(1.0))).as("v"))
+    val el = aug.select(col("v"), posexplode(col("v")).as(Seq("i", "x")))
+    val up = el.select(col("i"), col("x"), posexplode(col("v")).as(Seq("j", "y")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j").agg(sum(col("x") * col("y")).as("sp"))
+    val s = Array.ofDim[Double](d + 1, d + 1)
+    up.collect().foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      s(i)(j) = v
+      s(j)(i) = v
+    }
+    val n = s(d)(d)
+    val mu = Array.tabulate(d)(i => s(i)(d) / n)
+    Array.tabulate(d, d)((i, j) => s(i)(j) / n - mu(i) * mu(j))
+  }
+
+  /** `emb_pca` — UNSUPERVISED pc1 of the raw corpus covariance (the
+    * whitening/JL-validation axis), completing the PCA family next to
+    * the supervised between-label scatter: one wide aggregation pass
+    * ([[embPcaCovOf]]) then model-sized driver math
+    * ([[graft.operators.Pca.dominantOfSymmetric]]). 64 rows
+    * (dimension, loading); the oracle replays covariance → 12
+    * normalized squarings → max-diag column → svd_flip in long-form
+    * SQL, the `label_scatter_pc1` discipline.
+    */
+  def embPca(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = embPcaCovOf(embs(spark, dir))
+    val (_, v, _, _) = Pca.dominantOfSymmetric(c, EmbPcaSquarings)
+    v.toSeq.zipWithIndex.map { case (x, i) => (i + 1, x) }
+      .toDF("i", "raw")
+      .select(col("i"), round(col("raw"), 6).as("loading"))
+      .orderBy("i")
+  }
+
+  /** `emb_pca_power` — the certificate row: λ₁, its share of trace(C)
+    * (near-isotropy quantified: measured ~0.02–0.03 on this corpus —
+    * the number that justifies the scatter family's existence), and
+    * the convergence residual (≈3e-16 at every SF after
+    * [[EmbPcaSquarings]] squarings).
+    */
+  def embPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = embPcaCovOf(embs(spark, dir))
+    val (lambda, _, resid, trace) = Pca.dominantOfSymmetric(c, EmbPcaSquarings)
+    Seq((lambda, lambda / trace, resid)).toDF("l", "s", "r")
+      .select(round(col("l"), 6).as("lambda"),
+        round(col("s"), 6).as("var_share"),
+        round(col("r"), 6).as("resid"))
+  }
+
+  /** Long-form SQL replaying the covariance solve up to the UNROUNDED
+    * signed pc1 frame — shared by both `emb_pca*` oracles. `c0` is the
+    * full mirrored covariance; parenthesization of μ_i μ_j matches the
+    * Scala driver's (S_i/n)·(S_j/n) exactly.
+    */
+  private def embPcaCtes: String = {
+    val squarings = (1 to EmbPcaSquarings).flatMap(k => Seq(
+      s"""a${k}r AS (
+      SELECT a.l, b.r, sum(a.g * b.g) AS g
+      FROM a${k - 1} a JOIN a${k - 1} b ON a.r = b.l GROUP BY a.l, b.r)""",
+      s"""a$k AS (
+      SELECT l, r, g / (SELECT sqrt(sum(g * g)) FROM a${k}r) AS g FROM a${k}r)"""))
+    s"""el AS (
+      SELECT vec_id, t.i, cast(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, ${Dim + 1}) t(i)),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+    ms AS (SELECT i, sum(x) AS s FROM el GROUP BY i),
+    up AS (
+      SELECT a.i AS l, b.i AS r, sum(a.x * b.x) AS sp
+      FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2),
+    a0 AS (
+      SELECT u.l, u.r, u.sp / nn.n - (ma.s / nn.n) * (mb.s / nn.n) AS g
+      FROM up u JOIN ms ma ON ma.i = u.l JOIN ms mb ON mb.i = u.r, nn
+      UNION ALL
+      SELECT u.r, u.l, u.sp / nn.n - (ma.s / nn.n) * (mb.s / nn.n) AS g
+      FROM up u JOIN ms ma ON ma.i = u.l JOIN ms mb ON mb.i = u.r, nn
+      WHERE u.l < u.r),
+    ${squarings.mkString(",\n    ")},
+    dg AS (
+      SELECT l FROM a$EmbPcaSquarings WHERE l = r
+      ORDER BY g DESC, l ASC LIMIT 1),
+    u0 AS (
+      SELECT a.l AS i, a.g AS u
+      FROM a$EmbPcaSquarings a JOIN dg ON a.r = dg.l),
+    vn AS (SELECT i, u / (SELECT sqrt(sum(u * u)) FROM u0) AS v FROM u0),
+    sgn AS (
+      SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+      FROM vn ORDER BY abs(v) DESC, i ASC LIMIT 1),
+    pc1 AS (SELECT i, v * s AS loading FROM vn, sgn)"""
+  }
+
+  val embPcaSql: String = materializeCtes {
+    s"""
+    WITH $embPcaCtes
+    SELECT i, round(loading, 6) AS loading FROM pc1 ORDER BY i"""
+  }
+
+  val embPcaPowerSql: String = materializeCtes {
+    s"""
+    WITH $embPcaCtes,
+    av AS (
+      SELECT a.l AS i, sum(a.g * p.loading) AS av
+      FROM a0 a JOIN pc1 p ON p.i = a.r GROUP BY a.l),
+    lam AS (
+      SELECT sum(av.av * p.loading) AS lambda
+      FROM av JOIN pc1 p USING (i)),
+    tr AS (SELECT sum(g) AS trace FROM a0 WHERE l = r)
+    SELECT round(l.lambda, 6) AS lambda,
+      round(l.lambda / t.trace, 6) AS var_share,
+      round(sqrt((SELECT sum((av.av - l2.lambda * p.loading) * (av.av - l2.lambda * p.loading))
+                  FROM av JOIN pc1 p USING (i), lam l2)) / l.lambda, 6) AS resid
+    FROM lam l, tr t"""
+  }
+
   // ------------------------------------------ k-center coreset
 
   private val CoresetK = 8
@@ -2843,6 +2992,8 @@ object ScaleQueries {
     "probe_pr_curve"     -> (probePrCurve _),
     "text_probe"         -> (textProbe _),
     "text_probe_eval"    -> (textProbeEval _),
+    "emb_pca"        -> (embPca _),
+    "emb_pca_power"  -> (embPcaPower _),
     "label_scatter_pc1"   -> (labelScatterPc1 _),
     "label_scatter_power" -> (labelScatterPower _),
     "label_scatter_project" -> (labelScatterProject _),
@@ -2902,6 +3053,8 @@ object ScaleQueries {
     "probe_pr_curve"     -> probePrCurveSql,
     "text_probe"         -> textProbeSql,
     "text_probe_eval"    -> textProbeEvalSql,
+    "emb_pca"        -> embPcaSql,
+    "emb_pca_power"  -> embPcaPowerSql,
     "label_scatter_pc1"   -> labelScatterPc1Sql,
     "label_scatter_power" -> labelScatterPowerSql,
     "label_scatter_project" -> labelScatterProjectSql,
