@@ -651,6 +651,21 @@ object Similarity {
       bestCell(col("v"), col("nrm"), cents).as("c_id"))
   }
 
+  /** [[assignCells]] plus the winning affinity itself: (id, c_id, aff)
+    * — same map-only shape and the same (aff, c_id) tie-break; the
+    * index-health/drift monitors need the affinity value, not just the
+    * argmax. The greatest-struct is staged in its own projection so
+    * extracting both fields evaluates the 16-cosine chain once per
+    * row, not once per field.
+    */
+  def assignCellsWithAffinity(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centArrays(centroids)
+    val affs = affStructs(col("v"), col("nrm"), cents)
+    val best = if (affs.length == 1) affs.head else greatest(affs: _*)
+    corpus.select(col("id"), best.as("ba"))
+      .select(col("id"), col("ba.c_id").as("c_id"), col("ba.aff").as("aff"))
+  }
+
   /** Semantic deduplication (the SemDeDup shape: cluster embeddings
     * with k-means, then drop within-cluster near-duplicates above a
     * cosine threshold): a vector is dropped iff some SMALLER-id vector

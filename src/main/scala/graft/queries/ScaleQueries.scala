@@ -871,6 +871,70 @@ object ScaleQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** Arrival slice for the index-health monitor: vec_id %
+    * [[HealthNewMod]] = 0, a ~4% stand-in for the stream appends
+    * [[graft.streaming.StreamingIndexMaintenance]] codes under the
+    * frozen codebook.
+    */
+  private val HealthNewMod = 23
+
+  /** `ann_index_health` — the retrain trigger closing the ANN index
+    * lifecycle: per coarse cell, the mean assignment affinity of the
+    * ARRIVAL slice vs the rest of the corpus under the SAME deployed
+    * codebook (the one `ann_index_build` persists: k=16, 1 Lloyd
+    * round), plus the drift = build − new. A healthy append stream
+    * drifts ~0; sustained positive drift means arrivals sit farther
+    * from their assigned centroids than the corpus the codebook was
+    * trained on — the signal to re-run `ann_index_build`.
+    *
+    * Retrain contract (wired into StreamingIndexMaintenance's
+    * scaladoc): per-CELL drift is a small-sample diagnostic (measured
+    * i.i.d.-arrival band: up to |0.27| at n_new ≤ 4 — mean of a
+    * handful of affinities), so the deployment trigger aggregates this
+    * query's output to the n_new-WEIGHTED mean drift
+    * Σ n_new·drift / Σ n_new, measured 0.005 / −0.001 / 0.005 at
+    * sf0.001/0.01/0.1 on the i.i.d. slice — retrain when the weighted
+    * drift exceeds 0.05 (≈10× the i.i.d. band) for a full compaction
+    * window. One map-only assignment pass against the literal centroid
+    * bank + one 16-row aggregation; cells the arrival slice never
+    * touched surface with n_new = 0 and NULL new_affinity (both
+    * engines agree on the NULL).
+    */
+  def annIndexHealth(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(prepped, k = 16, iters = 1)
+    val isNew = col("id") % HealthNewMod === 0
+    Similarity.assignCellsWithAffinity(prepped, cent)
+      .withColumn("is_new", isNew)
+      .groupBy("c_id")
+      .agg(
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_build"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        avg(when(!col("is_new"), col("aff"))).as("ba"),
+        avg(when(col("is_new"), col("aff"))).as("na"))
+      .select(col("c_id"), col("n_build"), col("n_new"),
+        round(col("ba"), 6).as("build_affinity"),
+        round(col("na"), 6).as("new_affinity"),
+        round(col("ba") - col("na"), 6).as("drift"))
+      .orderBy("c_id")
+  }
+
+  // lazy: kmeansCtePrefix is declared later in the file, and a strict
+  // val here would read null during object init
+  lazy val annIndexHealthSql: String = s"""$kmeansCtePrefix,
+    aff AS (
+      SELECT a.vec_id, a.c_id,
+        list_inner_product(a.v, c.cv) / (a.nrm * c.cn) AS aff,
+        a.vec_id % $HealthNewMod = 0 AS is_new
+      FROM a2 a JOIN c1 c ON c.c_id = a.c_id)
+    SELECT c_id,
+      cast(count(*) FILTER (NOT is_new) AS BIGINT) AS n_build,
+      cast(count(*) FILTER (is_new) AS BIGINT) AS n_new,
+      round(avg(aff) FILTER (NOT is_new), 6) AS build_affinity,
+      round(avg(aff) FILTER (is_new), 6) AS new_affinity,
+      round(avg(aff) FILTER (NOT is_new) - avg(aff) FILTER (is_new), 6) AS drift
+    FROM aff GROUP BY c_id ORDER BY c_id"""
+
   /** Winnowing (rolling-hash) fingerprints over documents — engine-
     * portable md5 gram hashes, so fully oracle-checked.
     */
@@ -2982,6 +3046,7 @@ object ScaleQueries {
     "knn_ivfpq_recall" -> (knnIvfPqRecall _),
     "ann_index_build"  -> (annIndexBuild _),
     "ann_index_search" -> (annIndexSearch _),
+    "ann_index_health" -> (annIndexHealth _),
     "knn_filtered"     -> (knnFiltered _),
     "knn_filtered_recall" -> (knnFilteredRecall _),
     "decon_semantic"   -> (deconSemantic _),
@@ -3043,6 +3108,7 @@ object ScaleQueries {
     "knn_ivfpq"     -> knnIvfPqSql,
     "ann_index_build"  -> annIndexBuildSql,
     "ann_index_search" -> annIndexSearchSql,
+    "ann_index_health" -> annIndexHealthSql,
     "knn_filtered"     -> knnFilteredSql,
     "knn_filtered_recall" -> knnFilteredRecallSql,
     "decon_semantic"   -> deconSemanticSql,

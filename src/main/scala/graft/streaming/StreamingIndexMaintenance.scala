@@ -29,6 +29,18 @@ import graft.operators.Similarity
   * (or simply concatenating segments — codes are frozen-model outputs,
   * so base ∪ delta is byte-identical to a cold recode, asserted in
   * StreamingIndexSpec).
+  *
+  * RETRAIN TRIGGER (closing the frozen-codebook lifecycle): appends
+  * never retrain, so codebook freshness is monitored by the
+  * `ann_index_health` query — per coarse cell, the mean assignment
+  * affinity of the arrival slice vs the build-time corpus under the
+  * deployed codebook. The contract: compute the n_new-weighted mean
+  * drift Σ n_new·drift / Σ n_new over its output (per-cell drift
+  * alone is a small-sample diagnostic — measured up to |0.27| at
+  * n_new ≤ 4 on i.i.d. arrivals, while the weighted mean sits at
+  * |0.005| across SFs); when the weighted drift exceeds 0.05 (≈10×
+  * the measured i.i.d. band) for a full compaction window, re-run
+  * `ann_index_build` and fold the deltas instead of concatenating.
   */
 object StreamingIndexMaintenance {
 
