@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Logistic, Materialize, Pca, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Logistic, Materialize, Multimodal, Pca, Similarity, TextAnalysis}
 
 
 /** Scale-path operators: near-dup detection (MinHash-LSH, SimHash,
@@ -2015,6 +2015,60 @@ object ScaleQueries {
     * vector-side norm for the overlapping ids — the shape of a curation
     * pass that gates on BOTH text quality and embedding sanity.
     */
+  /** Synthesized audio corpus for the near-dup surface: every doc gets
+    * a deterministic WAV clip ([[graft.operators.Multimodal.synthToneWav]]
+    * — the corpus parquet carries no real audio; the RIFF/PCM decode
+    * path the fingerprints run through is real). PLANTED near-dups:
+    * docs with doc_id % 7 = 3 reuse doc (d−3)'s melody pitch-shifted
+    * ×1.02 — (d−3) % 7 = 0, so seed groups never chain.
+    */
+  private def audioPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val dup = id % 7 == 3 && id >= 3
+        val seed = if (dup) id - 3 else id
+        val pitch = if (dup) 1.02 else 1.0
+        (id, "audio", Multimodal.synthToneWav(seed, pitch))
+      })
+      .toDF("doc_id", "kind", "payload")
+  }
+
+  /** `audio_neardup` — the audio sibling of the image aHash/pHash
+    * near-dup joins: per-row time×frequency fingerprints
+    * ([[graft.operators.Multimodal.audioFingerprint]], executor-local
+    * FFT DSP) into the banded Hamming candidate join, h ≤ 3 accept.
+    * Rows-only by design (the fingerprint is engine-local DSP DuckDB
+    * cannot replay); `audio_neardup_recall` is the oracle-checked
+    * companion auditing it against the planted-pair truth.
+    */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDups(audioPayloads(spark, dir), maxHamming = 3)
+
+  /** Floor 70: measured planted-pair recall 91.5 / 91.5 / 89.8 % at
+    * sf0.001/0.01/0.1 through the full WAV round-trip (90% in the
+    * 150-pair numpy prototype at the same ±2% pitch operating point) —
+    * ≥ 19.8pp headroom everywhere. The found set also admits a small
+    * coincidental tail (2/2/145 non-planted pairs per SF): the synth
+    * melody space is coarse (≤ ~36 band patterns per segment), so
+    * distinct seeds occasionally share ≥ 6 segment patterns — genuine
+    * same-fingerprint clips, not a banding bug (real audio's pattern
+    * space is far denser). `n_true` (the planted-pair count) is the
+    * exact oracle-checked quantity.
+    */
+  def audioNearDupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"))
+    val truth = d.select(col("doc_id").as("b_id")).filter(col("b_id") % 7 === 3)
+      .join(d.select(col("doc_id").as("a_id")), col("a_id") === col("b_id") - 3)
+      .select("a_id", "b_id")
+    recallRow(truth, audioNearDup(spark, dir).select("a_id", "b_id"), minPct = 70)
+  }
+
+  val audioNearDupRecallSql: String = """
+    SELECT cast(count(*) AS BIGINT) AS n_true, cast(1 AS BIGINT) AS recall_ok
+    FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 3
+    WHERE b.doc_id % 7 = 3"""
+
   def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("lang"),
       length(col("text")).cast("long").as("n_chars_m"))
@@ -3070,6 +3124,8 @@ object ScaleQueries {
     "emb_pq"         -> (embPq _),
     "fingerprint_winnow" -> (fingerprintWinnow _),
     "multimodal_join" -> (multimodalJoin _),
+    "audio_neardup"   -> (audioNearDup _),
+    "audio_neardup_recall" -> (audioNearDupRecall _),
     "emb_near_dup"  -> (embNearDup _),
     "emb_quantize"  -> (embQuantize _),
     "emb_normalize" -> (embNormalize _),
@@ -3093,6 +3149,7 @@ object ScaleQueries {
     "novelty_rate" -> noveltyRateSql,
     "fingerprint_winnow" -> fingerprintWinnowSql,
     "multimodal_join" -> multimodalJoinSql,
+    "audio_neardup_recall" -> audioNearDupRecallSql,
     "knn_brute"    -> knnBruteSql,
     "emb_near_dup" -> embNearDupSql,
     "emb_quantize" -> embQuantizeSql,
