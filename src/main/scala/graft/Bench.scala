@@ -71,6 +71,20 @@ object Bench {
       val sfName = new java.io.File(sfDir).getName
       val fw = new java.io.FileWriter(new java.io.File(benchDir, s"full_$sfName.json"))
       try fw.write(line + "\n") finally fw.close()
+      // round-stamped copy: BENCH_r{N}.json retains only the tail of
+      // the stdout line (the judge's shared-tail comparison covered 86
+      // of 264 queries in round 12), so each driver-run full bench also
+      // lands at bench/full_r{N}_<sf>.json — N inferred as max existing
+      // BENCH_r*.json round + 1, i.e. the round whose BENCH file the
+      // driver is about to write. Committed with the round, this keeps
+      // every round's COMPLETE per-query map in-repo.
+      val roundRe = """BENCH_r(\d+)\.json""".r
+      val nextRound = Option(new java.io.File("/root/repo").list()).toSeq.flatten
+        .collect { case roundRe(n) => n.toInt }
+        .maxOption.getOrElse(0) + 1
+      val fr = new java.io.FileWriter(
+        new java.io.File(benchDir, s"full_r${nextRound}_$sfName.json"))
+      try fr.write(line + "\n") finally fr.close()
     }
     println(line)
     spark.stop()

@@ -183,6 +183,41 @@ object ScaleProbe {
       return
     }
 
+    // ANN-index mode (`runMain graft.ScaleProbe ann`): the persisted
+    // index lifecycle probed across two decades (sf0.1 → sf1 → sf10) —
+    // BUILD (train + code + write, expected ~linear in bytes) vs a
+    // FIXED-batch search (replica-0 queries only, so the measured
+    // quantity is the deployment shape: a constant daily query batch
+    // against a growing corpus; the registered query's %-mod batch
+    // would grow 10× with the corpus and measure batch×corpus instead).
+    // The sf10 embeddings replica is generated here on first use.
+    if (args.contains("ann")) {
+      val out10 = "target/scaledata/sf10"
+      if (!new java.io.File(s"$out10/embeddings.parquet").exists()) {
+        val reps = spark.range(0, 100).select(col("id").as("rep"))
+        spark.read.parquet(s"$src/embeddings.parquet").crossJoin(reps)
+          .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$out10/embeddings.parquet")
+        println("GENERATED sf10 embeddings (100 reps)")
+      }
+      def timed(f: () => Long): Double = {
+        f() // warm (and for build: create the index)
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }
+        ts.min
+      }
+      for (dir <- Seq(src, out, out10)) {
+        val b = timed(() => graft.queries.ScaleQueries.annIndexBuild(spark, dir).count())
+        val s = timed(() => graft.queries.ScaleQueries.annIndexSearchOn(
+          spark, dir, col("id") % graft.queries.ScaleQueries.PqQueryMod === 0 && col("id") < 1000000L).count())
+        println(f"PROBEANN $dir build=$b%.2f s fixed-batch-search=$s%.2f s")
+      }
+      spark.stop()
+      return
+    }
+
     // Re-measure mode (`runMain graft.ScaleProbe remeasure`): the
     // round-11 verdict's bench-methodology check — warm pass + min of 2
     // timed passes, isolated from the other 240 queries — for the knn

@@ -840,9 +840,18 @@ object ScaleQueries {
     * probed cells' code partitions + the model sidecars, which is why
     * its bench time sits far under the build's.
     */
-  def annIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+  def annIndexSearch(spark: SparkSession, dir: String): DataFrame =
+    annIndexSearchOn(spark, dir, col("id") % PqQueryMod === 0)
+
+  /** [[annIndexSearch]] with a caller-chosen query predicate — the
+    * ScaleProbe `ann` mode pins the batch to replica-0 ids so the
+    * measured quantity is the deployment one (a FIXED daily query
+    * batch against a growing corpus), not batch×corpus growth.
+    */
+  private[graft] def annIndexSearchOn(spark: SparkSession, dir: String,
+                                      queryPred: org.apache.spark.sql.Column): DataFrame = {
     val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
-    val queries = prepped.filter(col("id") % PqQueryMod === 0)
+    val queries = prepped.filter(queryPred)
     val (codes, coarse, subs) = annIndexParts(spark, dir)
     Similarity.knnIvfPqOnCodes(queries, prepped,
         prunedIndexCodes(queries, codes, coarse),
@@ -1811,7 +1820,14 @@ object ScaleQueries {
     * C_ij = S_ij/n − μ_i μ_j, mirrored symmetric on the driver
     * (model-sized).
     */
-  private[queries] def embPcaCovOf(e: DataFrame, d: Int = Dim): Array[Array[Double]] = {
+  private[queries] def embPcaCovOf(e: DataFrame, d: Int = Dim): Array[Array[Double]] =
+    embPcaModelOf(e, d)._1
+
+  /** (covariance, μ) from the same single pass — the projection query
+    * needs the mean too.
+    */
+  private[queries] def embPcaModelOf(e: DataFrame, d: Int = Dim)
+      : (Array[Array[Double]], Array[Double]) = {
     val aug = e.select(concat(col("embedding").cast("array<double>"),
       array(lit(1.0))).as("v"))
     val el = aug.select(col("v"), posexplode(col("v")).as(Seq("i", "x")))
@@ -1826,7 +1842,7 @@ object ScaleQueries {
     }
     val n = s(d)(d)
     val mu = Array.tabulate(d)(i => s(i)(d) / n)
-    Array.tabulate(d, d)((i, j) => s(i)(j) / n - mu(i) * mu(j))
+    (Array.tabulate(d, d)((i, j) => s(i)(j) / n - mu(i) * mu(j)), mu)
   }
 
   /** `emb_pca` — UNSUPERVISED pc1 of the raw corpus covariance (the
@@ -1862,6 +1878,23 @@ object ScaleQueries {
       .select(round(col("l"), 6).as("lambda"),
         round(col("s"), 6).as("var_share"),
         round(col("r"), 6).as("resid"))
+  }
+
+  /** `emb_pca_project` — every vector's coordinate along the corpus
+    * pc1, score = v·(x − μ) with the model-sized (v, μ) folded in as
+    * LITERALS: the `label_scatter_project` shape for the UNSUPERVISED
+    * axis (rank-1 whitening / JL validation input). Pure map-side
+    * projection; same knife-edge argument as the scatter projection
+    * (v diverges cross-engine by ~1e-16, coordinates are O(0.1)).
+    */
+  def embPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val (c, mu) = embPcaModelOf(embs(spark, dir))
+    val (_, v, _, _) = Pca.dominantOfSymmetric(c, EmbPcaSquarings)
+    val score = (1 to Dim).map(i =>
+      lit(v(i - 1)) * (element_at(col("embedding"), i).cast("double") - lit(mu(i - 1))))
+      .reduce(_ + _)
+    embs(spark, dir).select(col("vec_id"), round(score, 6).as("pc1_coord"))
+      .orderBy("vec_id")
   }
 
   /** Long-form SQL replaying the covariance solve up to the UNROUNDED
@@ -1910,6 +1943,16 @@ object ScaleQueries {
     s"""
     WITH $embPcaCtes
     SELECT i, round(loading, 6) AS loading FROM pc1 ORDER BY i"""
+  }
+
+  val embPcaProjectSql: String = materializeCtes {
+    s"""
+    WITH $embPcaCtes
+    SELECT e.vec_id,
+      round(sum(p.loading * (cast(e.embedding[p.i] AS DOUBLE) - ms.s / nn.n)), 6) AS pc1_coord
+    FROM embeddings e, pc1 p JOIN ms ON ms.i = p.i, nn
+    GROUP BY e.vec_id
+    ORDER BY e.vec_id"""
   }
 
   val embPcaPowerSql: String = materializeCtes {
@@ -3113,6 +3156,7 @@ object ScaleQueries {
     "text_probe_eval"    -> (textProbeEval _),
     "emb_pca"        -> (embPca _),
     "emb_pca_power"  -> (embPcaPower _),
+    "emb_pca_project" -> (embPcaProject _),
     "label_scatter_pc1"   -> (labelScatterPc1 _),
     "label_scatter_power" -> (labelScatterPower _),
     "label_scatter_project" -> (labelScatterProject _),
@@ -3178,6 +3222,7 @@ object ScaleQueries {
     "text_probe_eval"    -> textProbeEvalSql,
     "emb_pca"        -> embPcaSql,
     "emb_pca_power"  -> embPcaPowerSql,
+    "emb_pca_project" -> embPcaProjectSql,
     "label_scatter_pc1"   -> labelScatterPc1Sql,
     "label_scatter_power" -> labelScatterPowerSql,
     "label_scatter_project" -> labelScatterProjectSql,
