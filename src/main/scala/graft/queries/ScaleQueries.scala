@@ -67,18 +67,33 @@ object ScaleQueries {
     * 11.7 s at bench sf vs 4.7 s for this shape). Callers that read
     * the frame more than once should [[Materialize]] it.
     */
-  private[queries] def kmGramFrame(d: DataFrame): DataFrame = {
-    val toks = TextAnalysis.wordTokens(lower(col("text")))
-    val gramArr = array_distinct(transform(
+  /** The per-doc distinct word-3-gram STRING array as a column — the
+    * row-local form shared by [[kmGramFrame]] (which explodes it), the
+    * ledger's static gram side, and the streaming probe's row-local
+    * verify.
+    */
+  private[graft] def kmGramArray(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = TextAnalysis.wordTokens(lower(textCol))
+    array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - 3, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-    d.select(col("doc_id").as("id"), explode(gramArr).as("gh"))
-      .withColumn("h1", conv(substring(md5(col("gh")), 1, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(md5(col("gh")), 9, 8), 16, 10).cast("long"))
   }
 
+  private[queries] def kmGramFrame(d: DataFrame): DataFrame =
+    d.select(col("doc_id").as("id"), explode(kmGramArray(col("text"))).as("gh"))
+      .withColumn("h1", conv(substring(md5(col("gh")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5(col("gh")), 9, 8), 16, 10).cast("long"))
+
   /** Largest prime < 2^32; h1 + 31·h2 < 2^37, no overflow. */
-  private val MinhashP = 4294967291L
+  private[graft] val MinhashP = 4294967291L
+
+  /** KM signature geometry shared by the batch pipelines, the SQL
+    * generators, and the streaming ledger probe: [[KmMins]] = KmBands
+    * × KmRows permutation mins, banded KmRows-per-key.
+    */
+  private[graft] val KmBands = 8
+  private[graft] val KmRows = 4
+  private[graft] val KmMins = KmBands * KmRows
 
   /** (id, band, key): the 8 banded LSH bucket keys per doc from the KM
     * signatures (32 mins, 8 bands × 4 rows, ':'-joined key strings) —
@@ -88,10 +103,10 @@ object ScaleQueries {
   private[queries] def kmBandKeys(grams: DataFrame): DataFrame = {
     val md5min = (s: Int) =>
       min((col("h1") + lit(s.toLong) * col("h2")) % MinhashP).as(s"m$s")
-    val sigs = grams.groupBy("id").agg(md5min(0), (1 until 32).map(md5min): _*)
-    sigs.select(col("id"), explode(array((0 until 8).map(b =>
+    val sigs = grams.groupBy("id").agg(md5min(0), (1 until KmMins).map(md5min): _*)
+    sigs.select(col("id"), explode(array((0 until KmBands).map(b =>
         struct(lit(b).as("band"),
-          concat_ws(":", (0 until 4).map(r => col(s"m${4 * b + r}")): _*).as("key"))): _*)).as("bk"))
+          concat_ws(":", (0 until KmRows).map(r => col(s"m${KmRows * b + r}")): _*).as("key"))): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
@@ -100,11 +115,11 @@ object ScaleQueries {
     * rows, [[MinhashP]]) so `dedup_minhash_md5` and the ledger oracles
     * cannot desync from the Scala path or from each other.
     */
-  private def kmMinsSql: String = (0 until 32).map(s =>
+  private def kmMinsSql: String = (0 until KmMins).map(s =>
     s"min((h1 + $s * h2) % $MinhashP) AS m$s").mkString(",\n        ")
 
-  private def kmBandSelectsSql(extraCols: String): String = (0 until 8).map(b =>
-    s"SELECT id$extraCols, $b AS band, concat_ws(':', m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3}) AS key FROM sig")
+  private def kmBandSelectsSql(extraCols: String): String = (0 until KmBands).map(b =>
+    s"SELECT id$extraCols, $b AS band, concat_ws(':', ${(0 until KmRows).map(r => s"m${KmRows * b + r}").mkString(", ")}) AS key FROM sig")
     .mkString("\n      UNION ALL\n      ")
 
   val dedupMinhashMd5Sql: String = {
@@ -247,6 +262,23 @@ object ScaleQueries {
       pairs.map { case (b, k) => col("band") === b && col("kb") === k }
         .reduce(_ || _))
     (batchGrams, bb, pruned)
+  }
+
+  /** The two STATIC sides a streaming admission probe joins against
+    * ([[graft.streaming.StreamingLedgerProbe]]): the persisted bucket
+    * table and the history docs' gram ARRAYS (the row-local-verify
+    * sibling of the exploded gram frame — in production this is a
+    * second persisted artifact next to the ledger, rebuilt with it).
+    * Builds the ledger first if the marker is absent.
+    */
+  private[graft] def ledgerStaticSides(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val root = ledgerDir(dir)
+    if (!new java.io.File(root, "_GRAFT_LEDGER_COMPLETE").exists())
+      dedupLedgerBuild(spark, dir).count()
+    val hg = docs(spark, dir).filter(!ledgerIsBatch)
+      .select(col("doc_id").as("hist_id"), kmGramArray(col("text")).as("h_grams"))
+    (ledgerBuckets(spark, root), hg)
   }
 
   def dedupLedgerProbe(spark: SparkSession, dir: String): DataFrame = {
