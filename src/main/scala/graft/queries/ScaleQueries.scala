@@ -187,7 +187,7 @@ object ScaleQueries {
   /** kb sub-partition of a band key — md5-derived, so both engines
     * replay it.
     */
-  private def ledgerKbCol =
+  private[graft] def ledgerKbCol =
     conv(substring(md5(col("key")), 1, 8), 16, 10).cast("long") % LedgerKb
 
   private def ledgerDir(dir: String): java.io.File =
