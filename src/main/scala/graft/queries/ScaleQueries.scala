@@ -1934,13 +1934,80 @@ object ScaleQueries {
     * full mirrored covariance; parenthesization of μ_i μ_j matches the
     * Scala driver's (S_i/n)·(S_j/n) exactly.
     */
-  private def embPcaCtes: String = {
-    val squarings = (1 to EmbPcaSquarings).flatMap(k => Seq(
-      s"""a${k}r AS (
+  /** Deflated second axis: B = C − λ₁v₁v₁ᵀ, solved with the same
+    * machinery. Measured margins (numpy, real corpus, all SFs):
+    * resid ≤ 3.7e-16 at 12 squarings even at λ₃/λ₂ = 0.991,
+    * diag-argmax gap ≥ 1.5e-2, sign margin ≥ 2.7e-2, |v₁·v₂| ≤ 5e-17,
+    * and λ₂ agrees with a full eigensolve to 1.4e-17.
+    */
+  private def embPcaAxis2(e: DataFrame): (Array[Double], Array[Double], Array[Double]) = {
+    val (c, mu) = embPcaModelOf(e)
+    val (l1, v1, _, _) = Pca.dominantOfSymmetric(c, EmbPcaSquarings)
+    val c2 = Array.tabulate(Dim, Dim)((i, j) => c(i)(j) - l1 * v1(i) * v1(j))
+    val (_, v2, _, _) = Pca.dominantOfSymmetric(c2, EmbPcaSquarings)
+    (v1, v2, mu)
+  }
+
+  /** `emb_pca2` — the second covariance axis by deflation (the rank-2
+    * completion of `emb_pca`): 64 rows (dimension, loading). Oracle
+    * replays pc1 → λ₁ → B = C − λ₁v₁v₁ᵀ → the same squaring chain.
+    */
+  def embPca2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, v2, _) = embPcaAxis2(embs(spark, dir))
+    v2.toSeq.zipWithIndex.map { case (x, i) => (i + 1, x) }
+      .toDF("i", "raw")
+      .select(col("i"), round(col("raw"), 6).as("loading"))
+      .orderBy("i")
+  }
+
+  /** `emb_pca_map` — the 2-D corpus map: every vector's coordinates
+    * along (pc1, pc2), the standard visualization / stratification
+    * frame. Both axes fold in as literals — one map-side projection
+    * pass, the `emb_pca_project` shape widened to two coordinates.
+    */
+  def embPcaMap(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2, mu) = embPcaAxis2(embs(spark, dir))
+    def coord(v: Array[Double]) = (1 to Dim).map(i =>
+      lit(v(i - 1)) * (element_at(col("embedding"), i).cast("double") - lit(mu(i - 1))))
+      .reduce(_ + _)
+    embs(spark, dir).select(col("vec_id"),
+        round(coord(v1), 6).as("pc1_coord"),
+        round(coord(v2), 6).as("pc2_coord"))
+      .orderBy("vec_id")
+  }
+
+  /** `pfx`-named Frobenius-normalized squaring chain from `${pfx}0` to
+    * `$pfx$EmbPcaSquarings` — shared by the pc1 and the deflated-pc2
+    * replays.
+    */
+  private def pcaSquaringChainSql(pfx: String): String =
+    (1 to EmbPcaSquarings).flatMap(k => Seq(
+      s"""$pfx${k}r AS (
       SELECT a.l, b.r, sum(a.g * b.g) AS g
-      FROM a${k - 1} a JOIN a${k - 1} b ON a.r = b.l GROUP BY a.l, b.r)""",
-      s"""a$k AS (
-      SELECT l, r, g / (SELECT sqrt(sum(g * g)) FROM a${k}r) AS g FROM a${k}r)"""))
+      FROM $pfx${k - 1} a JOIN $pfx${k - 1} b ON a.r = b.l GROUP BY a.l, b.r)""",
+      s"""$pfx$k AS (
+      SELECT l, r, g / (SELECT sqrt(sum(g * g)) FROM $pfx${k}r) AS g FROM $pfx${k}r)"""))
+      .mkString(",\n    ")
+
+  /** Max-diagonal column pick + normalize + svd_flip sign over the
+    * converged matrix `$pfx$EmbPcaSquarings`, ending in CTE `$outCte`
+    * (i, loading) — the shared tail of both axis replays. CTE names
+    * are prefix-suffixed so the two chains coexist in one WITH.
+    */
+  private def pcaPickSignSql(pfx: String, outCte: String): String = s"""dg_$pfx AS (
+      SELECT l FROM $pfx$EmbPcaSquarings WHERE l = r
+      ORDER BY g DESC, l ASC LIMIT 1),
+    u0_$pfx AS (
+      SELECT a.l AS i, a.g AS u
+      FROM $pfx$EmbPcaSquarings a JOIN dg_$pfx ON a.r = dg_$pfx.l),
+    vn_$pfx AS (SELECT i, u / (SELECT sqrt(sum(u * u)) FROM u0_$pfx) AS v FROM u0_$pfx),
+    sgn_$pfx AS (
+      SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+      FROM vn_$pfx ORDER BY abs(v) DESC, i ASC LIMIT 1),
+    $outCte AS (SELECT i, v * s AS loading FROM vn_$pfx, sgn_$pfx)"""
+
+  private def embPcaCtes: String = {
     s"""el AS (
       SELECT vec_id, t.i, cast(embedding[t.i] AS DOUBLE) AS x
       FROM embeddings, range(1, ${Dim + 1}) t(i)),
@@ -1957,19 +2024,27 @@ object ScaleQueries {
       SELECT u.r, u.l, u.sp / nn.n - (ma.s / nn.n) * (mb.s / nn.n) AS g
       FROM up u JOIN ms ma ON ma.i = u.l JOIN ms mb ON mb.i = u.r, nn
       WHERE u.l < u.r),
-    ${squarings.mkString(",\n    ")},
-    dg AS (
-      SELECT l FROM a$EmbPcaSquarings WHERE l = r
-      ORDER BY g DESC, l ASC LIMIT 1),
-    u0 AS (
-      SELECT a.l AS i, a.g AS u
-      FROM a$EmbPcaSquarings a JOIN dg ON a.r = dg.l),
-    vn AS (SELECT i, u / (SELECT sqrt(sum(u * u)) FROM u0) AS v FROM u0),
-    sgn AS (
-      SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
-      FROM vn ORDER BY abs(v) DESC, i ASC LIMIT 1),
-    pc1 AS (SELECT i, v * s AS loading FROM vn, sgn)"""
+    ${pcaSquaringChainSql("a")},
+    ${pcaPickSignSql("a", "pc1")}"""
   }
+
+  /** [[embPcaCtes]] + the deflation replay: λ₁ from pc1, then the SAME
+    * squaring/pick/sign machinery over B = C − λ₁v₁v₁ᵀ, ending in
+    * `pc2`. Exactly mirrors the Scala driver's deflation
+    * ([[embPca2]]).
+    */
+  private def embPca2Ctes: String = s"""$embPcaCtes,
+    av1 AS (
+      SELECT a.l AS i, sum(a.g * p.loading) AS av
+      FROM a0 a JOIN pc1 p ON p.i = a.r GROUP BY a.l),
+    lam1 AS (
+      SELECT sum(av1.av * p.loading) AS lambda
+      FROM av1 JOIN pc1 p USING (i)),
+    b0 AS (
+      SELECT a.l, a.r, a.g - l.lambda * pa.loading * pb.loading AS g
+      FROM a0 a JOIN pc1 pa ON pa.i = a.l JOIN pc1 pb ON pb.i = a.r, lam1 l),
+    ${pcaSquaringChainSql("b")},
+    ${pcaPickSignSql("b", "pc2")}"""
 
   val embPcaSql: String = materializeCtes {
     s"""
@@ -1983,6 +2058,23 @@ object ScaleQueries {
     SELECT e.vec_id,
       round(sum(p.loading * (cast(e.embedding[p.i] AS DOUBLE) - ms.s / nn.n)), 6) AS pc1_coord
     FROM embeddings e, pc1 p JOIN ms ON ms.i = p.i, nn
+    GROUP BY e.vec_id
+    ORDER BY e.vec_id"""
+  }
+
+  val embPca2Sql: String = materializeCtes {
+    s"""
+    WITH $embPca2Ctes
+    SELECT i, round(loading, 6) AS loading FROM pc2 ORDER BY i"""
+  }
+
+  val embPcaMapSql: String = materializeCtes {
+    s"""
+    WITH $embPca2Ctes
+    SELECT e.vec_id,
+      round(sum(p1.loading * (cast(e.embedding[p1.i] AS DOUBLE) - ms.s / nn.n)), 6) AS pc1_coord,
+      round(sum(p2.loading * (cast(e.embedding[p1.i] AS DOUBLE) - ms.s / nn.n)), 6) AS pc2_coord
+    FROM embeddings e, pc1 p1 JOIN pc2 p2 ON p2.i = p1.i JOIN ms ON ms.i = p1.i, nn
     GROUP BY e.vec_id
     ORDER BY e.vec_id"""
   }
@@ -3189,6 +3281,8 @@ object ScaleQueries {
     "emb_pca"        -> (embPca _),
     "emb_pca_power"  -> (embPcaPower _),
     "emb_pca_project" -> (embPcaProject _),
+    "emb_pca2"       -> (embPca2 _),
+    "emb_pca_map"    -> (embPcaMap _),
     "label_scatter_pc1"   -> (labelScatterPc1 _),
     "label_scatter_power" -> (labelScatterPower _),
     "label_scatter_project" -> (labelScatterProject _),
@@ -3255,6 +3349,8 @@ object ScaleQueries {
     "emb_pca"        -> embPcaSql,
     "emb_pca_power"  -> embPcaPowerSql,
     "emb_pca_project" -> embPcaProjectSql,
+    "emb_pca2"       -> embPca2Sql,
+    "emb_pca_map"    -> embPcaMapSql,
     "label_scatter_pc1"   -> labelScatterPc1Sql,
     "label_scatter_power" -> labelScatterPowerSql,
     "label_scatter_project" -> labelScatterProjectSql,

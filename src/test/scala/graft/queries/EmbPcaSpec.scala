@@ -50,6 +50,28 @@ class EmbPcaSpec extends AnyFunSuite {
     }
   }
 
+  test("deflation recovers a planted SECOND axis orthogonal to the first") {
+    // strong variance on u (axes 1,3), weaker on w = axis 6, noise tiny
+    val w = Array(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+    val rows = (0 until N).map { k =>
+      val s1 = 2.0 * (k % 5 - 2) + 1.0           // var 8 along u
+      val s2 = if (k % 2 == 0) 1.5 else -1.5     // var 2.25 along w
+      val v = Array.tabulate(D)(i => (s1 * u(i) + s2 * w(i)).toFloat)
+      (k.toLong, v.toSeq)
+    }
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    val c = ScaleQueries.embPcaCovOf(df, D)
+    val (l1, v1, _, _) = Pca.dominantOfSymmetric(c, squarings = 12)
+    val c2 = Array.tabulate(D, D)((i, j) => c(i)(j) - l1 * v1(i) * v1(j))
+    val (l2, v2, resid2, _) = Pca.dominantOfSymmetric(c2, squarings = 12)
+    val align2 = v2.indices.map(i => v2(i) * w(i)).sum
+    assert(math.abs(align2) > 0.9999, v2.toSeq)
+    assert(math.abs(l2 - 2.25) < 1e-9, l2)
+    assert(math.abs(v1.indices.map(i => v1(i) * v2(i)).sum) < 1e-12)
+    assert(resid2 < 1e-9, resid2)
+  }
+
   test("recovers the planted axis, variance, and a converged residual") {
     val c = ScaleQueries.embPcaCovOf(planted, D)
     val (lambda, v, resid, trace) = Pca.dominantOfSymmetric(c, squarings = 12)
