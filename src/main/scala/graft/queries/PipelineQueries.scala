@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.TextAnalysis
+import graft.operators.{Dedup, Materialize, TextAnalysis}
 
 /** Training-data pipeline operators (the 100 TB curation surface):
   * overlapping chunking, token-budget sharding, PII scrubbing,
@@ -159,6 +159,68 @@ object PipelineQueries {
     SELECT doc_id FROM documents
     WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
     ORDER BY doc_id"""
+
+  /** `decon_spans` — SPAN-granular decontamination: which (train, eval)
+    * doc pairs share winnowing fingerprints, and how much of each train
+    * doc the overlap covers. The membership gate (`decontaminate`)
+    * answers "is this doc touched"; this is the REPORT a pipeline
+    * triages with — n_shared counts shared window-minima (each pins a
+    * concrete shared token run, the MOSS property) and overlap =
+    * n_shared / train-doc fingerprint count ranks containment (the
+    * planted full-containment pair surfaces at overlap 1.0 at
+    * sf0.001). Same doc_id % 97 split as `decontaminate`; same
+    * (n=3, w=4) winnow as `fingerprint_winnow`; boilerplate
+    * fingerprints are df-capped at 20 ([[Dedup.capGramDocFreq]] — a
+    * fingerprint shared by m docs fans the pair join m·m_eval-fold, so
+    * the cap is the scale guard, and sizes are computed POST-cap so
+    * overlap stays a true fraction of the compared universe). The eval
+    * side is the benchmark-suite-sized ~1% slice, broadcast like
+    * `decontaminate`'s gram set. All rows kept (n_shared ≥ 1): the
+    * consumer thresholds; a singleton shared fingerprint is already a
+    * real shared 3-gram window, not hash noise (md5).
+    */
+  def deconSpans(spark: SparkSession, dir: String): DataFrame = {
+    val fps = TextAnalysis
+      .winnowFingerprints(docs(spark, dir), "doc_id", "text", n = 3, w = 4)
+      .select(col("id"), col("fp").as("gh"))
+    val capped = Materialize(Dedup.capGramDocFreq(fps, maxDocFreq = 20))
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("nf"))
+    val tr = capped.filter(col("id") % 97 =!= 0)
+      .select(col("id").as("train_id"), col("gh"))
+    val ev = capped.filter(col("id") % 97 === 0)
+      .select(col("id").as("eval_id"), col("gh").as("e_gh"))
+    val pairs = tr.join(broadcast(ev), col("gh") === col("e_gh"))
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+    pairs.join(sizes.select(col("id").as("train_id"), col("nf")), "train_id")
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("nf"), 6).as("overlap"))
+      .orderBy("train_id", "eval_id")
+  }
+
+  val deconSpansSql: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i, md5(array_to_string(t[i+1:i+3], ' ')) AS gh
+      FROM toks, unnest(range(0, greatest(len(t)-3, 0) + 1)) AS u(i)),
+    wins AS (
+      SELECT doc_id, min(gh) OVER (PARTITION BY doc_id ORDER BY i
+        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wins),
+    hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 20),
+    capped AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS nf FROM capped GROUP BY doc_id),
+    pairs AS (
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        cast(count(*) AS BIGINT) AS n_shared
+      FROM capped t JOIN capped e ON t.fp = e.fp
+      WHERE t.doc_id % 97 != 0 AND e.doc_id % 97 = 0
+      GROUP BY 1, 2)
+    SELECT p.train_id, p.eval_id, p.n_shared,
+      round(CAST(p.n_shared AS DOUBLE) / s.nf, 6) AS overlap
+    FROM pairs p JOIN sizes s ON s.doc_id = p.train_id
+    ORDER BY p.train_id, p.eval_id"""
 
   /** Intra-document repetition (Gopher-style quality signal): fraction
     * of word 3-grams that are repeats of an earlier gram in the same
@@ -919,6 +981,7 @@ object PipelineQueries {
     "pack_batches"     -> (packBatches _),
     "pii_scrub"        -> (piiScrub _),
     "decontaminate"    -> (decontaminate _),
+    "decon_spans"      -> (deconSpans _),
     "repetition_ratio" -> (repetitionRatio _),
     "dedup_incremental" -> (dedupIncremental _),
     "mix_sample"       -> (mixSample _),
@@ -939,6 +1002,7 @@ object PipelineQueries {
     "pack_batches"     -> packBatchesSql,
     "pii_scrub"        -> piiScrubSql,
     "decontaminate"    -> decontaminateSql,
+    "decon_spans"      -> deconSpansSql,
     "repetition_ratio" -> repetitionRatioSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "mix_sample"       -> mixSampleSql,
