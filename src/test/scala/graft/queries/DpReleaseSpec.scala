@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+
+/** Mechanism checks for the DP histogram release: the registered
+  * oracle proves cross-engine replay; this spec proves the NOISE is
+  * what the Laplace mechanism requires — correct inverse-CDF values,
+  * the Laplace(1/ε) scale empirically, deterministic replay, and
+  * valid post-processing.
+  */
+class DpReleaseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val rows = WarehouseQueries.dpRelease(spark, dir).collect()
+
+  private lazy val truth: Map[(String, String), Long] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("per-cell noise matches an independent inverse-CDF Laplace recompute") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val hex = md.digest(s"dp_${key._1}_${key._2}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.take(8), 16).toDouble + 0.5) / 4294967296.0
+      val noise = -math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val want = truth(key) + noise
+      assert(math.abs(r.getAs[Double]("noisy_count") - want) < 1e-4,
+        s"cell $key: ${r.getAs[Double]("noisy_count")} vs $want")
+    }
+  }
+
+  test("noise is Laplace(1)-scaled: E|noise| near 1, both signs present") {
+    val noises = rows.map { r =>
+      r.getAs[Double]("noisy_count") - truth((r.getString(0), r.getString(1)))
+    }
+    val meanAbs = noises.map(math.abs).sum / noises.length
+    assert(meanAbs > 0.5 && meanAbs < 1.6,
+      s"E|Laplace(1)| = 1; got $meanAbs over ${noises.length} cells")
+    assert(noises.count(_ > 0) > 0 && noises.count(_ < 0) > 0,
+      "a one-signed noise column is not a centered mechanism")
+  }
+
+  test("released is valid post-processing: nonnegative rounding of noisy") {
+    rows.foreach { r =>
+      val rel = r.getAs[Long]("released")
+      assert(rel >= 0)
+      assert(rel == math.max(0L, math.rint(r.getAs[Double]("noisy_count")).toLong),
+        s"released must be the clamped integer rounding for ${(r.getString(0), r.getString(1))}")
+      assert(r.getAs[Double]("epsilon") == 1.0)
+    }
+  }
+
+  test("the release replays bit-identically (seeded, no RNG state)") {
+    val again = WarehouseQueries.dpRelease(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}
