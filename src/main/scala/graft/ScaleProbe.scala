@@ -218,6 +218,53 @@ object ScaleProbe {
       return
     }
 
+    // Ledger mode (`runMain graft.ScaleProbe ledger`): the persisted
+    // near-dup ledger lifecycle probed across two decades
+    // (sf0.1 → sf1 → sf10) — BUILD (gram + KM-sign + banded write,
+    // expected ~linear in bytes) vs a FIXED-batch probe (replica-0
+    // slice-3 docs only, the same ~500-doc batch at every scale), so
+    // the measured quantity is the deployment shape: a constant day's
+    // arrivals checked against a growing history. The sf10 documents
+    // replica is generated here on first use (same construction as the
+    // 100x mode: disjoint ids, per-replica token suffixes so replicas
+    // share no grams — candidate structure per replica matches sf0.1
+    // and the ideal probe curve is FLAT, since replica-0 keys collide
+    // only with replica-0 history buckets). Build at sf10 is timed
+    // ONCE (it runs ~minutes; a min-of-2 would double a measurement
+    // whose linearity the two smaller decades already bracket).
+    if (args.contains("ledger")) {
+      val out10 = "target/scaledata/sf10"
+      if (!new java.io.File(s"$out10/documents.parquet").exists()) {
+        val reps = spark.range(0, 100).select(col("id").as("rep"))
+        spark.read.parquet(s"$src/documents.parquet").crossJoin(reps)
+          .select(
+            (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+            when(col("rep") === 0, col("text")).otherwise(
+              regexp_replace(col("text"), lit("(\\S+)"),
+                concat(lit("$1r"), col("rep").cast("string")))).as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .write.mode("overwrite").parquet(s"$out10/documents.parquet")
+        println("GENERATED sf10 documents (100 reps)")
+      }
+      def timed(n: Int)(f: () => Long): Double = {
+        f() // warm (and: create the ledger for the probe)
+        val ts = (1 to n).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }
+        ts.min
+      }
+      val fixedBatch = col("doc_id") % 10 === 3 && col("doc_id") < 1000000L
+      for ((dir, bn) <- Seq((src, 2), (out, 2), (out10, 1))) {
+        val b = timed(bn)(() => graft.queries.ScaleQueries.dedupLedgerBuild(spark, dir).count())
+        val p = timed(2)(() => graft.queries.ScaleQueries.dedupLedgerProbeOn(
+          spark, dir, fixedBatch).count())
+        println(f"PROBELEDGER $dir build=$b%.2f s fixed-batch-probe=$p%.2f s")
+      }
+      spark.stop()
+      return
+    }
+
     // Re-measure mode (`runMain graft.ScaleProbe remeasure`): the
     // round-11 verdict's bench-methodology check — warm pass + min of 2
     // timed passes, isolated from the other 240 queries — for the knn

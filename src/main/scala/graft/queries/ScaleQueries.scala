@@ -248,13 +248,14 @@ object ScaleQueries {
     * regardless of batch size — collected into a static partition
     * predicate). Builds the ledger first if the marker is absent.
     */
-  private[graft] def ledgerProbeParts(spark: SparkSession, dir: String)
+  private[graft] def ledgerProbeParts(spark: SparkSession, dir: String,
+      isBatch: org.apache.spark.sql.Column = ledgerIsBatch)
       : (DataFrame, DataFrame, DataFrame) = {
     val root = ledgerDir(dir)
     if (!new java.io.File(root, "_GRAFT_LEDGER_COMPLETE").exists())
       dedupLedgerBuild(spark, dir).count()
     val d = docs(spark, dir)
-    val batchGrams = Materialize(kmGramFrame(d.filter(ledgerIsBatch)))
+    val batchGrams = Materialize(kmGramFrame(d.filter(isBatch)))
     val bb = Materialize(kmBandKeys(batchGrams).withColumn("kb", ledgerKbCol))
     val pairs = bb.select(col("band"), col("kb")).distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
@@ -281,9 +282,19 @@ object ScaleQueries {
     (ledgerBuckets(spark, root), hg)
   }
 
-  def dedupLedgerProbe(spark: SparkSession, dir: String): DataFrame = {
+  def dedupLedgerProbe(spark: SparkSession, dir: String): DataFrame =
+    dedupLedgerProbeOn(spark, dir, ledgerIsBatch)
+
+  /** [[dedupLedgerProbe]] with an explicit batch predicate — the
+    * deployment parameter. The scaling probe (`ScaleProbe ledger`)
+    * passes a FIXED replica-0 batch so the measured quantity is a
+    * constant day's arrivals against a growing history, isolating
+    * corpus growth from batch growth.
+    */
+  private[graft] def dedupLedgerProbeOn(spark: SparkSession, dir: String,
+      isBatch: org.apache.spark.sql.Column): DataFrame = {
     val d = docs(spark, dir)
-    val (batchGrams, bb, pruned) = ledgerProbeParts(spark, dir)
+    val (batchGrams, bb, pruned) = ledgerProbeParts(spark, dir, isBatch)
     val cands = pruned
       .select(col("id").as("a_id"), col("band").as("l_band"), col("key").as("l_key"))
       .join(bb.select(col("id").as("b_id"), col("band").as("r_band"),
