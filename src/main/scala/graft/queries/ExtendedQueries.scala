@@ -327,6 +327,35 @@ object ExtendedQueries {
     GROUP BY family_size
     ORDER BY family_size"""
 
+  /** Soft deduplication — the trillion-token-scale alternative to
+    * collapsing ([[clusterRep]]): every document KEPT, carrying the
+    * training weight 1/family_size of its near-dup component, so a
+    * passage duplicated k times contributes one document's worth of
+    * gradient in expectation instead of k (upweighting boilerplate is
+    * the measured failure mode hard dedup and soft dedup both fix;
+    * soft dedup additionally keeps the within-family variation).
+    * Composes the verified [[dupClusters]] labeling with one
+    * cluster-keyed count — at scale the weight join is a broadcast of
+    * the (cluster, size) frame for the non-singleton slice only, since
+    * singletons (the overwhelming mass) weigh exactly 1.
+    */
+  def dedupSoftWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dupClusters(spark, dir)
+    val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("family_size"))
+    cl.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("family_size"),
+        round(lit(1.0) / col("family_size"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSoftWeightsSql: String = s"""
+    WITH clusters AS ($dupClustersSql)
+    SELECT doc_id, cluster_id,
+      count(*) OVER (PARTITION BY cluster_id) AS family_size,
+      round(CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY cluster_id), 6) AS weight
+    FROM clusters
+    ORDER BY doc_id"""
+
   /** Per-cluster representative selection — the step that actually
     * COLLAPSES a near-dup corpus: each connected component keeps its
     * highest-quality member (ties → lowest doc_id). Composes the
@@ -762,6 +791,7 @@ object ExtendedQueries {
     "topk_agg"          -> (topkAgg _),
     "dup_clusters"      -> (dupClusters _),
     "dup_cluster_sizes" -> (dupClusterSizes _),
+    "dedup_soft_weights" -> (dedupSoftWeights _),
     "sql_surface"       -> (sqlSurface _),
     "lateral_topk"      -> (lateralTopk _),
     "pipe_syntax"       -> (pipeSyntax _),
@@ -792,6 +822,7 @@ object ExtendedQueries {
     "topk_agg"          -> topkAggSql,
     "dup_clusters"      -> dupClustersSql,
     "dup_cluster_sizes" -> dupClusterSizesSql,
+    "dedup_soft_weights" -> dedupSoftWeightsSql,
     "sql_surface"       -> sqlSurfaceSql,
     "lateral_topk"      -> lateralTopkSql,
     "pipe_syntax"       -> pipeSyntaxSql,
