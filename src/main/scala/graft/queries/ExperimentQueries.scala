@@ -719,7 +719,59 @@ object ExperimentQueries {
            END AS cramers_v
     FROM s"""
 
+  // -------------------------------------------------------- pass@k
+
+  /** The k values the estimator reports. */
+  private val PassKs = Seq(1, 5, 10)
+
+  /** `pass_at_k` — the unbiased pass@k estimator (the eval-harness
+    * statistic for "n attempts, c successes: if I'd sampled only k,
+    * what's P(at least one success)?"): per user over their event
+    * attempts (success = a purchase event),
+    * pass@k = 1 − C(n−c, k)/C(n, k), computed as the k-term product
+    * Π (n−c−i)/(n−i) — never a factorial, exact when c = 0 (product
+    * telescopes to 1 → pass 0) and when n−c < k (the i = n−c term is
+    * EXACTLY zero, so the product is ±0 and the 1−· heals the IEEE
+    * sign). Both engines fold the identical left-associated chain.
+    * Naive c/n (pass@1) is biased UP as an estimate of pass@k>1's
+    * complement-product — this estimator is the whole reason eval
+    * harnesses don't just average. Groups with n < max(k) are
+    * excluded (the estimator is undefined), mirrored in the oracle.
+    * One aggregation then model-free scalar math per group row.
+    */
+  def passAtK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+      .filter(col("n") >= PassKs.max)
+    val nd = col("n").cast("double")
+    val cd = col("c").cast("double")
+    def passK(k: Int) = round(lit(1.0) - (0 until k).map(i =>
+      (nd - cd - i) / (nd - i)).reduce(_ * _), 6)
+    e.select(col("user_id") +: col("n").as("n_samples") +: col("c").as("n_correct") +:
+        PassKs.map(k => passK(k).as(s"pass_at_$k")): _*)
+      .orderBy("user_id")
+  }
+
+  val passAtKSql: String = {
+    def prod(k: Int) = (0 until k)
+      .map(i => s"((CAST(n AS DOUBLE) - CAST(c AS DOUBLE) - $i) / (CAST(n AS DOUBLE) - $i))")
+      .mkString(" * ")
+    val cols = PassKs.map(k => s"round(1.0 - ${prod(k)}, 6) AS pass_at_$k").mkString(",\n      ")
+    s"""
+    WITH g AS (
+      SELECT user_id, count(*) AS n,
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n_samples, CAST(c AS BIGINT) AS n_correct,
+      $cols
+    FROM g WHERE n >= ${PassKs.max}
+    ORDER BY user_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pass_at_k"       -> (passAtK _),
     "chi2_assoc"      -> (chi2Assoc _),
     "benford_audit"   -> (benfordAudit _),
     "corr_matrix"     -> (corrMatrix _),
@@ -733,6 +785,7 @@ object ExperimentQueries {
     "ks_by_source"    -> (ksBySource _))
 
   val oracle: Map[String, String] = Map(
+    "pass_at_k"       -> passAtKSql,
     "chi2_assoc"      -> chi2AssocSql,
     "benford_audit"   -> benfordAuditSql,
     "corr_matrix"     -> corrMatrixSql,

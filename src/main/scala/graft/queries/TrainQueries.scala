@@ -164,6 +164,72 @@ object TrainQueries {
     FROM ranked a JOIN ranked b ON a.doc_id = b.doc_id AND a.epoch < b.epoch
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ------------------------------------------------------ shuffle audit
+
+  /** `shuffle_audit` — WITHIN-epoch mixing quality of the epoch-0
+    * training order (the complement of [[epochShuffle]]'s between-epoch
+    * decorrelation): the adjacent-pair same-source rate along the
+    * order, against the Σp² rate a well-mixed order would show, with
+    * the normal-approximation z — sustained positive z means
+    * consecutive batches over-concentrate one source (the loss-spike /
+    * gradient-staleness failure mode a bad shard layout causes even
+    * when each epoch's permutation LOOKS random).
+    *
+    * Scale shape: adjacency is computed BLOCK-LOCALLY — the md5 order
+    * key's first two hex chars partition the order into 256
+    * contiguous blocks, `lag` runs within blocks (a partitioned
+    * window, never the single-reducer global sort), and only the 255
+    * block-boundary pairs are dropped: deterministic, statistically
+    * irrelevant, and exactly what a sharded trainer sees anyway
+    * (adjacency within shards).
+    */
+  def shuffleAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("0:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("blk", substring(col("k"), 1, 2))
+    val w = Window.partitionBy("blk").orderBy("k", "doc_id")
+    val pairs = d.withColumn("prev", lag("source", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("source") === col("prev"), 1L).otherwise(0L)).as("o"))
+    val exp = d.groupBy("source").agg(count(lit(1)).as("ns"))
+      .agg(sum(col("ns").cast("double") * col("ns").cast("double")).as("ss"),
+        sum("ns").as("n"))
+      .select(col("n"), (col("ss") / (col("n").cast("double") * col("n").cast("double"))).as("p"))
+    pairs.crossJoin(exp).select(
+      col("n").as("n_docs"), col("m").as("n_pairs"),
+      round(col("o").cast("double") / col("m"), 6).as("same_rate"),
+      round(col("p"), 6).as("expected_rate"),
+      round((col("o").cast("double") / col("m") - col("p")) /
+        sqrt(col("p") * (lit(1.0) - col("p")) / col("m")), 6).as("z"))
+  }
+
+  val shuffleAuditSql: String = """
+    WITH d AS (
+      SELECT doc_id, source, md5('0:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents),
+    b AS (SELECT doc_id, source, k, substr(k, 1, 2) AS blk FROM d),
+    lagged AS (
+      SELECT source,
+        lag(source) OVER (PARTITION BY blk ORDER BY k, doc_id) AS prev
+      FROM b),
+    pairs AS (
+      SELECT count(*) AS m,
+        sum(CASE WHEN source = prev THEN 1 ELSE 0 END) AS o
+      FROM lagged WHERE prev IS NOT NULL),
+    exp AS (
+      SELECT sum(CAST(ns AS DOUBLE) * CAST(ns AS DOUBLE))
+               / (CAST(sum(ns) AS DOUBLE) * CAST(sum(ns) AS DOUBLE)) AS p,
+        CAST(sum(ns) AS BIGINT) AS n
+      FROM (SELECT count(*) AS ns FROM documents GROUP BY source))
+    SELECT exp.n AS n_docs, CAST(pairs.m AS BIGINT) AS n_pairs,
+      round(CAST(o AS DOUBLE) / m, 6) AS same_rate,
+      round(p, 6) AS expected_rate,
+      round((CAST(o AS DOUBLE) / m - p) / sqrt(p * (1.0 - p) / m), 6) AS z
+    FROM pairs, exp"""
+
   // ------------------------------------------------------ margin sampling
 
   /** Active-learning margin sampling: score every vector against each
@@ -301,12 +367,14 @@ object TrainQueries {
     "emb_health"    -> (embHealth _),
     "margin_sample" -> (marginSample _),
     "mutual_nn"     -> (mutualNn _),
-    "epoch_shuffle" -> (epochShuffle _))
+    "epoch_shuffle" -> (epochShuffle _),
+    "shuffle_audit" -> (shuffleAudit _))
 
   val oracle: Map[String, String] = Map(
     "triplet_mine"  -> tripletMineSql,
     "emb_health"    -> embHealthSql,
     "margin_sample" -> marginSampleSql,
     "mutual_nn"     -> mutualNnSql,
-    "epoch_shuffle" -> epochShuffleSql)
+    "epoch_shuffle" -> epochShuffleSql,
+    "shuffle_audit" -> shuffleAuditSql)
 }
