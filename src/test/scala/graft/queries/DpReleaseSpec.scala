@@ -60,4 +60,56 @@ class DpReleaseSpec extends AnyFunSuite {
     val again = WarehouseQueries.dpRelease(spark, dir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("dp mean: clipped-sum/count composition matches an independent recompute") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def lap(tag: String, key: String, b: Double): Double = {
+      val hex = md.digest(s"${tag}_$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.take(8), 16).toDouble + 0.5) / 4294967296.0
+      -b * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    val cells = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        sum(least(col("n_chars"), lit(1000L))).as("s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = WarehouseQueries.dpMeanRelease(spark, dir).collect()
+    assert(got.length == cells.size)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val (n, s) = cells(src)
+      val nc = n + lap("dpc", src, 2.0)
+      val mean = (s + lap("dps", src, 2000.0)) / math.max(nc, 1.0)
+      assert(math.abs(r.getAs[Double]("noisy_count") - nc) < 1e-3, s"$src count")
+      assert(math.abs(r.getAs[Double]("released_mean") - mean) < 1e-3, s"$src mean")
+      // the published uncertainty must be the b/count scale, not decoration
+      assert(math.abs(r.getAs[Double]("mean_noise_scale") - 2000.0 / math.max(nc, 1.0)) < 1e-3)
+      assert(r.getAs[Double]("clip") == 1000.0)
+    }
+  }
+
+  test("dp topk: Gumbel-max selection matches an independent recompute; true counts stay private") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(tag: String, key: String): Double = {
+      val hex = md.digest(s"${tag}_$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(8), 16).toDouble + 0.5) / 4294967296.0
+    }
+    val wc = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = wc.toSeq
+      .map { case (w, c) => (0.5 * c + -math.log(-math.log(u("dpt", w))), w) }
+      .sortBy { case (s, w) => (-s, w) }.take(10).map(_._2)
+    val got = WarehouseQueries.dpTopk(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+    assert(got.map(_.getString(1)).toSeq == want, "selection must be the Gumbel-max set, in order")
+    got.foreach { r =>
+      val w = r.getString(1)
+      val noise = -2.0 * math.signum(u("dptc", w) - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u("dptc", w) - 0.5))
+      assert(math.abs(r.getAs[Double]("noisy_count") - (wc(w) + noise)) < 1e-3)
+      // the exact count never appears: Laplace noise is a.s. non-integer
+      assert(r.getAs[Double]("noisy_count") != wc(w).toDouble)
+    }
+  }
 }
