@@ -782,6 +782,219 @@ object CorpusQueries {
     FROM v$BpeRounds
     ORDER BY freq DESC, w LIMIT 50"""
 
+  // --------------------------------------------- unigram-LM tokenizer
+
+  /** Longest word the oracle's unrolled Viterbi DP covers; the engine
+    * asserts the vocab fits BEFORE training, so a corpus change that
+    * grows words past the unroll fails loudly on both sides rather
+    * than silently truncating the SQL replay.
+    */
+  private val UgMaxWord = 8
+
+  /** One corpus pass: the (word, freq) vocab the trainer consumes —
+    * the ONLY corpus-sized work in the family ([[graft.operators.UnigramLm]]
+    * scaladoc: production SentencePiece trains on a vocab/sample too).
+    */
+  private def unigramWordFreqs(spark: SparkSession, dir: String): Map[String, Long] = {
+    val wf = docs(spark, dir)
+      .select(explode(TextAnalysis.wordTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tooLong = wf.keys.filter(_.length > UgMaxWord)
+    require(tooLong.isEmpty,
+      s"unigram oracle unroll covers words <= $UgMaxWord chars; got ${tooLong.take(3)}")
+    wf
+  }
+
+  /** `unigram_train` — the trained unigram-LM piece inventory:
+    * (piece, usage, logp) after [[graft.operators.UnigramLm.Rounds]]
+    * EM rounds. Usage counts are exact integers (sums of word freqs),
+    * so the prune boundary (usage > 0) is fp-robust, and logp =
+    * ln(int/int) diverges cross-engine only in the last ulp.
+    */
+  def unigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = graft.operators.UnigramLm.train(unigramWordFreqs(spark, dir))
+    m.usage.toSeq.sortBy(_._1)
+      .map { case (p, u) => (p, u, m.logp(p)) }
+      .toDF("piece", "usage", "lp")
+      .select(col("piece"), col("usage"), round(col("lp"), 6).as("logp"))
+      .orderBy("piece")
+  }
+
+  /** `unigram_segment` — the tokenizer card: the 20 most frequent
+    * words with their final Viterbi segmentation (pieces left to
+    * right), the `bpe_segment` artifact for the unigram model. The
+    * measured Viterbi decision margin is 0.90 across SFs — nine
+    * orders above ln()'s cross-engine ulp — so both engines pick the
+    * identical path for every word.
+    */
+  def unigramSegment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wf = unigramWordFreqs(spark, dir)
+    val m = graft.operators.UnigramLm.train(wf)
+    wf.toSeq.sortBy { case (w, f) => (-f, w) }.take(20)
+      .map { case (w, f) =>
+        val pieces = graft.operators.UnigramLm.viterbi(w, m.logp)
+        (w, f, pieces.length.toLong, pieces.mkString("|"))
+      }
+      .toDF("w", "f", "n_pieces", "pieces")
+      .orderBy(col("f").desc, col("w"))
+  }
+
+  /** `unigram_encode` — per-document fertility under the trained
+    * unigram model: the corpus word stream joins the vocab-sized
+    * per-word piece counts (auto-broadcast — the `bpe_encode` shape),
+    * one aggregation keyed doc_id. The engine-side scale path: the
+    * corpus is scanned once, map-only, and the model rides along as a
+    * 31-row broadcast.
+    */
+  def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wf = unigramWordFreqs(spark, dir)
+    val m = graft.operators.UnigramLm.train(wf)
+    val np = wf.keys.toSeq.sorted
+      .map(w => (w, graft.operators.UnigramLm.viterbi(w, m.logp).length.toLong))
+      .toDF("w", "n_pieces")
+    docs(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.wordTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(np), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subtokens"))
+      .select(col("doc_id"), col("n_words"), col("n_subtokens"),
+        round(col("n_subtokens").cast("double") / col("n_words"), 6).as("fertility"))
+      .orderBy("doc_id")
+  }
+
+  /** The unrolled Viterbi chain for EM round `r` against piece table
+    * `pc${r-1}`: dp tables per position (argmax with the TOTAL
+    * (score DESC, start ASC, piece ASC) tie-break), the tagged union,
+    * and the backtrace hops emitting one piece per hop. Shared by the
+    * training rounds and the final segmentation replay.
+    */
+  private def ugViterbiCtes(r: Int): String = {
+    val mp = graft.operators.UnigramLm.MaxPiece
+    val dps = (1 to UgMaxWord).map { j =>
+      val cands = (math.max(0, j - mp) until j).map { i =>
+        s"""SELECT d.w, d.f, d.s + pc.lp AS s, $i AS i, substr(d.w, ${i + 1}, ${j - i}) AS p
+      FROM ugdp${r}_$i d JOIN ugpc${r - 1} pc ON pc.p = substr(d.w, ${i + 1}, ${j - i})
+      WHERE len(d.w) >= $j"""
+      }.mkString("\n      UNION ALL ")
+      s"""ugdp${r}_$j AS (
+      SELECT w, f, s, i, p FROM (
+        SELECT *, row_number() OVER (PARTITION BY w ORDER BY s DESC, i ASC, p ASC) AS rn
+        FROM ($cands))
+      WHERE rn = 1)"""
+    }
+    val dpa = s"""ugdpa$r AS (
+      ${(1 to UgMaxWord).map(j => s"SELECT w, f, s, i, p, $j AS j FROM ugdp${r}_$j")
+        .mkString("\n      UNION ALL ")})"""
+    val bts = (1 to UgMaxWord).map { h =>
+      val prev = if (h == 1) s"ugbt${r}_0" else s"ugbt${r}_${h - 1}"
+      s"""ugbt${r}_$h AS (
+      SELECT b.w, b.f, d.i AS j, d.p AS p, $h AS h
+      FROM $prev b JOIN ugdpa$r d ON d.w = b.w AND d.j = b.j
+      WHERE b.j > 0)"""
+    }
+    (Seq(s"ugdp${r}_0 AS (SELECT w, f, CAST(0.0 AS DOUBLE) AS s FROM ugwf)") ++
+      dps ++ Seq(dpa) ++
+      Seq(s"ugbt${r}_0 AS (SELECT w, f, len(w) AS j FROM ugwf)") ++ bts)
+      .mkString(",\n    ")
+  }
+
+  /** Usage/prune/renorm CTEs closing EM round `r`: exact-integer
+    * usage, the single-char +1 floor (chars never prune), survivors
+    * only in both the rows and the normalizer.
+    */
+  private def ugRoundClose(r: Int): String = s"""uguse$r AS (
+      SELECT p, CAST(sum(f) AS BIGINT) AS u FROM (
+        ${(1 to UgMaxWord).map(h => s"SELECT p, f FROM ugbt${r}_$h").mkString("\n        UNION ALL ")})
+      GROUP BY p),
+    ugsur$r AS (
+      SELECT p, u2 FROM (
+        SELECT pc.p,
+          coalesce(u.u, 0) + CASE WHEN len(pc.p) = 1 THEN 1 ELSE 0 END AS u2
+        FROM ugpc${r - 1} pc LEFT JOIN uguse$r u USING (p))
+      WHERE u2 > 0),
+    ugpc$r AS (
+      SELECT p, ln(CAST(u2 AS DOUBLE) / (SELECT CAST(sum(u2) AS DOUBLE) FROM ugsur$r)) AS lp
+      FROM ugsur$r)"""
+
+  /** Seed + the full EM unroll up to `ugpc$Rounds`/`ugsur$Rounds`. */
+  private def ugTrainCtes: String = {
+    val mp = graft.operators.UnigramLm.MaxPiece
+    val top = graft.operators.UnigramLm.PoolTop
+    val rounds = (1 to graft.operators.UnigramLm.Rounds)
+      .map(r => s"${ugViterbiCtes(r)},\n    ${ugRoundClose(r)}").mkString(",\n    ")
+    s"""ugwords AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents),
+    ugwf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f FROM ugwords WHERE w != '' GROUP BY w),
+    ugsp AS (
+      SELECT f, substr(w, i, l) AS p
+      FROM ugwf, range(1, ${UgMaxWord + 1}) t1(i), range(1, ${mp + 1}) t2(l)
+      WHERE i + l - 1 <= len(w)),
+    ugcand AS (SELECT p, CAST(sum(f) AS BIGINT) AS cf FROM ugsp GROUP BY p),
+    ugpool AS (
+      SELECT p, cf FROM (
+        SELECT p, cf, row_number() OVER (ORDER BY cf * len(p) DESC, p) AS rn
+        FROM ugcand)
+      WHERE rn <= $top
+      UNION
+      SELECT p, cf FROM ugcand WHERE len(p) = 1),
+    ugpc0 AS (
+      SELECT p, ln(CAST(cf AS DOUBLE) / (SELECT CAST(sum(cf) AS DOUBLE) FROM ugpool)) AS lp
+      FROM ugpool),
+    $rounds"""
+  }
+
+  val unigramTrainSql: String = ScaleQueries.materializeCtes {
+    val R = graft.operators.UnigramLm.Rounds
+    s"""
+    WITH $ugTrainCtes
+    SELECT s.p AS piece, s.u2 AS usage, round(pc.lp, 6) AS logp
+    FROM ugsur$R s JOIN ugpc$R pc USING (p)
+    ORDER BY piece"""
+  }
+
+  /** Final segmentation replay: one more Viterbi round (r = Rounds+1)
+    * against the trained `ugpc$Rounds`, pieces re-assembled left to
+    * right (backtrace hop h walks right to left, so h DESC).
+    */
+  private def ugSegCtes: String = {
+    val r = graft.operators.UnigramLm.Rounds + 1
+    s"""$ugTrainCtes,
+    ${ugViterbiCtes(r)},
+    ugseg AS (
+      SELECT w, any_value(f) AS f, CAST(count(*) AS BIGINT) AS n_pieces,
+        string_agg(p, '|' ORDER BY h DESC) AS pieces
+      FROM (
+        ${(1 to UgMaxWord).map(h => s"SELECT w, f, p, h FROM ugbt${r}_$h").mkString("\n        UNION ALL ")})
+      GROUP BY w)"""
+  }
+
+  val unigramSegmentSql: String = ScaleQueries.materializeCtes(s"""
+    WITH $ugSegCtes
+    SELECT w, f, n_pieces, pieces
+    FROM ugseg
+    ORDER BY f DESC, w LIMIT 20""")
+
+  val unigramEncodeSql: String = ScaleQueries.materializeCtes(s"""
+    WITH $ugSegCtes,
+    ugdw AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents)
+    SELECT d.doc_id, count(*) AS n_words,
+      CAST(sum(s.n_pieces) AS BIGINT) AS n_subtokens,
+      round(CAST(sum(s.n_pieces) AS DOUBLE) / count(*), 6) AS fertility
+    FROM ugdw d JOIN ugseg s USING (w)
+    WHERE d.w != ''
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id""")
+
   // ------------------------------------------------------- outlier MAD
 
   /** Robust per-source outlier detection on document length: median +
@@ -1081,6 +1294,9 @@ object CorpusQueries {
     "bpe_merges"     -> (bpeMerges _),
     "bpe_encode"     -> (bpeEncode _),
     "bpe_segment"    -> (bpeSegment _),
+    "unigram_train"   -> (unigramTrain _),
+    "unigram_segment" -> (unigramSegment _),
+    "unigram_encode"  -> (unigramEncode _),
     "outlier_mad"    -> (outlierMad _),
     "events_sliding" -> (eventsSliding _),
     "data_card"      -> (dataCard _))
@@ -1097,6 +1313,9 @@ object CorpusQueries {
     "bpe_merges"     -> bpeMergesSql,
     "bpe_encode"     -> bpeEncodeSql,
     "bpe_segment"    -> bpeSegmentSql,
+    "unigram_train"   -> unigramTrainSql,
+    "unigram_segment" -> unigramSegmentSql,
+    "unigram_encode"  -> unigramEncodeSql,
     "outlier_mad"    -> outlierMadSql,
     "events_sliding" -> eventsSlidingSql,
     "data_card"      -> dataCardSql)

@@ -2753,7 +2753,7 @@ object ScaleQueries {
     * throws at class-init instead of quietly reintroducing the
     * measured planner blowup.
     */
-  private def materializeCtes(sql: String): String = {
+  private[queries] def materializeCtes(sql: String): String = {
     val out = sql.replaceAll("""(?m)^(\s*)(WITH\s+)?(\w+) AS \(""",
       "$1$2$3 AS MATERIALIZED (")
     val headers = """\w+ AS \(""".r.findAllIn(sql).size
