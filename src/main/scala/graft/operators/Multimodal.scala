@@ -855,6 +855,36 @@ object Multimodal {
     pcm16Wav(samples, Rate)
   }
 
+  /** Deterministic block-pattern PNG for the image near-dup surface
+    * (the corpus parquet carries no real images; the PNG encode/decode
+    * the hashes run through is real JDK ImageIO): 64×64 gray, 8×8
+    * blocks each leveled by md5(seed, block) — a dense pattern space
+    * (256⁶⁴ block layouts), so distinct seeds never collide the way
+    * the coarse audio melody space occasionally does. `jitter` is the
+    * planted near-dup transformation: a small md5-seeded per-block
+    * brightness wobble (±3) plus a +6 global lift — the re-encode /
+    * slight-regrade edit a perceptual hash must absorb (a pure global
+    * lift alone would leave the mean-relative aHash bits EXACTLY
+    * unchanged and prove nothing).
+    */
+  private[graft] def synthBlockPng(seed: Long, jitter: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (by <- 0 until 8; bx <- 0 until 8) {
+      val g0 = (md5U32(s"img:$seed:$by:$bx") % 256).toInt
+      val g = if (!jitter) g0 else {
+        val w = (md5U32(s"imgj:$seed:$by:$bx") % 7).toInt - 3
+        math.max(0, math.min(255, g0 + 6 + w))
+      }
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- by * 8 until by * 8 + 8; x <- bx * 8 until bx * 8 + 8)
+        img.setRGB(x, y, rgb)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** Deterministic uniform-noise WAV (the reject case in the specs):
     * an LCG seeded from md5, samples in [−0.5, 0.5].
     */

@@ -2502,6 +2502,55 @@ object ScaleQueries {
     FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 3
     WHERE b.doc_id % 7 = 3"""
 
+  /** Synthesized image corpus for the near-dup surface: every doc gets
+    * a deterministic block-pattern PNG
+    * ([[graft.operators.Multimodal.synthBlockPng]] — the corpus
+    * parquet carries no real images; the PNG encode/decode the hashes
+    * run through is real JDK ImageIO). PLANTED near-dups: docs with
+    * doc_id % 7 = 3 reuse doc (d−3)'s pattern under the jitter
+    * transformation (per-block ±3 wobble + global +6 lift).
+    */
+  private def imagePayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val dup = id % 7 == 3 && id >= 3
+        val seed = if (dup) id - 3 else id
+        (id, "image", Multimodal.synthBlockPng(seed, jitter = dup))
+      })
+      .toDF("doc_id", "kind", "payload")
+  }
+
+  /** `image_neardup` — the registered DCT-pHash near-dup join (the
+    * round-12 surface had it spec-only for want of decodable corpus
+    * images; the synthesized corpus closes that the way
+    * `audio_neardup` did for audio): per-row decode + 64-bit pHash,
+    * banded Hamming candidates, h ≤ 3 accept. Rows-only by design
+    * (executor-local DCT DSP DuckDB cannot replay);
+    * `image_neardup_recall` is the oracle-checked companion.
+    */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePhashNearDups(imagePayloads(spark, dir), maxHamming = 3)
+
+  /** Floor 90: measured planted-pair pHash distances over 400 planted
+    * pairs — 98.5% within h ≤ 3 (max observed 4) — and the smallest
+    * CROSS-seed distance over 4 950 pairs is 18, so unlike the coarse
+    * audio melody space the block-pattern space admits no coincidental
+    * tail at all: found = planted ∩ (h ≤ 3), exactly.
+    */
+  def imageNearDupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"))
+    val truth = d.select(col("doc_id").as("b_id")).filter(col("b_id") % 7 === 3)
+      .join(d.select(col("doc_id").as("a_id")), col("a_id") === col("b_id") - 3)
+      .select("a_id", "b_id")
+    recallRow(truth, imageNearDup(spark, dir).select("a_id", "b_id"), minPct = 90)
+  }
+
+  val imageNearDupRecallSql: String = """
+    SELECT cast(count(*) AS BIGINT) AS n_true, cast(1 AS BIGINT) AS recall_ok
+    FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 3
+    WHERE b.doc_id % 7 = 3"""
+
   def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("lang"),
       length(col("text")).cast("long").as("n_chars_m"))
@@ -3566,6 +3615,8 @@ object ScaleQueries {
     "multimodal_join" -> (multimodalJoin _),
     "audio_neardup"   -> (audioNearDup _),
     "audio_neardup_recall" -> (audioNearDupRecall _),
+    "image_neardup"   -> (imageNearDup _),
+    "image_neardup_recall" -> (imageNearDupRecall _),
     "emb_near_dup"  -> (embNearDup _),
     "emb_quantize"  -> (embQuantize _),
     "emb_normalize" -> (embNormalize _),
@@ -3590,6 +3641,7 @@ object ScaleQueries {
     "fingerprint_winnow" -> fingerprintWinnowSql,
     "multimodal_join" -> multimodalJoinSql,
     "audio_neardup_recall" -> audioNearDupRecallSql,
+    "image_neardup_recall" -> imageNearDupRecallSql,
     "knn_brute"    -> knnBruteSql,
     "emb_near_dup" -> embNearDupSql,
     "emb_quantize" -> embQuantizeSql,
