@@ -971,6 +971,42 @@ object ScaleQueries {
       .orderBy("c_id")
   }
 
+  /** `ann_index_stats` — per-cell occupancy of the coarse quantizer
+    * plus the FAISS imbalance factor k·Σshare² (1.0 = perfectly
+    * balanced; the capacity-planning number that says whether probe
+    * cost is uniform or one hot cell carries the corpus — at k ∝ √N
+    * scale the imbalance factor IS the search-latency multiplier).
+    * One assignment pass + a cell-keyed count; the factor folds from
+    * the 16-row count frame.
+    */
+  def annIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(prepped, k = 16, iters = 1)
+    val counts = Similarity.assignCells(prepped, cent)
+      .groupBy("c_id").agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(
+      sum("n_vecs").as("n"),
+      sum(col("n_vecs").cast("double") * col("n_vecs").cast("double")).as("s2"),
+      count(lit(1)).as("k"))
+    counts.crossJoin(tot).select(col("c_id"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n"), 6).as("share"),
+        round(col("k").cast("double") * col("s2") /
+          (col("n").cast("double") * col("n").cast("double")), 6).as("imbalance"))
+      .orderBy("c_id")
+  }
+
+  lazy val annIndexStatsSql: String = s"""$kmeansCtePrefix,
+    counts AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n_vecs FROM a2 GROUP BY c_id),
+    tot AS (
+      SELECT CAST(sum(n_vecs) AS BIGINT) AS n,
+        sum(CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE)) AS s2,
+        CAST(count(*) AS BIGINT) AS k
+      FROM counts)
+    SELECT c_id, n_vecs,
+      round(CAST(n_vecs AS DOUBLE) / n, 6) AS share,
+      round(CAST(k AS DOUBLE) * s2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS imbalance
+    FROM counts, tot ORDER BY c_id"""
+
   // lazy: kmeansCtePrefix is declared later in the file, and a strict
   // val here would read null during object init
   lazy val annIndexHealthSql: String = s"""$kmeansCtePrefix,
@@ -3583,6 +3619,7 @@ object ScaleQueries {
     "ann_index_build"  -> (annIndexBuild _),
     "ann_index_search" -> (annIndexSearch _),
     "ann_index_health" -> (annIndexHealth _),
+    "ann_index_stats"  -> (annIndexStats _),
     "knn_filtered"     -> (knnFiltered _),
     "knn_filtered_recall" -> (knnFilteredRecall _),
     "decon_semantic"   -> (deconSemantic _),
@@ -3658,6 +3695,7 @@ object ScaleQueries {
     "ann_index_build"  -> annIndexBuildSql,
     "ann_index_search" -> annIndexSearchSql,
     "ann_index_health" -> annIndexHealthSql,
+    "ann_index_stats"  -> annIndexStatsSql,
     "knn_filtered"     -> knnFilteredSql,
     "knn_filtered_recall" -> knnFilteredRecallSql,
     "decon_semantic"   -> deconSemanticSql,
