@@ -217,6 +217,138 @@ object Multimodal {
       else Some((w, h, means.length, lumaEnvelope(means.toArray)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** 64-bit spatio-temporal video fingerprint (the TIRI shape): 8
+    * frames sampled evenly across the clip; per frame, 8 horizontal
+    * luma bands; bit = band mean > frame mean. Mean-relative bits
+    * absorb global regrades the way [[aHash]] does spatially; the
+    * temporal axis catches re-cuts the per-frame envelope misses.
+    * Y4M only (the real, codec-free decode path); None otherwise.
+    */
+  private[graft] def videoFingerprint(payload: Array[Byte]): Option[Long] =
+    try {
+      val magic = "YUV4MPEG2 ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      if (payload.length < magic.length ||
+          !java.util.Arrays.equals(payload, 0, magic.length, magic, 0, magic.length))
+        return None
+      val nl = payload.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val header = new String(payload, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+      var w = -1; var h = -1; var cs = "420"
+      header.split(' ').drop(1).foreach { p =>
+        if (p.nonEmpty) p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'C' => cs = p.substring(1)
+          case _   => ()
+        }
+      }
+      if (w <= 0 || h <= 0 || h < 8) return None
+      val ySize = w.toLong * h
+      val cW = (w + 1) / 2
+      val cH = (h + 1) / 2
+      val frameSize: Long =
+        if (cs.startsWith("420")) ySize + 2L * cW * cH
+        else if (cs.startsWith("422")) ySize + 2L * cW * h
+        else if (cs.startsWith("444")) 3L * ySize
+        else if (cs.startsWith("mono")) ySize
+        else return None
+      if (ySize > Int.MaxValue) return None
+      // collect every frame's 8 horizontal band means
+      val bands = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      var pos = nl + 1
+      while (pos < payload.length) {
+        val markerEnd = payload.indexOf('\n'.toByte, pos)
+        if (markerEnd < 0 || markerEnd + 1 + frameSize > payload.length) {
+          if (bands.isEmpty) return None else pos = payload.length
+        } else {
+          val marker = new String(payload, pos, markerEnd - pos,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          if (!marker.startsWith("FRAME")) return None
+          val bm = new Array[Double](8)
+          var b = 0
+          while (b < 8) {
+            val y0 = (b.toLong * h / 8).toInt
+            val y1 = ((b + 1).toLong * h / 8).toInt
+            var sum = 0L
+            var i = markerEnd + 1 + y0 * w
+            val end = markerEnd + 1 + y1 * w
+            while (i < end) { sum += payload(i) & 0xFF; i += 1 }
+            bm(b) = sum.toDouble / ((y1 - y0).toLong * w)
+            b += 1
+          }
+          bands += bm
+          pos = markerEnd + 1 + frameSize.toInt
+        }
+      }
+      if (bands.isEmpty) return None
+      // 8 frames sampled evenly; bit(f, b) = band > frame mean
+      var bits = 0L
+      var k = 0
+      while (k < 8) {
+        val f = (k.toLong * bands.length / 8).toInt
+        val bm = bands(f)
+        val mean = bm.sum / 8
+        var b = 0
+        while (b < 8) {
+          if (bm(b) > mean) bits |= 1L << (k * 8 + b)
+          b += 1
+        }
+        k += 1
+      }
+      Some(bits)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Video near-duplicate pairs by the spatio-temporal fingerprint:
+    * decode → [[videoFingerprint]] per row, then the shared
+    * [[bandedHammingPairs]] join — the video sibling of the image
+    * aHash/pHash and audio fingerprint paths.
+    */
+  def videoNearDups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import withPayloads.sparkSession.implicits._
+    val hashed = withPayloads
+      .filter(col("kind") === "video")
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => videoFingerprint(p).map(h => (id, h)) })
+      .toDF("doc_id", "h64")
+    bandedHammingPairs(hashed, maxHamming)
+  }
+
+  /** Deterministic Y4M clip for the video near-dup surface: 32×32
+    * C420, 16 frames in 8 temporal segments; each (segment, band)
+    * luma level from md5 — the video analog of [[synthBlockPng]]'s
+    * block patterns. `jitter` is the planted near-dup regrade: +6
+    * global lift + md5-seeded per-(segment, band) ±3 wobble.
+    */
+  private[graft] def synthY4m(seed: Long, jitter: Boolean): Array[Byte] = {
+    val W = 32; val H = 32; val Frames = 16
+    val header = s"YUV4MPEG2 W$W H$H F25:1 C420\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val frameMarker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val ySize = W * H
+    val cSize = (W / 2) * (H / 2)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header)
+    for (f <- 0 until Frames) {
+      out.write(frameMarker)
+      val seg = f / 2
+      val y = new Array[Byte](ySize)
+      for (b <- 0 until 8) {
+        val g0 = (md5U32(s"vid:$seed:$seg:$b") % 256).toInt
+        val g = if (!jitter) g0 else {
+          val wob = (md5U32(s"vidj:$seed:$seg:$b") % 7).toInt - 3
+          math.max(0, math.min(255, g0 + 6 + wob))
+        }
+        for (row <- b * 4 until b * 4 + 4; x <- 0 until W)
+          y(row * W + x) = g.toByte
+      }
+      out.write(y)
+      val c = Array.fill[Byte](cSize)(128.toByte)
+      out.write(c); out.write(c)
+    }
+    out.toByteArray
+  }
+
   /** 8-segment temporal envelope of a per-frame mean-luma series — the
     * common video fingerprint fold (Y4M and animated GIF share it).
     */

