@@ -617,6 +617,20 @@ object Multimodal {
     bandedHammingPairs(hashed, maxHamming)
   }
 
+  /** Kind-dispatched 64-bit perceptual fingerprint — one entry point
+    * for the streaming admission path ([[graft.streaming.StreamingMediaDedup]]):
+    * image → DCT pHash, audio → time×frequency FFT fingerprint,
+    * video → spatio-temporal TIRI bits. None for unknown kinds or
+    * undecodable payloads (the caller drops the row, never fails the
+    * stream).
+    */
+  def mediaFingerprint(kind: String, payload: Array[Byte]): Option[Long] = kind match {
+    case "image" => pHash(payload)
+    case "audio" => audioFingerprint(payload)
+    case "video" => videoFingerprint(payload)
+    case _       => None
+  }
+
   /** Decode stage: binary column in, typed Dataset out. Runs per
     * partition on executors — at 100 TB this is the stage you'd size
     * `maxPartitionBytes` around, and the decode batch never leaves the
