@@ -768,9 +768,59 @@ object TextQueries {
     FROM n JOIN sc USING (source) JOIN su USING (source)
     ORDER BY source"""
 
+  // ------------------------------------------------- boilerplate grams
+
+  /** `boilerplate_ngrams` — the C4/RefinedWeb cleaning signal: word
+    * 3-grams ranked by DOCUMENT frequency (how many distinct docs
+    * contain the gram — headers, footers, nav chrome, license blurbs
+    * surface here; raw token frequency, `top_words`/`freq_triples`
+    * territory, cannot separate "frequent because common" from
+    * "present in every page"). Per-doc DISTINCT grams → df count →
+    * top-30 under the total (df DESC, gram) order, with df_share
+    * against the ≥3-token doc population. On this synthetic corpus
+    * the max share is a measured 1.8% (random word streams carry no
+    * true boilerplate) — the RANKED report is the honest artifact; a
+    * fixed 20% threshold would return an empty frame here and the
+    * real signal on a real corpus. Scale shape: grams expand
+    * row-locally, one distinct + one count aggregation, top-30 plans
+    * as TakeOrderedAndProject.
+    */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), wordTokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> " +
+          "concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
+        .as("gram"))
+      .distinct()
+    val n = grams.agg(countDistinct("doc_id").as("nd"))
+    grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("gram"), col("df"),
+        round(col("df").cast("double") / col("nd"), 6).as("df_share"))
+      .orderBy(col("df").desc, col("gram")).limit(30)
+  }
+
+  val boilerplateNgramsSql: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS gram
+      FROM toks, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
+      WHERE len(t) >= 3),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM grams)
+    SELECT gram, CAST(count(*) AS BIGINT) AS df,
+      round(CAST(count(*) AS DOUBLE) / any_value(nd), 6) AS df_share
+    FROM grams, n
+    GROUP BY gram
+    ORDER BY df DESC, gram LIMIT 30"""
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "boilerplate_ngrams" -> (boilerplateNgrams _),
     "cond_entropy"    -> (condEntropy _),
     "oov_rate"        -> (oovRate _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
@@ -794,6 +844,7 @@ object TextQueries {
     "regex_extract"   -> (regexExtract _))
 
   val oracle: Map[String, String] = Map(
+    "boilerplate_ngrams" -> boilerplateNgramsSql,
     "cond_entropy"    -> condEntropySql,
     "oov_rate"        -> oovRateSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
