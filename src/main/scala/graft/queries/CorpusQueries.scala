@@ -995,6 +995,64 @@ object CorpusQueries {
     GROUP BY d.doc_id
     ORDER BY d.doc_id""")
 
+  /** `tokenizer_compare` — the tokenizer-selection artifact: per
+    * source, mean fertility (subtokens per word) under the trained
+    * BPE and the trained unigram-LM side by side, plus their ratio —
+    * the one table a pipeline reads before committing a vocabulary
+    * (fertility is the context-window tax; a 10% fertility gap is 10%
+    * of every training and serving budget). Both models ride along as
+    * vocab-sized broadcast frames over ONE shared (source, word)
+    * corpus pass; the oracle nests both full training replays (the
+    * BPE merge unroll and the unigram EM unroll) in a single
+    * materialized WITH.
+    */
+  def tokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dw = docs(spark, dir)
+      .select(col("source"), explode(TextAnalysis.wordTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+    val bpe = bpeTrainFrom(dw.select("w"))._1
+      .select(col("w"), size(split(btrim(col("repr")), "  ")).cast("long").as("n_sub"))
+    val wf = unigramWordFreqs(spark, dir)
+    val m = graft.operators.UnigramLm.train(wf)
+    val ug = wf.keys.toSeq.sorted
+      .map(w => (w, graft.operators.UnigramLm.viterbi(w, m.logp).length.toLong))
+      .toDF("w", "n_pieces")
+    dw.join(broadcast(bpe), "w").join(broadcast(ug), "w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("sb"), sum("n_pieces").as("su"))
+      .select(col("source"), col("n_words"),
+        round(col("sb").cast("double") / col("n_words"), 6).as("bpe_fertility"),
+        round(col("su").cast("double") / col("n_words"), 6).as("unigram_fertility"),
+        round(col("su").cast("double") / col("sb"), 6).as("fertility_ratio"))
+      .orderBy("source")
+  }
+
+  /** [[bpeCtePrefix]] without its leading WITH, so it can splice into
+    * a combined chain next to the unigram CTEs.
+    */
+  private def bpeCteBody: String =
+    bpeCtePrefix.replaceFirst("""(?s)^\s*WITH\s+""", "")
+
+  val tokenizerCompareSql: String = ScaleQueries.materializeCtes(s"""
+    WITH $bpeCteBody,
+    $ugSegCtes,
+    tcdw AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents),
+    bpn AS (
+      SELECT w, CAST(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_sub
+      FROM v$BpeRounds)
+    SELECT d.source, count(*) AS n_words,
+      round(CAST(sum(b.n_sub) AS DOUBLE) / count(*), 6) AS bpe_fertility,
+      round(CAST(sum(u.n_pieces) AS DOUBLE) / count(*), 6) AS unigram_fertility,
+      round(CAST(sum(u.n_pieces) AS DOUBLE) / sum(b.n_sub), 6) AS fertility_ratio
+    FROM tcdw d JOIN bpn b USING (w) JOIN ugseg u USING (w)
+    WHERE d.w != ''
+    GROUP BY d.source
+    ORDER BY d.source""")
+
   // ------------------------------------------------------- outlier MAD
 
   /** Robust per-source outlier detection on document length: median +
@@ -1297,6 +1355,7 @@ object CorpusQueries {
     "unigram_train"   -> (unigramTrain _),
     "unigram_segment" -> (unigramSegment _),
     "unigram_encode"  -> (unigramEncode _),
+    "tokenizer_compare" -> (tokenizerCompare _),
     "outlier_mad"    -> (outlierMad _),
     "events_sliding" -> (eventsSliding _),
     "data_card"      -> (dataCard _))
@@ -1316,6 +1375,7 @@ object CorpusQueries {
     "unigram_train"   -> unigramTrainSql,
     "unigram_segment" -> unigramSegmentSql,
     "unigram_encode"  -> unigramEncodeSql,
+    "tokenizer_compare" -> tokenizerCompareSql,
     "outlier_mad"    -> outlierMadSql,
     "events_sliding" -> eventsSlidingSql,
     "data_card"      -> dataCardSql)
