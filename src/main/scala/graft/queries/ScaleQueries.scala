@@ -2079,6 +2079,39 @@ object ScaleQueries {
           + lit(0.0)).as("cov_w12"))
   }
 
+  /** `emb_outliers` — the consumer the whitened frame exists for: a
+    * rank-2 Mahalanobis gate, m² = w₁² + w₂² (unit-variance
+    * decorrelated coordinates make the χ² threshold meaningful —
+    * against RAW pc coordinates the same cut would just re-measure
+    * λ₁). Top-20 by (m², vec_id) plus the χ²₂ 99% flag
+    * (m² > 9.21 ⇔ p < 0.01 under the Gaussian bulk) — the embedding
+    * outlier pass a pipeline runs before the corpus trains a
+    * codebook/probe on junk vectors. Map-side literal-folded
+    * transform, TakeOrderedAndProject top-k.
+    */
+  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2, mu, l1, l2) = embPcaAxis2(embs(spark, dir))
+    def coord(v: Array[Double], l: Double) = (1 to Dim).map(i =>
+      lit(v(i - 1)) * (element_at(col("embedding"), i).cast("double") - lit(mu(i - 1))))
+      .reduce(_ + _) / lit(math.sqrt(l))
+    val m2 = coord(v1, l1) * coord(v1, l1) + coord(v2, l2) * coord(v2, l2)
+    embs(spark, dir).select(col("vec_id"), m2.as("m2raw"))
+      .orderBy(col("m2raw").desc, col("vec_id")).limit(20)
+      .select(col("vec_id"), round(col("m2raw"), 6).as("m2"),
+        (col("m2raw") > 9.21).cast("long").as("beyond_chi2_99"))
+      .orderBy(col("m2").desc, col("vec_id"))
+  }
+
+  val embOutliersSql: String = materializeCtes {
+    s"""
+    WITH $embWhitenCtes,
+    m AS (SELECT vec_id, w1 * w1 + w2 * w2 AS m2raw FROM wc)
+    SELECT vec_id, round(m2raw, 6) AS m2,
+      CAST(m2raw > 9.21 AS BIGINT) AS beyond_chi2_99
+    FROM (SELECT * FROM m ORDER BY m2raw DESC, vec_id LIMIT 20)
+    ORDER BY m2 DESC, vec_id"""
+  }
+
   // ------------------------------------ JL projection + distortion audit
 
   /** JL target dimension: 64 → 16 (4× storage/bandwidth cut for
@@ -3683,6 +3716,7 @@ object ScaleQueries {
     "emb_whiten_check" -> (embWhitenCheck _),
     "emb_jl_project"   -> (embJlProject _),
     "emb_jl_check"     -> (embJlCheck _),
+    "emb_outliers"     -> (embOutliers _),
     "label_scatter_pc1"   -> (labelScatterPc1 _),
     "label_scatter_power" -> (labelScatterPower _),
     "label_scatter_project" -> (labelScatterProject _),
@@ -3762,6 +3796,7 @@ object ScaleQueries {
     "emb_whiten_check" -> embWhitenCheckSql,
     "emb_jl_project"   -> embJlProjectSql,
     "emb_jl_check"     -> embJlCheckSql,
+    "emb_outliers"     -> embOutliersSql,
     "label_scatter_pc1"   -> labelScatterPc1Sql,
     "label_scatter_power" -> labelScatterPowerSql,
     "label_scatter_project" -> labelScatterProjectSql,
