@@ -198,12 +198,16 @@ object TrainQueries {
       .agg(sum(col("ns").cast("double") * col("ns").cast("double")).as("ss"),
         sum("ns").as("n"))
       .select(col("n"), (col("ss") / (col("n").cast("double") * col("n").cast("double"))).as("p"))
+    // m = 0 (a corpus with no adjacencies) must yield NULL rates, not
+    // an ANSI divide-by-zero — the ab_lift degenerate-guard discipline
     pairs.crossJoin(exp).select(
       col("n").as("n_docs"), col("m").as("n_pairs"),
-      round(col("o").cast("double") / col("m"), 6).as("same_rate"),
+      when(col("m") > 0,
+        round(col("o").cast("double") / col("m"), 6)).as("same_rate"),
       round(col("p"), 6).as("expected_rate"),
-      round((col("o").cast("double") / col("m") - col("p")) /
-        sqrt(col("p") * (lit(1.0) - col("p")) / col("m")), 6).as("z"))
+      when(col("m") > 0,
+        round((col("o").cast("double") / col("m") - col("p")) /
+          sqrt(col("p") * (lit(1.0) - col("p")) / col("m")), 6)).as("z"))
   }
 
   val shuffleAuditSql: String = """
@@ -225,9 +229,11 @@ object TrainQueries {
         CAST(sum(ns) AS BIGINT) AS n
       FROM (SELECT count(*) AS ns FROM documents GROUP BY source))
     SELECT exp.n AS n_docs, CAST(pairs.m AS BIGINT) AS n_pairs,
-      round(CAST(o AS DOUBLE) / m, 6) AS same_rate,
+      CASE WHEN m > 0 THEN round(CAST(o AS DOUBLE) / m, 6) END AS same_rate,
       round(p, 6) AS expected_rate,
-      round((CAST(o AS DOUBLE) / m - p) / sqrt(p * (1.0 - p) / m), 6) AS z
+      CASE WHEN m > 0 THEN
+        round((CAST(o AS DOUBLE) / m - p) / sqrt(p * (1.0 - p) / m), 6)
+      END AS z
     FROM pairs, exp"""
 
   // ------------------------------------------------------ margin sampling

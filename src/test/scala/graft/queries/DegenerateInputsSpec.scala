@@ -120,4 +120,29 @@ class DegenerateInputsSpec extends AnyFunSuite {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     assert(InsightQueries.hitsRank(spark, dir).count() == 0L)
   }
+
+  test("pass_at_k: every group under the max k — empty frame, no " +
+       "undefined-estimator rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-degen-p").toString
+    (1L to 9L).map(i => (i, new java.sql.Timestamp(i * 1000), 7L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(ExperimentQueries.passAtK(spark, dir).count() == 0L)
+  }
+
+  test("shuffle_audit: a one-doc corpus has zero adjacencies — NULL " +
+       "rates, never NaN or a throw") {
+    val dir = docsDir(Seq((1L, "only doc", "en", "s")))
+    val row = TrainQueries.shuffleAudit(spark, dir).head()
+    assert(row.getLong(0) == 1L && row.getLong(1) == 0L) // n_docs, n_pairs
+    assert(row.isNullAt(2) && row.isNullAt(4), "same_rate/z must be NULL")
+    assert(row.getDouble(3) == 1.0) // expected_rate: one source
+  }
+
+  test("unigram trainer: a one-word vocab trains to that word at prob ~1") {
+    val m = graft.operators.UnigramLm.train(Map("ab" -> 5L))
+    assert(graft.operators.UnigramLm.viterbi("ab", m.logp) == Seq("ab"))
+    // 'ab' usage 5, chars floor 1+1 → p(ab) = 5/7; no NaN anywhere
+    assert(m.logp.values.forall(v => !v.isNaN && v < 0.0))
+  }
 }
