@@ -334,6 +334,36 @@ object ScaleQueries {
     FROM bands
     ORDER BY band, kb, key, id"""
 
+  /** `dedup_ledger_stats` — the [[annIndexStats]] sibling for the
+    * near-dup ledger: per band, entry count, distinct buckets, the
+    * largest bucket, and mean bucket occupancy — the numbers that say
+    * whether probe cost is uniform (md5 keys ⇒ it should be) and when
+    * [[LedgerKb]] needs raising (mean entries per (band, kb) directory
+    * is the probe's scan unit; see the SCALING.md ledger section).
+    * Reads the PERSISTED ledger back (building it if absent), so the
+    * report audits the on-disk truth, not an in-session recompute.
+    */
+  def dedupLedgerStats(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = ledgerStaticSides(spark, dir)._1
+    buckets.groupBy(col("band").cast("long").as("band"), col("key"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("band")
+      .agg(sum("c").as("n_entries"), count(lit(1)).as("n_buckets"),
+        max("c").as("max_bucket"))
+      .select(col("band"), col("n_entries"), col("n_buckets"), col("max_bucket"),
+        round(col("n_entries").cast("double") / col("n_buckets"), 6).as("avg_bucket"))
+      .orderBy("band")
+  }
+
+  lazy val dedupLedgerStatsSql: String = s"""
+    WITH lb AS ($dedupLedgerBuildSql),
+    per AS (SELECT band, key, count(*) AS c FROM lb GROUP BY band, key)
+    SELECT band, CAST(sum(c) AS BIGINT) AS n_entries,
+      CAST(count(*) AS BIGINT) AS n_buckets,
+      CAST(max(c) AS BIGINT) AS max_bucket,
+      round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS avg_bucket
+    FROM per GROUP BY band ORDER BY band"""
+
   val dedupLedgerProbeSql: String = s"""
     WITH t AS (
       SELECT doc_id AS id, $LedgerBatchSql AS is_batch,
@@ -2112,6 +2142,16 @@ object ScaleQueries {
     ORDER BY m2 DESC, vec_id"""
   }
 
+  /** The frozen whitening model for the streaming gate
+    * ([[graft.streaming.StreamingOutlierGate]]) — batch-trained here,
+    * folded as literals there.
+    */
+  private[graft] def whitenModel(spark: SparkSession, dir: String)
+      : graft.streaming.StreamingOutlierGate.WhitenModel = {
+    val (v1, v2, mu, l1, l2) = embPcaAxis2(embs(spark, dir))
+    graft.streaming.StreamingOutlierGate.WhitenModel(v1, v2, mu, l1, l2)
+  }
+
   // ------------------------------------ JL projection + distortion audit
 
   /** JL target dimension: 64 → 16 (4× storage/bandwidth cut for
@@ -3681,6 +3721,7 @@ object ScaleQueries {
     "dedup_minhash_md5" -> (dedupMinhashMd5 _),
     "dedup_ledger_build" -> (dedupLedgerBuild _),
     "dedup_ledger_probe" -> (dedupLedgerProbe _),
+    "dedup_ledger_stats" -> (dedupLedgerStats _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram"   -> (dedupNgram _),
     "dedup_sweep"   -> (dedupSweep _),
@@ -3752,6 +3793,7 @@ object ScaleQueries {
     "dedup_minhash_md5" -> dedupMinhashMd5Sql,
     "dedup_ledger_build" -> dedupLedgerBuildSql,
     "dedup_ledger_probe" -> dedupLedgerProbeSql,
+    "dedup_ledger_stats" -> dedupLedgerStatsSql,
     "dedup_ngram"  -> dedupNgramSql,
     "dedup_sweep"  -> dedupSweepSql,
     "novelty_rate" -> noveltyRateSql,
