@@ -837,11 +837,65 @@ object WarehouseQueries {
     FROM scored ORDER BY score DESC, n_chars LIMIT 1"""
   }
 
+  /** `dp_budget` — the privacy-accounting page for the whole DP
+    * surface: one row per registered mechanism with the cells it
+    * releases ON THIS CORPUS (counted from the data, so the ledger
+    * tracks the actual release, not the schema), its ε, and the
+    * composition rule that justifies the total. The grand total is
+    * SEQUENTIAL composition across mechanisms (they all read the same
+    * corpus), Σε = 4.0 — the number a privacy review signs off on,
+    * and the reason the per-mechanism rows exist: "which query do we
+    * drop to get under budget" is answered here. Four cheap
+    * aggregations (two share the (lang, source)/(source) cell counts).
+    */
+  def dpBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val histCells = d.select("lang", "source").distinct().count()
+    val meanCells = d.select("source").distinct().count()
+    Seq(
+      ("dp_release", "laplace_count", histCells, DpEps,
+        "parallel over disjoint (lang, source) cells"),
+      ("dp_mean_release", "laplace_clipped_sum_over_count", meanCells, DpEps,
+        "eps/2 + eps/2 sequential on the same source cells"),
+      ("dp_topk", "exponential_gumbel_max + laplace_counts", 10L, DpEps,
+        "eps/2 selection + eps/2 released counts"),
+      ("dp_quantile", "exponential_over_candidates", 1L, DpEps,
+        "single selection, sensitivity-1 utility"))
+      .toDF("mechanism", "noise", "cells_released", "eps", "composition")
+      .select(col("mechanism"), col("noise"), col("cells_released"),
+        col("eps").as("epsilon"), col("composition"))
+      .orderBy("mechanism")
+  }
+
+  val dpBudgetSql: String = """
+    WITH hc AS (SELECT CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT DISTINCT lang, source FROM documents)),
+    mc AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS c FROM documents)
+    SELECT * FROM (
+      SELECT 'dp_release' AS mechanism, 'laplace_count' AS noise,
+        hc.c AS cells_released, CAST(1.0 AS DOUBLE) AS epsilon,
+        'parallel over disjoint (lang, source) cells' AS composition FROM hc
+      UNION ALL
+      SELECT 'dp_mean_release', 'laplace_clipped_sum_over_count', mc.c,
+        CAST(1.0 AS DOUBLE),
+        'eps/2 + eps/2 sequential on the same source cells' FROM mc
+      UNION ALL
+      SELECT 'dp_topk', 'exponential_gumbel_max + laplace_counts',
+        CAST(10 AS BIGINT), CAST(1.0 AS DOUBLE),
+        'eps/2 selection + eps/2 released counts'
+      UNION ALL
+      SELECT 'dp_quantile', 'exponential_over_candidates',
+        CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE),
+        'single selection, sensitivity-1 utility')
+    ORDER BY mechanism"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dp_release"         -> (dpRelease _),
     "dp_mean_release"    -> (dpMeanRelease _),
     "dp_topk"            -> (dpTopk _),
     "dp_quantile"        -> (dpQuantile _),
+    "dp_budget"          -> (dpBudget _),
     "cdc_apply"          -> (cdcApply _),
     "rfm_segment"        -> (rfmSegment _),
     "snapshot_diff"      -> (snapshotDiff _),
@@ -862,6 +916,7 @@ object WarehouseQueries {
     "dp_mean_release"    -> dpMeanReleaseSql,
     "dp_topk"            -> dpTopkSql,
     "dp_quantile"        -> dpQuantileSql,
+    "dp_budget"          -> dpBudgetSql,
     "cdc_apply"          -> cdcApplySql,
     "rfm_segment"        -> rfmSegmentSql,
     "snapshot_diff"      -> snapshotDiffSql,
