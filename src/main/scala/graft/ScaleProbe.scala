@@ -265,6 +265,25 @@ object ScaleProbe {
       return
     }
 
+    // Media mode (`runMain graft.ScaleProbe media`): the decode-bound
+    // modality near-dup families probed one decade (sf0.1 → sf1) —
+    // each doc synthesizes+decodes its payload (PNG encode/decode+DCT,
+    // Y4M encode+band scan), so the ideal curve is LINEAR in docs with
+    // embarrassingly-parallel map work and the shared banded-Hamming
+    // join's usual quadratic guard. Replica token-suffixes don't touch
+    // the payloads (seeded by doc_id alone), so replicas plant the
+    // same per-replica dup structure as sf0.1 — candidate structure
+    // scales linearly by construction.
+    if (args.contains("media")) {
+      for (q <- Seq("image_neardup", "video_neardup", "audio_neardup")) {
+        val t01 = timeQ(q, src)
+        val t1 = timeQ(q, out)
+        println(f"PROBEMEDIA $q sf0.1=$t01%.2f s sf1=$t1%.2f s ratio10=${t1 / t01}%.1f")
+      }
+      spark.stop()
+      return
+    }
+
     // Re-measure mode (`runMain graft.ScaleProbe remeasure`): the
     // round-11 verdict's bench-methodology check — warm pass + min of 2
     // timed passes, isolated from the other 240 queries — for the knn
