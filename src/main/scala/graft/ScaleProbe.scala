@@ -275,7 +275,8 @@ object ScaleProbe {
     // same per-replica dup structure as sf0.1 — candidate structure
     // scales linearly by construction.
     if (args.contains("media")) {
-      for (q <- Seq("image_neardup", "video_neardup", "audio_neardup")) {
+      for (q <- Seq("image_neardup", "video_neardup", "audio_neardup",
+          "audio_neardup_groups")) {
         val t01 = timeQ(q, src)
         val t1 = timeQ(q, out)
         println(f"PROBEMEDIA $q sf0.1=$t01%.2f s sf1=$t1%.2f s ratio10=${t1 / t01}%.1f")

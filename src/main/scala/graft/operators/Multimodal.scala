@@ -568,7 +568,13 @@ object Multimodal {
     * by (band, slice), exact `bit_count(xor)` verification. Never an
     * all-pairs comparison.
     */
-  private def bandedHammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+  private def bandedHammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame =
+    bandedHammingPairsRaw(hashed, maxHamming).orderBy("a_id", "b_id")
+
+  /** The unsorted core of [[bandedHammingPairs]], reused by the
+    * group-collapsed shape (whose own sort would bury this one).
+    */
+  private def bandedHammingPairsRaw(hashed: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, s"4x16 banding is complete only to Hamming 3, got $maxHamming")
     val banded = hashed.select(col("doc_id"), col("h64"),
         explode(sequence(lit(0), lit(3))).as("band"))
@@ -583,7 +589,38 @@ object Multimodal {
         bit_count(col("h64").bitwiseXOR(col("b_hash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("a_id", "b_id")
+  }
+
+  /** Group-collapsed near-dup output — the `dup_clusters` shape for
+    * the media families: identical fingerprints collapse to ONE family
+    * row (rep = min doc_id, `n_docs` members) BEFORE the banded join,
+    * so both the join and the result are sized by DISTINCT
+    * fingerprints, never by members. An identical-fingerprint family
+    * of g docs costs one row here versus g²/2 rows in the pair shape —
+    * the fix for fingerprint-space saturation (SCALING.md media
+    * section: the coarse synthetic melody space drove `audio_neardup`
+    * to 15.9× per decade at sf1 purely on result size). Exact families
+    * (size ≥ 2) emit (rep, rep, hamming 0); near edges join family
+    * REPRESENTATIVES (pigeonhole-complete banding over the distinct
+    * fingerprints — the same accept set as the pair shape, since the
+    * reps carry the members' exact fingerprints) and publish both
+    * family sizes plus the implied member-pair count.
+    */
+  private[operators] def bandedHammingGroupPairs(hashed: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val groups = hashed.groupBy("h64")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+    val exact = groups.filter(col("n_docs") >= 2)
+      .select(col("rep_id").as("a_id"), col("rep_id").as("b_id"),
+        lit(0).as("hamming"), col("n_docs").as("n_a"), col("n_docs").as("n_b"),
+        ((col("n_docs") * (col("n_docs") - 1)) / 2).cast("long").as("n_pairs"))
+    val reps = groups.select(col("rep_id").as("doc_id"), col("h64"))
+    val near = bandedHammingPairsRaw(reps, maxHamming)
+      .join(groups.select(col("rep_id").as("a_id"), col("n_docs").as("n_a")), "a_id")
+      .join(groups.select(col("rep_id").as("b_id"), col("n_docs").as("n_b")), "b_id")
+      .select(col("a_id"), col("b_id"), col("hamming"), col("n_a"), col("n_b"),
+        (col("n_a") * col("n_b")).cast("long").as("n_pairs"))
+    exact.unionByName(near).orderBy("a_id", "b_id")
   }
 
   /** Image near-duplicate pairs by average-hash: decode → [[aHash]] per
@@ -936,16 +973,30 @@ object Multimodal {
     * candidate join, never all-pairs. Undecodable payloads drop out
     * before the join.
     */
-  def audioNearDups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def audioNearDups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(audioFingerprintFrame(withPayloads), maxHamming)
+
+  /** The (doc_id, h64) fingerprint frame behind both audio near-dup
+    * shapes — exposed so the recall companion can map docs to their
+    * fingerprint families without re-deriving the decode pipeline.
+    */
+  private[graft] def audioFingerprintFrame(withPayloads: DataFrame): DataFrame = {
     import withPayloads.sparkSession.implicits._
-    val hashed = withPayloads
+    withPayloads
       .filter(col("kind") === "audio")
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) => audioFingerprint(p).map(h => (id, h)) })
       .toDF("doc_id", "h64")
-    bandedHammingPairs(hashed, maxHamming)
   }
+
+  /** Audio near-duplicates in the GROUP shape
+    * ([[bandedHammingGroupPairs]]): the scale-safe contract for
+    * saturated fingerprint spaces — output is one row per fingerprint
+    * family / family pair, never per member pair.
+    */
+  def audioNearDupGroups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingGroupPairs(audioFingerprintFrame(withPayloads), maxHamming)
 
   private def md5U32(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -201,8 +201,10 @@ object ScaleQueries {
     * persist them `partitionBy(band, kb)`, so checking a day's
     * arrivals against 100 TB of history becomes a directory-pruned
     * bucket join instead of a full corpus re-signature + re-cluster —
-    * the README-roadmap shape (`/root/reference/README.md:73-74`)
-    * `dedup_incremental` could not express beyond exact fingerprints.
+    * the README-roadmap shape (`/root/reference/README.md:74`,
+    * "validaciones previas de duplicidad" — pre-ingest duplicate
+    * validation) `dedup_incremental` could not express beyond exact
+    * fingerprints.
     * Returns the bucket table READ BACK from the persisted ledger (the
     * oracle checks the on-disk truth); a completion marker is written
     * last so a crashed build is never mistaken for a ledger.
@@ -2611,6 +2613,55 @@ object ScaleQueries {
     FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 3
     WHERE b.doc_id % 7 = 3"""
 
+  /** `audio_neardup_groups` — the scale-safe GROUP contract for the
+    * audio family ([[graft.operators.Multimodal.bandedHammingGroupPairs]]):
+    * identical fingerprints collapse to one family row before the
+    * banded join, so the output is sized by DISTINCT fingerprints —
+    * the fix for the fingerprint-space saturation the SCALING.md media
+    * section measured (`audio_neardup`'s pair output grows g²/2 per
+    * identical-fingerprint family; this shape grows by ONE row). Same
+    * accept set as the pair shape (family reps carry the members'
+    * exact fingerprints through the same pigeonhole-complete banding).
+    * Rows-only by design (engine-local FFT DSP);
+    * `audio_neardup_groups_recall` is the oracle-checked companion.
+    */
+  def audioNearDupGroups(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDupGroups(audioPayloads(spark, dir), maxHamming = 3)
+
+  /** Floor 70 (the pair-shape floor — group coverage of a planted pair
+    * is EXACTLY pair-shape discovery: same fingerprint → same family,
+    * different fingerprints → the family-rep near edge fires iff the
+    * member pair would): a planted pair counts as recovered when its
+    * docs share a family or their families are joined by a near edge.
+    */
+  def audioNearDupGroupsRecall(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"))
+    val truth = d.select(col("doc_id").as("b_id")).filter(col("b_id") % 7 === 3)
+      .join(d.select(col("doc_id").as("a_id")), col("a_id") === col("b_id") - 3)
+      .select("a_id", "b_id")
+    val fp = Multimodal.audioFingerprintFrame(audioPayloads(spark, dir))
+    val rep = fp.join(fp.groupBy("h64").agg(min("doc_id").as("rep_id")), "h64")
+      .select(col("doc_id"), col("rep_id"))
+    val t2 = truth
+      .join(rep.select(col("doc_id").as("a_id"), col("rep_id").as("ra")), "a_id")
+      .join(rep.select(col("doc_id").as("b_id"), col("rep_id").as("rb")), "b_id")
+    val edges = audioNearDupGroups(spark, dir).filter(col("hamming") > 0)
+      .select(col("a_id").as("ea"), col("b_id").as("eb"))
+    val same = t2.filter(col("ra") === col("rb")).select("a_id", "b_id")
+    val nearHit = t2.filter(col("ra") =!= col("rb"))
+      .join(edges,
+        least(col("ra"), col("rb")) === col("ea") &&
+          greatest(col("ra"), col("rb")) === col("eb"),
+        "left_semi")
+      .select("a_id", "b_id")
+    recallRow(truth, same.unionByName(nearHit), minPct = 70)
+  }
+
+  val audioNearDupGroupsRecallSql: String = """
+    SELECT cast(count(*) AS BIGINT) AS n_true, cast(1 AS BIGINT) AS recall_ok
+    FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 3
+    WHERE b.doc_id % 7 = 3"""
+
   /** Synthesized image corpus for the near-dup surface: every doc gets
     * a deterministic block-pattern PNG
     * ([[graft.operators.Multimodal.synthBlockPng]] — the corpus
@@ -3771,6 +3822,8 @@ object ScaleQueries {
     "multimodal_join" -> (multimodalJoin _),
     "audio_neardup"   -> (audioNearDup _),
     "audio_neardup_recall" -> (audioNearDupRecall _),
+    "audio_neardup_groups" -> (audioNearDupGroups _),
+    "audio_neardup_groups_recall" -> (audioNearDupGroupsRecall _),
     "image_neardup"   -> (imageNearDup _),
     "image_neardup_recall" -> (imageNearDupRecall _),
     "video_neardup"   -> (videoNearDup _),
@@ -3800,6 +3853,7 @@ object ScaleQueries {
     "fingerprint_winnow" -> fingerprintWinnowSql,
     "multimodal_join" -> multimodalJoinSql,
     "audio_neardup_recall" -> audioNearDupRecallSql,
+    "audio_neardup_groups_recall" -> audioNearDupGroupsRecallSql,
     "image_neardup_recall" -> imageNearDupRecallSql,
     "video_neardup_recall" -> videoNearDupRecallSql,
     "knn_brute"    -> knnBruteSql,

@@ -45,6 +45,30 @@ class AudioNearDupSpec extends AnyFunSuite {
     assert(Multimodal.audioFingerprint(Array.emptyByteArray).isEmpty)
   }
 
+  test("group shape: identical fingerprints collapse to ONE family row") {
+    // three byte-identical clips (one fingerprint family of 3), one
+    // pitch-shifted near-dup of that melody, one unrelated melody.
+    val rows = Seq(
+      (1L, "audio", Multimodal.synthToneWav(1, 1.0)),
+      (2L, "audio", Multimodal.synthToneWav(1, 1.0)),
+      (3L, "audio", Multimodal.synthToneWav(1, 1.0)),
+      (4L, "audio", Multimodal.synthToneWav(1, 1.02)),
+      (5L, "audio", Multimodal.synthToneWav(42, 1.0)))
+    val got = Multimodal.audioNearDupGroups(rows.toDF("doc_id", "kind", "payload"))
+      .as[(Long, Long, Int, Long, Long, Long)].collect().toSet
+    // the size-3 family is ONE row (1,1,h=0,n=3,n=3,pairs=3), not 3 pair rows
+    assert(got.contains((1L, 1L, 0, 3L, 3L, 3L)), got)
+    // the near edge joins the family REP (1) with the shifted clip (4):
+    // 3 docs x 1 doc = 3 implied member pairs
+    val near = got.filter(t => t._3 > 0)
+    assert(near.exists(t => t._1 == 1L && t._2 == 4L && t._4 == 3L &&
+      t._5 == 1L && t._6 == 3L), got)
+    // the unrelated melody appears in NO row
+    assert(!got.exists(t => t._1 == 5L || t._2 == 5L), got)
+    // group output never exceeds family count + near-edge count
+    assert(got.size == 2, got)
+  }
+
   test("non-audio kinds and undecodable rows drop out before the join") {
     val rows = Seq(
       (1L, "image", Multimodal.synthToneWav(1, 1.0)), // wrong kind: filtered
