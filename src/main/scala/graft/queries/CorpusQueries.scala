@@ -784,28 +784,46 @@ object CorpusQueries {
 
   // --------------------------------------------- unigram-LM tokenizer
 
-  /** Longest word the oracle's unrolled Viterbi DP covers; the engine
-    * asserts the vocab fits BEFORE training, so a corpus change that
-    * grows words past the unroll fails loudly on both sides rather
-    * than silently truncating the SQL replay.
+  /** Longest word the oracle's unrolled Viterbi DP covers — an
+    * ORACLE-REPLAY bound, not a trainer limitation (the Scala Viterbi
+    * handles any length): the registered query trains on words within
+    * the unroll, mirrored by `len(w) <= 8` in the oracle's vocab CTE.
     */
   private val UgMaxWord = 8
+
+  /** Trainer vocab bounds, applied BEFORE anything leaves the engine:
+    * a min-document-frequency floor and a top-V candidate cap under
+    * the TOTAL (f desc, w) order — SentencePiece's own discipline (it
+    * trains on a bounded seed vocab, never the raw distinct-token
+    * table, whose size at 100 TB is billions of rows). On the test
+    * corpus both are provably inert (31 distinct words, min f = 26 —
+    * UnigramLmSpec pins that), so every oracle stays hash-green while
+    * the engine path is driver-safe at any corpus size.
+    */
+  private[graft] val UgMinDf = 2L
+  private[graft] val UgTopV = 1024
+
+  /** The bounded trainer vocab from a (w, f) frame: length / min-df
+    * filters then the top-V cap as `orderBy(...).limit(...)` — plans
+    * as TakeOrderedAndProject (distributed per-partition top-V, one
+    * V-row exchange), NEVER a global sort or an unbounded collect.
+    */
+  private[graft] def boundedUnigramVocab(wf: DataFrame): Map[String, Long] =
+    wf.filter(length(col("w")) <= UgMaxWord && col("f") >= UgMinDf)
+      .orderBy(col("f").desc, col("w")).limit(UgTopV)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** One corpus pass: the (word, freq) vocab the trainer consumes —
     * the ONLY corpus-sized work in the family ([[graft.operators.UnigramLm]]
     * scaladoc: production SentencePiece trains on a vocab/sample too).
+    * What reaches the driver is BOUNDED by [[boundedUnigramVocab]]
+    * (≤ [[UgTopV]] rows), so no corpus growth can OOM the collect.
     */
-  private def unigramWordFreqs(spark: SparkSession, dir: String): Map[String, Long] = {
-    val wf = docs(spark, dir)
+  private def unigramWordFreqs(spark: SparkSession, dir: String): Map[String, Long] =
+    boundedUnigramVocab(docs(spark, dir)
       .select(explode(TextAnalysis.wordTokens(lower(col("text")))).as("w"))
       .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("f"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val tooLong = wf.keys.filter(_.length > UgMaxWord)
-    require(tooLong.isEmpty,
-      s"unigram oracle unroll covers words <= $UgMaxWord chars; got ${tooLong.take(3)}")
-    wf
-  }
+      .groupBy("w").agg(count(lit(1)).as("f")))
 
   /** `unigram_train` — the trained unigram-LM piece inventory:
     * (piece, usage, logp) after [[graft.operators.UnigramLm.Rounds]]
@@ -932,7 +950,11 @@ object CorpusQueries {
       SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
       FROM documents),
     ugwf AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS f FROM ugwords WHERE w != '' GROUP BY w),
+      SELECT w, f FROM (
+        SELECT w, CAST(count(*) AS BIGINT) AS f,
+          row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+        FROM ugwords WHERE w != '' AND len(w) <= $UgMaxWord GROUP BY w)
+      WHERE f >= $UgMinDf AND rn <= $UgTopV),
     ugsp AS (
       SELECT f, substr(w, i, l) AS p
       FROM ugwf, range(1, ${UgMaxWord + 1}) t1(i), range(1, ${mp + 1}) t2(l)

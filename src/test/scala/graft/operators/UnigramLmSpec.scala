@@ -56,4 +56,29 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(UnigramLm.viterbi("spark", m.logp).length <= 2,
       "a dominant word must not segment into char soup")
   }
+
+  test("vocab bound: long-tail corpora are capped, the test corpus is not") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // a long-tail vocab: 10 head words (f >= 100), 2000 singletons,
+    // one word past the oracle unroll length — the 100 TB shape in
+    // miniature. The bound must keep exactly the head.
+    val tail = (1 to 2000).map(i => (f"tail$i%04d", 1L))
+    val head = (1 to 10).map(i => (s"head$i", 100L + i))
+    val long = ((("waytoolongword", 500L)) +: (head ++ tail)).toDF("w", "f")
+    val vocab = graft.queries.CorpusQueries.boundedUnigramVocab(long)
+    assert(vocab.keySet == head.map(_._1).toSet, s"got ${vocab.size} words")
+    // the real corpus sits far inside every bound (31 words, min f 26,
+    // max len 8 measured at all SFs), so the cap provably changes no
+    // registered query: below-threshold frames pass through intact.
+    val small = Seq(("alpha", 26L), ("beta", 255L), ("gamma", 26L))
+      .toDF("w", "f")
+    assert(graft.queries.CorpusQueries.boundedUnigramVocab(small) ==
+      Map("alpha" -> 26L, "beta" -> 255L, "gamma" -> 26L))
+    // the cap itself is a TOTAL order: ties on f break by word
+    val tied = (1 to 1030).map(i => (f"w$i%04d", 5L)).toDF("w", "f")
+    val capped = graft.queries.CorpusQueries.boundedUnigramVocab(tied)
+    assert(capped.size == graft.queries.CorpusQueries.UgTopV)
+    assert(capped.keySet == (1 to 1024).map(i => f"w$i%04d").toSet)
+  }
 }
