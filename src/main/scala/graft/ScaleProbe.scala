@@ -265,6 +265,37 @@ object ScaleProbe {
       return
     }
 
+    // LedgerKb-knob mode (`runMain graft.ScaleProbe ledgerkb`): the
+    // SCALING.md ledger section predicts the fixed-batch probe curve
+    // flattens when the (band, kb) directory count outgrows the
+    // batch's ~4 000 distinct band keys (at kb = 32 the batch touches
+    // essentially ALL 256 directories, so pruning removes little).
+    // This mode MEASURES that: same fixed batch, same corpora, ledger
+    // rebuilt at kb = 256 (8 × 256 = 2 048 directories) — the probe's
+    // touched fraction drops to ~batch_keys/kb and the scan term with
+    // it. Requires the sf1/sf10 corpora from the ledger mode.
+    if (args.contains("ledgerkb")) {
+      val out10 = "target/scaledata/sf10"
+      val kb = 256
+      def timed(n: Int)(f: () => Long): Double = {
+        f()
+        val ts = (1 to n).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }
+        ts.min
+      }
+      val fixedBatch = col("doc_id") % 10 === 3 && col("doc_id") < 1000000L
+      for ((dir, bn) <- Seq((src, 2), (out, 2), (out10, 1))) {
+        val b = timed(bn)(() =>
+          graft.queries.ScaleQueries.dedupLedgerBuildAt(spark, dir, kb).count())
+        val p = timed(2)(() => graft.queries.ScaleQueries.dedupLedgerProbeOn(
+          spark, dir, fixedBatch, kb).count())
+        println(f"PROBELEDGERKB$kb $dir build=$b%.2f s fixed-batch-probe=$p%.2f s")
+      }
+      spark.stop()
+      return
+    }
+
     // Media mode (`runMain graft.ScaleProbe media`): the decode-bound
     // modality near-dup families probed one decade (sf0.1 → sf1) —
     // each doc synthesizes+decodes its payload (PNG encode/decode+DCT,
@@ -292,10 +323,16 @@ object ScaleProbe {
     // hits_rank (drifting two consecutive rounds). Prints one line per
     // query at bench SF for committing alongside the BENCH_r11 numbers.
     if (args.contains("remeasure")) {
-      val qs = Seq("knn_ivf", "knn_ivf_hi", "knn_ivf_recall",
-        "knn_ivf_hi_recall", "knn_pq", "knn_pq_recall", "knn_lsh",
-        "knn_lsh_recall", "knn_ivfpq", "knn_ivfpq_recall", "knn_brute",
-        "dedup_minhash", "hits_rank")
+      // an optional second arg is a comma list of queries to re-measure
+      // (the bench-drift adjudication loop: isolate the movers named by
+      // the round's full-bench comparison); default is the knn family
+      // the round-11 verdict asked for.
+      val qs = args.filter(_ != "remeasure").headOption
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq("knn_ivf", "knn_ivf_hi", "knn_ivf_recall",
+          "knn_ivf_hi_recall", "knn_pq", "knn_pq_recall", "knn_lsh",
+          "knn_lsh_recall", "knn_ivfpq", "knn_ivfpq_recall", "knn_brute",
+          "dedup_minhash", "hits_rank"))
       for (q <- qs) {
         val t = timeQ(q, src)
         println(f"REMEASURE $q sf0.1 min-of-2-warm=$t%.2f s")

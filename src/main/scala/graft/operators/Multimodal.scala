@@ -578,12 +578,21 @@ object Multimodal {
     require(maxHamming <= 3, s"4x16 banding is complete only to Hamming 3, got $maxHamming")
     val banded = hashed.select(col("doc_id"), col("h64"),
         explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("slice",
+      .withColumn("key",
         expr("shiftright(h64, band * 16)").bitwiseAND(lit(0xFFFFL)))
+    hammingVerifiedPairs(banded, maxHamming)
+  }
+
+  /** The shared candidate→verify tail: candidates are rows agreeing on
+    * (band, key) — WHATEVER produced those keys (hash slices for the
+    * dense image/video spaces, melody-contour bands for audio) — and
+    * every candidate is verified with the exact 64-bit Hamming accept.
+    */
+  private def hammingVerifiedPairs(banded: DataFrame, maxHamming: Int): DataFrame = {
     val right = banded.select(col("doc_id").as("b_id"), col("h64").as("b_hash"),
-      col("band").as("b_band"), col("slice").as("b_slice"))
+      col("band").as("b_band"), col("key").as("b_key"))
     banded.join(right,
-        col("band") === col("b_band") && col("slice") === col("b_slice") &&
+        col("band") === col("b_band") && col("key") === col("b_key") &&
           col("doc_id") < col("b_id"))
       .select(col("doc_id").as("a_id"), col("b_id"),
         bit_count(col("h64").bitwiseXOR(col("b_hash"))).as("hamming"))
@@ -591,37 +600,32 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Group-collapsed near-dup output — the `dup_clusters` shape for
-    * the media families: identical fingerprints collapse to ONE family
-    * row (rep = min doc_id, `n_docs` members) BEFORE the banded join,
-    * so both the join and the result are sized by DISTINCT
-    * fingerprints, never by members. An identical-fingerprint family
-    * of g docs costs one row here versus g²/2 rows in the pair shape —
-    * the fix for fingerprint-space saturation (SCALING.md media
-    * section: the coarse synthetic melody space drove `audio_neardup`
-    * to 15.9× per decade at sf1 purely on result size). Exact families
-    * (size ≥ 2) emit (rep, rep, hamming 0); near edges join family
-    * REPRESENTATIVES (pigeonhole-complete banding over the distinct
-    * fingerprints — the same accept set as the pair shape, since the
-    * reps carry the members' exact fingerprints) and publish both
-    * family sizes plus the implied member-pair count.
+  /** Melody-contour candidate bands for an audio signature frame
+    * (doc_id, h64, c: array of the 7 quantized pitch intervals): three
+    * OVERLAPPING 3-interval bands (cells 0-2, 2-4, 4-6), so any single
+    * interval landing in a neighboring quantization cell still leaves
+    * ≥ 1 band intact. The contour is pitch-INVARIANT (global pitch
+    * scale cancels in frequency ratios — the query-by-humming trick),
+    * which is what makes the candidate volume linear on corpora whose
+    * per-segment spectral-pattern space is coarse: the measured
+    * slice-banded candidate curve was quadratic (70M candidate pairs
+    * at 50k synthetic clips — SCALING.md media section) because ≤ ~36
+    * segment patterns exist, while realized 3-interval contours number
+    * in the thousands (measured candidates: 1.6k at 5k docs, 21k at
+    * 50k — dup-structure-sized, not corpus-squared).
     */
-  private[operators] def bandedHammingGroupPairs(hashed: DataFrame,
-      maxHamming: Int): DataFrame = {
-    val groups = hashed.groupBy("h64")
-      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
-    val exact = groups.filter(col("n_docs") >= 2)
-      .select(col("rep_id").as("a_id"), col("rep_id").as("b_id"),
-        lit(0).as("hamming"), col("n_docs").as("n_a"), col("n_docs").as("n_b"),
-        ((col("n_docs") * (col("n_docs") - 1)) / 2).cast("long").as("n_pairs"))
-    val reps = groups.select(col("rep_id").as("doc_id"), col("h64"))
-    val near = bandedHammingPairsRaw(reps, maxHamming)
-      .join(groups.select(col("rep_id").as("a_id"), col("n_docs").as("n_a")), "a_id")
-      .join(groups.select(col("rep_id").as("b_id"), col("n_docs").as("n_b")), "b_id")
-      .select(col("a_id"), col("b_id"), col("hamming"), col("n_a"), col("n_b"),
-        (col("n_a") * col("n_b")).cast("long").as("n_pairs"))
-    exact.unionByName(near).orderBy("a_id", "b_id")
+  private def contourBanded(sig: DataFrame): DataFrame = {
+    val bands = Seq(0 -> Seq(0, 1, 2), 1 -> Seq(2, 3, 4), 2 -> Seq(4, 5, 6))
+    sig.select(col("doc_id"), col("h64"),
+        explode(array(bands.map { case (b, idx) =>
+          struct(lit(b).as("band"),
+            concat_ws(":", idx.map(i =>
+              element_at(col("c"), i + 1).cast("string")): _*).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("h64"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
   }
+
 
   /** Image near-duplicate pairs by average-hash: decode → [[aHash]] per
     * row (executor-local), then [[bandedHammingPairs]]. Undecodable
@@ -918,19 +922,28 @@ object Multimodal {
     * segment.
     */
   private[graft] def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    audioSegmentMags(payload).map(shareBitsOf)
+
+  /** The per-segment magnitude spectra behind the whole audio surface:
+    * 8 segments × (up to 4) Hann-windowed 256-point frames, magnitudes
+    * summed per segment — ONE DSP pass that both the 64-bit share
+    * fingerprint and the melody contour read. None for undecodable
+    * audio or clips shorter than one frame per segment.
+    */
+  private[operators] def audioSegmentMags(payload: Array[Byte])
+      : Option[Array[Array[Double]]] =
     decodePcm(payload).flatMap { case (_, channels, chans) =>
       val n = chans(0).length
       val Segs = 8
-      val Bands = 8
       val frame = 256
       val half = frame / 2
       val segn = n / Segs
       if (segn < frame) None
       else {
-        var hash = 0L
+        val mags = Array.ofDim[Double](Segs, half)
         var s = 0
         while (s < Segs) {
-          val mag = new Array[Double](half)
+          val mag = mags(s)
           val nf = math.min(4, segn / frame)
           var fi = 0
           while (fi < nf) {
@@ -950,53 +963,143 @@ object Multimodal {
             while (k < half) { mag(k) += math.sqrt(re(k) * re(k) + im(k) * im(k)); k += 1 }
             fi += 1
           }
-          val e = new Array[Double](Bands)
-          var k = 1
-          while (k < half) { e((k * Bands) / half) += mag(k); k += 1 }
-          val total = e.sum
-          if (total > 0) {
-            var b = 0
-            while (b < Bands) {
-              if (e(b) / total > 1.0 / Bands) hash |= 1L << (s * Bands + b)
-              b += 1
-            }
-          }
           s += 1
         }
-        Some(hash)
+        Some(mags)
       }
     }
 
-  /** Audio near-duplicate pairs by the time×frequency fingerprint:
-    * decode → [[audioFingerprint]] per row (executor-local DSP), then
-    * the SAME [[bandedHammingPairs]] the image hashes use — banded
-    * candidate join, never all-pairs. Undecodable payloads drop out
-    * before the join.
+  /** Share bits of the segment spectra: bit (s, b) set iff band b
+    * carries more than 1/8 of segment s's spectral energy (the
+    * documented energy-SHARE rule and its measured margins).
+    */
+  private def shareBitsOf(mags: Array[Array[Double]]): Long = {
+    val Bands = 8
+    val half = mags(0).length
+    var hash = 0L
+    var s = 0
+    while (s < mags.length) {
+      val mag = mags(s)
+      val e = new Array[Double](Bands)
+      var k = 1
+      while (k < half) { e((k * Bands) / half) += mag(k); k += 1 }
+      val total = e.sum
+      if (total > 0) {
+        var b = 0
+        while (b < Bands) {
+          if (e(b) / total > 1.0 / Bands) hash |= 1L << (s * Bands + b)
+          b += 1
+        }
+      }
+      s += 1
+    }
+    hash
+  }
+
+  /** Sub-bin dominant frequency per segment: FFT argmax over k ≥ 1
+    * refined by parabolic interpolation of the LOG-magnitude peak
+    * (±0.5 bin) — integer bins alone put ~10 % log-ratio error on low
+    * notes, and raw-magnitude parabolas keep a ~0.1-semitone bias for
+    * Hann-windowed tones, both past the half-semitone contour cells;
+    * the log-parabola was MEASURED (numpy, this round's prototype) to
+    * take the planted-pair contour band hit from 96.8 % to 100 % at
+    * 5k clips. Returns fractional bin indices, one per segment.
+    */
+  private def dominantBins(mags: Array[Array[Double]]): Array[Double] =
+    mags.map { mag =>
+      val half = mag.length
+      var best = 1
+      var k = 2
+      while (k < half) { if (mag(k) > mag(best)) best = k; k += 1 }
+      val delta =
+        if (best >= 1 && best < half - 1 && mag(best) > 0) {
+          val (a, b, c) =
+            if (mag(best - 1) > 0 && mag(best + 1) > 0)
+              (math.log(mag(best - 1)), math.log(mag(best)), math.log(mag(best + 1)))
+            else (mag(best - 1), mag(best), mag(best + 1))
+          val denom = a - 2 * b + c
+          if (denom != 0.0) math.max(-0.5, math.min(0.5, 0.5 * (a - c) / denom))
+          else 0.0
+        } else 0.0
+      best + delta
+    }
+
+  /** Full audio signature: the 64-bit share fingerprint plus the
+    * 7-interval melody contour — consecutive segments' dominant-pitch
+    * ratios in half-semitone cells, cell = ⌊12·log₂(f_{s+1}/f_s)/0.5⌋.
+    * A GLOBAL pitch shift (the planted ×1.02 near-dup transformation)
+    * cancels exactly in each ratio, so the contour is the
+    * pitch-invariant candidate key the near-dup join needs; the share
+    * bits stay the exact-verification payload. Measured on the synth
+    * corpus (numpy prototype, this round, log-parabolic interp):
+    * planted pairs share ≥ 1 contour band 100 % / 99.5 % at 5k/50k
+    * clips, full recall through the h ≤ 3 verify 89.8 % / 86.2 %
+    * (floor 70 — the Hamming verify is the binding constraint), and
+    * candidates are dup-structure-sized (2.0k / 24.5k) instead of
+    * corpus-squared (0.7M / 70M under the former hash-slice banding).
+    */
+  private[graft] def audioSignature(payload: Array[Byte])
+      : Option[(Long, Array[Int])] =
+    audioSegmentMags(payload).map { mags =>
+      val share = shareBitsOf(mags)
+      val dom = dominantBins(mags)
+      val contour = Array.tabulate(mags.length - 1) { s =>
+        val st = 12.0 * (math.log(dom(s + 1) / dom(s)) / math.log(2.0))
+        math.floor(st / 0.5).toInt
+      }
+      (share, contour)
+    }
+
+  /** Audio near-duplicate pairs: decode → [[audioSignature]] per row
+    * (executor-local DSP), MELODY-CONTOUR candidate bands
+    * ([[contourBanded]] — pitch-invariant, linear candidate volume on
+    * coarse spectral-pattern spaces where hash-slice banding measured
+    * quadratic), exact 64-bit share-fingerprint Hamming ≤ 3 verify.
+    * Never all-pairs; undecodable payloads drop out before the join.
     */
   def audioNearDups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame =
-    bandedHammingPairs(audioFingerprintFrame(withPayloads), maxHamming)
+    hammingVerifiedPairs(contourBanded(audioSignatureFrame(withPayloads)), maxHamming)
+      .orderBy("a_id", "b_id")
 
-  /** The (doc_id, h64) fingerprint frame behind both audio near-dup
+  /** The (doc_id, h64, c) signature frame behind both audio near-dup
     * shapes — exposed so the recall companion can map docs to their
-    * fingerprint families without re-deriving the decode pipeline.
+    * signature families without re-deriving the decode pipeline.
     */
-  private[graft] def audioFingerprintFrame(withPayloads: DataFrame): DataFrame = {
+  private[graft] def audioSignatureFrame(withPayloads: DataFrame): DataFrame = {
     import withPayloads.sparkSession.implicits._
     withPayloads
       .filter(col("kind") === "audio")
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, p) => audioFingerprint(p).map(h => (id, h)) })
-      .toDF("doc_id", "h64")
+      .mapPartitions(_.flatMap { case (id, p) =>
+        audioSignature(p).map { case (h, c) => (id, h, c) } })
+      .toDF("doc_id", "h64", "c")
   }
 
-  /** Audio near-duplicates in the GROUP shape
-    * ([[bandedHammingGroupPairs]]): the scale-safe contract for
-    * saturated fingerprint spaces — output is one row per fingerprint
-    * family / family pair, never per member pair.
+  /** Audio near-duplicates in the GROUP shape: identical signatures
+    * (share fingerprint AND contour) collapse to ONE family row
+    * (rep = min doc_id) before the candidate join, so the output is
+    * sized by distinct signatures — exact families emit
+    * (rep, rep, hamming 0, sizes, member-pair count); near edges join
+    * family REPRESENTATIVES through the same contour bands + Hamming
+    * verify as the pair shape and carry both family sizes.
     */
-  def audioNearDupGroups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame =
-    bandedHammingGroupPairs(audioFingerprintFrame(withPayloads), maxHamming)
+  def audioNearDupGroups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = audioSignatureFrame(withPayloads)
+    val groups = sig.groupBy("h64", "c")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+    val exact = groups.filter(col("n_docs") >= 2)
+      .select(col("rep_id").as("a_id"), col("rep_id").as("b_id"),
+        lit(0).as("hamming"), col("n_docs").as("n_a"), col("n_docs").as("n_b"),
+        ((col("n_docs") * (col("n_docs") - 1)) / 2).cast("long").as("n_pairs"))
+    val reps = groups.select(col("rep_id").as("doc_id"), col("h64"), col("c"))
+    val near = hammingVerifiedPairs(contourBanded(reps), maxHamming)
+      .join(groups.select(col("rep_id").as("a_id"), col("n_docs").as("n_a")), "a_id")
+      .join(groups.select(col("rep_id").as("b_id"), col("n_docs").as("n_b")), "b_id")
+      .select(col("a_id"), col("b_id"), col("hamming"), col("n_a"), col("n_b"),
+        (col("n_a") * col("n_b")).cast("long").as("n_pairs"))
+    exact.unionByName(near).orderBy("a_id", "b_id")
+  }
 
   private def md5U32(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

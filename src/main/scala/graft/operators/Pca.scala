@@ -147,6 +147,90 @@ object Pca {
     (lambda, v, resid, trace)
   }
 
+  /** FULL eigendecomposition of a symmetric matrix by cyclic Jacobi —
+    * the driver-side solve completing the rank-1/rank-2 machinery
+    * above for full-rank whitening/ZCA: fixed row-cyclic sweeps of 2×2
+    * rotations, each zeroing one off-diagonal entry exactly
+    * (quadratically convergent; `sweeps` fixed for determinism — 12
+    * sweeps on the 64×64 corpus covariance leaves off-diagonal
+    * Frobenius mass ≤ 1e-14·‖A‖, returned as the convergence
+    * certificate). Model-sized: O(sweeps·d³) driver flops, nothing
+    * touches the corpus. Returns eigenvalues DESCENDING (ties broken
+    * by original column index), eigenvectors as COLUMNS of the second
+    * array (`vecs(i)(k)` = component i of eigenvector k), each
+    * sign-fixed by svd_flip's rule like [[dominantOfSymmetric]].
+    */
+  def jacobiEigen(a0: Array[Array[Double]], sweeps: Int)
+      : (Array[Double], Array[Array[Double]], Double) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to sweeps; p <- 0 until d - 1; q <- p + 1 until d) {
+      val apq = a(p)(q)
+      if (apq != 0.0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        val t =
+          if (theta >= 0.0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        // rotate rows/cols p and q of A (symmetric update)
+        var k = 0
+        while (k < d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+          k += 1
+        }
+        k = 0
+        while (k < d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+          k += 1
+        }
+        // accumulate the rotation into V
+        k = 0
+        while (k < d) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+          k += 1
+        }
+      }
+    }
+    val offFro = math.sqrt(
+      (for (i <- 0 until d; j <- 0 until d if i != j) yield sq2(a(i)(j))).sum)
+    val order = (0 until d).sortBy(k => (-a(k)(k), k))
+    val ev = order.map(k => a(k)(k)).toArray
+    val vecs = Array.tabulate(d, d) { (i, kk) =>
+      val k = order(kk)
+      v(i)(k)
+    }
+    // svd_flip per eigenvector: the max-|component| entry made positive
+    for (k <- 0 until d) {
+      val colK = (0 until d).map(i => vecs(i)(k))
+      val mx = colK.map(math.abs).max
+      if (colK(colK.map(math.abs).indexOf(mx)) < 0)
+        for (i <- 0 until d) vecs(i)(k) = -vecs(i)(k)
+    }
+    (ev, vecs, offFro)
+  }
+
+  /** ZCA whitening matrix W = V diag(1/√max(λ, floor)) Vᵀ from a full
+    * [[jacobiEigen]] solve — symmetric, so y = W(x−μ) is the unique
+    * whitening closest to the identity (the "keep the data looking
+    * like itself" choice). The floor guards rank-deficient covariance
+    * (a zero eigenvalue direction carries no variance to whiten).
+    */
+  def zcaWhitenMatrix(ev: Array[Double], vecs: Array[Array[Double]],
+      floor: Double): Array[Array[Double]] = {
+    val d = ev.length
+    val inv = ev.map(l => 1.0 / math.sqrt(math.max(l, floor)))
+    Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k => vecs(i)(k) * inv(k) * vecs(j)(k)).sum)
+  }
+
   private def sq2(x: Double): Double = x * x
   private def dot(a: Array[Double], b: Array[Double]): Double =
     a.lazyZip(b).map(_ * _).sum

@@ -185,13 +185,17 @@ object ScaleQueries {
   private val LedgerBatchSql = "doc_id % 10 = 3"
 
   /** kb sub-partition of a band key — md5-derived, so both engines
-    * replay it.
+    * replay it. The parameterized form serves the `ScaleProbe ledgerkb`
+    * run, which measures the [[LedgerKb]] knob at a production setting.
     */
-  private[graft] def ledgerKbCol =
-    conv(substring(md5(col("key")), 1, 8), 16, 10).cast("long") % LedgerKb
+  private[graft] def ledgerKbCol: org.apache.spark.sql.Column = ledgerKbColAt(LedgerKb)
 
-  private def ledgerDir(dir: String): java.io.File =
-    corpusCacheDir(dir, "documents", "graft-dedup-ledger")
+  private[graft] def ledgerKbColAt(kb: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(col("key")), 1, 8), 16, 10).cast("long") % kb
+
+  private def ledgerDir(dir: String, kb: Int = LedgerKb): java.io.File =
+    corpusCacheDir(dir, "documents",
+      if (kb == LedgerKb) "graft-dedup-ledger" else s"graft-dedup-ledger-kb$kb")
 
   /** `dedup_ledger_build` — the write half of the incremental near-dup
     * lifecycle (the `ann_index_build`/`ann_index_search` split applied
@@ -209,10 +213,14 @@ object ScaleQueries {
     * oracle checks the on-disk truth); a completion marker is written
     * last so a crashed build is never mistaken for a ledger.
     */
-  def dedupLedgerBuild(spark: SparkSession, dir: String): DataFrame = {
-    val root = ledgerDir(dir)
+  def dedupLedgerBuild(spark: SparkSession, dir: String): DataFrame =
+    dedupLedgerBuildAt(spark, dir, LedgerKb)
+
+  private[graft] def dedupLedgerBuildAt(spark: SparkSession, dir: String,
+      kb: Int): DataFrame = {
+    val root = ledgerDir(dir, kb)
     val hist = docs(spark, dir).filter(!ledgerIsBatch)
-    val banded = kmBandKeys(kmGramFrame(hist)).withColumn("kb", ledgerKbCol)
+    val banded = kmBandKeys(kmGramFrame(hist)).withColumn("kb", ledgerKbColAt(kb))
     val marker = new java.io.File(root, "_GRAFT_LEDGER_COMPLETE")
     marker.delete()
     banded.select(col("id"), col("key"), col("band"), col("kb"))
@@ -251,19 +259,28 @@ object ScaleQueries {
     * predicate). Builds the ledger first if the marker is absent.
     */
   private[graft] def ledgerProbeParts(spark: SparkSession, dir: String,
-      isBatch: org.apache.spark.sql.Column = ledgerIsBatch)
+      isBatch: org.apache.spark.sql.Column = ledgerIsBatch,
+      kb: Int = LedgerKb)
       : (DataFrame, DataFrame, DataFrame) = {
-    val root = ledgerDir(dir)
+    val root = ledgerDir(dir, kb)
     if (!new java.io.File(root, "_GRAFT_LEDGER_COMPLETE").exists())
-      dedupLedgerBuild(spark, dir).count()
+      dedupLedgerBuildAt(spark, dir, kb).count()
     val d = docs(spark, dir)
     val batchGrams = Materialize(kmGramFrame(d.filter(isBatch)))
-    val bb = Materialize(kmBandKeys(batchGrams).withColumn("kb", ledgerKbCol))
+    val bb = Materialize(kmBandKeys(batchGrams).withColumn("kb", ledgerKbColAt(kb)))
+    // the batch's distinct (band, kb) pairs — bounded by 8 × kb — as ONE
+    // packed-key isin over the partition columns: a single IN predicate
+    // the file index prunes on at ANY kb (the former per-pair OR-chain
+    // grew an optimizer-hostile 2 048-term tree at kb = 256), with the
+    // empty batch short-circuiting to an empty pruned scan instead of
+    // reduce() throwing.
     val pairs = bb.select(col("band"), col("kb")).distinct()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
-    val pruned = ledgerBuckets(spark, root).filter(
-      pairs.map { case (b, k) => col("band") === b && col("kb") === k }
-        .reduce(_ || _))
+      .collect().map(r => r.getInt(0).toLong * kb + r.getLong(1)).sorted
+    val buckets = ledgerBuckets(spark, root)
+    val pruned =
+      if (pairs.isEmpty) buckets.filter(lit(false))
+      else buckets.filter(
+        (col("band").cast("long") * kb + col("kb").cast("long")).isin(pairs: _*))
     (batchGrams, bb, pruned)
   }
 
@@ -294,9 +311,9 @@ object ScaleQueries {
     * corpus growth from batch growth.
     */
   private[graft] def dedupLedgerProbeOn(spark: SparkSession, dir: String,
-      isBatch: org.apache.spark.sql.Column): DataFrame = {
+      isBatch: org.apache.spark.sql.Column, kb: Int = LedgerKb): DataFrame = {
     val d = docs(spark, dir)
-    val (batchGrams, bb, pruned) = ledgerProbeParts(spark, dir, isBatch)
+    val (batchGrams, bb, pruned) = ledgerProbeParts(spark, dir, isBatch, kb)
     val cands = pruned
       .select(col("id").as("a_id"), col("band").as("l_band"), col("key").as("l_key"))
       .join(bb.select(col("id").as("b_id"), col("band").as("r_band"),
@@ -2111,6 +2128,67 @@ object ScaleQueries {
           + lit(0.0)).as("cov_w12"))
   }
 
+  /** `emb_whiten_full_check` — the FULL-RANK whitening certificate
+    * (closing SURVEY §9.2's rank-2 gap): all 64 eigenpairs of the
+    * one-pass covariance via the driver-side cyclic Jacobi solve
+    * ([[graft.operators.Pca.jacobiEigen]]), ZCA matrix
+    * W = V diag(1/√λ) Vᵀ ([[graft.operators.Pca.zcaWhitenMatrix]]),
+    * then the corpus is ACTUALLY whitened — y = W(x−μ) as an
+    * executor-local broadcast matvec per row, the honest 100 TB shape
+    * (the model is 64×64 doubles; the transform is one map pass) —
+    * and the whitened covariance re-measured with the SAME one-pass
+    * Gram machinery. Released: n_vecs plus max |offdiag| and
+    * max |diag − 1| of cov(y) rounded to 6 (measured ~1e-13 — double
+    * round-trip of solve + two Gram passes — so both round to exactly
+    * 0.0) and the composite ok flag. Oracle-checkable because a
+    * CORRECT full-rank whitening has constant output; a wrong W, a
+    * diverged Jacobi, or a broken transform moves the deviations
+    * above 5e-7 and the hash fails. The eigensolve itself is
+    * pinned against planted-spectrum matrices in PcaSpec (the oracle
+    * replay of 64 Jacobi sweeps would be ~10⁵ CTEs — the SURVEY §9.2
+    * cost note; the certificate IS the oracle-visible contract).
+    */
+  def embWhitenFullCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (c, mu) = embPcaModelOf(embs(spark, dir))
+    val (ev, vecs, offFro) = Pca.jacobiEigen(c, sweeps = 12)
+    val w = Pca.zcaWhitenMatrix(ev, vecs, floor = 1e-12)
+    val d = Dim
+    val bw = spark.sparkContext.broadcast((w, mu))
+    val whitened = embs(spark, dir)
+      .select(col("embedding").cast("array<double>"))
+      .as[Array[Double]]
+      .mapPartitions { it =>
+        val (wm, m) = bw.value
+        it.map { x =>
+          Array.tabulate(d) { i =>
+            var s = 0.0; var j = 0
+            while (j < d) { s += wm(i)(j) * (x(j) - m(j)); j += 1 }
+            s
+          }
+        }
+      }.toDF("embedding")
+    val (cy, _) = embPcaModelOf(whitened)
+    val maxOff = (for (i <- 0 until d; j <- 0 until d if i != j)
+      yield math.abs(cy(i)(j))).max
+    val maxDiag = (0 until d).map(i => math.abs(cy(i)(i) - 1.0)).max
+    val ok = offFro <= 1e-9 && maxOff <= 1e-7 && maxDiag <= 1e-7
+    val n = embs(spark, dir).count()
+    Seq((n, maxOff, maxDiag, if (ok) 1L else 0L))
+      .toDF("n_vecs", "mo", "md", "whiten_ok")
+      .select(col("n_vecs"),
+        (round(col("mo"), 6) + lit(0.0)).as("max_abs_offdiag"),
+        (round(col("md"), 6) + lit(0.0)).as("max_diag_dev"),
+        col("whiten_ok"))
+  }
+
+  val embWhitenFullCheckSql: String = """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+      CAST(0.0 AS DOUBLE) AS max_abs_offdiag,
+      CAST(0.0 AS DOUBLE) AS max_diag_dev,
+      CAST(1 AS BIGINT) AS whiten_ok
+    FROM embeddings"""
+
   /** `emb_outliers` — the consumer the whitened frame exists for: a
     * rank-2 Mahalanobis gate, m² = w₁² + w₂² (unit-variance
     * decorrelated coordinates make the χ² threshold meaningful —
@@ -2579,26 +2657,30 @@ object ScaleQueries {
   }
 
   /** `audio_neardup` — the audio sibling of the image aHash/pHash
-    * near-dup joins: per-row time×frequency fingerprints
-    * ([[graft.operators.Multimodal.audioFingerprint]], executor-local
-    * FFT DSP) into the banded Hamming candidate join, h ≤ 3 accept.
-    * Rows-only by design (the fingerprint is engine-local DSP DuckDB
-    * cannot replay); `audio_neardup_recall` is the oracle-checked
-    * companion auditing it against the planted-pair truth.
+    * near-dup joins: per-row signatures
+    * ([[graft.operators.Multimodal.audioSignature]], executor-local
+    * FFT DSP) into the pitch-invariant MELODY-CONTOUR candidate join
+    * (round-14 scale fix — the previous hash-slice banding measured a
+    * QUADRATIC candidate curve on this coarse synthetic melody space:
+    * 70M candidate pairs at 50k clips, the 15.9×/decade row in
+    * SCALING.md; contour candidates are dup-structure-sized), exact
+    * h ≤ 3 share-fingerprint verify. Rows-only by design (engine-local
+    * DSP DuckDB cannot replay); `audio_neardup_recall` is the
+    * oracle-checked companion auditing it against the planted truth.
     */
   def audioNearDup(spark: SparkSession, dir: String): DataFrame =
     Multimodal.audioNearDups(audioPayloads(spark, dir), maxHamming = 3)
 
-  /** Floor 70: measured planted-pair recall 91.5 / 91.5 / 89.8 % at
-    * sf0.001/0.01/0.1 through the full WAV round-trip (90% in the
-    * 150-pair numpy prototype at the same ±2% pitch operating point) —
-    * ≥ 19.8pp headroom everywhere. The found set also admits a small
-    * coincidental tail (2/2/145 non-planted pairs per SF): the synth
-    * melody space is coarse (≤ ~36 band patterns per segment), so
-    * distinct seeds occasionally share ≥ 6 segment patterns — genuine
-    * same-fingerprint clips, not a banding bug (real audio's pattern
-    * space is far denser). `n_true` (the planted-pair count) is the
-    * exact oracle-checked quantity.
+  /** Floor 70: measured planted-pair recall through the contour
+    * candidates + h ≤ 3 verify and the full WAV round-trip:
+    * 91.5 / 91.5 / 89.8 % at sf0.001/0.01/0.1 — identical to the
+    * pre-fix slice-banded recall at every SF (the log-parabolic
+    * contour's band hit is ~100 %, so the Hamming verify is the
+    * binding constraint at both candidate schemes), and the sf0.1
+    * coincidental tail (145 same-fingerprint accidents) is GONE:
+    * found = planted ∩ accept exactly. `n_true` (the planted-pair
+    * count) is the exact oracle-checked quantity; curves in
+    * SCALING.md's round-14 audio section.
     */
   def audioNearDupRecall(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"))
@@ -2613,16 +2695,14 @@ object ScaleQueries {
     FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 3
     WHERE b.doc_id % 7 = 3"""
 
-  /** `audio_neardup_groups` — the scale-safe GROUP contract for the
-    * audio family ([[graft.operators.Multimodal.bandedHammingGroupPairs]]):
-    * identical fingerprints collapse to one family row before the
-    * banded join, so the output is sized by DISTINCT fingerprints —
-    * the fix for the fingerprint-space saturation the SCALING.md media
-    * section measured (`audio_neardup`'s pair output grows g²/2 per
-    * identical-fingerprint family; this shape grows by ONE row). Same
-    * accept set as the pair shape (family reps carry the members'
-    * exact fingerprints through the same pigeonhole-complete banding).
-    * Rows-only by design (engine-local FFT DSP);
+  /** `audio_neardup_groups` — the GROUP contract for the audio family
+    * ([[graft.operators.Multimodal.audioNearDupGroups]]): identical
+    * signatures collapse to one family row before the candidate join,
+    * so the output is sized by DISTINCT signatures (one row per
+    * family or near-edge, never per member pair — the `dup_clusters`
+    * shape). Same accept set as the pair shape (family reps carry the
+    * members' exact signatures through the same contour bands +
+    * Hamming verify). Rows-only by design (engine-local FFT DSP);
     * `audio_neardup_groups_recall` is the oracle-checked companion.
     */
   def audioNearDupGroups(spark: SparkSession, dir: String): DataFrame =
@@ -2639,8 +2719,9 @@ object ScaleQueries {
     val truth = d.select(col("doc_id").as("b_id")).filter(col("b_id") % 7 === 3)
       .join(d.select(col("doc_id").as("a_id")), col("a_id") === col("b_id") - 3)
       .select("a_id", "b_id")
-    val fp = Multimodal.audioFingerprintFrame(audioPayloads(spark, dir))
-    val rep = fp.join(fp.groupBy("h64").agg(min("doc_id").as("rep_id")), "h64")
+    val fp = Multimodal.audioSignatureFrame(audioPayloads(spark, dir))
+    val rep = fp.join(fp.groupBy("h64", "c").agg(min("doc_id").as("rep_id")),
+        Seq("h64", "c"))
       .select(col("doc_id"), col("rep_id"))
     val t2 = truth
       .join(rep.select(col("doc_id").as("a_id"), col("rep_id").as("ra")), "a_id")
@@ -3806,6 +3887,7 @@ object ScaleQueries {
     "emb_pca_map"    -> (embPcaMap _),
     "emb_whiten"       -> (embWhiten _),
     "emb_whiten_check" -> (embWhitenCheck _),
+    "emb_whiten_full_check" -> (embWhitenFullCheck _),
     "emb_jl_project"   -> (embJlProject _),
     "emb_jl_check"     -> (embJlCheck _),
     "emb_outliers"     -> (embOutliers _),
@@ -3890,6 +3972,7 @@ object ScaleQueries {
     "emb_pca_map"    -> embPcaMapSql,
     "emb_whiten"       -> embWhitenSql,
     "emb_whiten_check" -> embWhitenCheckSql,
+    "emb_whiten_full_check" -> embWhitenFullCheckSql,
     "emb_jl_project"   -> embJlProjectSql,
     "emb_jl_check"     -> embJlCheckSql,
     "emb_outliers"     -> embOutliersSql,

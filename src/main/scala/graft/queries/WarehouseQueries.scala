@@ -615,9 +615,27 @@ object WarehouseQueries {
     FROM cells GROUP BY 1, 2 ORDER BY 1, 2"""
 
   // ------------------------------------- differential-privacy release
+  //
+  // PRIVACY UNIT, stated once for the whole surface: DOCUMENT-level
+  // adjacency — two corpora are neighbors when one document is added
+  // or removed. Every sensitivity bound below is derived against that
+  // unit (the one a training-data pipeline needs: "can this release
+  // reveal whether a specific document was in the corpus").
 
   /** DP privacy budget for the released histogram. */
   private val DpEps = 1.0
+
+  /** Per-document contribution clip for the word-frequency surface:
+    * a document contributes each word at most ONCE (document
+    * frequency, not term frequency — a doc repeating a word 10⁴ times
+    * must not move that cell 10⁴ steps) and at most [[DpTopkClip]]
+    * distinct words (its in-doc most frequent, ties by word asc — a
+    * deterministic rule both engines replay). One document therefore
+    * changes ≤ DpTopkClip cells by ≤ 1 each: utility sensitivity 1
+    * per cell, L1 release sensitivity min(DpTopkClip, k).
+    */
+  private val DpTopkClip = 32
+  private val DpTopkK = 10
 
   /** `dp_release` — the ε-differentially-private sibling of
     * [[kAnonymity]]: the (lang, source) document histogram released
@@ -639,8 +657,20 @@ object WarehouseQueries {
     * cross-engine fp divergence. One aggregation, then scalar math:
     * scale-free at any corpus size.
     */
-  def dpRelease(spark: SparkSession, dir: String): DataFrame = {
-    val u = (conv(substring(md5(concat(lit("dp_"), col("lang"), lit("_"), col("source"))),
+  def dpRelease(spark: SparkSession, dir: String): DataFrame =
+    dpReleaseSalted(spark, dir, "")
+
+  /** The production entry: `salt` keys every seed so the draws are
+    * unpredictable to anyone without it (the [[dpRelease]] scaladoc's
+    * "secret seed is a config concern", now a parameter). Empty salt
+    * reproduces the registered oracle-parity release exactly — the
+    * md5 keys concatenate identically. Accounting is salt-independent
+    * (DpReleaseSpec pins both properties).
+    */
+  private[graft] def dpReleaseSalted(spark: SparkSession, dir: String,
+      salt: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("dp_"), lit(salt),
+        col("lang"), lit("_"), col("source"))),
         1, 8), 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
     val noise = -lit(1.0 / DpEps) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
     spark.read.parquet(s"$dir/documents.parquet")
@@ -687,8 +717,13 @@ object WarehouseQueries {
     * correlate the draws and break the composition theorem's
     * independence assumption).
     */
-  def dpMeanRelease(spark: SparkSession, dir: String): DataFrame = {
-    def u(tag: String) = (conv(substring(md5(concat(lit(tag + "_"), col("source"))),
+  def dpMeanRelease(spark: SparkSession, dir: String): DataFrame =
+    dpMeanReleaseSalted(spark, dir, "")
+
+  private[graft] def dpMeanReleaseSalted(spark: SparkSession, dir: String,
+      salt: String): DataFrame = {
+    def u(tag: String) = (conv(substring(
+      md5(concat(lit(tag + "_"), lit(salt), col("source"))),
       1, 8), 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
     def lap(tag: String, b: Double) = {
       val uu = u(tag)
@@ -730,37 +765,60 @@ object WarehouseQueries {
 
   /** `dp_topk` — the third canonical DP mechanism after counts
     * ([[dpRelease]]) and means ([[dpMeanRelease]]): PRIVATE SELECTION.
-    * "Which words are the corpus's most frequent?" answered via the
-    * exponential mechanism in its Gumbel-max form — score =
-    * (ε/2Δ)·count + Gumbel, take the top 10 by score — with the
-    * selection spending ε/2 and the released per-word counts
-    * Laplace-noised under the other ε/2 (the TRUE counts never leave;
-    * releasing them next to the selection would spend unbounded
-    * budget). Gumbel and Laplace draws are seeded per word with
-    * DISTINCT tags, the composition-independence discipline of
-    * [[dpMeanRelease]]. Measured: min adjacent noisy-score gap around
-    * the top-12 boundary is 2.9e-2 across SFs — ≥10¹³× the ~1e-15
-    * cross-engine fp divergence, so both engines select the identical
-    * set in the identical order. Scale shape: one word-count
-    * aggregation (vocab-sized exchange), score is a row-local fold,
-    * and the top-10 plans as TakeOrderedAndProject — never a global
-    * sort.
+    * "Which words appear in the most documents?" answered with honest
+    * DOCUMENT-level accounting (the round-13 advisor finding, fixed):
+    *
+    *  - the counted quantity is CLIPPED DOCUMENT FREQUENCY
+    *    ([[DpTopkClip]]): each doc contributes each word once, ≤ 32
+    *    words total, so one document moves any cell by ≤ 1 — the raw
+    *    term-frequency histogram has UNBOUNDED doc-level sensitivity
+    *    and no finite noise makes it private;
+    *  - one-shot Gumbel top-k IS k sequential exponential mechanisms
+    *    (Durfee–Rogers 2019), so the selection is accounted as
+    *    k = [[DpTopkK]] selections of ε/2k each (score =
+    *    (ε/2k)/(2Δu)·df + Gumbel, Δu = 1), total ε/2;
+    *  - the k released df's are Laplace-noised under the other ε/2
+    *    with L1 sensitivity min(Clip, k) = 10 (one doc can shift up
+    *    to 10 of the released cells by 1 each), scale b = 10/(ε/2) —
+    *    the TRUE counts never leave.
+    *
+    * Gumbel and Laplace draws are seeded per word with DISTINCT tags
+    * (composition independence, [[dpMeanRelease]] discipline), keyed
+    * by the optional secret `salt` in production. Measured (DuckDB
+    * replay, all SFs): min adjacent noisy-score gap around the top-12
+    * boundary is 2.1e-3 — ≥10¹²× the ~1e-15 cross-engine fp
+    * divergence, so both engines select identically. Scale shape: the
+    * per-doc clip is a doc-keyed window (bounded by in-doc vocab),
+    * then one vocab-sized df aggregation, a row-local score, and
+    * TakeOrderedAndProject — never a global sort.
     */
-  def dpTopk(spark: SparkSession, dir: String): DataFrame = {
+  def dpTopk(spark: SparkSession, dir: String): DataFrame =
+    dpTopkSalted(spark, dir, "")
+
+  private[graft] def dpTopkSalted(spark: SparkSession, dir: String,
+      salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def u(tag: String) = (conv(substring(md5(concat(lit(tag + "_"), col("w"))),
+    def u(tag: String) = (conv(substring(
+      md5(concat(lit(tag + "_"), lit(salt), col("w"))),
       1, 8), 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val epsSelEach = DpEps / 2 / DpTopkK
+    val bLap = math.min(DpTopkClip, DpTopkK) / (DpEps / 2)
     val gumbel = -log(-log(u("dpt")))
     val uu = u("dptc")
-    val lapC = -lit(2.0) * signum(uu - 0.5) * log(lit(1.0) - lit(2.0) * abs(uu - 0.5))
-    val counts = spark.read.parquet(s"$dir/documents.parquet")
-      .select(explode(graft.operators.TextAnalysis.wordTokens(lower(col("text")))).as("w"))
+    val lapC = -lit(bLap) * signum(uu - 0.5) * log(lit(1.0) - lit(2.0) * abs(uu - 0.5))
+    val clipped = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.wordTokens(lower(col("text")))).as("w"))
       .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tf").desc, col("w"))))
+      .filter(col("rn") <= DpTopkClip)
+    val counts = clipped.groupBy("w").agg(count(lit(1)).as("c"))
     val scored = counts
-      .select(col("w"), (lit(0.5) * col("c") + gumbel).as("score"),
+      .select(col("w"), (lit(epsSelEach / 2) * col("c") + gumbel).as("score"),
         round(col("c") + lapC, 4).as("noisy_count"))
-      .orderBy(col("score").desc, col("w")).limit(10)
+      .orderBy(col("score").desc, col("w")).limit(DpTopkK)
     scored.select(row_number().over(
         Window.orderBy(col("score").desc, col("w"))).cast("long").as("rank"),
       col("w"), lit(DpEps).as("epsilon"), col("noisy_count"))
@@ -772,18 +830,27 @@ object WarehouseQueries {
     val uc = "(CAST(CAST(concat('0x', substr(md5(concat('dptc_', w)), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0"
     s"""
     WITH words AS (
-      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
       FROM documents),
-    counts AS (SELECT w, count(*) AS c FROM words WHERE w != '' GROUP BY w),
+    dw AS (
+      SELECT doc_id, w, count(*) AS tf FROM words WHERE w != ''
+      GROUP BY doc_id, w),
+    clipped AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, w,
+          row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, w) AS rn
+        FROM dw)
+      WHERE rn <= $DpTopkClip),
+    counts AS (SELECT w, count(*) AS c FROM clipped GROUP BY w),
     scored AS (
       SELECT w,
-        0.5 * c + (-ln(-ln($ut))) AS score,
-        round(c + (-2.0 * sign($uc - 0.5) * ln(1.0 - 2.0 * abs($uc - 0.5))), 4) AS noisy_count
+        ${DpEps / 2 / DpTopkK / 2} * c + (-ln(-ln($ut))) AS score,
+        round(c + (-${math.min(DpTopkClip, DpTopkK) / (DpEps / 2)} * sign($uc - 0.5) * ln(1.0 - 2.0 * abs($uc - 0.5))), 4) AS noisy_count
       FROM counts)
     SELECT CAST(row_number() OVER (ORDER BY score DESC, w) AS BIGINT) AS rank,
-      w, CAST(1.0 AS DOUBLE) AS epsilon, noisy_count
+      w, CAST($DpEps AS DOUBLE) AS epsilon, noisy_count
     FROM scored
-    ORDER BY score DESC, w LIMIT 10"""
+    ORDER BY score DESC, w LIMIT $DpTopkK"""
   }
 
   /** `dp_quantile` — the fourth canonical mechanism (counts, means,
@@ -799,41 +866,58 @@ object WarehouseQueries {
     * top-2 noisy-score gap is ≥ 0.19 — ~10¹⁴× the ln() ulp, so both
     * engines select identically. The true median never leaves.
     */
-  def dpQuantile(spark: SparkSession, dir: String): DataFrame = {
+  def dpQuantile(spark: SparkSession, dir: String): DataFrame =
+    dpQuantileSalted(spark, dir, "")
+
+  /** Round-13 advisor fix folded in: the released frame used to carry
+    * the EXACT corpus size next to the DP median — private only under
+    * an unstated bounded-adjacency assumption, and inconsistent with
+    * [[dpRelease]] noising the very same count information. Under the
+    * surface-wide document-level unit the count is now released
+    * Laplace-noised on its own ε/2 (selection takes the other ε/2 —
+    * score coefficient 0.25 = (ε/2)/2Δu; re-measured top-2 gap ≥ 0.24
+    * across SFs, ~10¹⁴× the ln() ulp).
+    */
+  private[graft] def dpQuantileSalted(spark: SparkSession, dir: String,
+      salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def u(v: org.apache.spark.sql.Column) = (conv(substring(
-      md5(concat(lit("dpq_"), v.cast("string"))), 1, 8), 16, 10)
+    def u(tag: String, v: org.apache.spark.sql.Column) = (conv(substring(
+      md5(concat(lit(tag + "_"), lit(salt), v.cast("string"))), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
     val hist = spark.read.parquet(s"$dir/documents.parquet")
       .groupBy("n_chars").agg(count(lit(1)).as("c"))
     val w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
     val tot = hist.agg(sum("c").as("n"))
+    val un = u("dpqn", lit("n"))
+    val lapN = -lit(1.0 / (DpEps / 2)) * signum(un - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(un - 0.5))
     val scored = hist
       .withColumn("below", coalesce(sum("c").over(w), lit(0L)))
       .crossJoin(broadcast(tot))
       .select(col("n_chars"), col("n"),
-        (lit(0.5) * -abs(col("below").cast("double") - col("n") / 2.0) +
-          -log(-log(u(col("n_chars"))))).as("score"))
+        (lit(DpEps / 2 / 2) * -abs(col("below").cast("double") - col("n") / 2.0) +
+          -log(-log(u("dpq", col("n_chars"))))).as("score"))
     scored.orderBy(col("score").desc, col("n_chars")).limit(1)
       .select(lit(DpEps).as("epsilon"), col("n_chars").as("released_median"),
-        col("n").cast("long").as("n_docs"))
+        round(col("n") + lapN, 4).as("noisy_n_docs"))
   }
 
   val dpQuantileSql: String = {
     val uq = "(CAST(CAST(concat('0x', substr(md5(concat('dpq_', CAST(n_chars AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0"
+    val un = "(CAST(CAST(concat('0x', substr(md5('dpqn_n'), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0"
     s"""
     WITH hist AS (
       SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
     tot AS (SELECT sum(c) AS n FROM hist),
     scored AS (
       SELECT n_chars, tot.n,
-        0.5 * -abs(CAST(coalesce(sum(c) OVER (ORDER BY n_chars
+        ${DpEps / 2 / 2} * -abs(CAST(coalesce(sum(c) OVER (ORDER BY n_chars
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
           - CAST(tot.n AS DOUBLE) / 2.0)
         + (-ln(-ln($uq))) AS score
       FROM hist, tot)
-    SELECT CAST(1.0 AS DOUBLE) AS epsilon, n_chars AS released_median,
-      CAST(n AS BIGINT) AS n_docs
+    SELECT CAST($DpEps AS DOUBLE) AS epsilon, n_chars AS released_median,
+      round(n + (-${1.0 / (DpEps / 2)} * sign($un - 0.5) * ln(1.0 - 2.0 * abs($un - 0.5))), 4) AS noisy_n_docs
     FROM scored ORDER BY score DESC, n_chars LIMIT 1"""
   }
 
@@ -854,40 +938,47 @@ object WarehouseQueries {
     val histCells = d.select("lang", "source").distinct().count()
     val meanCells = d.select("source").distinct().count()
     Seq(
-      ("dp_release", "laplace_count", histCells, DpEps,
+      ("dp_release", "laplace_count", "document", histCells, DpEps,
         "parallel over disjoint (lang, source) cells"),
-      ("dp_mean_release", "laplace_clipped_sum_over_count", meanCells, DpEps,
+      ("dp_mean_release", "laplace_clipped_sum_over_count", "document",
+        meanCells, DpEps,
         "eps/2 + eps/2 sequential on the same source cells"),
-      ("dp_topk", "exponential_gumbel_max + laplace_counts", 10L, DpEps,
-        "eps/2 selection + eps/2 released counts"),
-      ("dp_quantile", "exponential_over_candidates", 1L, DpEps,
-        "single selection, sensitivity-1 utility"))
-      .toDF("mechanism", "noise", "cells_released", "eps", "composition")
-      .select(col("mechanism"), col("noise"), col("cells_released"),
+      ("dp_topk", "gumbel_topk_as_k_exp_mechs + laplace_counts", "document",
+        DpTopkK.toLong, DpEps,
+        s"k=$DpTopkK sequential selections of eps/2k each on clipped doc-freqs " +
+          s"(per-doc contribution <= $DpTopkClip words, 1 per cell) + " +
+          s"eps/2 laplace on the k released counts (L1 sens = " +
+          s"${math.min(DpTopkClip, DpTopkK)})"),
+      ("dp_quantile", "exponential_over_candidates + laplace_count", "document",
+        2L, DpEps,
+        "eps/2 selection (sensitivity-1 utility) + eps/2 noisy corpus count"))
+      .toDF("mechanism", "noise", "unit", "cells_released", "eps", "composition")
+      .select(col("mechanism"), col("noise"), col("unit"), col("cells_released"),
         col("eps").as("epsilon"), col("composition"))
       .orderBy("mechanism")
   }
 
-  val dpBudgetSql: String = """
+  val dpBudgetSql: String = s"""
     WITH hc AS (SELECT CAST(count(*) AS BIGINT) AS c
                 FROM (SELECT DISTINCT lang, source FROM documents)),
     mc AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS c FROM documents)
     SELECT * FROM (
       SELECT 'dp_release' AS mechanism, 'laplace_count' AS noise,
+        'document' AS unit,
         hc.c AS cells_released, CAST(1.0 AS DOUBLE) AS epsilon,
         'parallel over disjoint (lang, source) cells' AS composition FROM hc
       UNION ALL
-      SELECT 'dp_mean_release', 'laplace_clipped_sum_over_count', mc.c,
-        CAST(1.0 AS DOUBLE),
+      SELECT 'dp_mean_release', 'laplace_clipped_sum_over_count', 'document',
+        mc.c, CAST(1.0 AS DOUBLE),
         'eps/2 + eps/2 sequential on the same source cells' FROM mc
       UNION ALL
-      SELECT 'dp_topk', 'exponential_gumbel_max + laplace_counts',
-        CAST(10 AS BIGINT), CAST(1.0 AS DOUBLE),
-        'eps/2 selection + eps/2 released counts'
+      SELECT 'dp_topk', 'gumbel_topk_as_k_exp_mechs + laplace_counts',
+        'document', CAST($DpTopkK AS BIGINT), CAST(1.0 AS DOUBLE),
+        'k=$DpTopkK sequential selections of eps/2k each on clipped doc-freqs (per-doc contribution <= $DpTopkClip words, 1 per cell) + eps/2 laplace on the k released counts (L1 sens = ${math.min(DpTopkClip, DpTopkK)})'
       UNION ALL
-      SELECT 'dp_quantile', 'exponential_over_candidates',
-        CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE),
-        'single selection, sensitivity-1 utility')
+      SELECT 'dp_quantile', 'exponential_over_candidates + laplace_count',
+        'document', CAST(2 AS BIGINT), CAST(1.0 AS DOUBLE),
+        'eps/2 selection (sensitivity-1 utility) + eps/2 noisy corpus count')
     ORDER BY mechanism"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
