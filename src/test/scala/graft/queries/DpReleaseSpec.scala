@@ -93,23 +93,62 @@ class DpReleaseSpec extends AnyFunSuite {
       val hex = md.digest(s"${tag}_$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
       (java.lang.Long.parseLong(hex.take(8), 16).toDouble + 0.5) / 4294967296.0
     }
+    // the counted quantity is CLIPPED DOCUMENT FREQUENCY (doc-level
+    // adjacency): each doc contributes each word once, <= 32 words
+    // (its in-doc most frequent, ties by word asc)
     val wc = spark.read.parquet(s"$dir/documents.parquet")
-      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-      .filter(col("w") =!= "").groupBy("w").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, rows) =>
+        rows.groupBy(_._2).view.mapValues(_.size).toSeq
+          .sortBy { case (w, tf) => (-tf, w) }.take(32).map(_._1)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // k=10 selections of eps/2k = 0.05 each: score = 0.025*c + Gumbel
     val want = wc.toSeq
-      .map { case (w, c) => (0.5 * c + -math.log(-math.log(u("dpt", w))), w) }
+      .map { case (w, c) => (0.025 * c + -math.log(-math.log(u("dpt", w))), w) }
       .sortBy { case (s, w) => (-s, w) }.take(10).map(_._2)
     val got = WarehouseQueries.dpTopk(spark, dir).collect()
     assert(got.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
     assert(got.map(_.getString(1)).toSeq == want, "selection must be the Gumbel-max set, in order")
     got.foreach { r =>
       val w = r.getString(1)
-      val noise = -2.0 * math.signum(u("dptc", w) - 0.5) *
+      // laplace on the released counts: L1 sens min(32,10)=10 at eps/2
+      val noise = -20.0 * math.signum(u("dptc", w) - 0.5) *
         math.log(1.0 - 2.0 * math.abs(u("dptc", w) - 0.5))
       assert(math.abs(r.getAs[Double]("noisy_count") - (wc(w) + noise)) < 1e-3)
       // the exact count never appears: Laplace noise is a.s. non-integer
       assert(r.getAs[Double]("noisy_count") != wc(w).toDouble)
     }
+  }
+
+  test("secret salt: different release, identical shape and accounting") {
+    val unsalted = WarehouseQueries.dpReleaseSalted(spark, dir, "")
+    val salted = WarehouseQueries.dpReleaseSalted(spark, dir, "prod-secret-1")
+    val a = unsalted.collect()
+    val b = salted.collect()
+    // same cells released, same schema — the accounting surface
+    // (dp_budget counts cells and eps, never noise values) is
+    // salt-independent by construction
+    assert(a.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      b.map(r => (r.getString(0), r.getString(1))).toSeq)
+    assert(a.map(_.getAs[Double]("epsilon")).toSeq ==
+      b.map(_.getAs[Double]("epsilon")).toSeq)
+    // but the draws differ: an adversary without the salt cannot
+    // reconstruct the noise
+    val movedCells = a.zip(b).count { case (x, y) =>
+      x.getAs[Double]("noisy_count") != y.getAs[Double]("noisy_count") }
+    assert(movedCells > 0, "salted release must change the draws")
+    // empty salt reproduces the registered release exactly
+    val again = WarehouseQueries.dpRelease(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the other salted mechanisms run and keep their shapes
+    assert(WarehouseQueries.dpMeanReleaseSalted(spark, dir, "s").count() ==
+      WarehouseQueries.dpMeanRelease(spark, dir).count())
+    assert(WarehouseQueries.dpQuantileSalted(spark, dir, "s").count() == 1)
+    assert(WarehouseQueries.dpTopkSalted(spark, dir, "s").count() == 10)
   }
 }
