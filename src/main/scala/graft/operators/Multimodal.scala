@@ -1168,6 +1168,35 @@ object Multimodal {
     * unchanged and prove nothing).
     */
   private[graft] def synthBlockPng(seed: Long, jitter: Boolean): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(blockRaster(seed, jitter), "png", baos)
+    baos.toByteArray
+  }
+
+  /** The same planted raster as a REAL JPEG (ImageIO's native writer,
+    * explicit quality 0.9) — the mixed-format slice of the image
+    * near-dup corpus: a planted pair whose sides re-encoded through
+    * DIFFERENT codecs (PNG lossless vs JPEG lossy) is exactly the
+    * duplicate class a perceptual hash exists to catch, and the 8×8
+    * flat blocks align with JPEG's DCT blocks so the loss stays in the
+    * low bits the pHash median rule absorbs (ImageNearDupSpec pins the
+    * cross-codec distance).
+    */
+  private[graft] def synthBlockJpeg(seed: Long, jitter: Boolean): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.9f)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(blockRaster(seed, jitter), null, null), param)
+    } finally { ios.close(); writer.dispose() }
+    baos.toByteArray
+  }
+
+  private def blockRaster(seed: Long, jitter: Boolean): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(64, 64,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (by <- 0 until 8; bx <- 0 until 8) {
@@ -1180,9 +1209,7 @@ object Multimodal {
       for (y <- by * 8 until by * 8 + 8; x <- bx * 8 until bx * 8 + 8)
         img.setRGB(x, y, rgb)
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    img
   }
 
   /** Deterministic uniform-noise WAV (the reject case in the specs):

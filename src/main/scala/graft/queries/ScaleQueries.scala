@@ -2749,7 +2749,11 @@ object ScaleQueries {
     * parquet carries no real images; the PNG encode/decode the hashes
     * run through is real JDK ImageIO). PLANTED near-dups: docs with
     * doc_id % 7 = 3 reuse doc (d−3)'s pattern under the jitter
-    * transformation (per-block ±3 wobble + global +6 lift).
+    * transformation (per-block ±3 wobble + global +6 lift). Docs with
+    * doc_id % 5 = 1 encode as JPEG (quality 0.9) instead of PNG, so
+    * the corpus is MIXED-FORMAT and some planted pairs cross codecs
+    * (e.g. ids 10→13, 45→48: one side lossless, one lossy) — the
+    * re-encode duplicate class the perceptual hash exists for.
     */
   private def imagePayloads(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -2757,7 +2761,10 @@ object ScaleQueries {
       .mapPartitions(_.map { id =>
         val dup = id % 7 == 3 && id >= 3
         val seed = if (dup) id - 3 else id
-        (id, "image", Multimodal.synthBlockPng(seed, jitter = dup))
+        val bytes =
+          if (id % 5 == 1) Multimodal.synthBlockJpeg(seed, jitter = dup)
+          else Multimodal.synthBlockPng(seed, jitter = dup)
+        (id, "image", bytes)
       })
       .toDF("doc_id", "kind", "payload")
   }

@@ -34,6 +34,30 @@ class ImageNearDupSpec extends AnyFunSuite {
     assert((found -- truth).isEmpty, s"coincidental pairs: ${found -- truth}")
   }
 
+  test("cross-codec planted pair admits: JPEG re-encode of a PNG pattern") {
+    import spark.implicits._
+    // same pattern, one side PNG, one side JPEG(0.9) — with and
+    // without the jitter regrade on the JPEG side
+    val rows = Seq(
+      (1L, "image", Multimodal.synthBlockPng(7L, jitter = false)),
+      (2L, "image", Multimodal.synthBlockJpeg(7L, jitter = false)),
+      (3L, "image", Multimodal.synthBlockJpeg(7L, jitter = true)),
+      (4L, "image", Multimodal.synthBlockJpeg(9L, jitter = false)))
+    val found = Multimodal.imagePhashNearDups(
+        rows.toDF("doc_id", "kind", "payload"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 2L)), s"pure re-encode must admit: $found")
+    assert(found.contains((1L, 3L)), s"re-encode + regrade must admit: $found")
+    assert(!found.exists { case (a, b) => a == 4L || b == 4L },
+      s"distinct JPEG pattern admitted: $found")
+    // the cross-codec pHash distance itself: re-encode loss stays far
+    // inside the h <= 3 accept (flat 8x8 blocks align with JPEG DCT)
+    val hp = java.lang.Long.bitCount(
+      Multimodal.pHash(Multimodal.synthBlockPng(7L, jitter = false)).get ^
+        Multimodal.pHash(Multimodal.synthBlockJpeg(7L, jitter = false)).get)
+    assert(hp <= 1, s"pure JPEG re-encode moved pHash by $hp bits")
+  }
+
   test("undecodable payloads drop out before the join") {
     import spark.implicits._
     val rows = Seq(
