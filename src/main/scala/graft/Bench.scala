@@ -66,7 +66,15 @@ object Bench {
     // SPARK_GRAFT_ONLY iteration run must never clobber the committed
     // whole-surface artifact with a subset
     if (only.isEmpty) {
-      val benchDir = new java.io.File("/root/repo/bench")
+      // repo root = nearest ancestor of the working directory carrying
+      // build.sbt (sbt forks run from the project root, so this is one
+      // hop), /root/repo only as the out-of-tree fallback
+      val repoRoot = Iterator.iterate(
+          new java.io.File(".").getAbsoluteFile.getParentFile)(_.getParentFile)
+        .takeWhile(_ != null).take(10)
+        .find(d => new java.io.File(d, "build.sbt").exists())
+        .getOrElse(new java.io.File("/root/repo"))
+      val benchDir = new java.io.File(repoRoot, "bench")
       benchDir.mkdirs()
       val sfName = new java.io.File(sfDir).getName
       val fw = new java.io.FileWriter(new java.io.File(benchDir, s"full_$sfName.json"))
@@ -74,14 +82,20 @@ object Bench {
       // round-stamped copy: BENCH_r{N}.json retains only the tail of
       // the stdout line (the judge's shared-tail comparison covered 86
       // of 264 queries in round 12), so each driver-run full bench also
-      // lands at bench/full_r{N}_<sf>.json — N inferred as max existing
-      // BENCH_r*.json round + 1, i.e. the round whose BENCH file the
-      // driver is about to write. Committed with the round, this keeps
-      // every round's COMPLETE per-query map in-repo.
+      // lands at bench/full_r{N}_<sf>.json. N comes from
+      // SPARK_GRAFT_ROUND when set (explicit and ordering-proof);
+      // otherwise it is inferred as max existing BENCH_r*.json round
+      // + 1 — i.e. the round whose BENCH file the driver is about to
+      // write — against the repo root RESOLVED FROM the bench dir
+      // (bench/..), not a hardcoded absolute path, so a bench run from
+      // any working directory stamps consistently.
       val roundRe = """BENCH_r(\d+)\.json""".r
-      val nextRound = Option(new java.io.File("/root/repo").list()).toSeq.flatten
-        .collect { case roundRe(n) => n.toInt }
-        .maxOption.getOrElse(0) + 1
+      val nextRound = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+        .getOrElse {
+          Option(benchDir.getAbsoluteFile.getParentFile.list()).toSeq.flatten
+            .collect { case roundRe(n) => n.toInt }
+            .maxOption.getOrElse(0) + 1
+        }
       val fr = new java.io.FileWriter(
         new java.io.File(benchDir, s"full_r${nextRound}_$sfName.json"))
       try fr.write(line + "\n") finally fr.close()

@@ -285,12 +285,26 @@ object ScaleProbe {
         ts.min
       }
       val fixedBatch = col("doc_id") % 10 === 3 && col("doc_id") < 1000000L
+      // the knob's bite depends on batch keys vs directory count:
+      // touched dirs per band ≈ kb·(1−(1−1/kb)^keys). The ~500-doc
+      // batch emits ~4 000 keys and saturates BOTH kb=32 (100 %) and
+      // kb=256 (~86 %); the ~50-doc batch (~400 keys) saturates kb=32
+      // (~79 % per band) but touches only ~18 % at kb=256 — that
+      // contrast is the pruning demonstration, measured on the SAME
+      // ledgers at both kb settings.
+      val smallBatch = col("doc_id") % 100 === 3 && col("doc_id") < 1000000L
+      val probeOnly = args.contains("probeonly") // reuse ledgers built by a prior run
       for ((dir, bn) <- Seq((src, 2), (out, 2), (out10, 1))) {
-        val b = timed(bn)(() =>
+        val b = if (probeOnly) -1.0 else timed(bn)(() =>
           graft.queries.ScaleQueries.dedupLedgerBuildAt(spark, dir, kb).count())
         val p = timed(2)(() => graft.queries.ScaleQueries.dedupLedgerProbeOn(
           spark, dir, fixedBatch, kb).count())
-        println(f"PROBELEDGERKB$kb $dir build=$b%.2f s fixed-batch-probe=$p%.2f s")
+        val ps = timed(2)(() => graft.queries.ScaleQueries.dedupLedgerProbeOn(
+          spark, dir, smallBatch, kb).count())
+        val ps32 = timed(2)(() => graft.queries.ScaleQueries.dedupLedgerProbeOn(
+          spark, dir, smallBatch).count())
+        println(f"PROBELEDGERKB$kb $dir build=$b%.2f s fixed-batch-probe=$p%.2f s " +
+          f"small-batch-probe=$ps%.2f s small-batch-probe-kb32=$ps32%.2f s")
       }
       spark.stop()
       return
