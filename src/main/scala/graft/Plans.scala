@@ -77,7 +77,12 @@ object Plans {
       // round-13 close: private selection (TakeOrderedAndProject under
       // the Gumbel-max), the unigram encode broadcast join, the df-ranked
       // boilerplate report, and the soft-dedup weight join
-      "dp_topk", "unigram_encode", "boilerplate_ngrams", "dedup_soft_weights")
+      "dp_topk", "unigram_encode", "boilerplate_ngrams", "dedup_soft_weights",
+      // round-14 additions: the contour-banded audio near-dup (melody
+      // bands + Hamming verify join shape), its group-collapsed sibling,
+      // and the full-rank whitening certificate (broadcast matvec +
+      // Gram pass)
+      "audio_neardup", "audio_neardup_groups", "emb_whiten_full_check")
     val sb = new StringBuilder
     sb ++= "# PLANS - physical plans of flagship queries (sf0.01)\n\n"
     sb ++= "Generated by `sbt \"runMain graft.Plans\"`. What to look for:\n"

@@ -168,7 +168,15 @@ object ScaleQueries {
     * pairs at parquet DIRECTORY level. 32 here (8 × 32 = 256 dirs —
     * file counts stay sane at test SFs); production at 100 TB raises
     * it: the key space is uniform md5 output, so the kb count is
-    * purely a files-per-directory / pruning-granularity knob.
+    * purely a files-per-directory / pruning-granularity knob — with
+    * the round-14 MEASURED caveats (SCALING.md "LedgerKb knob" table):
+    * pruning engages only when kb outgrows the batch's per-band key
+    * count (occupancy ≈ kb·(1−(1−1/kb)^keys); a saturated batch pays
+    * the extra files for nothing), and plain-parquet reads re-list the
+    * whole ledger root before pruning, so the knob needs a
+    * manifest-backed store (or cached FileIndex) to convert its
+    * measured flatter scan growth (2.3× vs 5.0× across 100× history)
+    * into flat wall-clock.
     */
   private val LedgerKb = 32
 
