@@ -1084,8 +1084,16 @@ object Multimodal {
     * family REPRESENTATIVES through the same contour bands + Hamming
     * verify as the pair shape and carry both family sizes.
     */
-  def audioNearDupGroups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = audioSignatureFrame(withPayloads)
+  def audioNearDupGroups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame =
+    audioNearDupGroupsFromSignatures(audioSignatureFrame(withPayloads), maxHamming)
+
+  /** [[audioNearDupGroups]] over an ALREADY-COMPUTED signature frame —
+    * the recall companion decodes the corpus once and reuses the frame
+    * for both the group output and the doc→family mapping (the decode
+    * IS the cost of this family; a second pass was pure waste).
+    */
+  private[graft] def audioNearDupGroupsFromSignatures(sig: DataFrame,
+      maxHamming: Int): DataFrame = {
     val groups = sig.groupBy("h64", "c")
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
     val exact = groups.filter(col("n_docs") >= 2)

@@ -234,6 +234,7 @@ object ScaleQueries {
     banded.select(col("id"), col("key"), col("band"), col("kb"))
       .write.mode("overwrite").partitionBy("band", "kb")
       .parquet(new java.io.File(root, "buckets").toString)
+    writeLedgerManifest(root)
     java.nio.file.Files.writeString(marker.toPath, "ok")
     ledgerBuckets(spark, root)
       .select(col("id"), col("band").cast("long").as("band"),
@@ -246,6 +247,76 @@ object ScaleQueries {
     */
   private def ledgerBuckets(spark: SparkSession, root: java.io.File): DataFrame =
     spark.read.parquet(new java.io.File(root, "buckets").toString)
+
+  /** The ledger MANIFEST — one relative path per leaf parquet file,
+    * written ONCE at build time (the Delta/Iceberg-metadata analog for
+    * this plain-parquet layout): the round-14 LedgerKb measurement
+    * (SCALING.md) showed directory pruning flattens the probe's SCAN
+    * growth but plain-parquet reads re-LIST the whole bucket tree —
+    * O(bands×kb) files — before pruning anything, an O(total-files)
+    * constant that swamps the pruned scan. A probe that selects its
+    * files FROM the manifest pays O(touched files) instead and never
+    * lists. Backfilled lazily for pre-manifest ledgers (one listing,
+    * then amortized).
+    */
+  private def writeLedgerManifest(root: java.io.File): Unit = {
+    val buckets = new java.io.File(root, "buckets")
+    val sb = new StringBuilder
+    for {
+      bandDir <- Option(buckets.listFiles()).getOrElse(Array.empty[java.io.File])
+        .sortBy(_.getName)
+      if bandDir.isDirectory && bandDir.getName.startsWith("band=")
+      kbDir <- Option(bandDir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .sortBy(_.getName)
+      if kbDir.isDirectory && kbDir.getName.startsWith("kb=")
+      f <- Option(kbDir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .sortBy(_.getName)
+      if f.getName.endsWith(".parquet")
+    } sb ++= s"${bandDir.getName}/${kbDir.getName}/${f.getName}\n"
+    java.nio.file.Files.writeString(
+      new java.io.File(root, "manifest.txt").toPath, sb.toString)
+  }
+
+  /** Manifest-pruned ledger scan: the batch's packed (band, kb) keys
+    * select their (band, kb) DIRECTORIES from the manifest
+    * (driver-side string work, manifest-sized), and the read opens
+    * only those — `basePath` keeps band/kb as partition columns, and
+    * the isin predicate stays on the scan as a staleness guard (it
+    * lands in PartitionFilters like the directory route, so the
+    * pruning spec holds for both paths). Directories, NOT leaf files:
+    * passing thousands of leaf paths makes the driver stat each one
+    * (measured WORSE than the tree listing at sf1 — 5.9 → 7.7 s);
+    * touched-dir paths are bounded by 8×kb and each lists only its own
+    * few files. Falls back (None) when the manifest selects nothing or
+    * the touched fraction approaches the whole tree (the recursive
+    * root listing is then the cheaper single walk — the saturated
+    * fixed-batch case).
+    */
+  private def ledgerManifestScan(spark: SparkSession, root: java.io.File,
+      packed: Array[Long], kb: Int): Option[DataFrame] = {
+    val mf = new java.io.File(root, "manifest.txt")
+    if (!mf.exists()) {
+      if (new java.io.File(root, "_GRAFT_LEDGER_COMPLETE").exists())
+        writeLedgerManifest(root) // backfill a pre-manifest ledger once
+      else return None
+    }
+    val keep = packed.toSet
+    val bucketsPath = new java.io.File(root, "buckets")
+    val rel = """(band=(\d+)/kb=(\d+))/.*""".r
+    val allDirs = scala.collection.mutable.LinkedHashSet.empty[String]
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(mf.toPath)).asScala
+      .foreach {
+        case rel(d, b, k) =>
+          allDirs += d
+          if (keep.contains(b.toLong * kb + k.toLong)) touched += d
+        case _ => ()
+      }
+    if (touched.isEmpty || touched.size * 2 > allDirs.size) None
+    else Some(spark.read.option("basePath", bucketsPath.toString)
+      .parquet(touched.toSeq.map(d => new java.io.File(bucketsPath, d).toString): _*))
+  }
 
   /** `dedup_ledger_probe` — the read half: the batch slice's band keys
     * are computed in-session (batch-sized work), its DISTINCT
@@ -284,11 +355,16 @@ object ScaleQueries {
     // reduce() throwing.
     val pairs = bb.select(col("band"), col("kb")).distinct()
       .collect().map(r => r.getInt(0).toLong * kb + r.getLong(1)).sorted
-    val buckets = ledgerBuckets(spark, root)
     val pruned =
-      if (pairs.isEmpty) buckets.filter(lit(false))
-      else buckets.filter(
-        (col("band").cast("long") * kb + col("kb").cast("long")).isin(pairs: _*))
+      if (pairs.isEmpty) ledgerBuckets(spark, root).filter(lit(false))
+      else {
+        // manifest route first (O(touched files), no tree listing);
+        // directory route as the fallback for manifest-less ledgers
+        val base = ledgerManifestScan(spark, root, pairs, kb)
+          .getOrElse(ledgerBuckets(spark, root))
+        base.filter(
+          (col("band").cast("long") * kb + col("kb").cast("long")).isin(pairs: _*))
+      }
     (batchGrams, bb, pruned)
   }
 
@@ -2727,14 +2803,18 @@ object ScaleQueries {
     val truth = d.select(col("doc_id").as("b_id")).filter(col("b_id") % 7 === 3)
       .join(d.select(col("doc_id").as("a_id")), col("a_id") === col("b_id") - 3)
       .select("a_id", "b_id")
-    val fp = Multimodal.audioSignatureFrame(audioPayloads(spark, dir))
+    // ONE decode pass: the Materialized signature frame feeds both the
+    // group operator and the doc→family mapping (decode dominates this
+    // family's cost; measured 4.8 s → ~2.5 s at bench SF)
+    val fp = Materialize(Multimodal.audioSignatureFrame(audioPayloads(spark, dir)))
     val rep = fp.join(fp.groupBy("h64", "c").agg(min("doc_id").as("rep_id")),
         Seq("h64", "c"))
       .select(col("doc_id"), col("rep_id"))
     val t2 = truth
       .join(rep.select(col("doc_id").as("a_id"), col("rep_id").as("ra")), "a_id")
       .join(rep.select(col("doc_id").as("b_id"), col("rep_id").as("rb")), "b_id")
-    val edges = audioNearDupGroups(spark, dir).filter(col("hamming") > 0)
+    val edges = Multimodal.audioNearDupGroupsFromSignatures(fp, maxHamming = 3)
+      .filter(col("hamming") > 0)
       .select(col("a_id").as("ea"), col("b_id").as("eb"))
     val same = t2.filter(col("ra") === col("rb")).select("a_id", "b_id")
     val nearHit = t2.filter(col("ra") =!= col("rb"))
