@@ -2838,6 +2838,28 @@ object ScaleQueries {
     FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 3
     WHERE b.doc_id % 7 = 3"""
 
+  /** `audio_neardup_precision` — the other half of the contour
+    * operator's audit (round 14): every found pair must be a PLANTED
+    * pair. Floor 90; measured 100 % at all three SFs — the former
+    * slice banding admitted a 145-pair coincidental tail at sf0.1
+    * (same-fingerprint accidents of the coarse melody space), and the
+    * contour gate eliminates it exactly because random melodies'
+    * pitch-interval sequences don't collide. Oracle-checked via the
+    * planted-count + flag shape the recall companions use.
+    */
+  def audioNearDupPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"))
+    val truth = d.select(col("doc_id").as("b_id")).filter(col("b_id") % 7 === 3)
+      .join(d.select(col("doc_id").as("a_id")), col("a_id") === col("b_id") - 3)
+      .select("a_id", "b_id")
+    precisionRow(truth, audioNearDup(spark, dir).select("a_id", "b_id"), minPct = 90)
+  }
+
+  val audioNearDupPrecisionSql: String = """
+    SELECT cast(count(*) AS BIGINT) AS n_true, cast(1 AS BIGINT) AS precision_ok
+    FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 3
+    WHERE b.doc_id % 7 = 3"""
+
   /** Synthesized image corpus for the near-dup surface: every doc gets
     * a deterministic block-pattern PNG
     * ([[graft.operators.Multimodal.synthBlockPng]] — the corpus
@@ -4008,6 +4030,7 @@ object ScaleQueries {
     "audio_neardup_recall" -> (audioNearDupRecall _),
     "audio_neardup_groups" -> (audioNearDupGroups _),
     "audio_neardup_groups_recall" -> (audioNearDupGroupsRecall _),
+    "audio_neardup_precision" -> (audioNearDupPrecision _),
     "image_neardup"   -> (imageNearDup _),
     "image_neardup_recall" -> (imageNearDupRecall _),
     "video_neardup"   -> (videoNearDup _),
@@ -4038,6 +4061,7 @@ object ScaleQueries {
     "multimodal_join" -> multimodalJoinSql,
     "audio_neardup_recall" -> audioNearDupRecallSql,
     "audio_neardup_groups_recall" -> audioNearDupGroupsRecallSql,
+    "audio_neardup_precision" -> audioNearDupPrecisionSql,
     "image_neardup_recall" -> imageNearDupRecallSql,
     "video_neardup_recall" -> videoNearDupRecallSql,
     "knn_brute"    -> knnBruteSql,
