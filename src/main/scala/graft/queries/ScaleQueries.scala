@@ -2820,8 +2820,14 @@ object ScaleQueries {
     val t2 = truth
       .join(rep.select(col("doc_id").as("a_id"), col("rep_id").as("ra")), "a_id")
       .join(rep.select(col("doc_id").as("b_id"), col("rep_id").as("rb")), "b_id")
+    // Near edges are the a_id =!= b_id rows (exact-family rows are the
+    // only a_id == b_id rows). Do NOT filter on hamming > 0: a cross-
+    // family near edge can carry hamming = 0 — same 64-bit share
+    // fingerprint h64, different contour c, exactly what a planted
+    // pitch shift that drifts one contour cell produces — and dropping
+    // those would undercount genuine recoveries.
     val edges = Multimodal.audioNearDupGroupsFromSignatures(fp, maxHamming = 3)
-      .filter(col("hamming") > 0)
+      .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id").as("ea"), col("b_id").as("eb"))
     val same = t2.filter(col("ra") === col("rb")).select("a_id", "b_id")
     val nearHit = t2.filter(col("ra") =!= col("rb"))

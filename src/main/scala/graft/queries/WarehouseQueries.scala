@@ -877,12 +877,22 @@ object WarehouseQueries {
     * Laplace-noised on its own ε/2 (selection takes the other ε/2 —
     * score coefficient 0.25 = (ε/2)/2Δu; re-measured top-2 gap ≥ 0.24
     * across SFs, ~10¹⁴× the ln() ulp).
+    *
+    * Round-14 advisor fix: the count seed used to be keyed by the
+    * data-independent constant `dpqn_<salt>n`, so every release under
+    * a fixed salt drew the IDENTICAL Laplace value — differencing two
+    * releases over neighboring corpora reveals the exact count delta,
+    * making the ε/2 count protection single-release-only. `nonce` now
+    * enters every seed alongside the salt: callers composing multiple
+    * releases MUST key it per release (epoch, release id); the empty
+    * nonce reproduces the registered single-release oracle parity.
     */
   private[graft] def dpQuantileSalted(spark: SparkSession, dir: String,
-      salt: String): DataFrame = {
+      salt: String, nonce: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def u(tag: String, v: org.apache.spark.sql.Column) = (conv(substring(
-      md5(concat(lit(tag + "_"), lit(salt), v.cast("string"))), 1, 8), 16, 10)
+      md5(concat(lit(tag + "_"), lit(salt), lit(nonce), v.cast("string"))),
+      1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
     val hist = spark.read.parquet(s"$dir/documents.parquet")
       .groupBy("n_chars").agg(count(lit(1)).as("c"))

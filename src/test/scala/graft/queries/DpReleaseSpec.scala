@@ -151,4 +151,19 @@ class DpReleaseSpec extends AnyFunSuite {
     assert(WarehouseQueries.dpQuantileSalted(spark, dir, "s").count() == 1)
     assert(WarehouseQueries.dpTopkSalted(spark, dir, "s").count() == 10)
   }
+
+  test("dp_quantile: per-release nonce re-keys the count noise") {
+    // Round-14 advisor fix: with a fixed salt and no nonce, every
+    // release draws the IDENTICAL Laplace count noise — differencing
+    // two releases over neighboring corpora reveals the exact count
+    // delta. Keying the seed per release restores the protection.
+    val r1 = WarehouseQueries.dpQuantileSalted(spark, dir, "s", "epoch-1").collect()(0)
+    val r2 = WarehouseQueries.dpQuantileSalted(spark, dir, "s", "epoch-2").collect()(0)
+    assert(r1.getAs[Double]("noisy_n_docs") != r2.getAs[Double]("noisy_n_docs"),
+      "distinct nonces must draw distinct count noise")
+    // empty nonce reproduces the registered oracle-parity release
+    val reg = WarehouseQueries.dpQuantile(spark, dir).collect()(0)
+    val empty = WarehouseQueries.dpQuantileSalted(spark, dir, "", "").collect()(0)
+    assert(reg.toSeq == empty.toSeq)
+  }
 }
