@@ -21,10 +21,24 @@ object Fixtures {
   // ---------------------------------------------------------------- roster
 
   /** Raw-roster stand-in: rut / nombres / apellidos / email from customer. */
-  def roster(spark: SparkSession, dir: String): DataFrame = {
+  def roster(spark: SparkSession, dir: String): DataFrame =
+    rosterProjection(customer(spark, dir))
+
+  /** The roster with a deterministic RESUBMISSION slice appended (every
+    * `c_custkey % 97 = 5` row occurs twice) — the duplicate-row corpus
+    * the pre-upload validation query (`roster_validate`) exists for.
+    * The clean [[roster]] has unique non-null ruts by construction, so
+    * without this slice the duplicate-rut class would never fire in an
+    * oracle run.
+    */
+  def rosterDirty(spark: SparkSession, dir: String): DataFrame =
+    roster(spark, dir).unionByName(
+      rosterProjection(customer(spark, dir).filter(col("c_custkey") % 97 === 5)))
+
+  private def rosterProjection(cust: DataFrame): DataFrame = {
     val key  = col("c_custkey")
     val base = concat(lower(translate(col("c_name"), "#", "")), lit("@example.org"))
-    customer(spark, dir).select(
+    cust.select(
       when(key % 11 === 0, lit(null)).otherwise(
         concat(key.cast("string"), lit("-"), (key % 10).cast("string"))).as("rut"),
       when(key % 11 === 3, lit(null)).otherwise(
@@ -57,6 +71,11 @@ object Fixtures {
            WHEN c_custkey % 5 = 0 THEN 'contacto@ejemplo.cl; ' || lower(translate(c_name, '#', '')) || '@example.org'
            ELSE lower(translate(c_name, '#', '')) || '@example.org' END AS email
     FROM customer"""
+
+  /** DuckDB CTE body mirroring [[rosterDirty]] exactly. */
+  val rosterDirtySql: String =
+    rosterSql + "\n    UNION ALL\n" +
+      rosterSql.replace("FROM customer", "FROM customer WHERE c_custkey % 97 = 5")
 
   // ------------------------------------------------- old-dialect mail CSV
 

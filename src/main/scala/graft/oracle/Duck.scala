@@ -76,6 +76,38 @@ FROM stage
 ORDER BY ${cfg.profileFieldName}"""
   }
 
+  /** Pre-upload roster validation oracle (mirrors `RosterValidate` over
+    * the dirty-roster fixture): per-row error classes + deterministic
+    * numeric-suffix username disambiguation.
+    */
+  def rosterValidateSql: String =
+    s"""WITH roster AS (${Fixtures.rosterDirtySql}),
+staged AS (
+  SELECT rut, nombres, apellidos, email,
+    (rut IS NULL OR nombres IS NULL) AS miss,
+    CASE WHEN rut IS NOT NULL AND nombres IS NOT NULL THEN trim(rut) END AS rut_t,
+    CASE WHEN rut IS NOT NULL AND nombres IS NOT NULL
+         THEN ${buildUsername("nombres", "apellidos")} END AS uname
+  FROM roster),
+flagged AS (
+  SELECT *,
+    (rut_t IS NOT NULL AND count(*) OVER (PARTITION BY rut_t) > 1) AS dup,
+    (uname IS NOT NULL AND count(*) OVER (PARTITION BY uname) > 1) AS coll,
+    row_number() OVER (PARTITION BY uname ORDER BY rut_t, email) AS rn
+  FROM staged)
+SELECT rut, nombres, apellidos, email,
+  CAST(miss AS BIGINT) AS missing_required,
+  CAST(dup AS BIGINT) AS duplicate_rut,
+  uname AS username,
+  CAST(coll AS BIGINT) AS username_collision,
+  CASE WHEN uname IS NULL THEN NULL
+       WHEN rn = 1 THEN uname
+       ELSE uname || cast(rn AS STRING) END AS username_final,
+  CAST((NOT miss AND NOT dup AND NOT coll) AS BIGINT) AS ok
+FROM flagged
+ORDER BY coalesce(username_final, ''), coalesce(rut, ''),
+  strip_accents(coalesce(nombres, '')), strip_accents(apellidos), email"""
+
   // --------------------------------------------------- mail normalization
 
   /** Old-dialect normalization over the old-dialect fixture. */

@@ -29,6 +29,23 @@ object EtlQueries {
     MoodleNormalize(Fixtures.roster(spark, dir), Cfg)
       .orderBy(Cfg.profileFieldName)
 
+  /** Pre-upload validation over the dirty roster (the reference's own
+    * roadmap item — README.md:73-74): per-row error classes + the
+    * deterministic numeric-suffix username fix. Runs on [[Fixtures
+    * .rosterDirty]] so the duplicate-rut class actually fires.
+    */
+  def rosterValidate(spark: SparkSession, dir: String): DataFrame =
+    // Sort keys must be ASCII (verify gotcha: Spark binary UTF-8 vs
+    // DuckDB collation diverge on accented letters), so the name
+    // tiebreakers enter deaccented; remaining ties are fully identical
+    // rows, which hash order-free.
+    graft.etl.RosterValidate(Fixtures.rosterDirty(spark, dir))
+      .orderBy(coalesce(col("username_final"), lit("")),
+        coalesce(col("rut"), lit("")),
+        graft.functions.TextFunctions.deaccent(coalesce(col("nombres"), lit(""))),
+        graft.functions.TextFunctions.deaccent(col("apellidos")),
+        col("email"))
+
   def mailUsersOld(spark: SparkSession, dir: String): DataFrame =
     MailSource.normalize(Fixtures.mailOld(spark, dir)).orderBy("usuario")
 
@@ -58,6 +75,7 @@ object EtlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "moodle_normalize"    -> (moodleNormalize _),
+    "roster_validate"     -> (rosterValidate _),
     "mail_users_old"      -> (mailUsersOld _),
     "mail_users_moodle"   -> (mailUsersMoodle _),
     "mail_users_fallback" -> (mailUsersFallback _),
@@ -66,6 +84,7 @@ object EtlQueries {
 
   val oracle: Map[String, String] = Map(
     "moodle_normalize"    -> Duck.moodleNormalizeSql(Cfg),
+    "roster_validate"     -> Duck.rosterValidateSql,
     "mail_users_old"      -> Duck.mailUsersOldSql,
     "mail_users_moodle"   -> Duck.mailUsersMoodleSql(Cfg),
     "mail_users_fallback" -> Duck.mailUsersFallbackSql,
