@@ -3,10 +3,16 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** A decoded media record: the typed output of the decode stage. */
+/** A decoded media record: the typed output of the decode stage.
+  * `decoded_real` marks whether the features came from a REAL JDK codec
+  * path (ImageIO / javax.sound / Y4M / GIF) or the deterministic stub —
+  * downstream consumers must never mistake fabricated features for
+  * measured ones.
+  */
 final case class MediaFeatures(
     doc_id: Long, kind: String, byte_len: Long,
-    width: Int, height: Int, n_frames: Int, features: Array[Float])
+    width: Int, height: Int, n_frames: Int, features: Array[Float],
+    decoded_real: Boolean)
 
 /** Multimodal-column plumbing: image/audio/video travel as opaque
   * `binary` columns with typed metadata; decode / feature-extract runs
@@ -672,6 +678,20 @@ object Multimodal {
     case _       => None
   }
 
+  /** True iff the payload ACTUALLY decodes through a real JDK codec path
+    * for its declared kind — the exact branch condition [[decode]] uses.
+    * This is the honest stub boundary: `false` means any downstream
+    * features for this row came from the deterministic fake kernel, not
+    * a measurement (e.g. an H.264 elementary stream, whose codec the JDK
+    * lacks, is `false` even though it is a perfectly real video).
+    */
+  def decodesReal(kind: String, payload: Array[Byte]): Boolean = kind match {
+    case "image" => decodeImage(payload).isDefined
+    case "audio" => decodeAudio(payload).isDefined
+    case "video" => decodeVideo(payload).orElse(decodeGif(payload)).isDefined
+    case _       => false
+  }
+
   /** Decode stage: binary column in, typed Dataset out. Runs per
     * partition on executors — at 100 TB this is the stage you'd size
     * `maxPartitionBytes` around, and the decode batch never leaves the
@@ -684,21 +704,24 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, payload) =>
-          val (w, h, f, feats) =
+          val (w, h, f, feats, real) =
             if (kind == "image") decodeImage(payload) match {
-              case Some((w, h, fs)) => (w, h, 1, fs)
-              case None             => decodeStub(kind, payload)
+              case Some((w, h, fs)) => (w, h, 1, fs, true)
+              case None             =>
+                val (sw, sh, sf, sfs) = decodeStub(kind, payload); (sw, sh, sf, sfs, false)
             }
             else if (kind == "audio") decodeAudio(payload) match {
               // audio maps (rate, channels, frames) onto the spatial slots
-              case Some((rate, ch, fr, fs)) => (rate, ch, fr, fs)
-              case None                     => decodeStub(kind, payload)
+              case Some((rate, ch, fr, fs)) => (rate, ch, fr, fs, true)
+              case None                     =>
+                val (sw, sh, sf, sfs) = decodeStub(kind, payload); (sw, sh, sf, sfs, false)
             }
             else decodeVideo(payload).orElse(decodeGif(payload)) match {
-              case Some((w, h, fr, fs)) => (w, h, fr, fs)
-              case None                 => decodeStub(kind, payload)
+              case Some((w, h, fr, fs)) => (w, h, fr, fs, true)
+              case None                 =>
+                val (sw, sh, sf, sfs) = decodeStub(kind, payload); (sw, sh, sf, sfs, false)
             }
-          MediaFeatures(id, kind, payload.length.toLong, w, h, f, feats)
+          MediaFeatures(id, kind, payload.length.toLong, w, h, f, feats, real)
         }
       }
   }

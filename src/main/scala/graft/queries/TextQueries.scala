@@ -322,20 +322,38 @@ object TextQueries {
     * engine-side shape (binary column + typed metadata + content hash)
     * is exactly what a decode/feature-extract stage consumes
     * (see graft.operators.Multimodal for the stubbed decode).
+    *
+    * `decoded_real` (BIGINT 0/1, per the repo's boolean-column oracle
+    * convention) is the STUB BOUNDARY made visible: the engine runs the
+    * real decode attempt per row ([[graft.operators.Multimodal.decodesReal]],
+    * the exact branch condition of the decode stage), so a user reading
+    * this metadata can never mistake fabricated stub features for
+    * measured ones. On this corpus every payload is utf-8 prose — no
+    * valid PNG/JPEG/GIF/WAV/Y4M container — so the oracle value is a
+    * constant 0; a prose payload that somehow decoded would flip the
+    * engine bit and fail the hash gate visibly, which is the point.
     */
-  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Multimodal.withPayload(docs(spark, dir))
       .select(
-        col("doc_id"), col("source"),
-        octet_length(col("payload")).cast("long").as("byte_len"),
-        md5(col("payload")).as("content_md5"))
+        col("doc_id").cast("long"), col("source"), col("kind"),
+        col("payload"), md5(col("payload")).as("content_md5"))
+      .as[(Long, String, String, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, src, kind, payload, m) =>
+        (id, src, kind, payload.length.toLong, m,
+          if (graft.operators.Multimodal.decodesReal(kind, payload)) 1L else 0L)
+      })
+      .toDF("doc_id", "source", "kind", "byte_len", "content_md5", "decoded_real")
       .orderBy("doc_id")
+  }
 
   val multimodalMetaSql: String = """
     SELECT doc_id, source,
+      CASE ((doc_id % 3) + 3) % 3 WHEN 1 THEN 'audio' WHEN 2 THEN 'video' ELSE 'image' END AS kind,
       cast(octet_length(encode(text)) AS BIGINT) AS byte_len,
-      md5(text) AS content_md5
+      md5(text) AS content_md5,
+      cast(0 AS BIGINT) AS decoded_real
     FROM documents
     ORDER BY doc_id"""
 

@@ -410,4 +410,27 @@ class MultimodalSpec extends AnyFunSuite {
       Seq((9L, "video", cut)).toDF("doc_id", "kind", "payload")).head()
     assert(out.n_frames == 3 && out.width == 6)
   }
+
+  test("decoded_real marks the stub boundary: an H.264-magic payload is " +
+       "false (stub features), real containers are true") {
+    // H.264 Annex-B elementary stream: start code 00 00 00 01 + SPS NAL
+    // (type 7). A perfectly real video whose CODEC the JDK lacks — must
+    // surface as decoded_real = false, never as a measured decode.
+    val h264 = Array[Byte](0, 0, 0, 1, 0x67, 0x42, 0x00, 0x1f,
+      (0xda).toByte, 0x01, 0x40, 0x16, (0xec).toByte, 0x04, 0x40, 0x00)
+    val rows = Multimodal.decode(
+      Seq((1L, "video", h264),
+          (2L, "video", y4mClip(frames = 2)),
+          (3L, "image", Multimodal.synthBlockPng(7L, jitter = false)),
+          (4L, "audio", Multimodal.synthToneWav(7L, pitch = 1.0)),
+          (5L, "image", "just prose, not an image".getBytes("UTF-8")))
+        .toDF("doc_id", "kind", "payload")).collect().sortBy(_.doc_id)
+    assert(!rows(0).decoded_real, "H.264 must be flagged as stub-decoded")
+    assert(rows(0).features.length == 8) // stub still produces plumbing-shaped output
+    assert(rows(1).decoded_real && rows(2).decoded_real && rows(3).decoded_real)
+    assert(!rows(4).decoded_real)
+    // decodesReal is the same branch condition decode() used
+    assert(!Multimodal.decodesReal("video", h264))
+    assert(Multimodal.decodesReal("video", y4mClip(frames = 2)))
+  }
 }
