@@ -1054,12 +1054,23 @@ object Multimodal {
     * cancels exactly in each ratio, so the contour is the
     * pitch-invariant candidate key the near-dup join needs; the share
     * bits stay the exact-verification payload. Measured on the synth
-    * corpus (numpy prototype, this round, log-parabolic interp):
+    * corpus (numpy prototype, round 14, log-parabolic interp):
     * planted pairs share ≥ 1 contour band 100 % / 99.5 % at 5k/50k
     * clips, full recall through the h ≤ 3 verify 89.8 % / 86.2 %
     * (floor 70 — the Hamming verify is the binding constraint), and
     * candidates are dup-structure-sized (2.0k / 24.5k) instead of
     * corpus-squared (0.7M / 70M under the former hash-slice banding).
+    *
+    * Constants re-validated beyond the clean-shift corpus (round 15,
+    * VibratoChordSpec): under 6 Hz / 2 % performance VIBRATO the
+    * half-semitone cell HOLDS — zero contour-band misses across 200
+    * planted pairs, 97 % of cells identical, drift ≤ 1 cell — so no
+    * cell-width re-parametrization is needed; vibrato's cost is
+    * share-bit smear in the Hamming verify (77 % vs 92 % plain over
+    * 100 seeds, floor 70). POLYPHONY (a major third on both sides)
+    * is absorbed: 93 %. These classes are planted in the registered
+    * `audio_neardup` corpus, so the floors re-measure them every run.
+    * Remaining untested realisms: inharmonic timbres, percussion.
     */
   private[graft] def audioSignature(payload: Array[Byte])
       : Option[(Long, Array[Int])] =
@@ -1163,11 +1174,25 @@ object Multimodal {
     * an md5 gain envelope. `pitch` scales every note; ×1.02 is the
     * planted near-dup transformation the fingerprint must absorb.
     * Clips round-trip through the REAL RIFF/PCM decode path.
+    *
+    * Two realism knobs close the "constants are synth-tuned" caveat at
+    * [[audioSignature]] by being MEASURED rather than assumed:
+    * `vibrato` frequency-modulates every note at 6 Hz with the given
+    * fractional depth (performance vibrato — FM sidebands sit ±6 Hz
+    * around the carrier, well inside one 31.25 Hz FFT bin at depth
+    * 0.02 for most of the note range, so the dominant-pitch estimate
+    * and the share bands move little); `chord` adds a major third
+    * (1.25 f) at 0.3 amplitude under the 0.35 fundamental (polyphony —
+    * the dominant bin stays the fundamental, but the third's energy
+    * claims extra share bits, which is why chord variants are planted
+    * on BOTH sides of a pair: same arrangement, shifted performance).
     */
-  private[graft] def synthToneWav(seed: Long, pitch: Double): Array[Byte] = {
+  private[graft] def synthToneWav(seed: Long, pitch: Double,
+      vibrato: Double = 0.0, chord: Boolean = false): Array[Byte] = {
     val Rate = 8000
     val N = 4000
     val Segs = 8
+    val VibHz = 6.0
     val segn = N / Segs
     val samples = new Array[Double](N)
     var s = 0
@@ -1177,8 +1202,16 @@ object Multimodal {
       var i = 0
       while (i < segn) {
         val t = i.toDouble / Rate
-        samples(s * segn + i) = gain * (0.35 * math.sin(2 * math.Pi * f * t) +
-          0.2 * math.sin(2 * math.Pi * 1.5 * f * t))
+        // FM phase: ∫2πf(1 + v·sin(2π·VibHz·τ))dτ — the carrier stays
+        // at f, the excursion is ±v·f
+        val ph =
+          if (vibrato > 0.0)
+            2 * math.Pi * f * t -
+              (f * vibrato / VibHz) * (math.cos(2 * math.Pi * VibHz * t) - 1)
+          else 2 * math.Pi * f * t
+        var x = 0.35 * math.sin(ph) + 0.2 * math.sin(1.5 * ph)
+        if (chord) x += 0.3 * math.sin(2 * math.Pi * 1.25 * f * t)
+        samples(s * segn + i) = gain * x
         i += 1
       }
       s += 1

@@ -243,7 +243,9 @@ object ScaleQueries {
       .parquet(new java.io.File(root, "buckets").toString)
     writeLedgerManifest(root)
     java.nio.file.Files.writeString(marker.toPath, "ok")
-    ledgerBuckets(spark, root)
+    // read-back through the cache: priming "full" here makes the fresh
+    // build's first full-tree consumer (stats/static sides) listing-free
+    cachedScan(spark, root, "full")(ledgerBuckets(spark, root))
       .select(col("id"), col("band").cast("long").as("band"),
         col("kb").cast("long").as("kb"), col("key"))
       .orderBy("band", "kb", "key", "id")
@@ -254,6 +256,46 @@ object ScaleQueries {
     */
   private def ledgerBuckets(spark: SparkSession, root: java.io.File): DataFrame =
     spark.read.parquet(new java.io.File(root, "buckets").toString)
+
+  /** Session-scoped cache of RESOLVED ledger scans. `spark.read.parquet`
+    * builds an InMemoryFileIndex at read time — a driver-side listing of
+    * the touched tree plus a footer read for schema — and a repeated
+    * probe in the same session re-pays that against an UNCHANGED ledger.
+    * Keyed by (session identity, canonical root, ledger version, scan
+    * signature), where the version is the manifest/completion-marker
+    * mtime: a rebuild or compaction rewrites both, so stale entries miss
+    * and are evicted on the next load — no explicit invalidation hook.
+    * This is the plain-parquet analog of a catalog's FileStatusCache; at
+    * 100 TB the listing is a metastore/S3-LIST round-trip per probe, and
+    * reusing the resolved scan is what makes a session's SECOND and
+    * later admission checks metadata-free (measured: `ScaleProbe
+    * ledgerrepeat`, SCALING.md).
+    */
+  private val ledgerScanCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long, String), DataFrame]
+
+  private[graft] def clearLedgerScanCache(): Unit = ledgerScanCache.clear()
+
+  private def ledgerVersion(root: java.io.File): Long =
+    math.max(new java.io.File(root, "manifest.txt").lastModified(),
+      new java.io.File(root, "_GRAFT_LEDGER_COMPLETE").lastModified())
+
+  private def cachedScan(spark: SparkSession, root: java.io.File, sig: String)(
+      load: => DataFrame): DataFrame = {
+    val key = (System.identityHashCode(spark), root.getCanonicalPath,
+      ledgerVersion(root), sig)
+    val hit = ledgerScanCache.get(key)
+    if (hit != null) hit
+    else {
+      // evict stale versions of this ledger so the map stays bounded by
+      // (live ledgers × distinct scan signatures), not by rebuild count
+      ledgerScanCache.keySet.removeIf(k =>
+        k._1 == key._1 && k._2 == key._2 && k._3 != key._3)
+      val df = load
+      ledgerScanCache.putIfAbsent(key, df)
+      df
+    }
+  }
 
   /** The ledger MANIFEST — one relative path per leaf parquet file,
     * written ONCE at build time (the Delta/Iceberg-metadata analog for
@@ -266,7 +308,7 @@ object ScaleQueries {
     * lists. Backfilled lazily for pre-manifest ledgers (one listing,
     * then amortized).
     */
-  private def writeLedgerManifest(root: java.io.File): Unit = {
+  private[graft] def writeLedgerManifest(root: java.io.File): Unit = {
     val buckets = new java.io.File(root, "buckets")
     val sb = new StringBuilder
     for {
@@ -321,8 +363,13 @@ object ScaleQueries {
         case _ => ()
       }
     if (touched.isEmpty || touched.size * 2 > allDirs.size) None
-    else Some(spark.read.option("basePath", bucketsPath.toString)
-      .parquet(touched.toSeq.map(d => new java.io.File(bucketsPath, d).toString): _*))
+    else {
+      val dirs = touched.toVector
+      Some(cachedScan(spark, root, s"dirs:${dirs.hashCode}") {
+        spark.read.option("basePath", bucketsPath.toString)
+          .parquet(dirs.map(d => new java.io.File(bucketsPath, d).toString): _*)
+      })
+    }
   }
 
   /** `dedup_ledger_probe` — the read half: the batch slice's band keys
@@ -363,12 +410,14 @@ object ScaleQueries {
     val pairs = bb.select(col("band"), col("kb")).distinct()
       .collect().map(r => r.getInt(0).toLong * kb + r.getLong(1)).sorted
     val pruned =
-      if (pairs.isEmpty) ledgerBuckets(spark, root).filter(lit(false))
+      if (pairs.isEmpty)
+        cachedScan(spark, root, "full")(ledgerBuckets(spark, root)).filter(lit(false))
       else {
         // manifest route first (O(touched files), no tree listing);
-        // directory route as the fallback for manifest-less ledgers
+        // cached full-tree scan as the fallback for manifest-less
+        // ledgers and the saturated case (touched ≈ whole tree)
         val base = ledgerManifestScan(spark, root, pairs, kb)
-          .getOrElse(ledgerBuckets(spark, root))
+          .getOrElse(cachedScan(spark, root, "full")(ledgerBuckets(spark, root)))
         base.filter(
           (col("band").cast("long") * kb + col("kb").cast("long")).isin(pairs: _*))
       }
@@ -389,7 +438,7 @@ object ScaleQueries {
       dedupLedgerBuild(spark, dir).count()
     val hg = docs(spark, dir).filter(!ledgerIsBatch)
       .select(col("doc_id").as("hist_id"), kmGramArray(col("text")).as("h_grams"))
-    (ledgerBuckets(spark, root), hg)
+    (cachedScan(spark, root, "full")(ledgerBuckets(spark, root)), hg)
   }
 
   def dedupLedgerProbe(spark: SparkSession, dir: String): DataFrame =
@@ -2734,6 +2783,25 @@ object ScaleQueries {
     * path the fingerprints run through is real). PLANTED near-dups:
     * docs with doc_id % 7 = 3 reuse doc (d−3)'s melody pitch-shifted
     * ×1.02 — (d−3) % 7 = 0, so seed groups never chain.
+    *
+    * Round 15 widens the planted transformations beyond the clean
+    * shift (the "constants are synth-tuned" caveat at
+    * `Multimodal.audioSignature` — vibrato and polyphony were the
+    * named untested realisms), split by residue mod 21 (dup docs are
+    * 3/10/17; their seeds are 0/7/14):
+    *   - d % 21 = 3  → plain ×1.02 (the original class);
+    *   - d % 21 = 10 → ×1.02 + 6 Hz vibrato, depth 0.02, on the DUP
+    *     side only (a re-performance with vibrato);
+    *   - d % 21 = 17 → ×1.02 of a POLYPHONIC melody — both sides carry
+    *     a major third (every doc with id % 21 = 14 is chorded), the
+    *     same-arrangement-shifted-performance class.
+    * Measured per class over 200 pairs (VibratoChordSpec): the contour
+    * CANDIDATE key is untouched (0 band misses under vibrato; 97 % of
+    * cells identical, drift ≤ 1 half-semitone cell — the cell width
+    * HOLDS, no re-parametrization needed); losses are Hamming-verify
+    * only (vibrato's spectral smear flips share bits: single-sided
+    * vibrato 77 %, both-sided chord 93 %, plain 92 %). Corpus recall
+    * floors stay ≥ 70 (`audio_neardup_recall`).
     */
   private def audioPayloads(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -2742,7 +2810,9 @@ object ScaleQueries {
         val dup = id % 7 == 3 && id >= 3
         val seed = if (dup) id - 3 else id
         val pitch = if (dup) 1.02 else 1.0
-        (id, "audio", Multimodal.synthToneWav(seed, pitch))
+        val vib = if (dup && id % 21 == 10) 0.02 else 0.0
+        val chord = seed % 21 == 14 // both sides of a 17-class pair chorded
+        (id, "audio", Multimodal.synthToneWav(seed, pitch, vib, chord))
       })
       .toDF("doc_id", "kind", "payload")
   }
