@@ -265,6 +265,32 @@ object ScaleProbe {
       return
     }
 
+    // Repeated-probe mode (`runMain graft.ScaleProbe ledgerrepeat`):
+    // measures the session-cached FileIndex — the SAME fixed-batch
+    // probe run twice in one session against an unchanged ledger. The
+    // FIRST probe pays the scan resolution (manifest read + touched-dir
+    // listing + schema footer); the SECOND hits the session cache and
+    // is metadata-free. Cache cleared between corpora so each first
+    // probe is honestly cold. Requires ledgers + sf1/sf10 corpora from
+    // a prior `ledger` run (probe builds them if absent).
+    if (args.contains("ledgerrepeat")) {
+      val out10 = "target/scaledata/sf10"
+      val fixedBatch = col("doc_id") % 10 === 3 && col("doc_id") < 1000000L
+      def once(dir: String): Double = {
+        val t0 = System.nanoTime()
+        graft.queries.ScaleQueries.dedupLedgerProbeOn(spark, dir, fixedBatch).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      for (dir <- Seq(src, out, out10)) {
+        graft.queries.ScaleQueries.clearLedgerScanCache()
+        val first = once(dir)
+        val second = Seq(once(dir), once(dir)).min // min-of-2 warm probes
+        println(f"PROBEREPEAT $dir first=$first%.2f s second=$second%.2f s")
+      }
+      spark.stop()
+      return
+    }
+
     // LedgerKb-knob mode (`runMain graft.ScaleProbe ledgerkb`): the
     // SCALING.md ledger section predicts the fixed-batch probe curve
     // flattens when the (band, kb) directory count outgrows the

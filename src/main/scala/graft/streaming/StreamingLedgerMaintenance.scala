@@ -59,4 +59,70 @@ object StreamingLedgerMaintenance {
     if (hasData) spark.read.schema(like.schema).parquet(deltaDir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], like.schema)
   }
+
+  /** Committed delta parquet-file count — the compaction trigger.
+    * Every micro-batch appends ≥1 file per touched (band, kb)
+    * directory, so without folding, probe-side open cost grows with
+    * STREAM LIFETIME, not data: this is the number the policy bounds.
+    */
+  def deltaFileCount(deltaDir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory && f.getName != "_spark_metadata")
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(deltaDir))
+  }
+
+  /** Fold the delta segment into the base ledger — stop-the-stream
+    * maintenance (the streaming query writing `deltaDir` MUST be
+    * stopped first; the delta directory and its sink commit log are
+    * consumed and removed, and the restarted stream gets a fresh
+    * checkpoint + delta dir). base ∪ delta is rewritten with the
+    * build's one-file-per-(band, kb) compaction into a sibling temp
+    * dir, then swapped in; the manifest and completion marker are
+    * refreshed LAST, which also version-bumps every session-cached
+    * scan of this ledger. Keys are deterministic row-local functions
+    * of the text, so the compacted base is row-identical to a cold
+    * rebuild over corpus ∪ arrivals (asserted in the spec).
+    */
+  def compact(spark: SparkSession, baseRoot: String, deltaDir: String): Unit = {
+    val root = new java.io.File(baseRoot)
+    val buckets = new java.io.File(root, "buckets")
+    val tmp = new java.io.File(root, "buckets_compacting")
+    val marker = new java.io.File(root, "_GRAFT_LEDGER_COMPLETE")
+    val base = spark.read.parquet(buckets.toString)
+      .select(col("id"), col("key"), col("band").cast("int").as("band"),
+        col("kb").cast("long").as("kb"))
+    val merged = base.unionByName(deltaBuckets(spark, deltaDir, base))
+    marker.delete() // a crash mid-swap must read as "no ledger", never half
+    merged.repartition(col("band"), col("kb"))
+      .write.mode("overwrite").partitionBy("band", "kb")
+      .parquet(tmp.toString)
+    rmTree(buckets)
+    java.nio.file.Files.move(tmp.toPath, buckets.toPath)
+    graft.queries.ScaleQueries.writeLedgerManifest(root)
+    java.nio.file.Files.writeString(marker.toPath, "ok")
+    rmTree(new java.io.File(deltaDir))
+  }
+
+  /** The maintenance POLICY: fold when the delta's committed file count
+    * exceeds `maxDeltaFiles`, else leave the stream's segment alone.
+    * Returns whether a compaction ran. With the default 64, a probe
+    * never opens more than 64 delta files on top of the base's
+    * one-per-directory — files-per-probe stays bounded by the policy
+    * constant as history grows, which is the whole point.
+    */
+  def maintainBase(spark: SparkSession, baseRoot: String, deltaDir: String,
+                   maxDeltaFiles: Int = 64): Boolean = {
+    val due = deltaFileCount(deltaDir) > maxDeltaFiles
+    if (due) compact(spark, baseRoot, deltaDir)
+    due
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
+    f.delete()
+    ()
+  }
 }

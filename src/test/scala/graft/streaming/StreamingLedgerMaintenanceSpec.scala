@@ -63,4 +63,81 @@ class StreamingLedgerMaintenanceSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSet
     assert(hits.contains((900001L, 1.0)), hits) // found via the DELTA segment
   }
+
+  test("compaction policy folds the delta into the base: row-identical to a " +
+       "cold recode, one file per directory, manifest refreshed, probe unchanged") {
+    import spark.implicits._
+    // a standalone base root (same layout dedup_ledger_build writes), so
+    // compaction never disturbs the shared corpus-cache ledger
+    val root = Files.createTempDirectory("sledgroot").toFile
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "streaming ledger maintenance keeps admission probes bounded over time"),
+      (3L, "a third history document with enough distinct tokens to band properly"))
+    val histKeys = StreamingLedgerMaintenance.keyStream(history.toDF("doc_id", "text"))
+    histKeys.repartition(col("band"), col("kb"))
+      .write.mode("overwrite").partitionBy("band", "kb")
+      .parquet(new java.io.File(root, "buckets").toString)
+    ScaleQueries.writeLedgerManifest(root)
+    Files.writeString(new java.io.File(root, "_GRAFT_LEDGER_COMPLETE").toPath, "ok")
+
+    // stream two arrivals into a delta segment (one copies doc 2's text)
+    val arrivals = Seq(
+      (11L, "streaming ledger maintenance keeps admission probes bounded over time"),
+      (12L, "an unrelated arrival about calibrating festival drum ensembles"))
+    val in = Files.createTempDirectory("sledgcin")
+    val deltaDir = Files.createTempDirectory("sledgcdelta").toString
+    val q = StreamingLedgerMaintenance.writer(
+        StreamingLedgerMaintenance.keyStream(
+          spark.readStream.schema("doc_id LONG, text STRING").parquet(in.toString)),
+        deltaDir, Files.createTempDirectory("sledgcck").toString).start()
+    try {
+      arrivals.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("key"), col("band").cast("int"), col("kb").cast("long"))
+        .as[(Long, String, Int, Long)].collect().toSet
+    val base = spark.read.parquet(new java.io.File(root, "buckets").toString)
+    val preUnion = rows(base.unionByName(
+      StreamingLedgerMaintenance.deltaBuckets(spark, deltaDir, base)))
+
+    // below the threshold the policy is a no-op; forcing it compacts
+    val nDelta = StreamingLedgerMaintenance.deltaFileCount(deltaDir)
+    assert(nDelta >= 1)
+    assert(!StreamingLedgerMaintenance.maintainBase(spark, root.toString, deltaDir,
+      maxDeltaFiles = nDelta))
+    assert(StreamingLedgerMaintenance.maintainBase(spark, root.toString, deltaDir,
+      maxDeltaFiles = nDelta - 1))
+
+    // row-identical to the cold recode of history ∪ arrivals
+    val post = spark.read.parquet(new java.io.File(root, "buckets").toString)
+    assert(rows(post) == preUnion)
+    assert(rows(post) == rows(StreamingLedgerMaintenance.keyStream(
+      (history ++ arrivals).toDF("doc_id", "text"))))
+
+    // one parquet file per (band, kb) directory; manifest matches disk
+    val buckets = new java.io.File(root, "buckets")
+    val perDir = for {
+      b <- buckets.listFiles().toSeq if b.isDirectory
+      k <- b.listFiles().toSeq if k.isDirectory
+    } yield k.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(perDir.nonEmpty && perDir.forall(_ == 1), perDir)
+    val manifest = Files.readAllLines(
+      new java.io.File(root, "manifest.txt").toPath)
+    assert(manifest.size == perDir.size)
+
+    // delta consumed; completion marker restored; probe result unchanged
+    assert(!new java.io.File(deltaDir).exists())
+    assert(new java.io.File(root, "_GRAFT_LEDGER_COMPLETE").exists())
+    val hg = (history ++ arrivals).toDF("doc_id", "text")
+      .select(col("doc_id").as("hist_id"),
+        ScaleQueries.kmGramArray(col("text")).as("h_grams"))
+    val probe = Seq((99L, arrivals.head._2)).toDF("doc_id", "text")
+    val hits = StreamingLedgerProbe.score(probe, post, hg, threshold = 0.5)
+      .select("hist_id").as[Long].collect().toSet
+    assert(hits.contains(2L) && hits.contains(11L), hits)
+  }
 }
