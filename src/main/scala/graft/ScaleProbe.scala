@@ -218,6 +218,57 @@ object ScaleProbe {
       return
     }
 
+    // k-scaling mode (`runMain graft.ScaleProbe annk`): the IVF /
+    // SemDeDup scaladocs assert cell count should grow ~√N to keep
+    // per-cell work bounded, but every committed build uses k = 16.
+    // This MEASURES the recipe on the sf1 replica corpus (10× vectors
+    // ⇒ k ≈ 16·√10 ≈ 50, rounded to 64): build wall, per-cell
+    // imbalance (max/mean occupancy — the ann_index_stats quantities),
+    // and for each probe width the fixed-batch search wall + recall vs
+    // the brute truth. k = 16 at the registered nProbe = 12 is the
+    // baseline row; k = 64 sweeps nProbe 12/24/48 (same probed
+    // FRACTION at 48, same probed CELL COUNT at 12 — the contrast
+    // shows whether finer cells buy recall per scanned byte).
+    if (args.contains("annk")) {
+      import graft.queries.ScaleQueries
+      val pred = col("id") % ScaleQueries.PqQueryMod === 0 && col("id") < 1000000L
+      val prepped = graft.operators.Similarity.prep(
+        spark.read.parquet(s"$out/embeddings.parquet"), "vec_id", "embedding")
+      val queries = prepped.filter(pred)
+      val brute = graft.operators.Similarity.knnBrute(queries, prepped,
+          k = ScaleQueries.PqK)
+        .select(col("q_id"), col("n_id")).cache()
+      val nBrute = brute.count()
+      def timed(n: Int)(f: () => Long): Double = {
+        f()
+        (1 to n).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      for (k <- Seq(16, 64)) {
+        val b = timed(1)(() => ScaleQueries.annIndexBuildAt(spark, out, k).count())
+        val cells = ScaleQueries.annIndexPartsAt(spark, out, k)._1
+          .groupBy("c_id").count().select(col("count").cast("double"))
+          .collect().map(_.getDouble(0))
+        val imb = cells.max / (cells.sum / cells.length)
+        println(f"PROBEANNK k=$k%d build=$b%.2f s cells=${cells.length}%d " +
+          f"imbalance=max/mean=$imb%.2f")
+        val probes = if (k == 16) Seq(12) else Seq(12, 24, 48)
+        for (np <- probes) {
+          val s = timed(2)(() =>
+            ScaleQueries.annIndexSearchOnAt(spark, out, pred, k, np).count())
+          val hit = brute.join(
+            ScaleQueries.annIndexSearchOnAt(spark, out, pred, k, np)
+              .select(col("q_id"), col("n_id")),
+            Seq("q_id", "n_id"), "left_semi").count()
+          println(f"PROBEANNK k=$k%d nProbe=$np%d search=$s%.2f s " +
+            f"recall=${100.0 * hit / nBrute}%.1f %% ($hit%d/$nBrute%d)")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // Ledger mode (`runMain graft.ScaleProbe ledger`): the persisted
     // near-dup ledger lifecycle probed across two decades
     // (sf0.1 → sf1 → sf10) — BUILD (gram + KM-sign + banded write,
@@ -281,6 +332,11 @@ object ScaleProbe {
         graft.queries.ScaleQueries.dedupLedgerProbeOn(spark, dir, fixedBatch).count()
         (System.nanoTime() - t0) / 1e9
       }
+      // JVM/codegen warm-up on the tiny corpus FIRST: without it the
+      // first measured probe absorbs the session's whole-stage-codegen
+      // and broadcast machinery spin-up (~6 s) and the first-vs-second
+      // delta stops being the listing term it claims to be.
+      once("/root/testdata/sf0.001")
       for (dir <- Seq(src, out, out10)) {
         graft.queries.ScaleQueries.clearLedgerScanCache()
         val first = once(dir)
