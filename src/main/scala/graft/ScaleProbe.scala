@@ -265,6 +265,44 @@ object ScaleProbe {
             f"recall=${100.0 * hit / nBrute}%.1f %% ($hit%d/$nBrute%d)")
         }
       }
+      // Base-level recall: the replica corpus makes top-PqK truth
+      // DEGENERATE — a query's nearest neighbors are its own exact
+      // copies (cosine 1.0, same cell by construction), so the sweep
+      // above only proves duplicate-collapse consistency. Collapse to
+      // BASE vectors instead: search k = 55 (5 distinct bases × 10
+      // replicas + headroom), keep each query's top-5 DISTINCT bases
+      // excluding its own, same reduction on the brute side — this is
+      // the real neighbor structure (the sf0.1 geometry, replicated).
+      def baseTop5(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Relational.topKPerGroup(
+          df.withColumn("b", col("n_id") % 1000000L)
+            .filter(col("b") =!= col("q_id") % 1000000L)
+            .groupBy(col("q_id"), col("b")).agg(min("rk").as("brk")),
+          Seq("q_id"), -col("brk"), col("b"), 5)
+          .select(col("q_id"), col("b"))
+      val truthB = baseTop5(graft.operators.Similarity.knnBrute(
+        queries, prepped, k = 55)).cache()
+      val nTruthB = truthB.count()
+      // rerank scales with the replication factor (200 × 10): every
+      // base occupies ~10 rerank slots, so an unscaled pool holds only
+      // ~20 distinct bases — the comparison would measure replica
+      // crowding, not cell geometry (measured: rerank=200 gives 31–38 %
+      // base-recall at EVERY config for exactly that reason).
+      // scan-matched pairs: (16,6) vs (64,24) both probe 37.5 % of the
+      // corpus; (16,12) vs (64,48) both probe 75 % — the contrast that
+      // answers "do finer cells buy recall per scanned byte".
+      for ((k, np) <- Seq((16, 6), (16, 12), (64, 12), (64, 24), (64, 48))) {
+        val (codes, coarse, subs) = ScaleQueries.annIndexPartsAt(spark, out, k)
+        val t0 = System.nanoTime()
+        val foundB = baseTop5(graft.operators.Similarity.knnIvfPqOnCodes(
+          queries, prepped,
+          ScaleQueries.prunedIndexCodes(queries, codes, coarse, np),
+          k = 55, rerank = 2000, nProbe = np, coarse = coarse, subspaces = subs))
+        val hit = truthB.join(foundB, Seq("q_id", "b"), "left_semi").count()
+        val w = (System.nanoTime() - t0) / 1e9
+        println(f"PROBEANNK base-recall k=$k%d nProbe=$np%d = " +
+          f"${100.0 * hit / nTruthB}%.1f %% ($hit%d/$nTruthB%d) wall=$w%.2f s")
+      }
       spark.stop()
       return
     }

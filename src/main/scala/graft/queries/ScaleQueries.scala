@@ -288,9 +288,13 @@ object ScaleQueries {
     if (hit != null) hit
     else {
       // evict stale versions of this ledger so the map stays bounded by
-      // (live ledgers × distinct scan signatures), not by rebuild count
+      // (live ledgers × distinct scan signatures), not by rebuild count;
+      // the blunt full clear caps a long session that probes many
+      // DISTINCT batches (each a new signature) — a re-resolve is cheap
+      // relative to leaking file-index plans forever
       ledgerScanCache.keySet.removeIf(k =>
         k._1 == key._1 && k._2 == key._2 && k._3 != key._3)
+      if (ledgerScanCache.size > 256) ledgerScanCache.clear()
       val df = load
       ledgerScanCache.putIfAbsent(key, df)
       df
@@ -986,8 +990,16 @@ object ScaleQueries {
       System.getProperty("java.io.tmpdir"), ns), md)
   }
 
-  private def annIndexDir(dir: String): java.io.File =
-    corpusCacheDir(dir, "embeddings", "graft-ann-index")
+  private def annIndexDir(dir: String): java.io.File = annIndexDirAt(dir, 16)
+
+  /** Index home for a non-default coarse cell count — the k ∝ √N
+    * scaling recipe measured by `ScaleProbe annk` (SCALING.md): same
+    * corpus-signature keying, separate namespace per k so the
+    * registered k = 16 index is never clobbered by a probe build.
+    */
+  private def annIndexDirAt(dir: String, k: Int): java.io.File =
+    corpusCacheDir(dir, "embeddings",
+      if (k == 16) "graft-ann-index" else s"graft-ann-index-k$k")
 
   /** `ann_index_build` — the write half of the deployment-shape ANN
     * lifecycle (build once, search many): train the coarse quantizer +
@@ -1004,11 +1016,18 @@ object ScaleQueries {
     * completion marker is written last so a crashed build is never
     * mistaken for an index.
     */
-  def annIndexBuild(spark: SparkSession, dir: String): DataFrame = {
-    val root = annIndexDir(dir)
+  def annIndexBuild(spark: SparkSession, dir: String): DataFrame =
+    annIndexBuildAt(spark, dir, 16)
+
+  /** [[annIndexBuild]] at a caller-chosen coarse cell count — the
+    * measurement hook behind the k ∝ √N recipe (`ScaleProbe annk`).
+    */
+  private[graft] def annIndexBuildAt(spark: SparkSession, dir: String,
+      kCells: Int): DataFrame = {
+    val root = annIndexDirAt(dir, kCells)
     val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding",
       keep = Seq("label"))
-    val coarse = Similarity.kmeansCentroids(prepped, k = 16, iters = 1)
+    val coarse = Similarity.kmeansCentroids(prepped, k = kCells, iters = 1)
     val subs = ivfPqSubspaces(prepped, coarse)
     val marker = new java.io.File(root, "_GRAFT_INDEX_COMPLETE")
     marker.delete()
@@ -1038,10 +1057,14 @@ object ScaleQueries {
     * trainer's output regardless of parquet file order.
     */
   private[graft] def annIndexParts(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, Seq[(Int, Int, DataFrame)]) = {
-    val root = annIndexDir(dir)
+      : (DataFrame, DataFrame, Seq[(Int, Int, DataFrame)]) =
+    annIndexPartsAt(spark, dir, 16)
+
+  private[graft] def annIndexPartsAt(spark: SparkSession, dir: String,
+      kCells: Int): (DataFrame, DataFrame, Seq[(Int, Int, DataFrame)]) = {
+    val root = annIndexDirAt(dir, kCells)
     if (!new java.io.File(root, "_GRAFT_INDEX_COMPLETE").exists())
-      annIndexBuild(spark, dir).count()
+      annIndexBuildAt(spark, dir, kCells).count()
     val codes = spark.read.parquet(new java.io.File(root, "codes").toString)
     val coarse = spark.read.parquet(new java.io.File(root, "coarse").toString)
       .orderBy("c_id")
@@ -1060,8 +1083,9 @@ object ScaleQueries {
     * parquet directories (PartitionFilters — asserted in AnnIndexSpec).
     */
   private[graft] def prunedIndexCodes(queries: DataFrame, codes: DataFrame,
-                                      coarse: DataFrame): DataFrame = {
-    val cells = Similarity.probedCells(queries, coarse, IvfPqNProbe)
+                                      coarse: DataFrame,
+                                      nProbe: Int = IvfPqNProbe): DataFrame = {
+    val cells = Similarity.probedCells(queries, coarse, nProbe)
       .collect().map(_.getLong(0)).sorted.toSeq
     codes.filter(col("c_id").isin(cells: _*))
   }
@@ -1081,13 +1105,21 @@ object ScaleQueries {
     * batch against a growing corpus), not batch×corpus growth.
     */
   private[graft] def annIndexSearchOn(spark: SparkSession, dir: String,
-                                      queryPred: org.apache.spark.sql.Column): DataFrame = {
+                                      queryPred: org.apache.spark.sql.Column): DataFrame =
+    annIndexSearchOnAt(spark, dir, queryPred, 16, IvfPqNProbe)
+
+  /** [[annIndexSearchOn]] against a k-parametrized persisted index with
+    * a caller-chosen probe width — the `ScaleProbe annk` search hook.
+    */
+  private[graft] def annIndexSearchOnAt(spark: SparkSession, dir: String,
+      queryPred: org.apache.spark.sql.Column, kCells: Int,
+      nProbe: Int): DataFrame = {
     val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
     val queries = prepped.filter(queryPred)
-    val (codes, coarse, subs) = annIndexParts(spark, dir)
+    val (codes, coarse, subs) = annIndexPartsAt(spark, dir, kCells)
     Similarity.knnIvfPqOnCodes(queries, prepped,
-        prunedIndexCodes(queries, codes, coarse),
-        k = PqK, rerank = PqRerank, nProbe = IvfPqNProbe,
+        prunedIndexCodes(queries, codes, coarse, nProbe),
+        k = PqK, rerank = PqRerank, nProbe = nProbe,
         coarse = coarse, subspaces = subs)
       .orderBy("q_id", "rk")
   }
