@@ -309,15 +309,20 @@ object Multimodal {
     * [[bandedHammingPairs]] join — the video sibling of the image
     * aHash/pHash and audio fingerprint paths.
     */
-  def videoNearDups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def videoNearDups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(videoHashFrame(withPayloads), maxHamming)
+
+  /** The (doc_id, h64) spatio-temporal fingerprint frame behind both
+    * video near-dup shapes — see [[imagePhashFrame]].
+    */
+  private[graft] def videoHashFrame(withPayloads: DataFrame): DataFrame = {
     import withPayloads.sparkSession.implicits._
-    val hashed = withPayloads
+    withPayloads
       .filter(col("kind") === "video")
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) => videoFingerprint(p).map(h => (id, h)) })
       .toDF("doc_id", "h64")
-    bandedHammingPairs(hashed, maxHamming)
   }
 
   /** Deterministic Y4M clip for the video near-dup surface: 32×32
@@ -653,16 +658,57 @@ object Multimodal {
     * luma-warp-robust sibling of [[imageNearDups]] (run both; their
     * edge union feeds consensus resolution like the text families).
     */
-  def imagePhashNearDups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imagePhashNearDups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(imagePhashFrame(withPayloads), maxHamming)
+
+  /** The (doc_id, h64) pHash frame behind both image near-dup shapes —
+    * exposed so the groups recall companion can map docs to families
+    * without a second decode pass (the audio-groups pattern).
+    */
+  private[graft] def imagePhashFrame(withPayloads: DataFrame): DataFrame = {
     import withPayloads.sparkSession.implicits._
-    val hashed = withPayloads
+    withPayloads
       .filter(col("kind") === "image")
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) => pHash(p).map(h => (id, h)) })
       .toDF("doc_id", "h64")
-    bandedHammingPairs(hashed, maxHamming)
   }
+
+  /** Near-duplicates in the GROUP shape for a 64-bit hash frame — the
+    * `dup_clusters`/audio-groups contract applied to the image/video
+    * hash spaces: identical hashes collapse to ONE family row
+    * (rep = min doc_id) BEFORE the banded candidate join, so output is
+    * sized by distinct hashes, never by member pairs. Exact families
+    * emit (rep, rep, 0, n, n, n·(n−1)/2); near edges join family
+    * REPRESENTATIVES through the same pigeonhole-complete 4×16 banded
+    * Hamming join as the pair shape (the accept set is identical:
+    * equal hashes band identically) and carry both family sizes.
+    */
+  private[graft] def hashedNearDupGroups(hashed: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val groups = hashed.groupBy("h64")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+    val exact = groups.filter(col("n_docs") >= 2)
+      .select(col("rep_id").as("a_id"), col("rep_id").as("b_id"),
+        lit(0).as("hamming"), col("n_docs").as("n_a"), col("n_docs").as("n_b"),
+        ((col("n_docs") * (col("n_docs") - 1)) / 2).cast("long").as("n_pairs"))
+    val reps = groups.select(col("rep_id").as("doc_id"), col("h64"))
+    val near = bandedHammingPairsRaw(reps, maxHamming)
+      .join(groups.select(col("rep_id").as("a_id"), col("n_docs").as("n_a")), "a_id")
+      .join(groups.select(col("rep_id").as("b_id"), col("n_docs").as("n_b")), "b_id")
+      .select(col("a_id"), col("b_id"), col("hamming"), col("n_a"), col("n_b"),
+        (col("n_a") * col("n_b")).cast("long").as("n_pairs"))
+    exact.unionByName(near).orderBy("a_id", "b_id")
+  }
+
+  /** Image near-duplicates in the GROUP shape (pHash families). */
+  def imageNearDupGroups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame =
+    hashedNearDupGroups(imagePhashFrame(withPayloads), maxHamming)
+
+  /** Video near-duplicates in the GROUP shape (TIRI-bit families). */
+  def videoNearDupGroups(withPayloads: DataFrame, maxHamming: Int = 3): DataFrame =
+    hashedNearDupGroups(videoHashFrame(withPayloads), maxHamming)
 
   /** Kind-dispatched 64-bit perceptual fingerprint — one entry point
     * for the streaming admission path ([[graft.streaming.StreamingMediaDedup]]):

@@ -3024,6 +3024,59 @@ object ScaleQueries {
     FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 3
     WHERE b.doc_id % 7 = 3"""
 
+  /** `image_neardup_groups` — the dup_clusters-shape GROUP contract for
+    * the image modality ([[graft.operators.Multimodal.imageNearDupGroups]]):
+    * identical pHashes collapse to one family row before the banded
+    * candidate join, so output is sized by distinct hashes. Same
+    * accept set as `image_neardup`. Rows-only by design (JVM DCT);
+    * `image_neardup_groups_recall` is the oracle-checked companion.
+    */
+  def imageNearDupGroups(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDupGroups(imagePayloads(spark, dir), maxHamming = 3)
+
+  /** Floor 90 (the pair-shape floor — family coverage of a planted
+    * pair is exactly pair-shape discovery, see the audio twin). ONE
+    * decode pass: the Materialized hash frame feeds the group edges
+    * and the doc→family mapping.
+    */
+  def imageNearDupGroupsRecall(spark: SparkSession, dir: String): DataFrame =
+    hashedGroupsRecall(spark, dir,
+      Materialize(Multimodal.imagePhashFrame(imagePayloads(spark, dir))), minPct = 90)
+
+  val imageNearDupGroupsRecallSql: String = imageNearDupRecallSql
+
+  /** Shared groups-recall audit for the 64-bit hash modalities: a
+    * planted pair counts as recovered when its docs share a hash
+    * family or their family REPS are joined by a near edge (a_id =!=
+    * b_id — exact-family rows are the only a_id == b_id rows; near
+    * edges can carry hamming = 0 only in multi-key spaces, which the
+    * single-key h64 grouping excludes, but the predicate stays the
+    * audio-proven one).
+    */
+  private def hashedGroupsRecall(spark: SparkSession, dir: String,
+      fp: DataFrame, minPct: Int): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"))
+    val truth = d.select(col("doc_id").as("b_id")).filter(col("b_id") % 7 === 3)
+      .join(d.select(col("doc_id").as("a_id")), col("a_id") === col("b_id") - 3)
+      .select("a_id", "b_id")
+    val rep = fp.join(fp.groupBy("h64").agg(min("doc_id").as("rep_id")), Seq("h64"))
+      .select(col("doc_id"), col("rep_id"))
+    val t2 = truth
+      .join(rep.select(col("doc_id").as("a_id"), col("rep_id").as("ra")), "a_id")
+      .join(rep.select(col("doc_id").as("b_id"), col("rep_id").as("rb")), "b_id")
+    val edges = Multimodal.hashedNearDupGroups(fp, maxHamming = 3)
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id").as("ea"), col("b_id").as("eb"))
+    val same = t2.filter(col("ra") === col("rb")).select("a_id", "b_id")
+    val nearHit = t2.filter(col("ra") =!= col("rb"))
+      .join(edges,
+        least(col("ra"), col("rb")) === col("ea") &&
+          greatest(col("ra"), col("rb")) === col("eb"),
+        "left_semi")
+      .select("a_id", "b_id")
+    recallRow(truth, same.unionByName(nearHit), minPct = minPct)
+  }
+
   /** Synthesized Y4M corpus: deterministic 32×32 C420 clips
     * ([[graft.operators.Multimodal.synthY4m]]) with the same planted
     * layout as the image/audio surfaces (doc_id % 7 = 3 replays
@@ -3067,6 +3120,22 @@ object ScaleQueries {
     SELECT cast(count(*) AS BIGINT) AS n_true, cast(1 AS BIGINT) AS recall_ok
     FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 3
     WHERE b.doc_id % 7 = 3"""
+
+  /** `video_neardup_groups` — the GROUP contract for the video
+    * modality (TIRI-bit families); see [[imageNearDupGroups]].
+    * Rows-only by design; `video_neardup_groups_recall` audits it.
+    */
+  def videoNearDupGroups(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.videoNearDupGroups(videoPayloads(spark, dir), maxHamming = 3)
+
+  /** Floor 90, single decode pass — the video twin of
+    * [[imageNearDupGroupsRecall]].
+    */
+  def videoNearDupGroupsRecall(spark: SparkSession, dir: String): DataFrame =
+    hashedGroupsRecall(spark, dir,
+      Materialize(Multimodal.videoHashFrame(videoPayloads(spark, dir))), minPct = 90)
+
+  val videoNearDupGroupsRecallSql: String = videoNearDupRecallSql
 
   def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("lang"),
@@ -4141,8 +4210,12 @@ object ScaleQueries {
     "audio_neardup_precision" -> (audioNearDupPrecision _),
     "image_neardup"   -> (imageNearDup _),
     "image_neardup_recall" -> (imageNearDupRecall _),
+    "image_neardup_groups" -> (imageNearDupGroups _),
+    "image_neardup_groups_recall" -> (imageNearDupGroupsRecall _),
     "video_neardup"   -> (videoNearDup _),
     "video_neardup_recall" -> (videoNearDupRecall _),
+    "video_neardup_groups" -> (videoNearDupGroups _),
+    "video_neardup_groups_recall" -> (videoNearDupGroupsRecall _),
     "emb_near_dup"  -> (embNearDup _),
     "emb_quantize"  -> (embQuantize _),
     "emb_normalize" -> (embNormalize _),
@@ -4171,7 +4244,9 @@ object ScaleQueries {
     "audio_neardup_groups_recall" -> audioNearDupGroupsRecallSql,
     "audio_neardup_precision" -> audioNearDupPrecisionSql,
     "image_neardup_recall" -> imageNearDupRecallSql,
+    "image_neardup_groups_recall" -> imageNearDupGroupsRecallSql,
     "video_neardup_recall" -> videoNearDupRecallSql,
+    "video_neardup_groups_recall" -> videoNearDupGroupsRecallSql,
     "knn_brute"    -> knnBruteSql,
     "emb_near_dup" -> embNearDupSql,
     "emb_quantize" -> embQuantizeSql,

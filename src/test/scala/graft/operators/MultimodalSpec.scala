@@ -411,6 +411,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.n_frames == 3 && out.width == 6)
   }
 
+  test("image/video group shape: identical hashes collapse to ONE family " +
+       "row; near edges join family reps") {
+    // three byte-identical PNGs (one pHash family of 3), one jittered
+    // near-dup of that pattern, one unrelated pattern
+    // seed 5: jittered pHash distance 2 (seed 1's jitter hashes
+    // IDENTICALLY and would fold doc 4 into the exact family)
+    val img = Seq(
+      (1L, "image", Multimodal.synthBlockPng(5L, jitter = false)),
+      (2L, "image", Multimodal.synthBlockPng(5L, jitter = false)),
+      (3L, "image", Multimodal.synthBlockPng(5L, jitter = false)),
+      (4L, "image", Multimodal.synthBlockPng(5L, jitter = true)),
+      (5L, "image", Multimodal.synthBlockPng(42L, jitter = false)))
+    val gi = Multimodal.imageNearDupGroups(img.toDF("doc_id", "kind", "payload"))
+      .as[(Long, Long, Int, Long, Long, Long)].collect().toSet
+    assert(gi.contains((1L, 1L, 0, 3L, 3L, 3L)), gi)
+    assert(gi.exists(t => t._1 == 1L && t._2 == 4L && t._3 > 0 &&
+      t._4 == 3L && t._5 == 1L && t._6 == 3L), gi)
+    assert(!gi.exists(t => t._1 == 5L || t._2 == 5L), gi)
+    assert(gi.size == 2, gi)
+
+    val vid = Seq(
+      (1L, "video", Multimodal.synthY4m(5L, jitter = false)),
+      (2L, "video", Multimodal.synthY4m(5L, jitter = false)),
+      (3L, "video", Multimodal.synthY4m(9L, jitter = false)),
+      (4L, "video", Multimodal.synthY4m(9L, jitter = true)),
+      (5L, "video", Multimodal.synthY4m(77L, jitter = false)))
+    val gv = Multimodal.videoNearDupGroups(vid.toDF("doc_id", "kind", "payload"))
+      .as[(Long, Long, Int, Long, Long, Long)].collect().toSet
+    // the identical pair collapses to one family; the jittered regrade
+    // is a near edge on its family rep; the unrelated clip is absent
+    assert(gv.contains((1L, 1L, 0, 2L, 2L, 1L)), gv)
+    assert(gv.exists(t => t._1 == 3L && t._2 == 4L && t._3 > 0 && t._6 == 1L), gv)
+    assert(!gv.exists(t => t._1 == 5L || t._2 == 5L), gv)
+  }
+
   test("decoded_real marks the stub boundary: an H.264-magic payload is " +
        "false (stub features), real containers are true") {
     // H.264 Annex-B elementary stream: start code 00 00 00 01 + SPS NAL
