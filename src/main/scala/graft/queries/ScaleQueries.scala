@@ -1060,11 +1060,29 @@ object ScaleQueries {
       : (DataFrame, DataFrame, Seq[(Int, Int, DataFrame)]) =
     annIndexPartsAt(spark, dir, 16)
 
+  /** Session-scoped cache of the resolved index parts — the ANN twin of
+    * [[ledgerScanCache]]: every search re-paid codes-tree listing plus
+    * coarse/subs sidecar reads against an UNCHANGED index. Keyed by
+    * (session, root, completion-marker mtime); a rebuild bumps the
+    * marker and stale entries are evicted on the next load.
+    */
+  private val annPartsCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Long), (DataFrame, DataFrame, Seq[(Int, Int, DataFrame)])]
+
+  private[graft] def clearAnnPartsCache(): Unit = annPartsCache.clear()
+
   private[graft] def annIndexPartsAt(spark: SparkSession, dir: String,
       kCells: Int): (DataFrame, DataFrame, Seq[(Int, Int, DataFrame)]) = {
     val root = annIndexDirAt(dir, kCells)
-    if (!new java.io.File(root, "_GRAFT_INDEX_COMPLETE").exists())
-      annIndexBuildAt(spark, dir, kCells).count()
+    val marker = new java.io.File(root, "_GRAFT_INDEX_COMPLETE")
+    if (!marker.exists()) annIndexBuildAt(spark, dir, kCells).count()
+    val key = (System.identityHashCode(spark), root.getCanonicalPath,
+      marker.lastModified())
+    val hit = annPartsCache.get(key)
+    if (hit != null) return hit
+    annPartsCache.keySet.removeIf(k =>
+      k._1 == key._1 && k._2 == key._2 && k._3 != key._3)
+    if (annPartsCache.size > 64) annPartsCache.clear()
     val codes = spark.read.parquet(new java.io.File(root, "codes").toString)
     val coarse = spark.read.parquet(new java.io.File(root, "coarse").toString)
       .orderBy("c_id")
@@ -1073,7 +1091,9 @@ object ScaleQueries {
       (pqLos(s), PqSubLen,
         subsDf.filter(col("s") === s).select("c_id", "cv", "cn").orderBy("c_id"))
     }
-    (codes, coarse, subs)
+    val parts = (codes, coarse, subs)
+    annPartsCache.putIfAbsent(key, parts)
+    parts
   }
 
   /** The probed slice of the persisted codes index: the query batch's
