@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.DataStreamWriter
 import graft.operators.Similarity
 
@@ -77,5 +78,54 @@ object StreamingIndexMaintenance {
     if (hasData) spark.read.schema(like.schema).parquet(deltaDir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], like.schema)
+  }
+
+  /** Committed delta parquet-file count — the compaction trigger (see
+    * [[StreamingLedgerMaintenance.deltaFileCount]]): appends grow the
+    * probed cells' file count with STREAM LIFETIME, and this is the
+    * number the policy bounds.
+    */
+  def deltaFileCount(deltaDir: String): Int =
+    SegmentFiles.parquetCount(new java.io.File(deltaDir))
+
+  /** Fold the delta segment into the base index's codes tree —
+    * stop-the-stream maintenance, the executable form of the
+    * "concatenating segments" contract in this object's scaladoc
+    * (codes are frozen-model outputs, so base ∪ delta is byte-identical
+    * to a cold recode of corpus ∪ arrivals). base ∪ delta is rewritten
+    * one-file-per-c_id-directory into a sibling temp dir and swapped
+    * in; the completion marker is refreshed LAST, which version-bumps
+    * the session-cached index parts. The delta dir and its sink commit
+    * log are consumed — restart the maintenance stream with a fresh
+    * checkpoint + delta dir. Codebook sidecars are untouched: folding
+    * never retrains (the retrain trigger above governs that).
+    */
+  def compact(spark: SparkSession, indexRoot: String, deltaDir: String): Unit = {
+    val root = new java.io.File(indexRoot)
+    val codesDir = new java.io.File(root, "codes")
+    val tmp = new java.io.File(root, "codes_compacting")
+    val marker = new java.io.File(root, "_GRAFT_INDEX_COMPLETE")
+    val base = spark.read.parquet(codesDir.toString)
+    val merged = base.unionByName(deltaCodes(spark, deltaDir, base))
+    marker.delete() // a crash mid-swap must read as "no index", never half
+    merged.repartition(col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id")
+      .parquet(tmp.toString)
+    SegmentFiles.rmTree(codesDir)
+    java.nio.file.Files.move(tmp.toPath, codesDir.toPath)
+    java.nio.file.Files.writeString(marker.toPath, "ok")
+    SegmentFiles.rmTree(new java.io.File(deltaDir))
+  }
+
+  /** The maintenance POLICY: fold when the delta's committed file count
+    * exceeds `maxDeltaFiles`, else leave the stream's segment alone.
+    * Returns whether a compaction ran. Bounds search-side file opens by
+    * the policy constant as the stream ages.
+    */
+  def maintainBase(spark: SparkSession, indexRoot: String, deltaDir: String,
+                   maxDeltaFiles: Int = 64): Boolean = {
+    val due = deltaFileCount(deltaDir) > maxDeltaFiles
+    if (due) compact(spark, indexRoot, deltaDir)
+    due
   }
 }

@@ -65,13 +65,8 @@ object StreamingLedgerMaintenance {
     * directory, so without folding, probe-side open cost grows with
     * STREAM LIFETIME, not data: this is the number the policy bounds.
     */
-  def deltaFileCount(deltaDir: String): Int = {
-    def walk(f: java.io.File): Int =
-      if (f.isDirectory && f.getName != "_spark_metadata")
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walk).sum
-      else if (f.getName.endsWith(".parquet")) 1 else 0
-    walk(new java.io.File(deltaDir))
-  }
+  def deltaFileCount(deltaDir: String): Int =
+    SegmentFiles.parquetCount(new java.io.File(deltaDir))
 
   /** Fold the delta segment into the base ledger — stop-the-stream
     * maintenance (the streaming query writing `deltaDir` MUST be
@@ -119,7 +114,19 @@ object StreamingLedgerMaintenance {
     due
   }
 
-  private def rmTree(f: java.io.File): Unit = {
+  private def rmTree(f: java.io.File): Unit = SegmentFiles.rmTree(f)
+}
+
+/** Shared file plumbing for the streaming segment-compaction policies
+  * (ledger and ANN index): committed-file counting and tree removal.
+  */
+private[streaming] object SegmentFiles {
+  def parquetCount(f: java.io.File): Int =
+    if (f.isDirectory && f.getName != "_spark_metadata")
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(parquetCount).sum
+    else if (f.getName.endsWith(".parquet")) 1 else 0
+
+  def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
     f.delete()

@@ -75,5 +75,32 @@ class StreamingIndexSpec extends AnyFunSuite {
     val streamed = search(combined)
     assert(streamed == cold)
     assert(streamed.exists(_._2 == heldOut))
+
+    // --- compaction policy: fold the delta into the base in place ---
+    // a standalone index root (the ann_index_build layout) so the fold
+    // never touches the registered corpus-cache index
+    val root = Files.createTempDirectory("graft-ann-root").toFile
+    val codesDir = new java.io.File(root, "codes")
+    base.repartition(col("c_id")).write.partitionBy("c_id")
+      .parquet(codesDir.toString)
+    Files.writeString(new java.io.File(root, "_GRAFT_INDEX_COMPLETE").toPath, "ok")
+    val nDelta = StreamingIndexMaintenance.deltaFileCount(deltaDir)
+    assert(nDelta >= 1)
+    // below the threshold the policy is a no-op; forcing it compacts
+    assert(!StreamingIndexMaintenance.maintainBase(spark, root.toString, deltaDir,
+      maxDeltaFiles = nDelta))
+    assert(StreamingIndexMaintenance.maintainBase(spark, root.toString, deltaDir,
+      maxDeltaFiles = nDelta - 1))
+    // the folded codes tree is row-identical to the cold full recode
+    val folded = spark.read.parquet(codesDir.toString)
+    assert(rows(folded) == rows(fullCodes))
+    // one parquet file per c_id directory; delta consumed; marker back
+    val perDir = codesDir.listFiles().toSeq.filter(_.isDirectory)
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perDir.nonEmpty && perDir.forall(_ == 1), perDir)
+    assert(!new java.io.File(deltaDir).exists())
+    assert(new java.io.File(root, "_GRAFT_INDEX_COMPLETE").exists())
+    // searching the folded tree still returns the cold scores
+    assert(search(folded) == cold)
   }
 }
