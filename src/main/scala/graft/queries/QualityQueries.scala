@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Repetition-quality signals and the span-level dedup REWRITE — the two
+  * document-hygiene operators every large-scale pretraining pipeline runs
+  * between raw scrape and tokenizer (Rae et al. 2021 "Scaling Language
+  * Models" §A1.1 repetition filters; Lee et al. 2022 "Deduplicating
+  * Training Data Makes Language Models Better" exact-substring removal).
+  *
+  * Scale shapes:
+  *   - `rep_signals` / `rep_filter` are WITHIN-document: every metric is
+  *     computed row-locally with array HOFs ([[TextAnalysis.runScan]]) —
+  *     no data shuffle (only the presentation sort on doc_id
+  *     repartitions), scan-speed, trivially linear at any corpus size.
+  *     This is the deliberate counterpoint to the CROSS-document span
+  *     detector ([[CorpusQueries.dupSpans]]), which must shuffle on the
+  *     window hash.
+  *   - `span_dedup_text` is the transform half of dupSpans: one shuffle
+  *     keyed by window hash (keeper ranking), one per-document window
+  *     (interval merge), one per-document aggregation (span list), then a
+  *     row-local HOF reassembly. No pair join, no blow-up; at 100 TB the
+  *     md5 window key would swap to xxhash64 exactly like the
+  *     dedup_minhash / dedup_minhash_md5 split.
+  */
+object QualityQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ------------------------------------------------- repetition signals
+
+  /** Gopher repetition-filter thresholds (Rae et al. 2021, table A1),
+    * in report/violation-precedence order. A document is removed when a
+    * signal EXCEEDS its threshold. Paragraph rules are omitted: the
+    * corpus (and the word-salad fixture family) carries no paragraph
+    * delimiter; line rules keep the published semantics and activate on
+    * any multi-line input.
+    */
+  val RepThresholds: Seq[(String, Double)] = Seq(
+    "dup_line_frac"      -> 0.30,
+    "dup_line_char_frac" -> 0.20,
+    "top2_frac"          -> 0.20,
+    "top3_frac"          -> 0.18,
+    "top4_frac"          -> 0.16,
+    "dup5_frac"          -> 0.15,
+    "dup6_frac"          -> 0.14,
+    "dup7_frac"          -> 0.13,
+    "dup8_frac"          -> 0.12,
+    "dup9_frac"          -> 0.11,
+    "dup10_frac"         -> 0.10)
+
+  /** Per-document repetition signals, the Gopher §A1.1 suite: duplicate
+    * line fraction + duplicate-line character mass, most-frequent
+    * {2,3,4}-gram character mass, and duplicated-{5..10}-gram character
+    * mass. Character mass = occurrences × gram length over the length of
+    * the space-normalized text; occurrence mass is counted without
+    * overlap subtraction (each occurrence contributes its full length —
+    * the common reimplementation simplification, stated here because the
+    * paper's own accounting marks character positions). All fractions
+    * rounded to 6dp for cross-engine hash stability.
+    *
+    * Everything is computed inside one row-local projection
+    * ([[TextAnalysis.runScan]] per n): no explode, no shuffle — the
+    * whole query is a parquet scan plus a sort on doc_id.
+    */
+  /** Appends the 11 [[RepThresholds]] signal columns to any frame with a
+    * text column — pure chained projections (works on streaming frames;
+    * [[graft.streaming.StreamingRepGate]] is this over `readStream`).
+    * Staging discipline: each run-scan struct lands in its own projection
+    * so it evaluates exactly once per row, and the signal expressions read
+    * staged ATTRIBUTES — never re-aggregating.
+    */
+  def withRepSignals(df: DataFrame, textCol: String): DataFrame = {
+    val keep = df.columns.map(col).toSeq
+    val base = df
+      .withColumn("__t", TextAnalysis.wordTokens(col(textCol)))
+      .withColumn("__nl", length(array_join(col("__t"), " ")).cast("long"))
+    val scanCols = (2 to 10).map { n =>
+      TextAnalysis.runScan(
+        array_sort(TextAnalysis.wordNgrams(col("__t"), n))).as(s"__sc$n")
+    }
+    // line metrics split on the literal newline (NOT \s+ — a line is a
+    // layout unit); sorting is harmless, the metrics are order-free
+    val lineScan = TextAnalysis.runScan(
+      array_sort(split(col(textCol), "\n"))).as("__lsc")
+    val staged = base.select(
+      (keep :+ col("__nl")) ++ scanCols :+ lineScan: _*)
+    def fracOf(mass: Column): Column =
+      when(col("__nl") > 0,
+        round(mass.cast("double") / col("__nl").cast("double"), 6))
+        .otherwise(lit(0.0))
+    val topCols = Seq(2, 3, 4).map { n =>
+      val s = col(s"__sc$n")
+      fracOf(s.getField("top_c") * length(s.getField("top_g")).cast("long"))
+        .as(s"top${n}_frac")
+    }
+    val dupCols = (5 to 10).map { n =>
+      fracOf(col(s"__sc$n").getField("dup_mass")).as(s"dup${n}_frac")
+    }
+    val nLines = size(split(col(textCol), "\n")).cast("long")
+    val dupLineFrac = round((nLines - col("__lsc").getField("n_runs"))
+      .cast("double") / nLines.cast("double"), 6).as("dup_line_frac")
+    // Σ line lengths = text length minus the (L−1) newline separators
+    val allChars = length(col(textCol)).cast("long") - (nLines - 1L)
+    val dupLineCharFrac = when(allChars > 0,
+      round(col("__lsc").getField("dup_extra").cast("double")
+        / allChars.cast("double"), 6))
+      .otherwise(lit(0.0)).as("dup_line_char_frac")
+    staged.select((keep :+ dupLineFrac :+ dupLineCharFrac)
+      ++ topCols ++ dupCols: _*)
+  }
+
+  /** Verdict columns over a signal frame: keep, violation count, and the
+    * FIRST violated rule in [[RepThresholds]] order — shared by the batch
+    * filter and the streaming gate so they can never disagree.
+    */
+  def repVerdictCols: Seq[Column] = {
+    val violated = RepThresholds.map { case (n, t) => col(n) > lit(t) }
+    val firstViol = RepThresholds.foldRight(lit(""): Column) {
+      case ((n, t), rest) => when(col(n) > lit(t), lit(n)).otherwise(rest)
+    }
+    Seq(violated.reduce(_ || _).unary_!.as("keep"),
+      violated.map(_.cast("long")).reduce(_ + _).as("n_violations"),
+      firstViol.as("first_violation"))
+  }
+
+  def repSignals(spark: SparkSession, dir: String): DataFrame =
+    withRepSignals(docs(spark, dir).select("doc_id", "text"), "text")
+      .drop("text")
+      .orderBy("doc_id")
+
+  /** rep_signals oracle body (no ORDER BY — shared with rep_filter). */
+  private val repSignalsBody: String = {
+    val gramCtes = (2 to 10).map { n =>
+      s"""c$n AS (
+      SELECT doc_id, array_to_string(t[i+1:i+$n], ' ') AS g, count(*) AS c
+      FROM base, unnest(range(0, greatest(len(t) - $n, 0) + 1)) AS u$n(i)
+      WHERE len(t) >= $n GROUP BY doc_id, g)"""
+    }
+    val topCtes = Seq(2, 3, 4).map { n =>
+      s"""t$n AS (
+      SELECT doc_id, c * length(g) AS mass FROM (
+        SELECT doc_id, g, c, row_number() OVER (
+          PARTITION BY doc_id ORDER BY c DESC, length(g) DESC, g ASC) AS rn
+        FROM c$n) WHERE rn = 1)"""
+    }
+    val dupCtes = (5 to 10).map { n =>
+      s"""d$n AS (
+      SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS mass
+      FROM c$n GROUP BY doc_id)"""
+    }
+    def fracCol(cte: String, name: String) =
+      s"""CASE WHEN b.nl > 0 THEN round(CAST(coalesce($cte.mass, 0) AS DOUBLE)
+        / CAST(b.nl AS DOUBLE), 6) ELSE 0.0 END AS $name"""
+    val topSel = Seq(2, 3, 4).map(n => fracCol(s"t$n", s"top${n}_frac"))
+    val dupSel = (5 to 10).map(n => fracCol(s"d$n", s"dup${n}_frac"))
+    val joins = (Seq(2, 3, 4).map(n => s"LEFT JOIN t$n USING (doc_id)")
+      ++ (5 to 10).map(n => s"LEFT JOIN d$n USING (doc_id)")).mkString("\n    ")
+    s"""WITH toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    base AS (
+      SELECT doc_id, text, t,
+        cast(length(array_to_string(t, ' ')) AS BIGINT) AS nl FROM toks),
+    ${(gramCtes ++ topCtes ++ dupCtes).mkString(",\n    ")},
+    lc AS (
+      SELECT doc_id, line, count(*) AS c, length(line) AS ln
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM documents)
+      GROUP BY doc_id, line),
+    ls AS (
+      SELECT doc_id, sum(c) AS nlines, count(*) AS ndist,
+             sum((c - 1) * ln) AS dupchars, sum(c * ln) AS allchars
+      FROM lc GROUP BY doc_id)
+    SELECT b.doc_id,
+      round(CAST(ls.nlines - ls.ndist AS DOUBLE)
+        / CAST(ls.nlines AS DOUBLE), 6) AS dup_line_frac,
+      CASE WHEN ls.allchars > 0 THEN round(CAST(ls.dupchars AS DOUBLE)
+        / CAST(ls.allchars AS DOUBLE), 6) ELSE 0.0 END AS dup_line_char_frac,
+      ${(topSel ++ dupSel).mkString(",\n      ")}
+    FROM base b
+    JOIN ls USING (doc_id)
+    $joins"""
+  }
+
+  val repSignalsSql: String = repSignalsBody + "\n    ORDER BY doc_id"
+
+  /** Gopher repetition FILTER: applies [[RepThresholds]] to the signal
+    * frame. Emits every document with the keep verdict, the violation
+    * count, and the FIRST violated rule in threshold-table order (so a
+    * triage dashboard can group by one stable reason). Built directly on
+    * the rep_signals frame — thresholds compare the same rounded values
+    * both engines hash, so the verdict can never disagree with the report.
+    */
+  def repFilter(spark: SparkSession, dir: String): DataFrame =
+    repSignals(spark, dir)
+      .select(col("doc_id") +: repVerdictCols: _*)
+      .orderBy("doc_id")
+
+  val repFilterSql: String = {
+    val viol  = RepThresholds.map { case (n, t) => s"($n > $t)" }
+    val nViol = viol.map(v => s"CAST($v AS BIGINT)").mkString(" + ")
+    val firstViol = RepThresholds.map { case (n, t) =>
+      s"WHEN $n > $t THEN '$n'"
+    }.mkString("\n        ")
+    s"""WITH sig AS (
+    $repSignalsBody)
+    SELECT doc_id,
+      NOT (${viol.mkString(" OR ")}) AS keep,
+      $nViol AS n_violations,
+      CASE $firstViol ELSE '' END AS first_violation
+    FROM sig
+    ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------- span dedup rewrite
+
+  /** Window width shared with the detector ([[CorpusQueries.SpanK]]). */
+  private val K = CorpusQueries.SpanK
+
+  /** Exact-substring dedup REWRITE (Lee et al. 2022): every stride-1
+    * [[K]]-token window keeps only its globally FIRST occurrence
+    * (min (doc_id, position) — a total, engine-portable keep rule; both
+    * cross- AND intra-document repeats count, unlike the detector
+    * [[CorpusQueries.dupSpans]] which reports cross-document spans only).
+    * Later occurrences' positions merge into maximal intervals, covered
+    * tokens are dropped, and each document is reassembled from its
+    * surviving tokens in order. Output per doc: token counts, removals,
+    * and the md5 of the rewritten text — the integrity witness that both
+    * engines rebuilt byte-identical documents. A fully-duplicated doc
+    * rewrites to the empty string, not a dropped row.
+    *
+    * Scale shape (see object scaladoc): hash-keyed keeper ranking, per-doc
+    * interval merge, per-doc span list, row-local HOF strip — no pair join.
+    */
+  def spanDedupText(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+    // window hashes; short docs contribute one clamped whole-doc window
+    val g = toks
+      .select(col("doc_id"), col("n_tok"), col("t"),
+        explode(sequence(lit(0), greatest(size(col("t")) - K, lit(0)))).as("i"))
+      .select(col("doc_id"), col("n_tok"), col("i"),
+        md5(concat_ws(" ", slice(col("t"), col("i") + 1, lit(K)))
+          .cast("binary")).as("gh"))
+    // keeper = global first occurrence; both window functions share the
+    // gh partition, so the ranking costs ONE shuffle
+    val wg = Window.partitionBy("gh")
+    val rem = g
+      .withColumn("rn", row_number().over(wg.orderBy("doc_id", "i")))
+      .withColumn("cnt", count(lit(1)).over(wg))
+      .where(col("cnt") >= 2 && col("rn") > 1)
+      .select("doc_id", "n_tok", "i")
+    // interval union per doc (same island rule as the detector), with the
+    // end clamped to the token count for the short-doc window
+    val wi = Window.partitionBy("doc_id").orderBy("i")
+    val spans = rem
+      .withColumn("prev", lag("i", 1).over(wi))
+      .withColumn("brk",
+        when(col("prev").isNull || col("i") - col("prev") > K, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(wi))
+      .groupBy("doc_id", "n_tok", "island")
+      .agg(min("i").cast("long").as("s"),
+        least(max(col("i")) + K, col("n_tok")).cast("long").as("e1"))
+    val spanList = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e1"))).as("sp"))
+    // row-local strip + reassembly; get() is 0-based and null-safe
+    val joined = toks.join(spanList, Seq("doc_id"), "left")
+      .withColumn("sp2", coalesce(col("sp"),
+        array().cast("array<struct<s:bigint,e1:bigint>>")))
+    val keptIdx = filter(sequence(lit(0), size(col("t")) - 1),
+      i => not(exists(col("sp2"),
+        sp => i >= sp.getField("s") && i < sp.getField("e1"))))
+    val keptText = concat_ws(" ",
+      transform(keptIdx, i => get(col("t"), i)))
+    joined.select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - size(keptIdx).cast("long")).as("n_removed"),
+        md5(keptText.cast("binary")).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  val spanDedupTextSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    g AS (
+      SELECT doc_id, cast(len(t) AS BIGINT) AS n_tok, i,
+        md5(array_to_string(t[i+1:i+$K], ' ')) AS gh
+      FROM toks, unnest(range(0, greatest(len(t) - $K, 0) + 1)) AS u(i)),
+    r AS (
+      SELECT doc_id, n_tok, i,
+        row_number() OVER (PARTITION BY gh ORDER BY doc_id, i) AS rn,
+        count(*) OVER (PARTITION BY gh) AS cnt
+      FROM g),
+    rem AS (SELECT doc_id, n_tok, i FROM r WHERE cnt >= 2 AND rn > 1),
+    isl AS (
+      SELECT doc_id, n_tok, i,
+        sum(CASE WHEN prev IS NULL OR i - prev > $K THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM (SELECT doc_id, n_tok, i,
+              lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM rem)),
+    spans AS (
+      SELECT doc_id, cast(min(i) AS BIGINT) AS s,
+             cast(least(max(i) + $K, n_tok) AS BIGINT) AS e1
+      FROM isl GROUP BY doc_id, n_tok, island),
+    remidx AS (
+      SELECT doc_id, cast(j AS BIGINT) AS j
+      FROM spans, unnest(range(s, e1)) AS u(j)),
+    words AS (
+      SELECT doc_id, cast(i AS BIGINT) AS i, t[i+1] AS w
+      FROM toks, unnest(range(0, len(t))) AS u(i)),
+    kept AS (
+      SELECT w.doc_id, w.i, w.w
+      FROM words w LEFT JOIN remidx r2 ON w.doc_id = r2.doc_id AND w.i = r2.j
+      WHERE r2.j IS NULL),
+    agg AS (
+      SELECT doc_id, count(*) AS kw,
+             md5(string_agg(w, ' ' ORDER BY i)) AS fp
+      FROM kept GROUP BY doc_id)
+    SELECT t2.doc_id, cast(len(t2.t) AS BIGINT) AS n_tok,
+      cast(len(t2.t) - coalesce(a.kw, 0) AS BIGINT) AS n_removed,
+      coalesce(a.fp, md5('')) AS kept_fp
+    FROM toks t2 LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id"""
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rep_signals"     -> (repSignals _),
+    "rep_filter"      -> (repFilter _),
+    "span_dedup_text" -> (spanDedupText _))
+
+  val oracle: Map[String, String] = Map(
+    "rep_signals"     -> repSignalsSql,
+    "rep_filter"      -> repFilterSql,
+    "span_dedup_text" -> spanDedupTextSql)
+}
