@@ -82,7 +82,12 @@ object Plans {
       // bands + Hamming verify join shape), its group-collapsed sibling,
       // and the full-rank whitening certificate (broadcast matvec +
       // Gram pass)
-      "audio_neardup", "audio_neardup_groups", "emb_whiten_full_check")
+      "audio_neardup", "audio_neardup_groups", "emb_whiten_full_check",
+      // round-15 additions: the row-local repetition-signal scan (one
+      // projection + presentation sort — the no-shuffle shape is the
+      // point) and the exact-substring dedup rewrite (window-hash keeper
+      // ranking + per-doc interval merge + HOF reassembly, no pair join)
+      "rep_signals", "span_dedup_text")
     val sb = new StringBuilder
     sb ++= "# PLANS - physical plans of flagship queries (sf0.01)\n\n"
     sb ++= "Generated by `sbt \"runMain graft.Plans\"`. What to look for:\n"

@@ -450,6 +450,72 @@ object ScaleProbe {
       return
     }
 
+    // Quality mode (`runMain graft.ScaleProbe quality`): the round-15
+    // document-hygiene family across two decades. rep_signals/rep_filter
+    // are row-local scans (expected ~linear in bytes, no shuffle term);
+    // span_dedup_text carries the window-hash keeper shuffle — replicas
+    // rewrite tokens per-rep, so dup structure stays replica-local and
+    // the candidate volume grows linearly by construction. The sf10
+    // documents replica is generated by the 100x block on first use.
+    if (args.contains("quality")) {
+      val out10 = "target/scaledata/sf10"
+      if (!new java.io.File(s"$out10/documents.parquet").exists()) {
+        val reps = spark.range(0, 100).select(col("id").as("rep"))
+        spark.read.parquet(s"$src/documents.parquet").crossJoin(reps)
+          .select(
+            (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+            when(col("rep") === 0, col("text")).otherwise(
+              regexp_replace(col("text"), lit("(\\S+)"),
+                concat(lit("$1r"), col("rep").cast("string")))).as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          // 32 files => 32 splittable row groups: maxPartitionBytes can't
+          // split inside a row group, and one crossJoin output file would
+          // serialize the whole CPU-dense scan onto one task
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$out10/documents.parquet")
+        println("GENERATED sf10 documents (100 reps)")
+      }
+      // Layout-controlled copies: the base sf0.1 table and the shared
+      // sf1 replica are each a couple of parquet files with giant row
+      // groups, and maxPartitionBytes cannot split INSIDE a row group —
+      // at the default layout one task owned the whole corpus (measured:
+      // a single 990 s task). 32 files per decade makes the three
+      // measurements the same shape, so the ratios isolate the operator.
+      def layout32(srcDir: String, dstDir: String): String = {
+        if (!new java.io.File(s"$dstDir/documents.parquet").exists())
+          spark.read.parquet(s"$srcDir/documents.parquet")
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
+        dstDir
+      }
+      val q01 = layout32(src, "target/scaledata/q01")
+      val q1  = layout32(out, "target/scaledata/q1")
+      // sf10 is written 32-file above already
+      // count() is the wrong consumer here: the family's cost is pure
+      // per-row projection work, which column pruning deletes under a
+      // count — the noop sink materializes every output cell instead
+      def timeNoop(name: String, dir: String): Double = {
+        val fn = SparkEntry.queries(name)
+        def run(): Unit =
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+        run() // warm: codegen + page cache for this shape
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      for (q <- Seq("rep_signals", "rep_filter", "span_dedup_text",
+          "hygiene_funnel")) {
+        val t01 = timeNoop(q, q01)
+        val t1  = timeNoop(q, q1)
+        val t10 = timeNoop(q, out10)
+        println(f"PROBEQUALITY $q sf0.1=$t01%.2f s sf1=$t1%.2f s sf10=$t10%.2f s " +
+          f"ratio10=${t1 / t01}%.1f ratio100=${t10 / t01}%.1f")
+      }
+      spark.stop()
+      return
+    }
+
     // Re-measure mode (`runMain graft.ScaleProbe remeasure`): the
     // round-11 verdict's bench-methodology check — warm pass + min of 2
     // timed passes, isolated from the other 240 queries — for the knn

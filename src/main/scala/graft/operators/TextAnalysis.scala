@@ -98,87 +98,6 @@ object TextAnalysis {
       .select(col("id"), explode(fps).as("fp"))
   }
 
-  /** One-pass run-length scan over a SORTED string array — the
-    * row-local frequency aggregates behind the Gopher repetition rules.
-    * Returns a struct:
-    *   - `top_c` / `top_g`: count and value of the most frequent element
-    *     (max count, tie → max char length, tie → lexicographically
-    *     smallest); `top_c = 0`, `top_g = ''` on empty input
-    *   - `dup_mass`: Σ count·length over values occurring ≥ 2 times
-    *   - `n_runs`: distinct-value count
-    *   - `dup_extra`: Σ (count−1)·length — duplicate char mass past the
-    *     first occurrence
-    *
-    * ROW-LOCAL like [[winnowFingerprints]]: per-document frequency tables
-    * never leave the row — the alternative (explode + groupBy(doc, gram))
-    * ships one shuffled row per gram occurrence, an n× amplification that
-    * dominates at corpus scale.
-    *
-    * CRITICAL implementation constraint: the fold lambda reads ONLY its
-    * bound arguments (acc, x). Interpreted HOF eval re-evaluates any
-    * composite expression referenced inside a lambda once per ELEMENT —
-    * an index-into-the-sorted-array formulation of this scan was
-    * O(n²⁺) per row and measured as a 1000 s CPU hang on one 500-doc
-    * partition before this rewrite.
-    */
-  def runScan(sorted: Column): Column = {
-    val zero = struct(
-      lit(null).cast("string").as("prev"), lit(0L).as("run"),
-      lit(0L).as("top_c"), lit("").as("top_g"),
-      lit(0L).as("dup_mass"), lit(0L).as("n_runs"), lit(0L).as("dup_extra"))
-    // fold the finished run at acc into the aggregates (runs close in
-    // ascending value order, so strict > keeps the smallest on full ties)
-    def closed(acc: Column): Column = {
-      val run  = acc.getField("run")
-      val prev = acc.getField("prev")
-      val len  = length(prev).cast("long")
-      val better = run > acc.getField("top_c") ||
-        (run === acc.getField("top_c") &&
-          length(prev) > length(acc.getField("top_g")))
-      struct(
-        when(better, run).otherwise(acc.getField("top_c")).as("top_c"),
-        when(better, prev).otherwise(acc.getField("top_g")).as("top_g"),
-        (acc.getField("dup_mass") +
-          when(run >= 2, run * len).otherwise(lit(0L))).as("dup_mass"),
-        (acc.getField("n_runs") + lit(1L)).as("n_runs"),
-        (acc.getField("dup_extra") + (run - 1L) * len).as("dup_extra"))
-    }
-    def carry(acc: Column, c: Column, prev: Column, run: Column): Column =
-      struct(prev.as("prev"), run.as("run"),
-        c.getField("top_c").as("top_c"), c.getField("top_g").as("top_g"),
-        c.getField("dup_mass").as("dup_mass"),
-        c.getField("n_runs").as("n_runs"),
-        c.getField("dup_extra").as("dup_extra"))
-    def hold(acc: Column, prev: Column, run: Column): Column =
-      struct(prev.as("prev"), run.as("run"),
-        acc.getField("top_c").as("top_c"), acc.getField("top_g").as("top_g"),
-        acc.getField("dup_mass").as("dup_mass"),
-        acc.getField("n_runs").as("n_runs"),
-        acc.getField("dup_extra").as("dup_extra"))
-    aggregate(sorted, zero,
-      (acc, x) =>
-        when(acc.getField("prev").isNull, hold(acc, x, lit(1L)))
-          .when(x === acc.getField("prev"),
-            hold(acc, acc.getField("prev"), acc.getField("run") + 1L))
-          .otherwise(carry(acc, closed(acc), x, lit(1L))),
-      acc =>
-        when(acc.getField("prev").isNull,
-          struct(lit(0L).as("top_c"), lit("").as("top_g"),
-            lit(0L).as("dup_mass"), lit(0L).as("n_runs"),
-            lit(0L).as("dup_extra")))
-          .otherwise(closed(acc)))
-  }
-
-  /** Space-joined word n-grams of a token array; empty when the document
-    * has fewer than n tokens (the guard keeps Spark's `sequence` from
-    * producing a DESCENDING range on a negative stop).
-    */
-  def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-
   /** Composite quality score in [0,1]: length, lexical diversity,
     * stopword density, and word-length sanity. Single-pass, pure doubles
     * with a fixed operation order so any engine reproduces it bit-exactly.

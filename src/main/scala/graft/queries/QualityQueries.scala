@@ -80,13 +80,12 @@ object QualityQueries {
       .withColumn("__t", TextAnalysis.wordTokens(col(textCol)))
       .withColumn("__nl", length(array_join(col("__t"), " ")).cast("long"))
     val scanCols = (2 to 10).map { n =>
-      TextAnalysis.runScan(
-        array_sort(TextAnalysis.wordNgrams(col("__t"), n))).as(s"__sc$n")
+      graft.functions.RepScanKernels.repScanCol(col("__t"), n).as(s"__sc$n")
     }
     // line metrics split on the literal newline (NOT \s+ — a line is a
-    // layout unit); sorting is harmless, the metrics are order-free
-    val lineScan = TextAnalysis.runScan(
-      array_sort(split(col(textCol), "\n"))).as("__lsc")
+    // layout unit); n = 1 scans the line strings themselves
+    val lineScan = graft.functions.RepScanKernels
+      .repScanCol(split(col(textCol), "\n"), 1).as("__lsc")
     val staged = base.select(
       (keep :+ col("__nl")) ++ scanCols :+ lineScan: _*)
     def fracOf(mass: Column): Column =
@@ -133,8 +132,11 @@ object QualityQueries {
       .drop("text")
       .orderBy("doc_id")
 
-  /** rep_signals oracle body (no ORDER BY — shared with rep_filter). */
-  private val repSignalsBody: String = {
+  /** rep_signals oracle CTE block + final select, kept separate so
+    * rep_filter and the funnel can extend the same chain (SQL allows one
+    * top-level WITH; nesting would fork the definitions).
+    */
+  private val (repCteBlock: String, repFinalSelect: String) = {
     val gramCtes = (2 to 10).map { n =>
       s"""c$n AS (
       SELECT doc_id, array_to_string(t[i+1:i+$n], ' ') AS g, count(*) AS c
@@ -160,7 +162,7 @@ object QualityQueries {
     val dupSel = (5 to 10).map(n => fracCol(s"d$n", s"dup${n}_frac"))
     val joins = (Seq(2, 3, 4).map(n => s"LEFT JOIN t$n USING (doc_id)")
       ++ (5 to 10).map(n => s"LEFT JOIN d$n USING (doc_id)")).mkString("\n    ")
-    s"""WITH toks AS (
+    val ctes = s"""toks AS (
       SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
       FROM documents),
     base AS (
@@ -175,8 +177,8 @@ object QualityQueries {
     ls AS (
       SELECT doc_id, sum(c) AS nlines, count(*) AS ndist,
              sum((c - 1) * ln) AS dupchars, sum(c * ln) AS allchars
-      FROM lc GROUP BY doc_id)
-    SELECT b.doc_id,
+      FROM lc GROUP BY doc_id)"""
+    val sel = s"""SELECT b.doc_id,
       round(CAST(ls.nlines - ls.ndist AS DOUBLE)
         / CAST(ls.nlines AS DOUBLE), 6) AS dup_line_frac,
       CASE WHEN ls.allchars > 0 THEN round(CAST(ls.dupchars AS DOUBLE)
@@ -185,7 +187,12 @@ object QualityQueries {
     FROM base b
     JOIN ls USING (doc_id)
     $joins"""
+    (ctes, sel)
   }
+
+  /** rep_signals oracle body (no ORDER BY — shared with rep_filter). */
+  private val repSignalsBody: String =
+    s"WITH $repCteBlock\n    $repFinalSelect"
 
   val repSignalsSql: String = repSignalsBody + "\n    ORDER BY doc_id"
 
@@ -237,8 +244,19 @@ object QualityQueries {
     * Scale shape (see object scaladoc): hash-keyed keeper ranking, per-doc
     * interval merge, per-doc span list, row-local HOF strip — no pair join.
     */
-  def spanDedupText(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
+  def spanDedupText(spark: SparkSession, dir: String): DataFrame =
+    spanDedupCore(docs(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - col("kept_tok")).as("n_removed"), col("kept_fp"))
+      .orderBy("doc_id")
+
+  /** The rewrite over any (doc_id, text) frame — shared by the
+    * registered query and [[hygieneFunnel]] (which runs it over the
+    * repetition-filtered survivor set, where the keeper ranking sees
+    * only surviving documents). Emits (doc_id, n_tok, kept_tok, kept_fp).
+    */
+  def spanDedupCore(d: DataFrame): DataFrame = {
+    val toks = d
       .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("t"))
       .withColumn("n_tok", size(col("t")).cast("long"))
     // window hashes; short docs contribute one clamped whole-doc window
@@ -279,63 +297,163 @@ object QualityQueries {
     val keptText = concat_ws(" ",
       transform(keptIdx, i => get(col("t"), i)))
     joined.select(col("doc_id"), col("n_tok"),
-        (col("n_tok") - size(keptIdx).cast("long")).as("n_removed"),
-        md5(keptText.cast("binary")).as("kept_fp"))
-      .orderBy("doc_id")
+      size(keptIdx).cast("long").as("kept_tok"),
+      md5(keptText.cast("binary")).as("kept_fp"))
   }
 
-  val spanDedupTextSql: String = s"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-    g AS (
+  /** Span-dedup CTE chain (prefix `sp_`) reading (doc_id, text) from any
+    * relation — the SQL twin of [[spanDedupCore]], shared by the
+    * registered rewrite (over `documents`) and the funnel (over the
+    * repetition-filtered survivors).
+    */
+  private def spanCtes(fromRel: String): String = s"""sp_toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM $fromRel),
+    sp_g AS (
       SELECT doc_id, cast(len(t) AS BIGINT) AS n_tok, i,
         md5(array_to_string(t[i+1:i+$K], ' ')) AS gh
-      FROM toks, unnest(range(0, greatest(len(t) - $K, 0) + 1)) AS u(i)),
-    r AS (
+      FROM sp_toks, unnest(range(0, greatest(len(t) - $K, 0) + 1)) AS u(i)),
+    sp_r AS (
       SELECT doc_id, n_tok, i,
         row_number() OVER (PARTITION BY gh ORDER BY doc_id, i) AS rn,
         count(*) OVER (PARTITION BY gh) AS cnt
-      FROM g),
-    rem AS (SELECT doc_id, n_tok, i FROM r WHERE cnt >= 2 AND rn > 1),
-    isl AS (
+      FROM sp_g),
+    sp_rem AS (SELECT doc_id, n_tok, i FROM sp_r WHERE cnt >= 2 AND rn > 1),
+    sp_isl AS (
       SELECT doc_id, n_tok, i,
         sum(CASE WHEN prev IS NULL OR i - prev > $K THEN 1 ELSE 0 END)
           OVER (PARTITION BY doc_id ORDER BY i) AS island
       FROM (SELECT doc_id, n_tok, i,
-              lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM rem)),
-    spans AS (
+              lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM sp_rem)),
+    sp_spans AS (
       SELECT doc_id, cast(min(i) AS BIGINT) AS s,
              cast(least(max(i) + $K, n_tok) AS BIGINT) AS e1
-      FROM isl GROUP BY doc_id, n_tok, island),
-    remidx AS (
+      FROM sp_isl GROUP BY doc_id, n_tok, island),
+    sp_remidx AS (
       SELECT doc_id, cast(j AS BIGINT) AS j
-      FROM spans, unnest(range(s, e1)) AS u(j)),
-    words AS (
+      FROM sp_spans, unnest(range(s, e1)) AS u(j)),
+    sp_words AS (
       SELECT doc_id, cast(i AS BIGINT) AS i, t[i+1] AS w
-      FROM toks, unnest(range(0, len(t))) AS u(i)),
-    kept AS (
+      FROM sp_toks, unnest(range(0, len(t))) AS u(i)),
+    sp_kept AS (
       SELECT w.doc_id, w.i, w.w
-      FROM words w LEFT JOIN remidx r2 ON w.doc_id = r2.doc_id AND w.i = r2.j
+      FROM sp_words w LEFT JOIN sp_remidx r2 ON w.doc_id = r2.doc_id AND w.i = r2.j
       WHERE r2.j IS NULL),
-    agg AS (
+    sp_agg AS (
       SELECT doc_id, count(*) AS kw,
              md5(string_agg(w, ' ' ORDER BY i)) AS fp
-      FROM kept GROUP BY doc_id)
-    SELECT t2.doc_id, cast(len(t2.t) AS BIGINT) AS n_tok,
-      cast(len(t2.t) - coalesce(a.kw, 0) AS BIGINT) AS n_removed,
-      coalesce(a.fp, md5('')) AS kept_fp
-    FROM toks t2 LEFT JOIN agg a USING (doc_id)
+      FROM sp_kept GROUP BY doc_id),
+    sp_out AS (
+      SELECT t2.doc_id, cast(len(t2.t) AS BIGINT) AS n_tok,
+        cast(coalesce(a.kw, 0) AS BIGINT) AS kept_tok,
+        coalesce(a.fp, md5('')) AS kept_fp
+      FROM sp_toks t2 LEFT JOIN sp_agg a USING (doc_id))"""
+
+  val spanDedupTextSql: String = s"""
+    WITH ${spanCtes("documents")}
+    SELECT doc_id, n_tok, n_tok - kept_tok AS n_removed, kept_fp
+    FROM sp_out
     ORDER BY doc_id"""
+
+  // --------------------------------------------------------- the funnel
+
+  /** End-to-end document-hygiene FUNNEL — the per-stage attrition report
+    * a pipeline ships with every corpus build: stage 1 applies the
+    * repetition filter, stage 2 runs the exact-substring rewrite over the
+    * SURVIVORS (the keeper ranking sees only surviving documents — stage
+    * order changes dedup decisions, which is why the composition is one
+    * query and not three), stage 3 exact-dedups the rewritten texts by
+    * fingerprint (fully-rewritten empty documents fall out at the stage-2
+    * boundary). One row per stage: documents and tokens in/out.
+    *
+    * Scale shape: the rep stage is the row-local scan, the span stage is
+    * the one window-hash shuffle, stage 3 is one fingerprint ranking;
+    * the stage aggregates are single-row reductions crossed together —
+    * nothing here adds a join over data.
+    */
+  def hygieneFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(spark, dir).select("doc_id", "text")
+    val s0 = d0.agg(
+      count(lit(1)).as("docs0"),
+      sum(size(TextAnalysis.wordTokens(col("text"))).cast("long")).as("toks0"))
+    // materialize the stage frames: each is read by 2-3 downstream
+    // consumers (the stage aggregate + the next stage), and without this
+    // every consumer re-runs the full upstream scan — measured 149.7 s
+    // vs ~21 s for the stages' own costs at the sf10 replica
+    val kept1 = graft.operators.Materialize(
+      withRepSignals(d0, "text")
+        .select(col("doc_id") +: col("text") +: repVerdictCols: _*)
+        .where(col("keep")).select("doc_id", "text"))
+    val s1 = kept1.agg(
+      count(lit(1)).as("docs1"),
+      sum(size(TextAnalysis.wordTokens(col("text"))).cast("long")).as("toks1"))
+    val sd = graft.operators.Materialize(spanDedupCore(kept1))
+    val s2 = sd.agg(
+      count(when(col("kept_tok") > 0, 1)).as("docs2"),
+      coalesce(sum("kept_tok"), lit(0L)).as("toks2"))
+    val keep3 = sd.where(col("kept_tok") > 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("kept_fp").orderBy("doc_id")))
+      .where(col("rn") === 1)
+    val s3 = keep3.agg(
+      count(lit(1)).as("docs3"),
+      coalesce(sum("kept_tok"), lit(0L)).as("toks3"))
+    val all = s0.crossJoin(s1).crossJoin(s2).crossJoin(s3)
+    val rows = Seq(
+      (1L, "rep_filter", "docs0", "docs1", "toks0", "toks1"),
+      (2L, "span_dedup", "docs1", "docs2", "toks1", "toks2"),
+      (3L, "exact_dedup", "docs2", "docs3", "toks2", "toks3"))
+    rows.map { case (id, nm, di, dout, ti, tout) =>
+      all.select(lit(id).as("stage"), lit(nm).as("name"),
+        col(di).as("docs_in"), col(dout).as("docs_out"),
+        col(ti).as("tokens_in"), col(tout).as("tokens_out"))
+    }.reduce(_.union(_)).orderBy("stage")
+  }
+
+  val hygieneFunnelSql: String = {
+    val keepCond = "NOT (" +
+      RepThresholds.map { case (n, t) => s"($n > $t)" }.mkString(" OR ") + ")"
+    s"""WITH $repCteBlock,
+    sig AS (
+    $repFinalSelect),
+    keep1 AS (
+      SELECT b.doc_id, b.text FROM base b JOIN sig s USING (doc_id)
+      WHERE $keepCond),
+    s0 AS (SELECT count(*) AS docs0,
+                  cast(coalesce(sum(len(t)), 0) AS BIGINT) AS toks0 FROM base),
+    s1 AS (SELECT count(*) AS docs1,
+                  cast(coalesce(sum(len(string_split_regex(trim(text), '\\s+'))), 0) AS BIGINT) AS toks1
+           FROM keep1),
+    ${spanCtes("keep1")},
+    s2 AS (SELECT count(*) FILTER (WHERE kept_tok > 0) AS docs2,
+                  cast(coalesce(sum(kept_tok), 0) AS BIGINT) AS toks2 FROM sp_out),
+    keep3 AS (
+      SELECT doc_id, kept_tok FROM (
+        SELECT doc_id, kept_tok,
+          row_number() OVER (PARTITION BY kept_fp ORDER BY doc_id) AS rn
+        FROM sp_out WHERE kept_tok > 0) WHERE rn = 1),
+    s3 AS (SELECT count(*) AS docs3,
+                  cast(coalesce(sum(kept_tok), 0) AS BIGINT) AS toks3 FROM keep3)
+    SELECT cast(1 AS BIGINT) AS stage, 'rep_filter' AS name,
+           docs0 AS docs_in, docs1 AS docs_out,
+           toks0 AS tokens_in, toks1 AS tokens_out FROM s0, s1
+    UNION ALL
+    SELECT cast(2 AS BIGINT), 'span_dedup', docs1, docs2, toks1, toks2 FROM s1, s2
+    UNION ALL
+    SELECT cast(3 AS BIGINT), 'exact_dedup', docs2, docs3, toks2, toks3 FROM s2, s3
+    ORDER BY stage"""
+  }
 
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rep_signals"     -> (repSignals _),
     "rep_filter"      -> (repFilter _),
-    "span_dedup_text" -> (spanDedupText _))
+    "span_dedup_text" -> (spanDedupText _),
+    "hygiene_funnel"  -> (hygieneFunnel _))
 
   val oracle: Map[String, String] = Map(
     "rep_signals"     -> repSignalsSql,
     "rep_filter"      -> repFilterSql,
-    "span_dedup_text" -> spanDedupTextSql)
+    "span_dedup_text" -> spanDedupTextSql,
+    "hygiene_funnel"  -> hygieneFunnelSql)
 }

@@ -136,6 +136,27 @@ class QualityQueriesSpec extends AnyFunSuite {
     assert(out(2L) == ((5L, 5L, md5hex(""))))
   }
 
+  // ------------------------------------------------------- hygiene_funnel
+
+  test("hygiene_funnel: every stage attrits the planted corpus as designed") {
+    val m = (1 to 40).map(i => s"m$i").mkString(" ") // 40-token clean run
+    val n = (1 to 40).map(i => s"n$i").mkString(" ")
+    val z = (1 to 5).map(i => s"z$i").mkString(" ")  // 5-token shared tail
+    val dir = plantedDir(Seq(
+      (1L, m),                                        // keeper
+      (2L, "a b c d e\na b c d e\na b c d e\na b c d e"), // rep-filtered
+      (3L, s"$m $z"),                                 // strips to the tail
+      (4L, m),                                        // rewrites to empty
+      (5L, n),                                        // keeper
+      (6L, s"$n $z")))                                // tail dups doc 3's
+    val out = QualityQueries.hygieneFunnel(spark, dir)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      (1L, "rep_filter", 6L, 5L, 230L, 210L),  // doc 2 (20 tokens) removed
+      (2L, "span_dedup", 5L, 4L, 210L, 90L),   // doc 4 empties; 3/6 → tails
+      (3L, "exact_dedup", 4L, 3L, 90L, 85L)))  // doc 6's tail dups doc 3's
+  }
+
   // ------------------------------------------------------------ helpers
 
   private def repRow(dir: String, id: Long): Map[String, Double] = {
