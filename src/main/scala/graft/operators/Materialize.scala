@@ -21,6 +21,13 @@ import org.apache.spark.sql.DataFrame
   *  - `none`: identity — pure plan, nothing pinned, downstream filters
   *    can push through. Self-joined subtrees WILL recompute if the frame
   *    is ever executed; meant for plan inspection and tests.
+  *  - `parquet`: write the frame under a job-scoped temp directory and
+  *    read it back — the cluster-scale strategy: nothing pinned in the
+  *    block manager, every consumer (including a RESTARTED job) reads a
+  *    splittable columnar file, and the rewritten scan restores column
+  *    pruning for downstream stage consumers. This is how a 100 TB
+  *    multi-stage pipeline (e.g. `hygiene_funnel`) persists stage
+  *    boundaries; directories are deleted on JVM exit.
   *
   * Iterative algorithms ([[DupClusters.connectedComponents]]) are exempt:
   * their per-round checkpoint is algorithmically required (the loop reads
@@ -33,8 +40,24 @@ object Materialize {
 
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(Key, "eager") match {
-      case "none" => df
-      case "lazy" => df.localCheckpoint(false)
-      case _      => df.localCheckpoint(true)
+      case "none"    => df
+      case "lazy"    => df.localCheckpoint(false)
+      case "parquet" => viaParquet(df)
+      case _         => df.localCheckpoint(true)
     }
+
+  private def viaParquet(df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mat")
+    // best-effort cleanup at JVM exit (a long session would otherwise
+    // accumulate one stage directory per materialization)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    val path = dir.resolve("frame").toString
+    df.write.parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
 }

@@ -46,8 +46,20 @@ class MaterializeSpec extends AnyFunSuite {
     val eager = withStrategy("eager")(run())
     val lzy = withStrategy("lazy")(run())
     val none = withStrategy("none")(run())
-    assert(eager == lzy && lzy == none)
+    val pq = withStrategy("parquet")(run())
+    assert(eager == lzy && lzy == none && none == pq)
     assert(eager.contains((1L, 2L)))
+  }
+
+  test("parquet strategy reads stages back from files, pinning nothing") {
+    val staged = withStrategy("parquet")(Materialize(docs))
+    // the frame is now a parquet scan (splittable, restart-durable,
+    // column-prunable), not a block-manager-pinned LogicalRDD
+    assert(!hasCheckpointScan(staged))
+    assert(staged.queryExecution.executedPlan.toString.contains("FileScan"),
+      "parquet materialization must re-enter through a file scan")
+    assert(staged.as[(Long, String)].collect().toSet ==
+      docs.as[(Long, String)].collect().toSet)
   }
 
   test("simhash respects the strategy too") {

@@ -155,6 +155,11 @@ class QualityQueriesSpec extends AnyFunSuite {
       (1L, "rep_filter", 6L, 5L, 230L, 210L),  // doc 2 (20 tokens) removed
       (2L, "span_dedup", 5L, 4L, 210L, 90L),   // doc 4 empties; 3/6 → tails
       (3L, "exact_dedup", 4L, 3L, 90L, 85L)))  // doc 6's tail dups doc 3's
+    // the cluster-scale stage-persistence strategy yields the same funnel
+    spark.conf.set(graft.operators.Materialize.Key, "parquet")
+    try assert(QualityQueries.hygieneFunnel(spark, dir)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toList == out)
+    finally spark.conf.unset(graft.operators.Materialize.Key)
   }
 
   // ------------------------------------------------------------ helpers
