@@ -34,15 +34,21 @@ object QualityQueries {
   // ------------------------------------------------- repetition signals
 
   /** Gopher repetition-filter thresholds (Rae et al. 2021, table A1),
-    * in report/violation-precedence order. A document is removed when a
-    * signal EXCEEDS its threshold. Paragraph rules are omitted: the
-    * corpus (and the word-salad fixture family) carries no paragraph
-    * delimiter; line rules keep the published semantics and activate on
-    * any multi-line input.
+    * in report/violation-precedence order (the paper's row order:
+    * duplicate line fraction, duplicate paragraph fraction, duplicate
+    * line character fraction, duplicate paragraph character fraction,
+    * then the n-gram rows). A document is removed when a signal EXCEEDS
+    * its threshold. A paragraph is a blank-line-separated block
+    * (`\n\n`); single-paragraph text (the raw word-salad corpus) scores
+    * 0 on both paragraph rules, so they are inert until the input
+    * carries real structure — `rep_para` proves activation on a planted
+    * multi-paragraph corpus.
     */
   val RepThresholds: Seq[(String, Double)] = Seq(
     "dup_line_frac"      -> 0.30,
+    "dup_para_frac"      -> 0.30,
     "dup_line_char_frac" -> 0.20,
+    "dup_para_char_frac" -> 0.20,
     "top2_frac"          -> 0.20,
     "top3_frac"          -> 0.18,
     "top4_frac"          -> 0.16,
@@ -83,11 +89,14 @@ object QualityQueries {
       graft.functions.RepScanKernels.repScanCol(col("__t"), n).as(s"__sc$n")
     }
     // line metrics split on the literal newline (NOT \s+ — a line is a
-    // layout unit); n = 1 scans the line strings themselves
+    // layout unit); n = 1 scans the line strings themselves. Paragraphs
+    // split on the blank line (\n\n) the same way.
     val lineScan = graft.functions.RepScanKernels
       .repScanCol(split(col(textCol), "\n"), 1).as("__lsc")
+    val paraScan = graft.functions.RepScanKernels
+      .repScanCol(split(col(textCol), "\n\n"), 1).as("__psc")
     val staged = base.select(
-      (keep :+ col("__nl")) ++ scanCols :+ lineScan: _*)
+      (keep :+ col("__nl")) ++ scanCols :+ lineScan :+ paraScan: _*)
     def fracOf(mass: Column): Column =
       when(col("__nl") > 0,
         round(mass.cast("double") / col("__nl").cast("double"), 6))
@@ -109,7 +118,17 @@ object QualityQueries {
       round(col("__lsc").getField("dup_extra").cast("double")
         / allChars.cast("double"), 6))
       .otherwise(lit(0.0)).as("dup_line_char_frac")
-    staged.select((keep :+ dupLineFrac :+ dupLineCharFrac)
+    // paragraph twins: Σ para lengths = text length minus 2·(P−1)
+    val nParas = size(split(col(textCol), "\n\n")).cast("long")
+    val dupParaFrac = round((nParas - col("__psc").getField("n_runs"))
+      .cast("double") / nParas.cast("double"), 6).as("dup_para_frac")
+    val allParaChars = length(col(textCol)).cast("long") - (nParas - 1L) * 2L
+    val dupParaCharFrac = when(allParaChars > 0,
+      round(col("__psc").getField("dup_extra").cast("double")
+        / allParaChars.cast("double"), 6))
+      .otherwise(lit(0.0)).as("dup_para_char_frac")
+    staged.select((keep :+ dupLineFrac :+ dupParaFrac
+      :+ dupLineCharFrac :+ dupParaCharFrac)
       ++ topCols ++ dupCols: _*)
   }
 
@@ -177,15 +196,30 @@ object QualityQueries {
     ls AS (
       SELECT doc_id, sum(c) AS nlines, count(*) AS ndist,
              sum((c - 1) * ln) AS dupchars, sum(c * ln) AS allchars
-      FROM lc GROUP BY doc_id)"""
+      FROM lc GROUP BY doc_id),
+    pc AS (
+      SELECT doc_id, para, count(*) AS c, length(para) AS ln
+      FROM (SELECT doc_id,
+              unnest(string_split(text, chr(10) || chr(10))) AS para
+            FROM documents)
+      GROUP BY doc_id, para),
+    ps AS (
+      SELECT doc_id, sum(c) AS nparas, count(*) AS ndist,
+             sum((c - 1) * ln) AS dupchars, sum(c * ln) AS allchars
+      FROM pc GROUP BY doc_id)"""
     val sel = s"""SELECT b.doc_id,
       round(CAST(ls.nlines - ls.ndist AS DOUBLE)
         / CAST(ls.nlines AS DOUBLE), 6) AS dup_line_frac,
+      round(CAST(ps.nparas - ps.ndist AS DOUBLE)
+        / CAST(ps.nparas AS DOUBLE), 6) AS dup_para_frac,
       CASE WHEN ls.allchars > 0 THEN round(CAST(ls.dupchars AS DOUBLE)
         / CAST(ls.allchars AS DOUBLE), 6) ELSE 0.0 END AS dup_line_char_frac,
+      CASE WHEN ps.allchars > 0 THEN round(CAST(ps.dupchars AS DOUBLE)
+        / CAST(ps.allchars AS DOUBLE), 6) ELSE 0.0 END AS dup_para_char_frac,
       ${(topSel ++ dupSel).mkString(",\n      ")}
     FROM base b
     JOIN ls USING (doc_id)
+    JOIN ps USING (doc_id)
     $joins"""
     (ctes, sel)
   }
@@ -223,6 +257,86 @@ object QualityQueries {
     FROM sig
     ORDER BY doc_id"""
   }
+
+  // ----------------------------------------------- paragraph activation
+
+  /** Paragraph-rule ACTIVATION proof (`rep_para`): the raw corpus is
+    * single-paragraph, so `dup_para_frac`/`dup_para_char_frac` score 0 on
+    * every registered document — this query plants real structure and
+    * shows the rules fire. Each document is rebuilt as two
+    * blank-line-separated paragraphs (first half / second half of its
+    * tokens); every `doc_id % 3 == 0` document gets its first paragraph
+    * repeated as a third — a planted duplicate whose
+    * dup_para_frac = 1/3 > 0.30 and char mass ≈ 1/3 > 0.20 cull it,
+    * while unplanted documents score exactly 0 on both rules.
+    * Engine-portable construction (token slices + literal joins) so the
+    * DuckDB oracle rebuilds byte-identical text. Scale shape: row-local
+    * projection end-to-end — no shuffle but the presentation sort.
+    */
+  def repPara(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val withT = d.select(col("doc_id"),
+      TextAnalysis.wordTokens(col("text")).as("t"))
+      .withColumn("h", floor(size(col("t")) / 2).cast("int"))
+    val paraA = concat_ws(" ", slice(col("t"), lit(1), col("h")))
+    val paraB = concat_ws(" ",
+      slice(col("t"), col("h") + 1, size(col("t")) - col("h")))
+    val sep = lit("\n\n")
+    val t2 = when(col("doc_id") % 3 === 0,
+      concat(paraA, sep, paraB, sep, paraA))
+      .otherwise(concat(paraA, sep, paraB))
+    val staged = withT
+      .select(col("doc_id"), t2.as("t2"))
+      .select(col("doc_id"), col("t2"),
+        graft.functions.RepScanKernels
+          .repScanCol(split(col("t2"), "\n\n"), 1).as("__psc"))
+    val nP = size(split(col("t2"), "\n\n")).cast("long")
+    val dupParaFrac = round((nP - col("__psc").getField("n_runs"))
+      .cast("double") / nP.cast("double"), 6)
+    val allParaChars = length(col("t2")).cast("long") - (nP - 1L) * 2L
+    val dupParaCharFrac = when(allParaChars > 0,
+      round(col("__psc").getField("dup_extra").cast("double")
+        / allParaChars.cast("double"), 6)).otherwise(lit(0.0))
+    staged.select(col("doc_id"), nP.as("n_para"),
+      dupParaFrac.as("dup_para_frac"),
+      dupParaCharFrac.as("dup_para_char_frac"))
+      .withColumn("para_keep",
+        col("dup_para_frac") <= 0.30 && col("dup_para_char_frac") <= 0.20)
+      .orderBy("doc_id")
+  }
+
+  val repParaSql: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    aug AS (
+      SELECT doc_id,
+        array_to_string(t[1:len(t)//2], ' ')
+          || chr(10) || chr(10) ||
+        array_to_string(t[len(t)//2+1:len(t)], ' ')
+          || CASE WHEN doc_id % 3 = 0
+               THEN chr(10) || chr(10) || array_to_string(t[1:len(t)//2], ' ')
+               ELSE '' END AS t2
+      FROM toks),
+    pc AS (
+      SELECT doc_id, para, count(*) AS c, length(para) AS ln
+      FROM (SELECT doc_id,
+              unnest(string_split(t2, chr(10) || chr(10))) AS para FROM aug)
+      GROUP BY doc_id, para),
+    ps AS (
+      SELECT doc_id, sum(c) AS np, count(*) AS nd,
+             sum((c - 1) * ln) AS dupchars, sum(c * ln) AS allchars
+      FROM pc GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id, cast(np AS BIGINT) AS n_para,
+        round(CAST(np - nd AS DOUBLE) / CAST(np AS DOUBLE), 6) AS dup_para_frac,
+        CASE WHEN allchars > 0 THEN round(CAST(dupchars AS DOUBLE)
+          / CAST(allchars AS DOUBLE), 6) ELSE 0.0 END AS dup_para_char_frac
+      FROM ps)
+    SELECT doc_id, n_para, dup_para_frac, dup_para_char_frac,
+      (dup_para_frac <= 0.30 AND dup_para_char_frac <= 0.20) AS para_keep
+    FROM sig
+    ORDER BY doc_id"""
 
   // ------------------------------------------------- span dedup rewrite
 
@@ -448,12 +562,14 @@ object QualityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rep_signals"     -> (repSignals _),
     "rep_filter"      -> (repFilter _),
+    "rep_para"        -> (repPara _),
     "span_dedup_text" -> (spanDedupText _),
     "hygiene_funnel"  -> (hygieneFunnel _))
 
   val oracle: Map[String, String] = Map(
     "rep_signals"     -> repSignalsSql,
     "rep_filter"      -> repFilterSql,
+    "rep_para"        -> repParaSql,
     "span_dedup_text" -> spanDedupTextSql,
     "hygiene_funnel"  -> hygieneFunnelSql)
 }

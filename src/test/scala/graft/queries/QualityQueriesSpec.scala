@@ -75,16 +75,47 @@ class QualityQueriesSpec extends AnyFunSuite {
   test("rep_filter: clean doc keeps; heavy repetition violates every rule, " +
     "first violation follows threshold-table order") {
     // the clean doc must be LONG: on a short one a single occurrence of
-    // the longest n-gram already exceeds the top-n char-mass thresholds
+    // the longest n-gram already exceeds the top-n char-mass thresholds.
+    // doc 2 repeats one PARAGRAPH four times so the paragraph rules fire
+    // too (its \n\n separators also plant duplicate empty lines).
     val dir = plantedDir(Seq(
       (1L, (1 to 60).map(i => s"w$i").mkString(" ")),
-      (2L, "a b c d e\na b c d e\na b c d e\na b c d e")))
+      (2L, "a b c d e\n\na b c d e\n\na b c d e\n\na b c d e")))
     val rows = QualityQueries.repFilter(spark, dir)
       .as[(Long, Boolean, Long, String)].collect().toMap2
     assert(rows(1L) == ((true, 0L, "")))
     val (keep, nv, first) = rows(2L)
     assert(!keep && first == "dup_line_frac")
-    assert(nv == QualityQueries.RepThresholds.size) // all 11 rules fire
+    assert(nv == QualityQueries.RepThresholds.size) // all 13 rules fire
+  }
+
+  // ---------------------------------------------------- paragraph rules
+
+  test("rep_signals: paragraph duplicate fraction and char mass; " +
+    "single-paragraph text scores 0 on both") {
+    val dir = plantedDir(Seq(
+      (1L, "p one here\n\nq two there\n\np one here"), // 3 paras, 2 distinct
+      (2L, "no paragraph breaks at all")))
+    val out = repRow(dir, 1L)
+    assert(out("dup_para_frac") == r6(1.0 / 3))
+    // dup_extra = (2-1)*10; Σ para chars = 10+11+10
+    assert(out("dup_para_char_frac") == r6(10.0 / 31))
+    // \n\n also plants two empty LINES → the line metrics see them:
+    // 5 lines, 3 distinct ("p one here"×2, ""×2, "q two there")
+    assert(out("dup_line_frac") == r6(2.0 / 5))
+    val flat = repRow(dir, 2L)
+    assert(flat("dup_para_frac") == 0.0 && flat("dup_para_char_frac") == 0.0)
+  }
+
+  test("rep_para: planted third-paragraph duplicate culls, clean docs keep") {
+    val dir = plantedDir(Seq(
+      (3L, (1 to 12).map(i => s"a$i").mkString(" ")), // %3==0 → planted dup
+      (4L, (1 to 12).map(i => s"b$i").mkString(" "))))
+    val out = QualityQueries.repPara(spark, dir)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5))).toMap
+    assert(out(3L) == ((3L, r6(1.0 / 3), false))) // 3 paras, first repeated
+    assert(out(4L) == ((2L, 0.0, true)))
   }
 
   test("rep_filter verdicts agree with rep_signals thresholds on real data") {
