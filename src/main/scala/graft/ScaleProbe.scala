@@ -516,6 +516,59 @@ object ScaleProbe {
       return
     }
 
+    // RepScan A/B mode (`runMain graft.ScaleProbe repscan`): the
+    // split-free suite kernel vs the composed split + 9×RepScan form it
+    // replaced, side by side per the bench-methodology rule (warm pass,
+    // min of 2, one JVM). Both shapes emit IDENTICAL cells — doc_id, the
+    // joined length, and the nine scan structs — so the noop sink cost
+    // cancels and the delta isolates tokenization + gram grouping.
+    // Requires the quality-mode corpora (run `quality` first).
+    if (args.contains("repscan")) {
+      val q01 = "target/scaledata/q01"
+      val q1 = "target/scaledata/q1"
+      val out10 = "target/scaledata/sf10"
+      for (d <- Seq(q01, q1, out10))
+        require(new java.io.File(s"$d/documents.parquet").exists(),
+          s"$d missing — run `ScaleProbe quality` first")
+      import graft.functions.{RepScanKernels, RepScanSuiteKernels}
+      def oldScan(dir: String): DataFrame = {
+        val df = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+          .withColumn("__t", split(trim(col("text")), "\\s+"))
+        df.select(col("doc_id") +:
+          length(array_join(col("__t"), " ")).cast("long").as("nl") +:
+          (2 to 10).map(n =>
+            RepScanKernels.repScanCol(col("__t"), n).as(s"sc$n")): _*)
+      }
+      def newScan(dir: String): DataFrame = {
+        val df = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            RepScanSuiteKernels.repScanSuiteCol(col("text")).as("__su"))
+        df.select(col("doc_id") +:
+          col("__su").getField("nl").as("nl") +:
+          (2 to 10).map(n =>
+            col("__su").getField(s"sc$n").as(s"sc$n")): _*)
+      }
+      def timeShape(f: String => DataFrame, dir: String): Double = {
+        def run(): Unit =
+          f(dir).write.format("noop").mode("overwrite").save()
+        run()
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      for ((nm, f) <- Seq(
+          ("split+9xRepScan", oldScan _), ("suite", newScan _))) {
+        val t01 = timeShape(f, q01)
+        val t1 = timeShape(f, q1)
+        val t10 = timeShape(f, out10)
+        println(f"PROBEREPSCAN $nm sf0.1=$t01%.2f s sf1=$t1%.2f s " +
+          f"sf10=$t10%.2f s ratio10=${t1 / t01}%.1f ratio100=${t10 / t01}%.1f")
+      }
+      spark.stop()
+      return
+    }
+
     // Re-measure mode (`runMain graft.ScaleProbe remeasure`): the
     // round-11 verdict's bench-methodology check — warm pass + min of 2
     // timed passes, isolated from the other 240 queries — for the knn

@@ -151,22 +151,26 @@ object CleanQueries {
 
   val gqSignalsSql: String = gqSignalsBody + "\n    ORDER BY doc_id"
 
-  /** Verdict over the signal frame: keep, violation count, FIRST violated
-    * rule in [[GqRules]] order — same contract shape as
-    * [[QualityQueries.repVerdictCols]].
+  /** Verdict columns over a gq-signal frame: keep, violation count, and
+    * the FIRST violated rule in [[GqRules]] order — shared by the batch
+    * filter and [[graft.streaming.StreamingCleanGate]] so stream and
+    * batch can never disagree (same contract shape as
+    * [[QualityQueries.repVerdictCols]]).
     */
-  def gqFilter(spark: SparkSession, dir: String): DataFrame = {
+  def gqVerdictCols: Seq[Column] = {
     val viol = GqRules.map(_._2)
     val firstViol = GqRules.foldRight(lit(""): Column) {
       case ((n, c), rest) => when(c, lit(n)).otherwise(rest)
     }
-    withGqSignals(docs(spark, dir).select("doc_id", "text"), "text")
-      .select(col("doc_id"),
-        viol.reduce(_ || _).unary_!.as("keep"),
-        viol.map(_.cast("long")).reduce(_ + _).as("n_violations"),
-        firstViol.as("first_violation"))
-      .orderBy("doc_id")
+    Seq(viol.reduce(_ || _).unary_!.as("keep"),
+      viol.map(_.cast("long")).reduce(_ + _).as("n_violations"),
+      firstViol.as("first_violation"))
   }
+
+  def gqFilter(spark: SparkSession, dir: String): DataFrame =
+    withGqSignals(docs(spark, dir).select("doc_id", "text"), "text")
+      .select(col("doc_id") +: gqVerdictCols: _*)
+      .orderBy("doc_id")
 
   val gqFilterSql: String = {
     val viol  = GqRulesSql.map(_._2)

@@ -82,11 +82,18 @@ object QualityQueries {
     */
   def withRepSignals(df: DataFrame, textCol: String): DataFrame = {
     val keep = df.columns.map(col).toSeq
+    // the split-free SUITE kernel: one expression evaluation tokenizes
+    // the raw bytes and yields all nine gram widths plus the joined
+    // length — no regex split, no token array (RepScanSuiteKernels).
+    // Staged in its own projection so it evaluates exactly once per row.
     val base = df
-      .withColumn("__t", TextAnalysis.wordTokens(col(textCol)))
-      .withColumn("__nl", length(array_join(col("__t"), " ")).cast("long"))
+      .withColumn("__su",
+        graft.functions.RepScanSuiteKernels.repScanSuiteCol(col(textCol)))
+      .select(df.columns.map(col).toSeq
+        :+ col("__su").getField("nl").as("__nl")
+        :+ col("__su"): _*)
     val scanCols = (2 to 10).map { n =>
-      graft.functions.RepScanKernels.repScanCol(col("__t"), n).as(s"__sc$n")
+      col("__su").getField(s"sc$n").as(s"__sc$n")
     }
     // line metrics split on the literal newline (NOT \s+ — a line is a
     // layout unit); n = 1 scans the line strings themselves. Paragraphs
