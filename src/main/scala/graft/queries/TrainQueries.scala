@@ -366,11 +366,134 @@ object TrainQueries {
     FROM t a JOIN t b ON a.n_id = b.id AND b.n_id = a.id AND a.id < b.id
     ORDER BY a_id"""
 
+  // ------------------------------------------------- span corruption
+
+  /** T5 span-corruption window (tokens) and span length: L/W = 3/20
+    * gives the paper's 15% corruption rate with mean span 3 (Raffel et
+    * al. 2020 §3.1.4), made deterministic and engine-portable: each FULL
+    * 20-token window masks exactly one 3-token span whose offset is
+    * md5-derived from (doc_id, window#). The tail partial window stays
+    * unmasked (documented divergence from the paper's random sampler —
+    * a distributed pipeline needs replayable masking anyway, and this
+    * construction is exactly reproducible by any engine).
+    */
+  private val CorruptW = 20
+  private val CorruptL = 3
+
+  /** T5 denoising batch prep (`span_corrupt`): per document, the masked
+    * INPUT (each span replaced by its `<extra_id_k>` sentinel) and the
+    * TARGET (`<extra_id_0> span0 <extra_id_1> span1 … <extra_id_n>`),
+    * emitted as md5 fingerprints (the cross-engine witness both engines
+    * rebuilt byte-identical sequences) plus token accounting.
+    *
+    * Scale shape: fully row-local — span starts are computed ONCE per
+    * window into a staged array (one md5 per window, not per token),
+    * then the input/target rebuilds are O(1)-per-token HOF projections
+    * reading that array. No shuffle beyond the presentation sort; runs
+    * at scan speed on any corpus size.
+    */
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    val W = CorruptW
+    val L = CorruptL
+    def sentinel(k: org.apache.spark.sql.Column) =
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.wordTokens(col("text")).as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("nsp", (size(col("t")) / W).cast("long")) // full windows
+    // one md5 per window: span start s_k = k·W + h(doc_id:k) % (W−L+1)
+    val spanStarts = when(col("nsp") > 0,
+      transform(sequence(lit(0), (col("nsp") - 1).cast("int")), k =>
+        k.cast("long") * W +
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            k.cast("string"))), 1, 8), 16, 10).cast("long") % (W - L + 1)))
+      .otherwise(array().cast("array<bigint>"))
+    val staged = toks.withColumn("__sp", spanStarts)
+    // input: per position — sentinel at a span start, dropped inside a
+    // span, the token otherwise; O(1) array lookup per position
+    val inputToks = filter(
+      transform(sequence(lit(0), size(col("t")) - 1), i => {
+        val k = (i / W).cast("int")
+        val s = when(k.cast("long") < col("nsp"),
+          get(col("__sp"), k)).otherwise(lit(-1L - L))
+        when(i.cast("long") === s, sentinel(k))
+          .when(i.cast("long") > s && i.cast("long") < s + L,
+            lit(null).cast("string"))
+          .otherwise(get(col("t"), i))
+      }), x => x.isNotNull)
+    val tgtParts = transform(sequence(lit(0), (col("nsp") - 1).cast("int")), k =>
+      concat_ws(" ",
+        concat(array(sentinel(k)),
+          slice(col("t"), (get(col("__sp"), k) + 1).cast("int"), lit(L)))))
+    val tgtArr = when(col("nsp") > 0, tgtParts)
+      .otherwise(array().cast("array<string>"))
+    val target = concat_ws(" ",
+      concat(tgtArr, array(sentinel(col("nsp")))))
+    staged.select(col("doc_id"), col("n_tok"),
+      col("nsp").as("n_spans"),
+      (col("nsp") * L).as("n_masked"),
+      md5(array_join(inputToks, " ").cast("binary")).as("input_fp"),
+      md5(target.cast("binary")).as("target_fp"))
+      .orderBy("doc_id")
+  }
+
+  val spanCorruptSql: String = {
+    val W = CorruptW
+    val L = CorruptL
+    s"""WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    base AS (
+      SELECT doc_id, t, cast(len(t) AS BIGINT) AS n_tok,
+        cast(len(t) // $W AS BIGINT) AS nsp
+      FROM toks),
+    spans AS (
+      SELECT doc_id, k,
+        k * $W + CAST(concat('0x',
+          substr(md5(doc_id || ':' || k), 1, 8)) AS BIGINT) % ${W - L + 1} AS s
+      FROM base, unnest(range(0, nsp)) AS u(k)),
+    words AS (
+      SELECT doc_id, cast(i AS BIGINT) AS i, t[i+1] AS w
+      FROM toks, unnest(range(0, len(t))) AS u(i)),
+    remidx AS (
+      SELECT doc_id, cast(j AS BIGINT) AS j
+      FROM spans, unnest(range(s, s + $L)) AS u(j)),
+    inp AS (
+      SELECT w.doc_id, w.i AS pos, w.w AS tok
+      FROM words w LEFT JOIN remidx r ON w.doc_id = r.doc_id AND w.i = r.j
+      WHERE r.j IS NULL
+      UNION ALL
+      SELECT doc_id, s AS pos, '<extra_id_' || k || '>' FROM spans),
+    input AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS inp
+      FROM inp GROUP BY doc_id),
+    tparts AS (
+      SELECT sp.doc_id, sp.k,
+        '<extra_id_' || sp.k || '> ' || array_to_string(b.t[sp.s+1:sp.s+$L], ' ') AS part
+      FROM spans sp JOIN base b USING (doc_id)),
+    target AS (
+      SELECT b.doc_id,
+        coalesce(string_agg(tp.part, ' ' ORDER BY tp.k) || ' ', '')
+          || '<extra_id_' || b.nsp || '>' AS tgt
+      FROM base b LEFT JOIN tparts tp USING (doc_id)
+      GROUP BY b.doc_id, b.nsp)
+    SELECT b.doc_id, b.n_tok, b.nsp AS n_spans,
+      b.nsp * $L AS n_masked,
+      md5(i2.inp) AS input_fp,
+      md5(t2.tgt) AS target_fp
+    FROM base b
+    JOIN input i2 USING (doc_id)
+    JOIN target t2 USING (doc_id)
+    ORDER BY doc_id"""
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "triplet_mine"  -> (tripletMine _),
     "emb_health"    -> (embHealth _),
+    "span_corrupt"  -> (spanCorrupt _),
     "margin_sample" -> (marginSample _),
     "mutual_nn"     -> (mutualNn _),
     "epoch_shuffle" -> (epochShuffle _),
@@ -379,6 +502,7 @@ object TrainQueries {
   val oracle: Map[String, String] = Map(
     "triplet_mine"  -> tripletMineSql,
     "emb_health"    -> embHealthSql,
+    "span_corrupt"  -> spanCorruptSql,
     "margin_sample" -> marginSampleSql,
     "mutual_nn"     -> mutualNnSql,
     "epoch_shuffle" -> epochShuffleSql,
