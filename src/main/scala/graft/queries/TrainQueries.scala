@@ -488,12 +488,90 @@ object TrainQueries {
     ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------- fill-in-the-middle
+
+  /** FIM transform (`fim_transform`, Bavarian et al. 2022): half the
+    * documents (md5-coin on doc_id) are rearranged into the PSM format
+    * `<PRE> prefix <SUF> suffix <MID> middle`, where the two cut points
+    * are md5-derived from doc_id over [0, n] — the deterministic,
+    * replayable stand-in for the paper's uniform cuts (a distributed
+    * pipeline needs exact replay; any engine reproduces the same cuts).
+    * The other half pass through in autoregressive order. Emits the cut
+    * accounting and the md5 of the emitted sequence — the cross-engine
+    * witness. Row-local; empty prefix/middle/suffix segments (cuts at
+    * the edges) collapse cleanly because the pieces are ARRAYS joined
+    * once, not string concatenation with separators.
+    */
+  def fimTransform(spark: SparkSession, dir: String): DataFrame = {
+    def h(tag: String) =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":" + tag))),
+        1, 8), 16, 10).cast("long")
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.wordTokens(col("text")).as("t"))
+    val n = size(col("t"))
+    val fim = h("fim") % 2 === 0
+    val c1 = h("a") % (n.cast("long") + 1L)
+    val c2 = h("b") % (n.cast("long") + 1L)
+    val staged = toks
+      .withColumn("fim", fim)
+      .withColumn("lo", least(c1, c2).cast("int"))
+      .withColumn("hi", greatest(c1, c2).cast("int"))
+    val pre = slice(col("t"), lit(1), col("lo"))
+    val mid = slice(col("t"), col("lo") + 1, col("hi") - col("lo"))
+    val suf = slice(col("t"), col("hi") + 1, n - col("hi"))
+    val psm = array_join(concat(
+      array(lit("<PRE>")), pre,
+      array(lit("<SUF>")), suf,
+      array(lit("<MID>")), mid), " ")
+    val out = when(col("fim"), psm).otherwise(array_join(col("t"), " "))
+    staged.select(col("doc_id"), col("fim"),
+      n.cast("long").as("n_tok"),
+      when(col("fim"), col("lo")).otherwise(n).cast("long").as("pre_len"),
+      when(col("fim"), col("hi") - col("lo")).otherwise(lit(0))
+        .cast("long").as("mid_len"),
+      when(col("fim"), n - col("hi")).otherwise(lit(0))
+        .cast("long").as("suf_len"),
+      md5(out.cast("binary")).as("out_fp"))
+      .orderBy("doc_id")
+  }
+
+  val fimTransformSql: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    base AS (
+      SELECT doc_id, t, len(t) AS n,
+        CAST(concat('0x', substr(md5(doc_id || ':fim'), 1, 8)) AS BIGINT)
+          % 2 = 0 AS fim,
+        CAST(concat('0x', substr(md5(doc_id || ':a'), 1, 8)) AS BIGINT)
+          % (len(t) + 1) AS c1,
+        CAST(concat('0x', substr(md5(doc_id || ':b'), 1, 8)) AS BIGINT)
+          % (len(t) + 1) AS c2
+      FROM toks),
+    cuts AS (
+      SELECT doc_id, t, n, fim,
+        least(c1, c2) AS lo, greatest(c1, c2) AS hi
+      FROM base)
+    SELECT doc_id, fim, cast(n AS BIGINT) AS n_tok,
+      cast(CASE WHEN fim THEN lo ELSE n END AS BIGINT) AS pre_len,
+      cast(CASE WHEN fim THEN hi - lo ELSE 0 END AS BIGINT) AS mid_len,
+      cast(CASE WHEN fim THEN n - hi ELSE 0 END AS BIGINT) AS suf_len,
+      md5(CASE WHEN fim
+        THEN array_to_string(
+          ['<PRE>'] || t[1:lo] || ['<SUF>'] || t[hi+1:n] || ['<MID>'] || t[lo+1:hi],
+          ' ')
+        ELSE array_to_string(t, ' ') END) AS out_fp
+    FROM cuts
+    ORDER BY doc_id"""
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "triplet_mine"  -> (tripletMine _),
     "emb_health"    -> (embHealth _),
     "span_corrupt"  -> (spanCorrupt _),
+    "fim_transform" -> (fimTransform _),
     "margin_sample" -> (marginSample _),
     "mutual_nn"     -> (mutualNn _),
     "epoch_shuffle" -> (epochShuffle _),
@@ -503,6 +581,7 @@ object TrainQueries {
     "triplet_mine"  -> tripletMineSql,
     "emb_health"    -> embHealthSql,
     "span_corrupt"  -> spanCorruptSql,
+    "fim_transform" -> fimTransformSql,
     "margin_sample" -> marginSampleSql,
     "mutual_nn"     -> mutualNnSql,
     "epoch_shuffle" -> epochShuffleSql,
