@@ -392,101 +392,214 @@ object TrainQueries {
     * reading that array. No shuffle beyond the presentation sort; runs
     * at scan speed on any corpus size.
     */
-  def spanCorrupt(spark: SparkSession, dir: String): DataFrame = {
-    val W = CorruptW
-    val L = CorruptL
-    def sentinel(k: org.apache.spark.sql.Column) =
-      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
-    val toks = spark.read.parquet(s"$dir/documents.parquet")
+  private def tokFrame(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         graft.operators.TextAnalysis.wordTokens(col("text")).as("t"))
       .withColumn("n_tok", size(col("t")).cast("long"))
-      .withColumn("nsp", (size(col("t")) / W).cast("long")) // full windows
-    // one md5 per window: span start s_k = k·W + h(doc_id:k) % (W−L+1)
+
+  private def sentinelCol(k: org.apache.spark.sql.Column) =
+    concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+
+  /** The span-corruption core over a (doc_id, t, n_tok) frame,
+    * parameterized for the UL2 denoiser family: window `w`, span `l`,
+    * and a hash `tag` so different denoisers draw decorrelated offsets
+    * (tag "" keeps `span_corrupt`'s original md5(doc_id:k) seed). Emits
+    * (doc_id, n_tok, n_spans, n_masked, input, target) with the
+    * sequences as STRINGS — callers fingerprint them.
+    */
+  private def spanCorruptFrame(toks: DataFrame, w: Int, l: Int,
+                               tag: String): DataFrame = {
+    val seed = if (tag.isEmpty) ":" else s":$tag:"
+    val base = toks.withColumn("nsp", (size(col("t")) / w).cast("long"))
+    // one md5 per window: span start s_k = k·w + h(doc_id[:tag]:k) % (w−l+1)
     val spanStarts = when(col("nsp") > 0,
       transform(sequence(lit(0), (col("nsp") - 1).cast("int")), k =>
-        k.cast("long") * W +
-          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-            k.cast("string"))), 1, 8), 16, 10).cast("long") % (W - L + 1)))
+        k.cast("long") * w +
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(seed),
+            k.cast("string"))), 1, 8), 16, 10).cast("long") % (w - l + 1)))
       .otherwise(array().cast("array<bigint>"))
-    val staged = toks.withColumn("__sp", spanStarts)
+    val staged = base.withColumn("__sp", spanStarts)
     // input: per position — sentinel at a span start, dropped inside a
     // span, the token otherwise; O(1) array lookup per position
     val inputToks = filter(
       transform(sequence(lit(0), size(col("t")) - 1), i => {
-        val k = (i / W).cast("int")
+        val k = (i / w).cast("int")
         val s = when(k.cast("long") < col("nsp"),
-          get(col("__sp"), k)).otherwise(lit(-1L - L))
-        when(i.cast("long") === s, sentinel(k))
-          .when(i.cast("long") > s && i.cast("long") < s + L,
+          get(col("__sp"), k)).otherwise(lit(-1L - l))
+        when(i.cast("long") === s, sentinelCol(k))
+          .when(i.cast("long") > s && i.cast("long") < s + l,
             lit(null).cast("string"))
           .otherwise(get(col("t"), i))
       }), x => x.isNotNull)
     val tgtParts = transform(sequence(lit(0), (col("nsp") - 1).cast("int")), k =>
       concat_ws(" ",
-        concat(array(sentinel(k)),
-          slice(col("t"), (get(col("__sp"), k) + 1).cast("int"), lit(L)))))
+        concat(array(sentinelCol(k)),
+          slice(col("t"), (get(col("__sp"), k) + 1).cast("int"), lit(l)))))
     val tgtArr = when(col("nsp") > 0, tgtParts)
       .otherwise(array().cast("array<string>"))
     val target = concat_ws(" ",
-      concat(tgtArr, array(sentinel(col("nsp")))))
+      concat(tgtArr, array(sentinelCol(col("nsp")))))
     staged.select(col("doc_id"), col("n_tok"),
       col("nsp").as("n_spans"),
-      (col("nsp") * L).as("n_masked"),
-      md5(array_join(inputToks, " ").cast("binary")).as("input_fp"),
-      md5(target.cast("binary")).as("target_fp"))
-      .orderBy("doc_id")
+      (col("nsp") * l).as("n_masked"),
+      array_join(inputToks, " ").as("input"),
+      target.as("target"))
   }
 
-  val spanCorruptSql: String = {
-    val W = CorruptW
-    val L = CorruptL
-    s"""WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents),
-    base AS (
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame =
+    spanCorruptFrame(tokFrame(spark, dir), CorruptW, CorruptL, "")
+      .select(col("doc_id"), col("n_tok"), col("n_spans"), col("n_masked"),
+        md5(col("input").cast("binary")).as("input_fp"),
+        md5(col("target").cast("binary")).as("target_fp"))
+      .orderBy("doc_id")
+
+  /** Span-corruption CTE chain (names prefixed `p`) over a (doc_id, t)
+    * relation — the SQL twin of [[spanCorruptFrame]]. Ends with
+    * `${p}out(doc_id, n_tok, nsp, n_masked, inp, tgt)`.
+    */
+  private def spanCorruptCtes(p: String, rel: String, w: Int, l: Int,
+                              tag: String): String = {
+    val seed = if (tag.isEmpty) ":" else s":$tag:"
+    s"""${p}base AS (
       SELECT doc_id, t, cast(len(t) AS BIGINT) AS n_tok,
-        cast(len(t) // $W AS BIGINT) AS nsp
-      FROM toks),
-    spans AS (
+        cast(len(t) // $w AS BIGINT) AS nsp
+      FROM $rel),
+    ${p}spans AS (
       SELECT doc_id, k,
-        k * $W + CAST(concat('0x',
-          substr(md5(doc_id || ':' || k), 1, 8)) AS BIGINT) % ${W - L + 1} AS s
-      FROM base, unnest(range(0, nsp)) AS u(k)),
-    words AS (
+        k * $w + CAST(concat('0x',
+          substr(md5(doc_id || '$seed' || k), 1, 8)) AS BIGINT) % ${w - l + 1} AS s
+      FROM ${p}base, unnest(range(0, nsp)) AS u(k)),
+    ${p}words AS (
       SELECT doc_id, cast(i AS BIGINT) AS i, t[i+1] AS w
-      FROM toks, unnest(range(0, len(t))) AS u(i)),
-    remidx AS (
+      FROM ${p}base, unnest(range(0, len(t))) AS u(i)),
+    ${p}remidx AS (
       SELECT doc_id, cast(j AS BIGINT) AS j
-      FROM spans, unnest(range(s, s + $L)) AS u(j)),
-    inp AS (
+      FROM ${p}spans, unnest(range(s, s + $l)) AS u(j)),
+    ${p}inp AS (
       SELECT w.doc_id, w.i AS pos, w.w AS tok
-      FROM words w LEFT JOIN remidx r ON w.doc_id = r.doc_id AND w.i = r.j
+      FROM ${p}words w LEFT JOIN ${p}remidx r
+        ON w.doc_id = r.doc_id AND w.i = r.j
       WHERE r.j IS NULL
       UNION ALL
-      SELECT doc_id, s AS pos, '<extra_id_' || k || '>' FROM spans),
-    input AS (
+      SELECT doc_id, s AS pos, '<extra_id_' || k || '>' FROM ${p}spans),
+    ${p}input AS (
       SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS inp
-      FROM inp GROUP BY doc_id),
-    tparts AS (
+      FROM ${p}inp GROUP BY doc_id),
+    ${p}tparts AS (
       SELECT sp.doc_id, sp.k,
-        '<extra_id_' || sp.k || '> ' || array_to_string(b.t[sp.s+1:sp.s+$L], ' ') AS part
-      FROM spans sp JOIN base b USING (doc_id)),
-    target AS (
+        '<extra_id_' || sp.k || '> ' || array_to_string(b.t[sp.s+1:sp.s+$l], ' ') AS part
+      FROM ${p}spans sp JOIN ${p}base b USING (doc_id)),
+    ${p}target AS (
       SELECT b.doc_id,
         coalesce(string_agg(tp.part, ' ' ORDER BY tp.k) || ' ', '')
           || '<extra_id_' || b.nsp || '>' AS tgt
-      FROM base b LEFT JOIN tparts tp USING (doc_id)
-      GROUP BY b.doc_id, b.nsp)
-    SELECT b.doc_id, b.n_tok, b.nsp AS n_spans,
-      b.nsp * $L AS n_masked,
-      md5(i2.inp) AS input_fp,
-      md5(t2.tgt) AS target_fp
-    FROM base b
-    JOIN input i2 USING (doc_id)
-    JOIN target t2 USING (doc_id)
-    ORDER BY doc_id"""
+      FROM ${p}base b LEFT JOIN ${p}tparts tp USING (doc_id)
+      GROUP BY b.doc_id, b.nsp),
+    ${p}out AS (
+      SELECT b.doc_id, b.n_tok, b.nsp, b.nsp * $l AS n_masked,
+        i2.inp, t2.tgt
+      FROM ${p}base b
+      JOIN ${p}input i2 USING (doc_id)
+      JOIN ${p}target t2 USING (doc_id))"""
   }
+
+  val spanCorruptSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    ${spanCorruptCtes("sc_", "toks", CorruptW, CorruptL, "")}
+    SELECT doc_id, n_tok, nsp AS n_spans, n_masked,
+      md5(inp) AS input_fp, md5(tgt) AS target_fp
+    FROM sc_out
+    ORDER BY doc_id"""
+
+  // --------------------------------------------- UL2 mixture of denoisers
+
+  /** UL2 X-denoiser config: µ=8 spans at 50% corruption → one 8-token
+    * span per 16-token window (the "extreme" regime of Tay et al. 2022).
+    */
+  private val Ul2XW = 16
+  private val Ul2XL = 8
+
+  /** UL2 mixture-of-denoisers prep (`ul2_mix`, Tay et al. 2022): an md5
+    * die on doc_id routes each document to one denoiser — R (the T5
+    * regular span corruption, µ=3 @ 15%, 2/4 of documents; same hash
+    * seed as `span_corrupt`, so R rows are bit-identical to that query
+    * on the shared docs), X (extreme: µ=8 @ 50%, decorrelated offsets
+    * via a tagged seed), or S (sequential/prefix-LM: one md5 cut in the
+    * middle half, input = prefix + sentinel, target = sentinel +
+    * suffix). Emits denoiser, token accounting, and the md5 input/target
+    * witnesses, oracle-checked.
+    *
+    * Scale shape: three row-local branch projections over disjoint
+    * md5-routed slices of one scan, unioned — no shuffle beyond the
+    * presentation sort; the union is append-only, not a join.
+    */
+  def ul2Mix(spark: SparkSession, dir: String): DataFrame = {
+    def h(tag: String) =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":" + tag))),
+        1, 8), 16, 10).cast("long")
+    val toks = tokFrame(spark, dir).withColumn("__d", h("ul2") % 4)
+    def fp(c: org.apache.spark.sql.Column) = md5(c.cast("binary"))
+    def branch(df: DataFrame, name: String) =
+      df.select(col("doc_id"), lit(name).as("denoiser"), col("n_tok"),
+        col("n_masked"), fp(col("input")).as("input_fp"),
+        fp(col("target")).as("target_fp"))
+    val r = branch(spanCorruptFrame(
+      toks.where(col("__d") <= 1).select("doc_id", "t", "n_tok"),
+      CorruptW, CorruptL, ""), "R")
+    val x = branch(spanCorruptFrame(
+      toks.where(col("__d") === 2).select("doc_id", "t", "n_tok"),
+      Ul2XW, Ul2XL, "x"), "X")
+    // S: one cut in the middle half [n/4, n − n/4]
+    val sBase = toks.where(col("__d") === 3)
+    val n = col("n_tok")
+    val lo = floor(n / 4).cast("long")
+    val cut = (lo + h("s") % (n - lo * 2L + 1L)).cast("int")
+    val s = sBase
+      .withColumn("__cut", cut)
+      .select(col("doc_id"), lit("S").as("denoiser"), col("n_tok"),
+        (n - col("__cut")).as("n_masked"),
+        fp(array_join(concat(
+          slice(col("t"), lit(1), col("__cut")),
+          array(lit("<extra_id_0>"))), " ")).as("input_fp"),
+        fp(array_join(concat(
+          array(lit("<extra_id_0>")),
+          slice(col("t"), col("__cut") + 1,
+            size(col("t")) - col("__cut"))), " ")).as("target_fp"))
+    r.union(x).union(s).orderBy("doc_id")
+  }
+
+  val ul2MixSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+        CAST(concat('0x', substr(md5(doc_id || ':ul2'), 1, 8)) AS BIGINT)
+          % 4 AS d
+      FROM documents),
+    rdocs AS (SELECT doc_id, t FROM toks WHERE d <= 1),
+    ${spanCorruptCtes("r_", "rdocs", CorruptW, CorruptL, "")},
+    xdocs AS (SELECT doc_id, t FROM toks WHERE d = 2),
+    ${spanCorruptCtes("x_", "xdocs", Ul2XW, Ul2XL, "x")},
+    sdocs AS (
+      SELECT doc_id, t, cast(len(t) AS BIGINT) AS n FROM toks WHERE d = 3),
+    scut AS (
+      SELECT doc_id, t, n,
+        n // 4 + CAST(concat('0x', substr(md5(doc_id || ':s'), 1, 8)) AS BIGINT)
+          % (n - (n // 4) * 2 + 1) AS cut
+      FROM sdocs),
+    sout AS (
+      SELECT doc_id, n AS n_tok, n - cut AS n_masked,
+        array_to_string(t[1:cut] || ['<extra_id_0>'], ' ') AS inp,
+        array_to_string(['<extra_id_0>'] || t[cut+1:n], ' ') AS tgt
+      FROM scut)
+    SELECT doc_id, 'R' AS denoiser, n_tok, n_masked,
+      md5(inp) AS input_fp, md5(tgt) AS target_fp FROM r_out
+    UNION ALL
+    SELECT doc_id, 'X', n_tok, n_masked, md5(inp), md5(tgt) FROM x_out
+    UNION ALL
+    SELECT doc_id, 'S', n_tok, n_masked, md5(inp), md5(tgt) FROM sout
+    ORDER BY doc_id"""
 
   // ------------------------------------------------- fill-in-the-middle
 
@@ -572,6 +685,7 @@ object TrainQueries {
     "emb_health"    -> (embHealth _),
     "span_corrupt"  -> (spanCorrupt _),
     "fim_transform" -> (fimTransform _),
+    "ul2_mix"       -> (ul2Mix _),
     "margin_sample" -> (marginSample _),
     "mutual_nn"     -> (mutualNn _),
     "epoch_shuffle" -> (epochShuffle _),
@@ -582,6 +696,7 @@ object TrainQueries {
     "emb_health"    -> embHealthSql,
     "span_corrupt"  -> spanCorruptSql,
     "fim_transform" -> fimTransformSql,
+    "ul2_mix"       -> ul2MixSql,
     "margin_sample" -> marginSampleSql,
     "mutual_nn"     -> mutualNnSql,
     "epoch_shuffle" -> epochShuffleSql,
