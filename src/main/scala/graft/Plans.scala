@@ -87,7 +87,13 @@ object Plans {
       // projection + presentation sort — the no-shuffle shape is the
       // point) and the exact-substring dedup rewrite (window-hash keeper
       // ranking + per-doc interval merge + HOF reassembly, no pair join)
-      "rep_signals", "span_dedup_text")
+      "rep_signals", "span_dedup_text",
+      // round-15 continuation: the fused suite-kernel scan (one
+      // expression for all nine widths), the two new hygiene rule
+      // families, and the denoiser preps (row-local rebuild shapes; the
+      // UL2 mixture must show three branch projections over one scan,
+      // unioned — no join)
+      "gq_filter", "c4_clean", "span_corrupt", "ul2_mix")
     val sb = new StringBuilder
     sb ++= "# PLANS - physical plans of flagship queries (sf0.01)\n\n"
     sb ++= "Generated by `sbt \"runMain graft.Plans\"`. What to look for:\n"
