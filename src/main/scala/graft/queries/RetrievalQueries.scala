@@ -547,10 +547,68 @@ object RetrievalQueries {
 
   // ----------------------------------------------------------- registry
 
+  /** CCNet-style quality bucketing (`ccnet_buckets`, Wenzek et al.
+    * 2020): within each source, rank documents by the unigram-LM
+    * negative log-likelihood ([[docLogprob]]'s score — CCNet uses an
+    * external LM's perplexity; the corpus-trained unigram NLL is the
+    * engine's self-contained stand-in, same monotonic role) and cut
+    * into head / middle / tail terciles with NTILE(3) over the total
+    * order (nll, doc_id) — the canonical keep-the-head selection rule.
+    *
+    * Scale shape: the NLL is the one vocab-broadcast join + per-doc
+    * aggregate docLogprob already pays; the tercile is a per-source
+    * window over the SMALL per-doc score frame (one shuffle on source).
+    * At 100 TB the per-source NTILE becomes a two-pass approx-quantile
+    * cut (the committed pattern for `quantile_norm`); the tercile
+    * DEFINITION here is the exact one both engines agree on.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = toks(docs(spark, dir))
+    val cnt = t.groupBy("term").agg(count(lit(1)).as("n"))
+    val total = cnt.agg(sum("n").as("t_tokens"))
+    val nll = t.join(broadcast(cnt), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(log(col("n"))).as("s"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("t_tokens")) - col("s") / col("n_tokens"), 4).as("nll"))
+    val rk = ntile(3).over(
+      Window.partitionBy("source").orderBy(col("nll"), col("doc_id")))
+    nll.join(docs(spark, dir).select("doc_id", "source"), "doc_id")
+      .withColumn("__b", rk)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("nll"),
+        when(col("__b") === 1, "head").when(col("__b") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val ccnetBucketsSql: String = """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents),
+    cnt AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
+    total AS (SELECT sum(n) AS t_tokens FROM cnt),
+    nll AS (
+      SELECT doc_id, count(*) AS n_tokens,
+        round(ln(t_tokens) - sum(ln(n)) / count(*), 4) AS nll
+      FROM t JOIN cnt USING (term) CROSS JOIN total
+      GROUP BY doc_id, t_tokens),
+    ranked AS (
+      SELECT nll.doc_id, d.source, nll.n_tokens, nll.nll,
+        ntile(3) OVER (PARTITION BY d.source
+          ORDER BY nll.nll, nll.doc_id) AS b
+      FROM nll JOIN documents d USING (doc_id))
+    SELECT doc_id, source, n_tokens, nll,
+      CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM ranked
+    ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_score"   -> (bm25Score _),
     "rrf_fusion"   -> (rrfFusion _),
     "doc_logprob"  -> (docLogprob _),
+    "ccnet_buckets" -> (ccnetBuckets _),
     "doc_logprob2" -> (docLogprob2 _),
     "doc_logprob_jm" -> (docLogprobInterp _),
     "dsir_weights" -> (dsirWeights _),
@@ -561,6 +619,7 @@ object RetrievalQueries {
     "bm25_score"   -> bm25ScoreSql,
     "rrf_fusion"   -> rrfFusionSql,
     "doc_logprob"  -> docLogprobSql,
+    "ccnet_buckets" -> ccnetBucketsSql,
     "doc_logprob2" -> docLogprob2Sql,
     "doc_logprob_jm" -> docLogprobInterpSql,
     "dsir_weights" -> dsirWeightsSql,
