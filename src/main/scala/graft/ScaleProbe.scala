@@ -516,6 +516,44 @@ object ScaleProbe {
       return
     }
 
+    // Prep-family mode (`runMain graft.ScaleProbe prep`): the round-15
+    // continuation additions across two decades — the denoiser preps
+    // (span_corrupt / ul2_mix / fim_transform: row-local staged-array
+    // rebuilds, expected ~linear), the quality/cleaning rule families
+    // (gq_filter / c4_clean / rep_para: row-local projections), and
+    // ccnet_buckets (vocab-broadcast join + per-source window over the
+    // small score frame — the one family member with a shuffle term).
+    // Same methodology as `quality`: 32-file layout-controlled corpora,
+    // noop sink (column pruning would delete the per-row work these
+    // queries ARE), warm + min of 2.
+    if (args.contains("prep")) {
+      val q01 = "target/scaledata/q01"
+      val q1 = "target/scaledata/q1"
+      val out10 = "target/scaledata/sf10"
+      for (d <- Seq(q01, q1, out10))
+        require(new java.io.File(s"$d/documents.parquet").exists(),
+          s"$d missing — run `ScaleProbe quality` first")
+      def timeNoop(name: String, dir: String): Double = {
+        val fn = SparkEntry.queries(name)
+        def run(): Unit =
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+        run()
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      for (q <- Seq("span_corrupt", "ul2_mix", "fim_transform",
+          "gq_filter", "c4_clean", "rep_para", "ccnet_buckets")) {
+        val t01 = timeNoop(q, q01)
+        val t1 = timeNoop(q, q1)
+        val t10 = timeNoop(q, out10)
+        println(f"PROBEPREP $q sf0.1=$t01%.2f s sf1=$t1%.2f s sf10=$t10%.2f s " +
+          f"ratio10=${t1 / t01}%.1f ratio100=${t10 / t01}%.1f")
+      }
+      spark.stop()
+      return
+    }
+
     // RepScan A/B mode (`runMain graft.ScaleProbe repscan`): the
     // split-free suite kernel vs the composed split + 9×RepScan form it
     // replaced, side by side per the bench-methodology rule (warm pass,
