@@ -221,6 +221,46 @@ object CleanQueries {
     * the cleaned text — the integrity witness both engines rebuilt
     * byte-identical pages. Row-local end-to-end.
     */
+  /** The C4 pipeline CORE over any frame carrying a `__lines`
+    * string-array column (plus doc_id): line filters (terminal punct ∧
+    * ≥5 words ∧ no `javascript`), then page rules over the CLEANED text
+    * (blocklist, lorem ipsum, curly brace, < 3 sentences). Shared by the
+    * planted batch query and [[graft.streaming.StreamingC4Gate]] (which
+    * feeds REAL newline-split lines), so stream and batch can never
+    * disagree on the same lines. Emits doc_id + every upstream column
+    * except the staging ones, plus the accounting/verdict/witness
+    * columns. Row-local end-to-end.
+    */
+  def c4Core(withLines: DataFrame): DataFrame = {
+    val keepCols = withLines.columns.filterNot(_.startsWith("__")).map(col).toSeq
+    // line filters: terminal punct, >= 5 words, no `javascript`
+    val kept = filter(col("__lines"), l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(l, " ")) >= 5 &&
+        !l.rlike("\\bjavascript\\b"))
+    val staged = withLines
+      .withColumn("__kept", kept)
+      .withColumn("__clean", array_join(col("__kept"), "\n"))
+    val nSentences = regexp_count(col("__clean"), lit("[.!?]")).cast("long")
+    val hasBlock = C4Blocklist
+      .map(w => col("__clean").rlike(s"\\b$w\\b")).reduce(_ || _)
+    val hasLorem = col("__clean").contains("lorem ipsum")
+    val hasBrace = col("__clean").contains("{") || col("__clean").contains("}")
+    val fewSent  = nSentences < 3L
+    val firstReason = when(hasBlock, "bad_words")
+      .when(hasLorem, "lorem_ipsum")
+      .when(hasBrace, "curly_brace")
+      .when(fewSent, "too_few_sentences")
+      .otherwise("")
+    staged.select(keepCols
+      :+ size(col("__lines")).cast("long").as("n_lines")
+      :+ size(col("__kept")).cast("long").as("kept_lines")
+      :+ nSentences.as("n_sentences")
+      :+ (!(hasBlock || hasLorem || hasBrace || fewSent)).as("keep")
+      :+ firstReason.as("first_reason")
+      :+ md5(col("__clean").cast("binary")).as("clean_fp"): _*)
+  }
+
   def c4Clean(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select("doc_id", "text")
     val t = TextAnalysis.wordTokens(col("text"))
@@ -239,37 +279,13 @@ object CleanQueries {
       plantIf(col("doc_id") % 17 === 0, "lorem ipsum appears right here."),
       plantIf(col("doc_id") % 13 === 0, "curly brace { appears right here."),
       plantIf(col("doc_id") % 19 === 0, "badword appears right in here."))
-    // line filters: terminal punct, >= 5 words, no `javascript`
-    val kept = filter(col("__lines"), l =>
-      l.rlike("[.!?\"]$") &&
-        size(split(l, " ")) >= 5 &&
-        !l.rlike("\\bjavascript\\b"))
     val staged = d
       .withColumn("__t", t)
       .withColumn("__nl0", nl0)
       .withColumn("__base", baseLines)
       .withColumn("__lines", lines)
-      .withColumn("__kept", kept)
-      .withColumn("__clean", array_join(col("__kept"), "\n"))
-    val nSentences = regexp_count(col("__clean"), lit("[.!?]")).cast("long")
-    val hasBlock = C4Blocklist
-      .map(w => col("__clean").rlike(s"\\b$w\\b")).reduce(_ || _)
-    val hasLorem = col("__clean").contains("lorem ipsum")
-    val hasBrace = col("__clean").contains("{") || col("__clean").contains("}")
-    val fewSent  = nSentences < 3L
-    val firstReason = when(hasBlock, "bad_words")
-      .when(hasLorem, "lorem_ipsum")
-      .when(hasBrace, "curly_brace")
-      .when(fewSent, "too_few_sentences")
-      .otherwise("")
-    staged.select(col("doc_id"),
-      size(col("__lines")).cast("long").as("n_lines"),
-      size(col("__kept")).cast("long").as("kept_lines"),
-      nSentences.as("n_sentences"),
-      (!(hasBlock || hasLorem || hasBrace || fewSent)).as("keep"),
-      firstReason.as("first_reason"),
-      md5(col("__clean").cast("binary")).as("clean_fp"))
-      .orderBy("doc_id")
+      .drop("__t", "__nl0", "__base", "text")
+    c4Core(staged).orderBy("doc_id")
   }
 
   val c4CleanSql: String = {
