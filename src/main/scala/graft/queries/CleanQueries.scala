@@ -187,6 +187,61 @@ object CleanQueries {
     ORDER BY doc_id"""
   }
 
+  // ------------------------------------------- the complete Gopher filter
+
+  /** The COMPLETE Gopher document filter (`gopher_filter`): the quality
+    * heuristics ([[GqRules]]) and the repetition thresholds
+    * ([[QualityQueries.RepThresholds]]) as ONE verdict per document —
+    * what the paper actually ships (both rule tables must pass). Rule
+    * precedence for `first_violation`: quality rules first (they are the
+    * cheaper reject and the order a pipeline applies them), then the
+    * repetition table in its published order. Emits keep, total
+    * violation count, and the first violated rule name.
+    *
+    * Scale shape: one scan feeds both signal families (the repetition
+    * side is the fused suite kernel, the quality side plain
+    * projections); the doc_id join is self-join-free in practice —
+    * both frames derive from the same rows, so AQE collapses it to the
+    * one presentation exchange. Row-local otherwise.
+    */
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val gq = withGqSignals(d, "text").drop("text")
+    val rep = QualityQueries.withRepSignals(d, "text").drop("text")
+    val joined = gq.join(rep, "doc_id")
+    val repViol = QualityQueries.RepThresholds
+      .map { case (n, t) => n -> (col(n) > lit(t)) }
+    val all = GqRules ++ repViol
+    val firstViol = all.foldRight(lit(""): Column) {
+      case ((n, c), rest) => when(c, lit(n)).otherwise(rest)
+    }
+    joined.select(col("doc_id"),
+      all.map(_._2).reduce(_ || _).unary_!.as("keep"),
+      all.map(_._2.cast("long")).reduce(_ + _).as("n_violations"),
+      firstViol.as("first_violation"))
+      .orderBy("doc_id")
+  }
+
+  val gopherFilterSql: String = {
+    val repViol = QualityQueries.RepThresholds
+      .map { case (n, t) => n -> s"($n > $t)" }
+    val all = GqRulesSql ++ repViol
+    val viol  = all.map(_._2)
+    val nViol = viol.map(v => s"CAST($v AS BIGINT)").mkString(" + ")
+    val firstViol = all.map { case (n, v) => s"WHEN $v THEN '$n'" }
+      .mkString("\n        ")
+    s"""WITH gq AS (
+    $gqSignalsBody),
+    rep AS (
+    ${QualityQueries.repSignalsBodyForComposition})
+    SELECT doc_id,
+      NOT (${viol.mkString(" OR ")}) AS keep,
+      $nViol AS n_violations,
+      CASE $firstViol ELSE '' END AS first_violation
+    FROM gq JOIN rep USING (doc_id)
+    ORDER BY doc_id"""
+  }
+
   // -------------------------------------------------- C4 cleaning rules
 
   /** C4 page-kill reasons in report order (line rules are transforms,
@@ -348,12 +403,14 @@ object CleanQueries {
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "gq_signals" -> (gqSignals _),
-    "gq_filter"  -> (gqFilter _),
-    "c4_clean"   -> (c4Clean _))
+    "gq_signals"    -> (gqSignals _),
+    "gq_filter"     -> (gqFilter _),
+    "gopher_filter" -> (gopherFilter _),
+    "c4_clean"      -> (c4Clean _))
 
   val oracle: Map[String, String] = Map(
-    "gq_signals" -> gqSignalsSql,
-    "gq_filter"  -> gqFilterSql,
-    "c4_clean"   -> c4CleanSql)
+    "gq_signals"    -> gqSignalsSql,
+    "gq_filter"     -> gqFilterSql,
+    "gopher_filter" -> gopherFilterSql,
+    "c4_clean"      -> c4CleanSql)
 }

@@ -237,6 +237,12 @@ object QualityQueries {
 
   val repSignalsSql: String = repSignalsBody + "\n    ORDER BY doc_id"
 
+  /** [[repSignalsBody]] exposed for cross-family composition (the
+    * combined `gopher_filter` embeds it as a nested-WITH subquery —
+    * its CTE names stay scoped inside the parentheses).
+    */
+  def repSignalsBodyForComposition: String = repSignalsBody
+
   /** Gopher repetition FILTER: applies [[RepThresholds]] to the signal
     * frame. Emits every document with the keep verdict, the violation
     * count, and the FIRST violated rule in threshold-table order (so a

@@ -92,6 +92,28 @@ class CleanQueriesSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------ gopher_filter
+
+  test("gopher_filter = gq_filter AND rep_filter; quality reasons win") {
+    val dir = "/root/testdata/sf0.001"
+    val gq = CleanQueries.gqFilter(spark, dir)
+      .as[(Long, Boolean, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val rep = QualityQueries.repFilter(spark, dir)
+      .as[(Long, Boolean, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val all = CleanQueries.gopherFilter(spark, dir)
+      .as[(Long, Boolean, Long, String)].collect()
+    assert(all.nonEmpty)
+    all.foreach { case (id, keep, nv, first) =>
+      val (gk, gn, gf) = gq(id)
+      val (rk, rn, rf) = rep(id)
+      assert(keep == (gk && rk), s"doc $id keep")
+      assert(nv == gn + rn, s"doc $id count")
+      assert(first == (if (!gk) gf else rf), s"doc $id first reason")
+    }
+  }
+
   // ---------------------------------------------------------- c4_clean
 
   /** 24 tokens → 4 planted 6-token base lines; line j loses its '.' when
