@@ -93,7 +93,10 @@ object Plans {
       // families, and the denoiser preps (row-local rebuild shapes; the
       // UL2 mixture must show three branch projections over one scan,
       // unioned — no join)
-      "gq_filter", "c4_clean", "span_corrupt", "ul2_mix")
+      "gq_filter", "c4_clean", "span_corrupt", "ul2_mix",
+      // the combined filter must show ONE scan feeding both signal
+      // families and no extra exchange beyond the presentation sort
+      "gopher_filter", "ccnet_buckets")
     val sb = new StringBuilder
     sb ++= "# PLANS - physical plans of flagship queries (sf0.01)\n\n"
     sb ++= "Generated by `sbt \"runMain graft.Plans\"`. What to look for:\n"

@@ -198,17 +198,18 @@ object CleanQueries {
     * repetition table in its published order. Emits keep, total
     * violation count, and the first violated rule name.
     *
-    * Scale shape: one scan feeds both signal families (the repetition
-    * side is the fused suite kernel, the quality side plain
-    * projections); the doc_id join is self-join-free in practice —
-    * both frames derive from the same rows, so AQE collapses it to the
-    * one presentation exchange. Row-local otherwise.
+    * Scale shape: NO join — both signal families are row-local
+    * projections, so they CHAIN on one frame: one parquet scan, one
+    * codegen'd projection pipeline (the repetition side through the
+    * fused suite kernel), one presentation exchange. The obvious
+    * per-family-frame + doc_id-join formulation would broadcast a
+    * corpus-sized side at 100 TB; the chain has no rendezvous at all.
     */
   def gopherFilter(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select("doc_id", "text")
-    val gq = withGqSignals(d, "text").drop("text")
-    val rep = QualityQueries.withRepSignals(d, "text").drop("text")
-    val joined = gq.join(rep, "doc_id")
+    val joined = QualityQueries
+      .withRepSignals(withGqSignals(d, "text"), "text")
+      .drop("text")
     val repViol = QualityQueries.RepThresholds
       .map { case (n, t) => n -> (col(n) > lit(t)) }
     val all = GqRules ++ repViol
