@@ -2864,7 +2864,13 @@ object ScaleQueries {
         val pitch = if (dup) 1.02 else 1.0
         val vib = if (dup && id % 21 == 10) 0.02 else 0.0
         val chord = seed % 21 == 14 // both sides of a 17-class pair chorded
-        (id, "audio", Multimodal.synthToneWav(seed, pitch, vib, chord))
+        // inharmonic-percussive DISTRACTORS (id ≡ 5 mod 28 is never a
+        // dup nor a pair seed): timbre diversity the precision floor
+        // must absorb — rich clips must false-match NOTHING (the
+        // measured cross-timbre admit is 0/100, RichTimbre cases in
+        // VibratoChordSpec)
+        val rich = id % 28 == 5
+        (id, "audio", Multimodal.synthToneWav(seed, pitch, vib, chord, rich))
       })
       .toDF("doc_id", "kind", "payload")
   }

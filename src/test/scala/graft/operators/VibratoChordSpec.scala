@@ -78,6 +78,51 @@ class VibratoChordSpec extends AnyFunSuite {
     assert(maxDrift <= 1, s"contour cell drift $maxDrift > 1 half-semitone cell")
   }
 
+  // ------------------------------------------ inharmonic rich timbre
+
+  test("inharmonic percussive timbre does not break the contour cell: " +
+       "zero candidate-band misses, drift bounded by one") {
+    def bandsOf(c: Array[Int]): Set[Seq[Int]] =
+      (0 to 2).map(b => c.slice(b * 2, b * 2 + 3).toSeq).toSet
+    var bandMiss = 0
+    var maxDrift = 0
+    for (s <- 0L until Seeds) {
+      (Multimodal.audioSignature(Multimodal.synthToneWav(s, 1.0, rich = true)),
+       Multimodal.audioSignature(
+         Multimodal.synthToneWav(s, 1.02, rich = true))) match {
+        case (Some((_, c1)), Some((_, c2))) =>
+          if (bandsOf(c1).intersect(bandsOf(c2)).isEmpty) bandMiss += 1
+          c1.zip(c2).foreach { case (x, y) =>
+            maxDrift = math.max(maxDrift, math.abs(y - x)) }
+        case _ => fail(s"undecodable rich synth clip at seed $s")
+      }
+    }
+    assert(bandMiss == 0, s"contour band misses under rich timbre: $bandMiss")
+    assert(maxDrift <= 1, s"contour drift $maxDrift > 1 cell under rich timbre")
+  }
+
+  test("the share-bit verify gates TIMBRAL identity: a pitch-shifted " +
+       "inharmonic re-performance admits less than the pure-tone classes, " +
+       "and cross-timbre pairs admit nothing") {
+    // Measured (round-15 continuation, 100 seeds): rich both-sided 36 %,
+    // rich cross-timbre (plain vs rich, same melody) 0 % — the 6-partial
+    // inharmonic comb moves across share-band boundaries under the
+    // ×1.02 shift, so the Hamming verify treats it as a different
+    // RENDITION even though the contour (melody) key holds above. This
+    // is the documented boundary of the share-bit verify, pinned as
+    // SEPARATIONS (not absolutes): the same-timbre pure-tone class must
+    // stay strictly above the rich class, and different-instrument
+    // versions of the same melody must never be admitted as near-dups.
+    val plain = admitted(s => (Multimodal.synthToneWav(s, 1.0),
+      Multimodal.synthToneWav(s, 1.02)))
+    val rich = admitted(s => (Multimodal.synthToneWav(s, 1.0, rich = true),
+      Multimodal.synthToneWav(s, 1.02, rich = true)))
+    val cross = admitted(s => (Multimodal.synthToneWav(s, 1.0),
+      Multimodal.synthToneWav(s, 1.02, rich = true)))
+    assert(rich < plain, s"rich admit $rich !< plain admit $plain")
+    assert(cross == 0, s"cross-timbre pairs admitted: $cross")
+  }
+
   test("arrangement change (chord on ONE side) admits strictly less than " +
        "performance change (chord on both): the verify differentiates them") {
     // A remix is not fully rejected — the fundamental still dominates —
