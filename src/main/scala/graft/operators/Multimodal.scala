@@ -1169,6 +1169,46 @@ object Multimodal {
       .toDF("doc_id", "h64", "c")
   }
 
+  /** Melody-level (COVER) matcher — the operator the rich-timbre
+    * measurement pointed at: same pitch-invariant contour candidate
+    * bands as [[audioNearDups]], but the VERIFY is the contour itself
+    * (every one of the 7 interval cells within ±1 half-semitone cell)
+    * instead of the timbral share bits. Accepts "same melody, different
+    * instrument/rendition" — query-by-humming / cover-identification
+    * semantics — which the near-dup verify correctly refuses (measured
+    * 0 % cross-timbre admits there). A near-dup is trivially also a
+    * cover, so the accept set is a superset of the near-dup pairs.
+    * Emits (a_id, b_id, drift = max cell delta).
+    *
+    * Scale shape: identical to the near-dup join — banded candidates
+    * (dup-structure-sized, never all-pairs), row-local verify over the
+    * 7-cell arrays, distinct on the pair.
+    */
+  def audioCoverMatches(withPayloads: DataFrame): DataFrame = {
+    val sig = audioSignatureFrame(withPayloads)
+    val bands = Seq(0 -> Seq(0, 1, 2), 1 -> Seq(2, 3, 4), 2 -> Seq(4, 5, 6))
+    val banded = sig.select(col("doc_id"), col("c"),
+        explode(array(bands.map { case (b, idx) =>
+          struct(lit(b).as("band"),
+            concat_ws(":", idx.map(i =>
+              element_at(col("c"), i + 1).cast("string")): _*).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("c"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val right = banded.select(col("doc_id").as("b_id"), col("c").as("b_c"),
+      col("band").as("b_band"), col("key").as("b_key"))
+    banded.join(right,
+        col("band") === col("b_band") && col("key") === col("b_key") &&
+          col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"),
+        aggregate(zip_with(col("c"), col("b_c"),
+          (x, y) => abs(x - y)), lit(0), (acc, v) => greatest(acc, v))
+          .as("drift"))
+      .distinct()
+      .filter(col("drift") <= 1)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Audio near-duplicates in the GROUP shape: identical signatures
     * (share fingerprint AND contour) collapse to ONE family row
     * (rep = min doc_id) before the candidate join, so the output is

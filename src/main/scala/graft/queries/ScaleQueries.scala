@@ -2869,8 +2869,16 @@ object ScaleQueries {
         // must absorb — rich clips must false-match NOTHING (the
         // measured cross-timbre admit is 0/100, RichTimbre cases in
         // VibratoChordSpec)
-        val rich = id % 28 == 5
-        (id, "audio", Multimodal.synthToneWav(seed, pitch, vib, chord, rich))
+        // COVER renditions (id ≡ 19 mod 28, also never dup nor seed):
+        // the same melody as doc id−6 played ×1.05 on the rich
+        // inharmonic timbre — invisible to the near-dup verify (share
+        // bits differ), the planted truth for `audio_cover`
+        val cover = id % 28 == 19 && id >= 6
+        val seed2 = if (cover) id - 6 else seed
+        val pitch2 = if (cover) 1.05 else pitch
+        val chord2 = !cover && chord
+        val rich = id % 28 == 5 || cover
+        (id, "audio", Multimodal.synthToneWav(seed2, pitch2, vib, chord2, rich))
       })
       .toDF("doc_id", "kind", "payload")
   }
@@ -2913,6 +2921,38 @@ object ScaleQueries {
     SELECT cast(count(*) AS BIGINT) AS n_true, cast(1 AS BIGINT) AS recall_ok
     FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 3
     WHERE b.doc_id % 7 = 3"""
+
+  /** `audio_cover` — melody-level (cover) matching
+    * ([[graft.operators.Multimodal.audioCoverMatches]]): the contour
+    * bands candidate, the CONTOUR itself verifies (every interval cell
+    * within ±1), so "same melody, different instrument" pairs — which
+    * the near-dup share-bit verify measured at 0 % admits, correctly —
+    * are accepted here. The planted truth is the id ≡ 19 (mod 28)
+    * class: a ×1.05 rich-timbre rendition of doc id−6's melody.
+    * Rows-only by design (engine-local FFT DSP); `audio_cover_recall`
+    * is the oracle-checked companion.
+    */
+  def audioCover(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioCoverMatches(audioPayloads(spark, dir))
+
+  /** Floor 70: the contour survives the cross-timbre ×1.05 rendition
+    * (0 band misses, drift ≤ 1 measured on the rich class), so cover
+    * pairs are recovered through the same banded candidates the
+    * near-dup join uses — no new join shape, only a different verify.
+    */
+  def audioCoverRecall(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"))
+    val truth = d.select(col("doc_id").as("b_id"))
+      .filter(col("b_id") % 28 === 19 && col("b_id") >= 6)
+      .join(d.select(col("doc_id").as("a_id")), col("a_id") === col("b_id") - 6)
+      .select("a_id", "b_id")
+    recallRow(truth, audioCover(spark, dir).select("a_id", "b_id"), minPct = 70)
+  }
+
+  val audioCoverRecallSql: String = """
+    SELECT cast(count(*) AS BIGINT) AS n_true, cast(1 AS BIGINT) AS recall_ok
+    FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 6
+    WHERE b.doc_id % 28 = 19"""
 
   /** `audio_neardup_groups` — the GROUP contract for the audio family
     * ([[graft.operators.Multimodal.audioNearDupGroups]]): identical
@@ -4231,6 +4271,8 @@ object ScaleQueries {
     "multimodal_join" -> (multimodalJoin _),
     "audio_neardup"   -> (audioNearDup _),
     "audio_neardup_recall" -> (audioNearDupRecall _),
+    "audio_cover"          -> (audioCover _),
+    "audio_cover_recall"   -> (audioCoverRecall _),
     "audio_neardup_groups" -> (audioNearDupGroups _),
     "audio_neardup_groups_recall" -> (audioNearDupGroupsRecall _),
     "audio_neardup_precision" -> (audioNearDupPrecision _),
@@ -4267,6 +4309,7 @@ object ScaleQueries {
     "fingerprint_winnow" -> fingerprintWinnowSql,
     "multimodal_join" -> multimodalJoinSql,
     "audio_neardup_recall" -> audioNearDupRecallSql,
+    "audio_cover_recall"   -> audioCoverRecallSql,
     "audio_neardup_groups_recall" -> audioNearDupGroupsRecallSql,
     "audio_neardup_precision" -> audioNearDupPrecisionSql,
     "image_neardup_recall" -> imageNearDupRecallSql,

@@ -123,6 +123,24 @@ class VibratoChordSpec extends AnyFunSuite {
     assert(cross == 0, s"cross-timbre pairs admitted: $cross")
   }
 
+  test("the cover matcher accepts on the contour what the near-dup " +
+       "verify refuses: cross-timbre same-melody pairs") {
+    val rows = (0L until Seeds).flatMap { s =>
+      Seq((s * 2, "audio", Multimodal.synthToneWav(s, 1.0)),
+        (s * 2 + 1, "audio",
+          Multimodal.synthToneWav(s, 1.05, rich = true)))
+    }
+    val df = rows.toDF("doc_id", "kind", "payload")
+    val nd = Multimodal.audioNearDups(df)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val cv = Multimodal.audioCoverMatches(df)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val ndHits = (0L until Seeds).count(s => nd.contains((s * 2, s * 2 + 1)))
+    val cvHits = (0L until Seeds).count(s => cv.contains((s * 2, s * 2 + 1)))
+    assert(ndHits == 0, s"near-dup admitted cross-timbre pairs: $ndHits")
+    assert(cvHits >= (Seeds * 0.70).toInt, s"cover recall $cvHits/$Seeds")
+  }
+
   test("arrangement change (chord on ONE side) admits strictly less than " +
        "performance change (chord on both): the verify differentiates them") {
     // A remix is not fully rejected — the fundamental still dominates —
