@@ -1288,7 +1288,7 @@ object Multimodal {
     */
   private[graft] def synthToneWav(seed: Long, pitch: Double,
       vibrato: Double = 0.0, chord: Boolean = false,
-      rich: Boolean = false): Array[Byte] = {
+      rich: Boolean = false, noise: Double = 0.0): Array[Byte] = {
     val Rate = 8000
     val N = 4000
     val Segs = 8
@@ -1332,6 +1332,19 @@ object Multimodal {
         i += 1
       }
       s += 1
+    }
+    // deterministic additive room noise at the given amplitude: an
+    // xorshift64* stream seeded from the clip seed, so any engine/run
+    // synthesizes the identical noisy clip
+    if (noise > 0.0) {
+      var st = md5U32(s"$seed:noise") * 2862933555777941757L + 3037000493L
+      var i = 0
+      while (i < N) {
+        st ^= st << 13; st ^= st >>> 7; st ^= st << 17
+        val u = ((st * 0x2545f4914f6cdd1dL) >>> 11).toDouble / (1L << 53).toDouble
+        samples(i) += noise * (2.0 * u - 1.0)
+        i += 1
+      }
     }
     pcm16Wav(samples, Rate)
   }

@@ -2864,6 +2864,10 @@ object ScaleQueries {
         val pitch = if (dup) 1.02 else 1.0
         val vib = if (dup && id % 21 == 10) 0.02 else 0.0
         val chord = seed % 21 == 14 // both sides of a 17-class pair chorded
+        // noisy re-recording class (dup side only, amp 0.05 ≈ 21 dB
+        // SNR): measured 91 % admits vs 92 % plain — the FFT peaks the
+        // signature reads sit far above a white-noise floor
+        val noise = if (dup && id % 28 == 24) 0.05 else 0.0
         // inharmonic-percussive DISTRACTORS (id ≡ 5 mod 28 is never a
         // dup nor a pair seed): timbre diversity the precision floor
         // must absorb — rich clips must false-match NOTHING (the
@@ -2878,7 +2882,8 @@ object ScaleQueries {
         val pitch2 = if (cover) 1.05 else pitch
         val chord2 = !cover && chord
         val rich = id % 28 == 5 || cover
-        (id, "audio", Multimodal.synthToneWav(seed2, pitch2, vib, chord2, rich))
+        (id, "audio",
+          Multimodal.synthToneWav(seed2, pitch2, vib, chord2, rich, noise))
       })
       .toDF("doc_id", "kind", "payload")
   }
