@@ -71,9 +71,12 @@ object CleanQueries {
     */
   def withGqSignals(df: DataFrame, textCol: String): DataFrame = {
     val keep = df.columns.map(col).toSeq
+    // lines split on \r?\n (CRLF-safe; the oracle mirrors with
+    // string_split_regex) so the end-anchored line rules below never see
+    // a trailing \r — Java's '$' would match before it, RE2's would not
     val staged = df
       .withColumn("__t", TextAnalysis.wordTokens(col(textCol)))
-      .withColumn("__l", split(col(textCol), "\n"))
+      .withColumn("__l", split(col(textCol), "\\r?\\n"))
     val nWords = size(col("__t")).cast("long")
     val nLines = size(col("__l")).cast("long")
     def r6(c: Column): Column = round(c, 6)
@@ -86,10 +89,14 @@ object CleanQueries {
     val ellipsisRatio = r6((regexp_count(col(textCol), lit("\\.\\.\\."))
       + regexp_count(col(textCol), lit("…")))
       .cast("double") / nWords.cast("double"))
+    // explicit [ \t] indent class (Java \s includes \x0B, RE2 \s does
+    // not — a vertical-tab-indented bullet must not split the engines);
+    // \z end anchor = end-of-input in Java, the exact semantics of
+    // RE2's '$' the oracle uses
     val bulletLineFrac = r6(size(filter(col("__l"),
-      l => l.rlike("^\\s*[-*•] "))).cast("double") / nLines.cast("double"))
+      l => l.rlike("^[ \\t]*[-*•] "))).cast("double") / nLines.cast("double"))
     val ellipsisLineFrac = r6(size(filter(col("__l"),
-      l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines.cast("double"))
+      l => l.rlike("(\\.\\.\\.|…)\\z"))).cast("double") / nLines.cast("double"))
     val alphaWordFrac = r6(size(filter(col("__t"),
       w => w.rlike("[A-Za-z]"))).cast("double") / nWords.cast("double"))
     val reqStopHits = ReqStopwords
@@ -120,7 +127,7 @@ object CleanQueries {
     s"""WITH toks AS (
       SELECT doc_id, text,
         string_split_regex(trim(text), '\\s+') AS t,
-        string_split(text, chr(10)) AS l
+        string_split_regex(text, '\\r?\\n') AS l
       FROM documents),
     base AS (
       SELECT doc_id, text, t, l,
@@ -137,7 +144,7 @@ object CleanQueries {
           + len(regexp_extract_all(text, '…')) AS DOUBLE)
         / CAST(n_words AS DOUBLE), 6) AS ellipsis_ratio,
       round(CAST(len(list_filter(l,
-          x -> regexp_matches(x, '^\\s*[-*•] '))) AS DOUBLE)
+          x -> regexp_matches(x, '^[ \\t]*[-*•] '))) AS DOUBLE)
         / CAST(n_lines AS DOUBLE), 6) AS bullet_line_frac,
       round(CAST(len(list_filter(l,
           x -> regexp_matches(x, '(\\.\\.\\.|…)$$'))) AS DOUBLE)
@@ -252,6 +259,12 @@ object CleanQueries {
     * engine implements.
     */
   val C4Blocklist: Seq[String] = Seq("badword")
+  // Entries are interpolated into BOTH a Java regex and a DuckDB RE2/SQL
+  // literal unescaped — a metacharacter or quote would break one engine
+  // or silently split them. Constrain the list where it is defined.
+  require(C4Blocklist.forall(_.matches("[a-z]+")),
+    "C4Blocklist entries must be lowercase ASCII words (they are " +
+      "interpolated into Java-regex, RE2 and SQL contexts unescaped)")
 
   /** C4 cleaning over a PLANTED structured corpus (`c4_clean`): the raw
     * word-salad corpus has no punctuation or lines, so every rule would
@@ -290,17 +303,27 @@ object CleanQueries {
   def c4Core(withLines: DataFrame): DataFrame = {
     val keepCols = withLines.columns.filterNot(_.startsWith("__")).map(col).toSeq
     // line filters: terminal punct, >= 5 words, no `javascript`
+    // (case-insensitive, as the paper matches bad words on lowercased
+    // text). \z = Java end-of-input — identical to the oracle's RE2 '$',
+    // so a CRLF line (trailing \r) fails the rule in BOTH engines
+    // instead of passing in one.
     val kept = filter(col("__lines"), l =>
-      l.rlike("[.!?\"]$") &&
+      l.rlike("[.!?\"]\\z") &&
         size(split(l, " ")) >= 5 &&
-        !l.rlike("\\bjavascript\\b"))
+        !lower(l).rlike("\\bjavascript\\b"))
     val staged = withLines
       .withColumn("__kept", kept)
       .withColumn("__clean", array_join(col("__kept"), "\n"))
     val nSentences = regexp_count(col("__clean"), lit("[.!?]")).cast("long")
+    // page kills match on LOWERCASED cleaned text (C4 lowercases before
+    // the bad-word check; 'Lorem Ipsum' must die like 'lorem ipsum').
+    // Deliberate divergence from the paper, documented: '}' also kills
+    // (the paper names only '{'; a page with a stray close-brace is the
+    // same code-fragment signal).
+    val lowClean = lower(col("__clean"))
     val hasBlock = C4Blocklist
-      .map(w => col("__clean").rlike(s"\\b$w\\b")).reduce(_ || _)
-    val hasLorem = col("__clean").contains("lorem ipsum")
+      .map(w => lowClean.rlike(s"\\b$w\\b")).reduce(_ || _)
+    val hasLorem = lowClean.contains("lorem ipsum")
     val hasBrace = col("__clean").contains("{") || col("__clean").contains("}")
     val fewSent  = nSentences < 3L
     val firstReason = when(hasBlock, "bad_words")
@@ -346,7 +369,7 @@ object CleanQueries {
 
   val c4CleanSql: String = {
     val blockCond = C4Blocklist
-      .map(w => s"regexp_matches(clean, '\\b$w\\b')").mkString(" OR ")
+      .map(w => s"regexp_matches(lower(clean), '\\b$w\\b')").mkString(" OR ")
     s"""WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
       FROM documents),
@@ -374,7 +397,7 @@ object CleanQueries {
         list_filter(lines, l ->
           regexp_matches(l, '[.!?"]$$')
           AND len(string_split(l, ' ')) >= 5
-          AND NOT regexp_matches(l, '\\bjavascript\\b')) AS kept
+          AND NOT regexp_matches(lower(l), '\\bjavascript\\b')) AS kept
       FROM built),
     pg AS (
       SELECT doc_id,
@@ -386,7 +409,7 @@ object CleanQueries {
       SELECT doc_id, n_lines, kept_lines, clean,
         cast(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT) AS n_sentences,
         ($blockCond) AS has_block,
-        contains(clean, 'lorem ipsum') AS has_lorem,
+        contains(lower(clean), 'lorem ipsum') AS has_lorem,
         (contains(clean, '{') OR contains(clean, '}')) AS has_brace
       FROM pg)
     SELECT doc_id, n_lines, kept_lines, n_sentences,

@@ -550,22 +550,35 @@ object InsightQueries {
       .limit(FreqTopK)
   }
 
+  /** Oracle mirrors the ENGINE's basket shape — per-order sorted capped
+    * list, then triple row-local UNNEST expansion — not a triple
+    * self-join. The self-join formulation, while equivalent, made DuckDB
+    * 1.0.0 build quadratic per-order intermediates: 648.6 s alone at
+    * sf0.01 (≈65% of the whole 313-oracle gate wall, and the root cause
+    * of the empty CORRECTNESS_r15 artifact) vs 0.14 s for this shape —
+    * verified cell-identical to the old SQL at sf0.001 (94 rows) and
+    * sf0.01 (12 rows). unnest() in the SELECT list repeats the carried
+    * columns per element (DuckDB's explode), so the three-stage CTE
+    * chain is exactly the engine's explode/filter ladder; the `p1<p2`
+    * and `p2<p3` guards sit one CTE downstream because DuckDB cannot
+    * filter an unnest alias in its own SELECT's WHERE. */
   val freqTriplesSql: String = s"""
     WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     freq1 AS (
       SELECT l_partkey FROM li0 GROUP BY 1
       HAVING count(*) >= $FreqMinSupport),
-    li AS (
-      SELECT l_orderkey, l_partkey FROM li0
+    baskets AS (
+      SELECT list_sort(list(l_partkey))[:$FreqBasketCap] AS ps
+      FROM li0
       WHERE l_partkey IN (SELECT l_partkey FROM freq1)
-      QUALIFY row_number() OVER (PARTITION BY l_orderkey
-        ORDER BY l_partkey) <= $FreqBasketCap),
+      GROUP BY l_orderkey
+      HAVING count(*) >= 3),
+    b1 AS (SELECT ps, unnest(ps) AS p1 FROM baskets),
+    b2 AS (SELECT ps, p1, unnest(ps) AS p2 FROM b1),
+    b3 AS (SELECT p1, p2, unnest(ps) AS p3 FROM b2 WHERE p1 < p2),
     t AS (
-      SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
-        count(*) AS support
-      FROM li a
-      JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+      SELECT p1, p2, p3, count(*) AS support FROM b3
+      WHERE p2 < p3
       GROUP BY 1, 2, 3
       HAVING count(*) >= $FreqMinSupport)
     SELECT p1, p2, p3, support FROM t

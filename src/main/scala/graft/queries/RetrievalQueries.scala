@@ -564,19 +564,22 @@ object RetrievalQueries {
     */
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = toks(docs(spark, dir))
+    // source rides the token frame (functionally dependent on doc_id,
+    // so it joins the per-doc groupBy key for free) — ONE documents
+    // scan, no second fetch-source pass + join
+    val t = docs(spark, dir).select(col("doc_id"), col("source"),
+      explode(TextAnalysis.wordTokens(lower(col("text")))).as("term"))
     val cnt = t.groupBy("term").agg(count(lit(1)).as("n"))
     val total = cnt.agg(sum("n").as("t_tokens"))
     val nll = t.join(broadcast(cnt), "term")
-      .groupBy("doc_id")
+      .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_tokens"), sum(log(col("n"))).as("s"))
       .crossJoin(broadcast(total))
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col("doc_id"), col("source"), col("n_tokens"),
         round(log(col("t_tokens")) - col("s") / col("n_tokens"), 4).as("nll"))
     val rk = ntile(3).over(
       Window.partitionBy("source").orderBy(col("nll"), col("doc_id")))
-    nll.join(docs(spark, dir).select("doc_id", "source"), "doc_id")
-      .withColumn("__b", rk)
+    nll.withColumn("__b", rk)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("nll"),
         when(col("__b") === 1, "head").when(col("__b") === 2, "middle")
           .otherwise("tail").as("bucket"))
@@ -585,20 +588,21 @@ object RetrievalQueries {
 
   val ccnetBucketsSql: String = """
     WITH t AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      SELECT doc_id, source,
+        unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
       FROM documents),
     cnt AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
     total AS (SELECT sum(n) AS t_tokens FROM cnt),
     nll AS (
-      SELECT doc_id, count(*) AS n_tokens,
+      SELECT doc_id, source, count(*) AS n_tokens,
         round(ln(t_tokens) - sum(ln(n)) / count(*), 4) AS nll
       FROM t JOIN cnt USING (term) CROSS JOIN total
-      GROUP BY doc_id, t_tokens),
+      GROUP BY doc_id, source, t_tokens),
     ranked AS (
-      SELECT nll.doc_id, d.source, nll.n_tokens, nll.nll,
-        ntile(3) OVER (PARTITION BY d.source
-          ORDER BY nll.nll, nll.doc_id) AS b
-      FROM nll JOIN documents d USING (doc_id))
+      SELECT doc_id, source, n_tokens, nll,
+        ntile(3) OVER (PARTITION BY source
+          ORDER BY nll, doc_id) AS b
+      FROM nll)
     SELECT doc_id, source, n_tokens, nll,
       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
     FROM ranked

@@ -24,5 +24,7 @@ object StreamingC4Gate {
     */
   def gate(docs: DataFrame): DataFrame =
     CleanQueries.c4Core(
-      docs.select(col("doc_id"), split(col("text"), "\n").as("__lines")))
+      // \r?\n: a CRLF document must yield \r-free lines, or the core's
+      // end-anchored terminal-punctuation rule rejects every line
+      docs.select(col("doc_id"), split(col("text"), "\\r?\\n").as("__lines")))
 }

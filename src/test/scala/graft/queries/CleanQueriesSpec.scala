@@ -158,4 +158,44 @@ class CleanQueriesSpec extends AnyFunSuite {
     assert(out(38L)._4 == false && out(38L)._5 == "bad_words")
     assert(out(221L)._5 == "lorem_ipsum") // order: bad, lorem, brace, few
   }
+
+  test("gq_signals: CRLF lines and vertical-tab indents match RE2 semantics") {
+    // \r\n separators: the \r?\n split hands the end-anchored rules
+    // \r-free lines (Java '$'/'\z' and RE2 '$' then agree); a \x0B
+    // (vertical tab) indent is NOT bullet whitespace in either engine —
+    // Java \s includes \x0B but RE2 \s doesn't, so the rule uses [ \t]
+    val dir = plantedDir(Seq(
+      (7L, "wait...\r\n- aa bb\r\n\u000B- vt bullet\r\nplain")))
+    val sig = CleanQueries.gqSignals(spark, dir).collect().head
+    assert(sig.getAs[Double]("ellipsis_line_frac") == 0.25) // wait... only
+    assert(sig.getAs[Double]("bullet_line_frac") == 0.25)   // "- aa bb" only
+  }
+
+  test("c4 core: CRLF text keeps punctuated lines; page kills are case-insensitive") {
+    val mk = (id: Long, text: String) =>
+      (id, text)
+    val rows = Seq(
+      mk(1L, Seq( // CRLF doc: every line terminal-punctuated once \r is gone
+        "one two three four five.",
+        "Lorem Ipsum word one two three.", // uppercase must still kill
+        "six seven eight nine ten.").mkString("\r\n")),
+      mk(2L, Seq(
+        "one two three four five.",
+        "a Badword word one two three.",   // uppercase blocklist hit
+        "six seven eight nine ten.").mkString("\r\n")),
+      mk(3L, Seq(
+        "one two three four five.",
+        "clean middle line stays here.",
+        "six seven eight nine ten.").mkString("\r\n")))
+    val out = graft.streaming.StreamingC4Gate
+      .gate(rows.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Boolean, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // all 3 CRLF lines survive the line filter in every doc — under the
+    // old bare-\n split each kept a trailing \r and Java-vs-RE2 diverged
+    assert(out.values.forall(r => r._2 == 3L && r._3 == 3L && r._4 == 3L))
+    assert(!out(1L)._5 && out(1L)._6 == "lorem_ipsum")
+    assert(!out(2L)._5 && out(2L)._6 == "bad_words")
+    assert(out(3L)._5 && out(3L)._6 == "")
+  }
 }

@@ -3,8 +3,15 @@
 DuckDB against the sf tables, load the engine's Verify output parquet, and
 compare schema + values cell-by-cell (columns sorted by name, rows in
 written order). Dev tool only — not part of the library."""
-import json, sys, glob, math
+import json, sys, glob, math, time, os
 import duckdb
+
+# A single oracle exceeding this wall (seconds) fails the gate even when
+# its values match: one pathological oracle (freq_triples' old triple
+# self-join, 648.6 s at sf0.01) silently zeroed round 15's entire
+# correctness artifact by blowing the driver's compare budget. The alarm
+# makes that failure mode loud and attributable instead.
+ORACLE_BUDGET_S = float(os.environ.get("GRAFT_ORACLE_BUDGET_S", "60"))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -28,6 +35,8 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    times = {}
+    over_budget = []
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -40,7 +49,13 @@ def main(sf_dir, out_dir):
             # divergence (HUGEINT sum → float64 vs engine int64) surfaces.
             got = con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchdf().to_dict("records")
+            t0 = time.monotonic()
             want = con.execute(sql).fetchdf().to_dict("records")
+            times[name] = round(time.monotonic() - t0, 3)
+            if times[name] > ORACLE_BUDGET_S:
+                over_budget.append(name)
+                print(f"SLOW {name}: oracle took {times[name]:.1f}s"
+                      f" > budget {ORACLE_BUDGET_S:.0f}s")
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
@@ -69,8 +84,20 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
+    # Per-oracle timing artifact: slowest-first so the top line is the
+    # next budget risk. Committed at round close for the timing record.
+    with open(f"{out_dir}/oracle_times.json", "w") as f:
+        json.dump(dict(sorted(times.items(), key=lambda kv: -kv[1])), f,
+                  indent=1)
+    total = sum(times.values())
+    print(f"oracle wall: {total:.1f}s total,"
+          f" max {max(times.values()) if times else 0:.1f}s"
+          f" -> {out_dir}/oracle_times.json")
+    if over_budget:
+        print(f"== GATE FAIL: {len(over_budget)} oracle(s) over"
+              f" {ORACLE_BUDGET_S:.0f}s budget: {over_budget} ==")
     print(f"== {n_pass} pass, {n_fail} fail ==")
-    return 1 if n_fail else 0
+    return 1 if (n_fail or over_budget) else 0
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
