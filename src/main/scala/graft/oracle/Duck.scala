@@ -158,6 +158,56 @@ FROM users
 ORDER BY contrasena"""
   }
 
+  /** Capacity-bounded enrolment plan (mirrors `EnrolPlan` over the
+    * dirty-roster fixture, orders-as-enrolments ledger, nation-as-course
+    * catalog). The validation CTEs are the same text as
+    * [[rosterValidateSql]]'s; the anti-join is a NOT EXISTS (DuckDB-1.0
+    * dialect-safe spelling of LEFT ANTI).
+    */
+  def enrolPlanSql(nCourses: Int, capExpr: String): String =
+    s"""WITH roster AS (${Fixtures.rosterDirtySql}),
+staged AS (
+  SELECT rut, nombres, apellidos, email,
+    (rut IS NULL OR nombres IS NULL) AS miss,
+    CASE WHEN rut IS NOT NULL AND nombres IS NOT NULL THEN trim(rut) END AS rut_t,
+    CASE WHEN rut IS NOT NULL AND nombres IS NOT NULL
+         THEN ${buildUsername("nombres", "apellidos")} END AS uname
+  FROM roster),
+flagged AS (
+  SELECT *,
+    (rut_t IS NOT NULL AND count(*) OVER (PARTITION BY rut_t) > 1) AS dup,
+    row_number() OVER (PARTITION BY uname ORDER BY rut_t, email) AS rn
+  FROM staged),
+cand AS (
+  SELECT cast(split_part(rut, '-', 1) AS BIGINT) AS custkey,
+    cast(split_part(rut, '-', 1) AS BIGINT) % $nCourses AS course_id,
+    CASE WHEN rn = 1 THEN uname ELSE uname || cast(rn AS STRING) END
+      AS username_final,
+    rut, email
+  FROM flagged
+  WHERE NOT miss AND NOT dup),
+fresh AS (
+  SELECT * FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE cast(o.o_custkey AS BIGINT) = c.custkey
+      AND cast(o.o_orderkey AS BIGINT) % $nCourses = c.course_id)),
+courses AS (
+  SELECT cast(n_nationkey AS BIGINT) AS course_id, n_name AS course,
+    cast($capExpr AS BIGINT) AS capacity
+  FROM nation WHERE n_nationkey < $nCourses),
+seated AS (
+  SELECT course_id, course, capacity,
+    cast(row_number() OVER (PARTITION BY course_id ORDER BY username_final)
+      AS BIGINT) AS seat,
+    username_final AS username, rut, email
+  FROM fresh JOIN courses USING (course_id))
+SELECT course_id, course, capacity, seat,
+  CASE WHEN seat <= capacity THEN 'enrolled' ELSE 'waitlist' END AS status,
+  username, rut, email
+FROM seated
+ORDER BY course_id, seat"""
+
   /** W1 — ordinal send plan with remaining-count over the old-dialect users. */
   def sendPlanSql: String =
     s"""WITH users AS ($mailUsersOldSql)

@@ -73,9 +73,42 @@ object EtlQueries {
       .withColumn("remaining", (col("total") - col("idx")).cast("long"))
       .orderBy("idx")
 
+  /** Course-count and per-course capacity for the enrolment fixture.
+    * 7 courses (nation keys 0-6 as the catalog) and capacities 2/4/6 by
+    * course_id % 3 — sized so BOTH statuses (enrolled + waitlist) fire
+    * at sf0.001 AND sf0.01 after the orders-ledger anti-join thins the
+    * candidate set.
+    */
+  val EnrolCourses = 7
+  val EnrolCapacitySql = "2 + (n_nationkey % 3) * 2"
+
+  /** Enrolment execution plan (the reference's roadmap bullets
+    * README.md:75-77 — "subir usuarios automáticamente a Moodle",
+    * "ejecución de matrícula por curso"): validated roster rows,
+    * already-enrolled excluded via LEFT ANTI on orders-as-enrolments,
+    * capacity-bounded per-course seating with a deterministic ordinal.
+    * The delivery side of the plan is [[graft.send.MoodleApiSink]].
+    */
+  def enrolPlan(spark: SparkSession, dir: String): DataFrame = {
+    val validated = graft.etl.RosterValidate(Fixtures.rosterDirty(spark, dir))
+    val custkey = split(col("rut"), "-").getItem(0).cast("long")
+    val enrolments = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey").cast("long").as("custkey"),
+        (col("o_orderkey").cast("long") % EnrolCourses).as("course_id"))
+    val courses = spark.read.parquet(s"$dir/nation.parquet")
+      .filter(col("n_nationkey") < EnrolCourses)
+      .select(col("n_nationkey").cast("long").as("course_id"),
+        col("n_name").as("course"),
+        (lit(2) + (col("n_nationkey") % 3) * 2).cast("long").as("capacity"))
+    graft.etl.EnrolPlan(validated, custkey % EnrolCourses,
+      enrolments, custkey, courses)
+      .orderBy("course_id", "seat")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "moodle_normalize"    -> (moodleNormalize _),
     "roster_validate"     -> (rosterValidate _),
+    "enrol_plan"          -> (enrolPlan _),
     "mail_users_old"      -> (mailUsersOld _),
     "mail_users_moodle"   -> (mailUsersMoodle _),
     "mail_users_fallback" -> (mailUsersFallback _),
@@ -85,6 +118,7 @@ object EtlQueries {
   val oracle: Map[String, String] = Map(
     "moodle_normalize"    -> Duck.moodleNormalizeSql(Cfg),
     "roster_validate"     -> Duck.rosterValidateSql,
+    "enrol_plan"          -> Duck.enrolPlanSql(EnrolCourses, EnrolCapacitySql),
     "mail_users_old"      -> Duck.mailUsersOldSql,
     "mail_users_moodle"   -> Duck.mailUsersMoodleSql(Cfg),
     "mail_users_fallback" -> Duck.mailUsersFallbackSql,
