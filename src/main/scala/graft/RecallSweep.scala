@@ -138,6 +138,30 @@ object RecallSweep {
           f"($tHit/$nTrue) precision=${shHit * 100.0 / math.max(nFound, 1)}%.1f%% ($shHit/$nFound)")
       }
       }
+      // range (ε-ball) section: recall of the index-path range search
+      // vs the brute cosine≥τ truth, across ADC admission margins —
+      // feeds ScaleQueries.RangeMargin and the ann_range_recall floor
+      // (which must sit under every number the shipped margin prints)
+      if (want("range")) {
+        val tau = graft.queries.ScaleQueries.RangeTau
+        val qv = broadcast(queries.select(col("id").as("q_id"),
+          col("v").as("qv"), col("nrm").as("qn")))
+        val bruteR = prepped.join(qv, col("id") =!= col("q_id"))
+          .filter(Similarity.cosine(col("qv"), col("qn"),
+            col("v"), col("nrm")) >= tau)
+          .select(col("q_id"), col("id").as("n_id")).cache()
+        val nb = bruteR.count()
+        // margin 2.0 admits every probed code row — isolates the probe
+        // ceiling from the ADC-margin effect at each nProbe
+        for (np <- Seq(12, 14, 16); m <- Seq(0.08, 0.12, 0.2, 0.3, 2.0)) {
+          val found = graft.queries.ScaleQueries.annRangeAt(spark, dir, m, np)
+            .select("q_id", "n_id")
+          val hit = bruteR.join(found, Seq("q_id", "n_id"), "left_semi").count()
+          println(f"$dir range(tau=$tau,nProbe=$np,margin=$m) " +
+            f"recall=${hit * 100.0 / math.max(nb, 1)}%.1f%% ($hit/$nb)")
+        }
+        bruteR.unpersist()
+      }
       brute.unpersist()
     }
     spark.stop()

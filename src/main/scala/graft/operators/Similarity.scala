@@ -597,11 +597,17 @@ object Similarity {
     ivfPqSearchCore(queries, corpus, codes, k, rerank, nProbe, coarse,
       subspaces, labCol = Some(labCol))
 
-  private def ivfPqSearchCore(queries: DataFrame, corpus: DataFrame,
-                              codes: DataFrame, k: Int, rerank: Int,
-                              nProbe: Int, coarse: DataFrame,
-                              subspaces: Seq[(Int, Int, DataFrame)],
-                              labCol: Option[String]): DataFrame = {
+  /** The shared ADC scan of every probed-cell code row: (q_id, n_id,
+    * adc), where adc = û_q·ĉ(cell) + Σ_s qtab_s[code_s]. Each (q, n)
+    * pair appears at most once (a vector lives in exactly one cell).
+    * Consumed by both retrieval shapes — top-k ([[ivfPqSearchCore]])
+    * keeps the best `rerank` per query; range ([[rangeIvfPqOnCodes]])
+    * keeps everything over an absolute admission threshold.
+    */
+  private def ivfPqAdcScores(queries: DataFrame, codes: DataFrame,
+                             nProbe: Int, coarse: DataFrame,
+                             subspaces: Seq[(Int, Int, DataFrame)],
+                             labCol: Option[String]): DataFrame = {
     val cents = centArrays(coarse)
     val subs = subspaces.zipWithIndex.map { case ((lo, len, cent), s) =>
       (lo, len, centArrays(cent), s)
@@ -621,24 +627,77 @@ object Similarity {
         labCol.map(_ => col("qlab")): _*))
     val joined = qb.join(codes, Seq("c_id"))
       .filter(col("n_id") =!= col("q_id"))
-    val adc = labCol.fold(joined)(c => joined.filter(col(c) === col("qlab")))
+    labCol.fold(joined)(c => joined.filter(col(c) === col("qlab")))
       .select(col("q_id"), col("n_id"),
         subs.map { case (_, _, _, s) =>
           element_at(col(s"qtab$s"), col(s"code$s"))
         }.foldLeft(col("aff"))(_ + _).as("adc"))
+  }
+
+  /** Exact-cosine pass over a (q_id, n_id) candidate frame — the only
+    * place full vectors move in either retrieval shape. Candidates are
+    * broadcast (nQ·rerank or the admitted range set, both tiny next to
+    * the corpus) into one pass over the vector table.
+    */
+  private def exactCosOnCandidates(queries: DataFrame, corpus: DataFrame,
+                                   cand: DataFrame): DataFrame = {
+    val qv = broadcast(queries.select(col("id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qn")))
+    corpus.join(broadcast(cand), col("id") === col("n_id"))
+      .join(qv, Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+  }
+
+  private def ivfPqSearchCore(queries: DataFrame, corpus: DataFrame,
+                              codes: DataFrame, k: Int, rerank: Int,
+                              nProbe: Int, coarse: DataFrame,
+                              subspaces: Seq[(Int, Int, DataFrame)],
+                              labCol: Option[String]): DataFrame = {
+    val adc = ivfPqAdcScores(queries, codes, nProbe, coarse, subspaces, labCol)
     val cand = Relational.topKPerGroup(adc, Seq("q_id"), col("adc"),
         col("n_id"), rerank)
       .select(col("q_id"), col("n_id"))
     // exact re-rank, identical to knnPq's tail (candidates are already
     // predicate-satisfying in the filtered variant)
-    val qv = broadcast(queries.select(col("id").as("q_id"),
-      col("v").as("qv"), col("nrm").as("qn")))
-    val scored = corpus.join(broadcast(cand), col("id") === col("n_id"))
-      .join(qv, Seq("q_id"))
-      .select(col("q_id"), col("n_id"),
-        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
+    val scored = exactCosOnCandidates(queries, corpus, cand)
     Relational.topKPerGroup(scored, Seq("q_id"), col("cos"), col("n_id"), k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
+  }
+
+  /** Range (ε-ball) search over the composed IVF+PQ index: every
+    * neighbor with exact cosine ≥ `tau` — the retrieval primitive a
+    * curation user hits when THRESHOLDING ("everything this close is a
+    * near-dup / contamination hit"), not ranking. Top-k cannot express
+    * it: k too small truncates dense neighborhoods, k too large scans
+    * noise for isolated queries.
+    *
+    * Shape: the same probed-cell ADC scan as [[knnIvfPqOnCodes]], but
+    * candidates are admitted by the ABSOLUTE test
+    *   adc ≥ tau − margin
+    * (margin absorbs PQ quantization error; set from the measured ADC
+    * residual-error tail, floor-audited in `ann_range_recall`), then the
+    * exact re-rank keeps cos ≥ tau. PRECISION is therefore exact by
+    * construction — every emitted pair satisfies the true predicate —
+    * and only recall is approximate (a true neighbor can hide in an
+    * unprobed cell or under a >margin ADC underestimate).
+    *
+    * Scale shape: identical to the top-k path — partition-pruned codes
+    * scan, candidate set bounded by the admitted fraction (the ADC
+    * threshold prunes BEFORE any shuffle), full vectors touched only
+    * for admitted pairs. No per-query state at all, so the operator is
+    * one scan regardless of batch size.
+    */
+  def rangeIvfPqOnCodes(queries: DataFrame, corpus: DataFrame,
+                        codes: DataFrame, tau: Double, margin: Double,
+                        nProbe: Int, coarse: DataFrame,
+                        subspaces: Seq[(Int, Int, DataFrame)]): DataFrame = {
+    val adc = ivfPqAdcScores(queries, codes, nProbe, coarse, subspaces, None)
+    val cand = adc.filter(col("adc") >= tau - margin)
+      .select(col("q_id"), col("n_id"))
+    exactCosOnCandidates(queries, corpus, cand)
+      .filter(col("cos") >= tau)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"))
   }
 
   /** Row-local Voronoi cell assignment of a prepped frame against a

@@ -1164,6 +1164,116 @@ object ScaleQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** Cosine threshold for `ann_range` — the thresholding (not ranking)
+    * retrieval primitive. τ = 0.30 sits at ≈p99 of the query batch's
+    * pair-cosine distribution on this corpus (truth sizes 40/50/582 at
+    * the three SFs) and is boundary-safe for the cross-engine compare:
+    * the nearest pair cosine is ≥ 5.0e-5 away from τ at every SF
+    * (measured), eleven decades above double-summation-order
+    * divergence, so the brute count can never flip on a ulp.
+    */
+  private[graft] val RangeTau = 0.30
+
+  /** ADC admission margin for the range scan: a candidate enters the
+    * exact re-rank iff adc ≥ τ − margin. Measured (RecallSweep range
+    * section): at the ε-ball's weak-cosine regime the residual-PQ ADC
+    * underestimates by up to ≈τ itself — recall at the shipped nProbe
+    * climbs 46.6→64.8→88.8→97.1% across margins 0.08/0.12/0.2/0.3 at
+    * sf0.1 — so the shipped margin equals τ (admission = adc ≥ 0,
+    * dropping only clearly anti-correlated candidates, ~half the probed
+    * rows). This is the honest PQ physics: codes rank STRONG neighbors
+    * well (knn_ivfpq holds 82%+ at rerank 200) but blur near a weak
+    * threshold, so range admission must be loose and the exact re-rank
+    * does the discriminating.
+    */
+  private[graft] val RangeMargin = 0.30
+
+  /** Probe width for the range scan — wider than the top-k path's
+    * [[IvfPqNProbe]] = 12: ε-ball truth at a weak τ spreads across more
+    * cells than a query's top-5, and the probe ceiling (margin = 2.0 in
+    * the sweep) is 92.1% at nProbe = 12 vs 98.1% at 14 at sf0.1. 14 of
+    * 16 cells still exercises partition pruning while clearing the
+    * floor with margin (100/96/97.1% at the three SFs).
+    */
+  private[graft] val RangeNProbe = 14
+
+  /** Recall floor (percent) for `ann_range_recall` vs the brute ε-ball
+    * truth. Measured 100/96/97.1% at sf0.001/0.01/0.1 at the shipped
+    * (nProbe = 14, margin = 0.30) — ≥ 6pp of honest headroom; re-run
+    * `SWEEP_ONLY=range RecallSweep` before changing any constant here.
+    */
+  private[graft] val RangeMinPct = 90
+
+  /** `ann_range` — range (ε-ball) similarity search over the PERSISTED
+    * IVF+PQ index: every neighbor of the query batch with exact cosine
+    * ≥ [[RangeTau]], via the partition-pruned codes tree + absolute ADC
+    * admission + exact re-rank ([[Similarity.rangeIvfPqOnCodes]]).
+    * Precision is exact by construction (the final filter is on true
+    * cosine); recall is floor-audited in `ann_range_recall`. Rows-only
+    * at the driver gate (the candidate set depends on engine-local
+    * k-means codebooks), with the oracle-checked companion carrying the
+    * hard signal — same contract as `knn_ivfpq`/`dedup_minhash`.
+    */
+  def annRange(spark: SparkSession, dir: String): DataFrame =
+    annRangeAt(spark, dir, RangeMargin)
+
+  private[graft] def annRangeAt(spark: SparkSession, dir: String,
+                                margin: Double,
+                                nProbe: Int = RangeNProbe): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
+    val queries = prepped.filter(col("id") % PqQueryMod === 0)
+    val (codes, coarse, subs) = annIndexParts(spark, dir)
+    Similarity.rangeIvfPqOnCodes(queries, prepped,
+        prunedIndexCodes(queries, codes, coarse, nProbe),
+        tau = RangeTau, margin = margin, nProbe = nProbe,
+        coarse = coarse, subspaces = subs)
+      .orderBy("q_id", "n_id")
+  }
+
+  /** `ann_range_recall` — tolerance companion: brute ε-ball truth (all
+    * pairs with exact cosine ≥ τ over the same query batch) vs the
+    * index path. Emits the exact truth count (oracle-checked in
+    * DuckDB), the ≥[[RangeMinPct]]% recall flag, and a
+    * `precision_exact` invariant flag (found ⊆ truth MUST hold — the
+    * range filter is on true cosine, so any violation means the two
+    * formulations drifted).
+    */
+  def annRangeRecall(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
+    val queries = prepped.filter(col("id") % PqQueryMod === 0)
+    val qv = broadcast(queries.select(col("id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qn")))
+    val brute = prepped.join(qv, col("id") =!= col("q_id"))
+      .filter(Similarity.cosine(col("qv"), col("qn"),
+        col("v"), col("nrm")) >= RangeTau)
+      .select(col("q_id"), col("id").as("n_id"))
+    val found = annRange(spark, dir).select("q_id", "n_id")
+    val hits = brute.join(found, Seq("q_id", "n_id"), "left_semi")
+    val prec = found.join(brute, Seq("q_id", "n_id"), "left_semi")
+    brute.agg(count(lit(1)).as("n_brute"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(prec.agg(count(lit(1)).as("n_prec")))
+      .select(col("n_brute").cast("long").as("n_brute"),
+        (col("n_hit") * 100 >= col("n_brute") * RangeMinPct)
+          .cast("long").as("recall_ok"),
+        (col("n_prec") === col("n_found")).cast("long").as("precision_exact"))
+  }
+
+  val annRangeRecallSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    s AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      FROM e q JOIN e c ON q.vec_id % $PqQueryMod = 0 AND c.vec_id != q.vec_id)
+    SELECT cast(count(*) AS BIGINT) AS n_brute,
+      cast(1 AS BIGINT) AS recall_ok,
+      cast(1 AS BIGINT) AS precision_exact
+    FROM s WHERE cos >= $RangeTau"""
+
   /** Arrival slice for the index-health monitor: vec_id %
     * [[HealthNewMod]] = 0, a ~4% stand-in for the stream appends
     * [[graft.streaming.StreamingIndexMaintenance]] codes under the
@@ -4244,6 +4354,8 @@ object ScaleQueries {
     "ann_index_stats"  -> (annIndexStats _),
     "knn_filtered"     -> (knnFiltered _),
     "knn_filtered_recall" -> (knnFilteredRecall _),
+    "ann_range"        -> (annRange _),
+    "ann_range_recall" -> (annRangeRecall _),
     "decon_semantic"   -> (deconSemantic _),
     "linear_probe"       -> (linearProbe _),
     "linear_probe_score" -> (linearProbeScore _),
@@ -4340,6 +4452,7 @@ object ScaleQueries {
     "ann_index_stats"  -> annIndexStatsSql,
     "knn_filtered"     -> knnFilteredSql,
     "knn_filtered_recall" -> knnFilteredRecallSql,
+    "ann_range_recall" -> annRangeRecallSql,
     "decon_semantic"   -> deconSemanticSql,
     "linear_probe"       -> linearProbeSql,
     "linear_probe_score" -> linearProbeScoreSql,
