@@ -96,10 +96,51 @@ object Multimodal {
     * None when the bytes aren't a JDK-readable audio container/encoding
     * (caller falls back to the stub).
     */
+  /** Resolve a JDK audio stream to LINEAR PCM: G.711 μ-law/A-law
+    * (8-bit log-companded telephony codecs — the lossy re-encode the
+    * JDK transcodes without any external codec dependency) pass through
+    * `AudioSystem`'s converter to PCM_SIGNED 16; PCM streams return
+    * unchanged. Closing the returned stream closes the source.
+    */
+  private def toPcmStream(ais: javax.sound.sampled.AudioInputStream)
+      : javax.sound.sampled.AudioInputStream = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val enc = ais.getFormat.getEncoding
+    if (enc == AudioFormat.Encoding.ULAW || enc == AudioFormat.Encoding.ALAW) {
+      val f = ais.getFormat
+      AudioSystem.getAudioInputStream(
+        new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, f.getSampleRate, 16,
+          f.getChannels, f.getChannels * 2, f.getSampleRate, false), ais)
+    } else ais
+  }
+
+  /** Re-encode a PCM payload through the G.711 μ-law codec (8-bit log
+    * companding, ~2% worst-case amplitude error) and back into a WAVE
+    * container — the JDK-legal LOSSY re-encode. Used to plant
+    * "distributed as a companded telephony file" near-dup variants in
+    * the audio corpus; the decode side ingests the companded file
+    * through [[toPcmStream]] like any other payload.
+    */
+  private[graft] def toMulawWav(payload: Array[Byte]): Array[Byte] = {
+    val src = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+    try {
+      val f = src.getFormat
+      val ulaw = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.ULAW,
+        f.getSampleRate, 8, f.getChannels, f.getChannels, f.getSampleRate, false)
+      val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(ulaw, src)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(conv,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    } finally src.close()
+  }
+
   private[operators] def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
     try {
-      val ais = javax.sound.sampled.AudioSystem
-        .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      val ais = toPcmStream(javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(payload)))
       try {
         val fmt = ais.getFormat
         val enc = fmt.getEncoding
@@ -1446,8 +1487,9 @@ object Multimodal {
     */
   private def decodePcm(payload: Array[Byte]): Option[(Int, Int, Array[Array[Double]])] =
     try {
-      val ais = javax.sound.sampled.AudioSystem
-        .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      // μ-law/A-law payloads transcode to linear PCM16 first
+      val ais = toPcmStream(javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(payload)))
       try {
         val fmt = ais.getFormat
         val enc = fmt.getEncoding

@@ -2992,8 +2992,15 @@ object ScaleQueries {
         val pitch2 = if (cover) 1.05 else pitch
         val chord2 = !cover && chord
         val rich = id % 28 == 5 || cover
-        (id, "audio",
-          Multimodal.synthToneWav(seed2, pitch2, vib, chord2, rich, noise))
+        val wav = Multimodal.synthToneWav(seed2, pitch2, vib, chord2, rich, noise)
+        // lossy-codec distribution class (round 16, dup side only,
+        // id ≡ 31 mod 35 — ≡ 3 mod 7, so always a dup): the shifted
+        // re-performance circulated as a G.711 μ-law companded file.
+        // Measured ≤ 1 share-bit cost and admit-at-plain-rate
+        // (VibratoChordSpec); may stack with the vibrato/noise classes
+        // at CRT overlaps — realistic compounding the floors absorb.
+        val mulaw = dup && id % 35 == 31
+        (id, "audio", if (mulaw) Multimodal.toMulawWav(wav) else wav)
       })
       .toDF("doc_id", "kind", "payload")
   }

@@ -19,6 +19,11 @@ import graft.TestSpark
   *   - A chord added on ONE side only (a different arrangement — a
   *     remix, not a near-duplicate) admits measurably LESS (66 %)
   *     than the same-arrangement classes: the gate separates them.
+  *   - G.711 μ-law companding (round 16, the JDK-legal lossy codec):
+  *     a full encode→WAVE→decode round trip costs AT MOST 1 share bit
+  *     and zero contour-band misses over 50 seeds, and a
+  *     μ-law-distributed shifted re-performance admits within 10pp of
+  *     the plain class — no re-parametrization needed.
   *
   * These classes are planted in the `audio_neardup` corpus
   * (ScaleQueries.audioPayloads, residues mod 21), so the registered
@@ -151,6 +156,38 @@ class VibratoChordSpec extends AnyFunSuite {
     val cvHits = (0L until Seeds).count(s => cv.contains((s * 2, s * 2 + 1)))
     assert(ndHits == 0, s"near-dup admitted cross-timbre pairs: $ndHits")
     assert(cvHits >= (Seeds * 0.70).toInt, s"cover recall $cvHits/$Seeds")
+  }
+
+  test("G.711 mu-law round trip is read back as real audio with a near-" +
+       "identical fingerprint: companding noise costs at most 1 share bit") {
+    var maxHam = 0
+    var bandMiss = 0
+    for (s <- 0L until Seeds) {
+      val pcm = Multimodal.synthToneWav(s, 1.0)
+      val mu = Multimodal.toMulawWav(pcm)
+      assert(mu.length < pcm.length, "mu-law file must be ~half the PCM size")
+      (Multimodal.audioSignature(pcm), Multimodal.audioSignature(mu)) match {
+        case (Some((h1, c1)), Some((h2, c2))) =>
+          maxHam = math.max(maxHam, java.lang.Long.bitCount(h1 ^ h2))
+          def bandsOf(c: Array[Int]): Set[Seq[Int]] =
+            (0 to 2).map(b => c.slice(b * 2, b * 2 + 3).toSeq).toSet
+          if (bandsOf(c1).intersect(bandsOf(c2)).isEmpty) bandMiss += 1
+        case _ => fail(s"mu-law clip undecodable at seed $s")
+      }
+    }
+    assert(maxHam <= 1, s"companding flipped $maxHam share bits")
+    assert(bandMiss == 0, s"contour band misses under mu-law: $bandMiss")
+  }
+
+  test("a mu-law-distributed pitch-shifted re-performance admits at the " +
+       "plain-class rate: companding does not stack with the shift") {
+    val plain = admitted(s => (Multimodal.synthToneWav(s, 1.0),
+      Multimodal.synthToneWav(s, 1.02)))
+    val mu = admitted(s => (Multimodal.synthToneWav(s, 1.0),
+      Multimodal.toMulawWav(Multimodal.synthToneWav(s, 1.02))))
+    assert(mu >= (Seeds * 0.70).toInt, s"mu-law dup recall $mu/$Seeds")
+    assert(math.abs(mu - plain) <= (Seeds * 0.10).toInt,
+      s"mu-law admit $mu deviates from plain $plain by more than 10pp")
   }
 
   test("arrangement change (chord on ONE side) admits strictly less than " +
