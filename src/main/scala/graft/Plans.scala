@@ -96,7 +96,13 @@ object Plans {
       "gq_filter", "c4_clean", "span_corrupt", "ul2_mix",
       // the combined filter must show ONE scan feeding both signal
       // families and no extra exchange beyond the presentation sort
-      "gopher_filter", "ccnet_buckets")
+      "gopher_filter", "ccnet_buckets",
+      // round-16 additions: the capacity-bounded enrolment plan (anti-
+      // join on the enrolment ledger + broadcast catalog + per-course
+      // seat window, no global ordering) and the ε-ball range search
+      // (partition-pruned codes scan → absolute ADC admission → exact
+      // re-rank — must show PartitionFilters on c_id, no top-k window)
+      "enrol_plan", "ann_range")
     val sb = new StringBuilder
     sb ++= "# PLANS - physical plans of flagship queries (sf0.01)\n\n"
     sb ++= "Generated by `sbt \"runMain graft.Plans\"`. What to look for:\n"

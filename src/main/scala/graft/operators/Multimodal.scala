@@ -121,15 +121,24 @@ object Multimodal {
     * the audio corpus; the decode side ingests the companded file
     * through [[toPcmStream]] like any other payload.
     */
-  private[graft] def toMulawWav(payload: Array[Byte]): Array[Byte] = {
+  private[graft] def toMulawWav(payload: Array[Byte]): Array[Byte] =
+    toCompandedWav(payload, javax.sound.sampled.AudioFormat.Encoding.ULAW)
+
+  /** A-law sibling (the European G.711 variant — slightly different
+    * companding curve, same 8-bit budget); both ride [[toCompandedWav]].
+    */
+  private[graft] def toAlawWav(payload: Array[Byte]): Array[Byte] =
+    toCompandedWav(payload, javax.sound.sampled.AudioFormat.Encoding.ALAW)
+
+  private def toCompandedWav(payload: Array[Byte],
+      enc: javax.sound.sampled.AudioFormat.Encoding): Array[Byte] = {
     val src = javax.sound.sampled.AudioSystem
       .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
     try {
       val f = src.getFormat
-      val ulaw = new javax.sound.sampled.AudioFormat(
-        javax.sound.sampled.AudioFormat.Encoding.ULAW,
+      val companded = new javax.sound.sampled.AudioFormat(enc,
         f.getSampleRate, 8, f.getChannels, f.getChannels, f.getSampleRate, false)
-      val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(ulaw, src)
+      val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(companded, src)
       val bos = new java.io.ByteArrayOutputStream()
       javax.sound.sampled.AudioSystem.write(conv,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)

@@ -691,8 +691,31 @@ object Similarity {
   def rangeIvfPqOnCodes(queries: DataFrame, corpus: DataFrame,
                         codes: DataFrame, tau: Double, margin: Double,
                         nProbe: Int, coarse: DataFrame,
-                        subspaces: Seq[(Int, Int, DataFrame)]): DataFrame = {
-    val adc = ivfPqAdcScores(queries, codes, nProbe, coarse, subspaces, None)
+                        subspaces: Seq[(Int, Int, DataFrame)]): DataFrame =
+    rangeCore(queries, corpus, codes, tau, margin, nProbe, coarse,
+      subspaces, labCol = None)
+
+  /** Filtered range search: [[rangeIvfPqOnCodes]] with an equality
+    * predicate on `labCol` applied DURING the ADC code scan
+    * (filter-before-admit, same discipline as
+    * [[knnIvfPqFilteredOnCodes]]) — "every same-label neighbor within
+    * the ball", the thresholding sibling of filtered top-k. `queries`
+    * must carry `labCol`; `codes` must store it in the index rows.
+    */
+  def rangeIvfPqFilteredOnCodes(queries: DataFrame, corpus: DataFrame,
+                                codes: DataFrame, tau: Double, margin: Double,
+                                nProbe: Int, coarse: DataFrame,
+                                subspaces: Seq[(Int, Int, DataFrame)],
+                                labCol: String): DataFrame =
+    rangeCore(queries, corpus, codes, tau, margin, nProbe, coarse,
+      subspaces, labCol = Some(labCol))
+
+  private def rangeCore(queries: DataFrame, corpus: DataFrame,
+                        codes: DataFrame, tau: Double, margin: Double,
+                        nProbe: Int, coarse: DataFrame,
+                        subspaces: Seq[(Int, Int, DataFrame)],
+                        labCol: Option[String]): DataFrame = {
+    val adc = ivfPqAdcScores(queries, codes, nProbe, coarse, subspaces, labCol)
     val cand = adc.filter(col("adc") >= tau - margin)
       .select(col("q_id"), col("n_id"))
     exactCosOnCandidates(queries, corpus, cand)

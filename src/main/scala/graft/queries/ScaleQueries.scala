@@ -1274,6 +1274,68 @@ object ScaleQueries {
       cast(1 AS BIGINT) AS precision_exact
     FROM s WHERE cos >= $RangeTau"""
 
+  /** `ann_range_filtered` — the thresholding sibling of `knn_filtered`:
+    * every SAME-LABEL neighbor within the ball, the label predicate
+    * applied during the ADC code scan (the label is stored in the index
+    * rows, so no second table at scan time). Same measured constants as
+    * `ann_range` — filtering only SHRINKS the candidate set a probe
+    * must carry, never widens the error. Rows-only by design;
+    * `ann_range_filtered_recall` is the oracle-checked companion.
+    */
+  def annRangeFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding",
+      keep = Seq("label"))
+    val queries = prepped.filter(col("id") % PqQueryMod === 0)
+    val (codes, coarse, subs) = annIndexParts(spark, dir)
+    Similarity.rangeIvfPqFilteredOnCodes(queries, prepped,
+        prunedIndexCodes(queries, codes, coarse, RangeNProbe),
+        tau = RangeTau, margin = RangeMargin, nProbe = RangeNProbe,
+        coarse = coarse, subspaces = subs, labCol = "label")
+      .orderBy("q_id", "n_id")
+  }
+
+  /** Brute filtered ε-ball truth + floor flags, mirroring
+    * [[annRangeRecall]] with the same-label predicate on both sides.
+    */
+  def annRangeFilteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding",
+      keep = Seq("label"))
+    val queries = prepped.filter(col("id") % PqQueryMod === 0)
+    val qv = broadcast(queries.select(col("id").as("q_id"),
+      col("label").as("qlab"), col("v").as("qv"), col("nrm").as("qn")))
+    val brute = prepped.join(qv,
+        col("id") =!= col("q_id") && col("label") === col("qlab"))
+      .filter(Similarity.cosine(col("qv"), col("qn"),
+        col("v"), col("nrm")) >= RangeTau)
+      .select(col("q_id"), col("id").as("n_id"))
+    val found = annRangeFiltered(spark, dir).select("q_id", "n_id")
+    val hits = brute.join(found, Seq("q_id", "n_id"), "left_semi")
+    val prec = found.join(brute, Seq("q_id", "n_id"), "left_semi")
+    brute.agg(count(lit(1)).as("n_brute"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(prec.agg(count(lit(1)).as("n_prec")))
+      .select(col("n_brute").cast("long").as("n_brute"),
+        (col("n_hit") * 100 >= col("n_brute") * RangeMinPct)
+          .cast("long").as("recall_ok"),
+        (col("n_prec") === col("n_found")).cast("long").as("precision_exact"))
+  }
+
+  val annRangeFilteredRecallSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v,
+        sqrt(list_inner_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    s AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      FROM e q JOIN e c ON q.vec_id % $PqQueryMod = 0
+        AND c.vec_id != q.vec_id AND c.label = q.label)
+    SELECT cast(count(*) AS BIGINT) AS n_brute,
+      cast(1 AS BIGINT) AS recall_ok,
+      cast(1 AS BIGINT) AS precision_exact
+    FROM s WHERE cos >= $RangeTau"""
+
   /** Arrival slice for the index-health monitor: vec_id %
     * [[HealthNewMod]] = 0, a ~4% stand-in for the stream appends
     * [[graft.streaming.StreamingIndexMaintenance]] codes under the
@@ -4363,6 +4425,8 @@ object ScaleQueries {
     "knn_filtered_recall" -> (knnFilteredRecall _),
     "ann_range"        -> (annRange _),
     "ann_range_recall" -> (annRangeRecall _),
+    "ann_range_filtered" -> (annRangeFiltered _),
+    "ann_range_filtered_recall" -> (annRangeFilteredRecall _),
     "decon_semantic"   -> (deconSemantic _),
     "linear_probe"       -> (linearProbe _),
     "linear_probe_score" -> (linearProbeScore _),
@@ -4460,6 +4524,7 @@ object ScaleQueries {
     "knn_filtered"     -> knnFilteredSql,
     "knn_filtered_recall" -> knnFilteredRecallSql,
     "ann_range_recall" -> annRangeRecallSql,
+    "ann_range_filtered_recall" -> annRangeFilteredRecallSql,
     "decon_semantic"   -> deconSemanticSql,
     "linear_probe"       -> linearProbeSql,
     "linear_probe_score" -> linearProbeScoreSql,

@@ -177,6 +177,19 @@ class VibratoChordSpec extends AnyFunSuite {
     }
     assert(maxHam <= 1, s"companding flipped $maxHam share bits")
     assert(bandMiss == 0, s"contour band misses under mu-law: $bandMiss")
+    // A-law (the European G.711 curve) rides the same decode path with
+    // the same bound
+    var aHam = 0
+    for (s <- 0L until Seeds) {
+      val pcm = Multimodal.synthToneWav(s, 1.0)
+      (Multimodal.audioSignature(pcm),
+       Multimodal.audioSignature(Multimodal.toAlawWav(pcm))) match {
+        case (Some((h1, _)), Some((h2, _))) =>
+          aHam = math.max(aHam, java.lang.Long.bitCount(h1 ^ h2))
+        case _ => fail(s"A-law clip undecodable at seed $s")
+      }
+    }
+    assert(aHam <= 1, s"A-law companding flipped $aHam share bits")
   }
 
   test("a mu-law-distributed pitch-shifted re-performance admits at the " +

@@ -59,7 +59,12 @@ class CartesianAuditSpec extends AnyFunSuite {
     // Eval slice (vec_id % 101 = 0, ~1% of the table — benchmark-suite
     // sized by construction) broadcast against the train side: the
     // decontaminate contract in vector space, linear in the corpus.
-    "decon_semantic" -> "modulus eval slice broadcast x corpus probe")
+    "decon_semantic" -> "modulus eval slice broadcast x corpus probe",
+    // The ε-ball recall audits embed the brute threshold truth: the
+    // %PqQueryMod query batch broadcast against the corpus (inequality
+    // join condition → BNLJ), linear per query like knn_brute's truth.
+    "ann_range_recall" -> "embeds brute-force ε-ball truth",
+    "ann_range_filtered_recall" -> "embeds brute-force filtered ε-ball truth")
 
   /** A literal Range this small is a salt/replica dimension, not data. */
   private val MaxLiteralRange = 4096L

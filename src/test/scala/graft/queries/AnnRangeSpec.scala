@@ -47,6 +47,26 @@ class AnnRangeSpec extends AnyFunSuite {
     assert(loose.size >= tight.size)
   }
 
+  test("filtered range is exactly the unfiltered set restricted to same-label " +
+       "pairs: the ADC predicate never changes admission scores") {
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val unfiltered = ScaleQueries.annRange(spark, dir)
+      .select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = ScaleQueries.annRangeFiltered(spark, dir)
+      .select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == unfiltered.filter { case (q, n) => labels(q) == labels(n) })
+  }
+
+  test("filtered recall companion holds its floor and invariants") {
+    val row = ScaleQueries.annRangeFilteredRecall(spark, dir).collect().head
+    assert(row.getLong(1) == 1L, "filtered recall under floor")
+    assert(row.getLong(2) == 1L, "filtered precision invariant broken")
+  }
+
   test("recall companion holds its floor and the precision invariant") {
     val row = ScaleQueries.annRangeRecall(spark, dir).collect().head
     assert(row.getLong(0) == brutePairs().size) // exact truth count
