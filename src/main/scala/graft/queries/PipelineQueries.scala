@@ -78,6 +78,136 @@ object PipelineQueries {
     FROM t
     ORDER BY doc_id"""
 
+  // ------------------------------------- sequence packing (concat-chunk)
+
+  /** Fixed sequence length for the concat-then-chunk packing pair. */
+  val SeqLen = 512
+
+  /** Stage-1 bucket width for the distributed prefix sum (doc_ids per
+    * bucket — each within-bucket window sorts at most this many rows).
+    */
+  private val PackBucket = 256L
+
+  /** The doc-level half of GPT-style sequence packing (`pack_offsets`):
+    * the corpus is one GLOBAL token stream in doc_id order, cut into
+    * fixed [[SeqLen]]-token training sequences; a document may straddle
+    * sequence boundaries, and this query emits each doc's global token
+    * offset plus the [chunk_first, chunk_last] span of sequences it
+    * touches — the attribution map a decontamination or membership
+    * audit needs to go from "training step consumed sequence k" back to
+    * documents. Differs from `pack_batches` (per-source ≤-budget
+    * batching, docs never split): packing WASTES no tokens — every
+    * sequence is exactly full except the last.
+    *
+    * Scale shape: the global prefix sum is TWO-PASS, not a global
+    * window — stage 1 sums tokens per doc_id-range bucket (one shuffle,
+    * [[PackBucket]] rows per group), the bucket-offset frame (corpus /
+    * PackBucket rows) takes its own small running sum, and stage 2
+    * joins offsets back by bucket and ranks only WITHIN buckets
+    * (bounded windows). At extreme corpus sizes the bucket-offset frame
+    * recurses through the same two-pass trick (buckets of buckets);
+    * one level is shown here, which already keeps every sort under
+    * [[PackBucket]] rows on the data path. The oracle proves the
+    * two-pass result cell-identical to the window-prefix definition.
+    */
+  def packOffsets(spark: SparkSession, dir: String): DataFrame =
+    packOffsetFrame(spark, dir).orderBy("doc_id")
+
+  private def packOffsetFrame(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("__bucket", (col("doc_id") / PackBucket).cast("long"))
+    // stage 1: per-bucket totals, then the running offset of each
+    // bucket over the SMALL bucket frame (corpus/PackBucket rows)
+    val bucketOff = toks.groupBy("__bucket")
+      .agg(sum("n_tok").as("__btok"))
+      .withColumn("__boff",
+        coalesce(sum("__btok").over(Window.orderBy("__bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__boff"))
+    // stage 2: within-bucket running sum (bounded window) + bucket offset
+    val within = Window.partitionBy("__bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(bucketOff, Seq("__bucket"))
+      .withColumn("__cum", sum("n_tok").over(within))
+      .select(col("doc_id"), col("n_tok"),
+        (col("__boff") + col("__cum") - col("n_tok")).as("start_off"))
+      .select(col("doc_id"), col("n_tok"), col("start_off"),
+        (col("start_off") / SeqLen).cast("long").as("chunk_first"),
+        ((col("start_off") + col("n_tok") - 1) / SeqLen).cast("long")
+          .as("chunk_last"))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
+  }
+
+  val packOffsetsSql: String = s"""
+    WITH t AS (
+      SELECT doc_id,
+        cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+        cast(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_off
+      FROM t)
+    SELECT doc_id, n_tok, start_off,
+      cast(start_off // $SeqLen AS BIGINT) AS chunk_first,
+      cast((start_off + n_tok - 1) // $SeqLen AS BIGINT) AS chunk_last,
+      cast((start_off + n_tok - 1) // $SeqLen - start_off // $SeqLen + 1
+        AS BIGINT) AS n_chunks
+    FROM c
+    ORDER BY doc_id"""
+
+  /** The sequence-level half (`pack_chunks`): per training sequence,
+    * how many documents it contains, their id range, and its token
+    * fill — exactly [[SeqLen]] everywhere but the final sequence (the
+    * packing-wastes-nothing invariant, spec-pinned). Row-local explode
+    * of each doc's bounded chunk span over the [[packOffsets]] frame,
+    * one aggregation exchange keyed by chunk.
+    */
+  def packChunks(spark: SparkSession, dir: String): DataFrame =
+    packOffsetFrame(spark, dir)
+      .select(col("doc_id"), col("n_tok"), col("start_off"),
+        explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk_id"))
+      .select(col("chunk_id"), col("doc_id"),
+        (least((col("chunk_id") + 1) * SeqLen, col("start_off") + col("n_tok"))
+          - greatest(col("chunk_id") * SeqLen, col("start_off"))).as("tok"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        sum("tok").as("n_tokens"))
+      .orderBy("chunk_id")
+
+  val packChunksSql: String = s"""
+    WITH t AS (
+      SELECT doc_id,
+        cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+        cast(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_off
+      FROM t),
+    spans AS (
+      SELECT doc_id, n_tok, start_off,
+        unnest(range(start_off // $SeqLen, (start_off + n_tok - 1) // $SeqLen + 1))
+          AS chunk_id
+      FROM c),
+    o AS (
+      SELECT chunk_id, doc_id,
+        least((chunk_id + 1) * $SeqLen, start_off + n_tok)
+          - greatest(chunk_id * $SeqLen, start_off) AS tok
+      FROM spans)
+    SELECT cast(chunk_id AS BIGINT) AS chunk_id,
+      cast(count(*) AS BIGINT) AS n_docs,
+      cast(min(doc_id) AS BIGINT) AS first_doc,
+      cast(max(doc_id) AS BIGINT) AS last_doc,
+      cast(sum(tok) AS BIGINT) AS n_tokens
+    FROM o GROUP BY 1
+    ORDER BY chunk_id"""
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val LongNumRe = "[0-9]{7,}"
 
@@ -979,6 +1109,8 @@ object PipelineQueries {
     "cross_source_overlap" -> (crossSourceOverlap _),
     "text_chunk"       -> (textChunk _),
     "pack_batches"     -> (packBatches _),
+    "pack_offsets"     -> (packOffsets _),
+    "pack_chunks"      -> (packChunks _),
     "pii_scrub"        -> (piiScrub _),
     "decontaminate"    -> (decontaminate _),
     "decon_spans"      -> (deconSpans _),
@@ -1000,6 +1132,8 @@ object PipelineQueries {
     "cross_source_overlap" -> crossSourceOverlapSql,
     "text_chunk"       -> textChunkSql,
     "pack_batches"     -> packBatchesSql,
+    "pack_offsets"     -> packOffsetsSql,
+    "pack_chunks"      -> packChunksSql,
     "pii_scrub"        -> piiScrubSql,
     "decontaminate"    -> decontaminateSql,
     "decon_spans"      -> deconSpansSql,
