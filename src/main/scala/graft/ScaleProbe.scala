@@ -554,6 +554,82 @@ object ScaleProbe {
       return
     }
 
+    // Range-at-k mode (`runMain graft.ScaleProbe rangek`): the ε-ball
+    // probe-fraction recipe at production cell counts — SURVEY §9's
+    // "range ships nProbe=14/16, measured; the FRACTION needs its own
+    // k-sweep" item. Same sf1 replica corpus + k-parametrized indexes
+    // as the annk mode (run `annk` first to build them); brute truth is
+    // the exact cosine ≥ τ ball of the replica-0 query batch. Prints
+    // recall per (k, nProbe) with the probed fraction, so the sizing
+    // rule reads off directly.
+    if (args.contains("rangek")) {
+      import graft.queries.ScaleQueries
+      import graft.operators.Similarity
+      val pred = col("id") % ScaleQueries.PqQueryMod === 0 && col("id") < 1000000L
+      val prepped = Similarity.prep(
+        spark.read.parquet(s"$out/embeddings.parquet"), "vec_id", "embedding")
+      val queries = prepped.filter(pred)
+      val tau = ScaleQueries.RangeTau
+      val qv = broadcast(queries.select(col("id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qn")))
+      val brute = prepped.join(qv, col("id") =!= col("q_id"))
+        .filter(Similarity.cosine(col("qv"), col("qn"),
+          col("v"), col("nrm")) >= tau)
+        .select(col("q_id"), col("id").as("n_id")).cache()
+      val nb = brute.count()
+      for (k <- Seq(16, 64)) {
+        val (codes, coarse, subs) = ScaleQueries.annIndexPartsAt(spark, out, k)
+        val probes = if (k == 16) Seq(10, 12, 14) else Seq(32, 40, 48, 56)
+        for (np <- probes) {
+          val t0 = System.nanoTime()
+          val found = Similarity.rangeIvfPqOnCodes(queries, prepped,
+              ScaleQueries.prunedIndexCodes(queries, codes, coarse, np),
+              tau = tau, margin = 0.30, nProbe = np,
+              coarse = coarse, subspaces = subs)
+            .select(col("q_id"), col("n_id"))
+          val hit = brute.join(found, Seq("q_id", "n_id"), "left_semi").count()
+          val w = (System.nanoTime() - t0) / 1e9
+          println(f"PROBERANGEK k=$k%d nProbe=$np%d " +
+            f"frac=${np * 100.0 / k}%.0f%% " +
+            f"recall=${100.0 * hit / nb}%.1f%% ($hit%d/$nb%d) wall=$w%.2f s")
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    // Packing mode (`runMain graft.ScaleProbe pack`): the two-pass
+    // global prefix sum behind pack_offsets/pack_chunks across two
+    // decades — the probe checks the bucketed prefix (no global data
+    // window) stays linear and the chunk-span explode stays
+    // dup-structure-free. Reuses the quality-mode corpora.
+    if (args.contains("pack")) {
+      val q01 = "target/scaledata/q01"
+      val q1 = "target/scaledata/q1"
+      val out10 = "target/scaledata/sf10"
+      for (d <- Seq(q01, q1, out10))
+        require(new java.io.File(s"$d/documents.parquet").exists(),
+          s"$d missing — run `ScaleProbe quality` first")
+      def timeNoop(name: String, dir: String): Double = {
+        val fn = SparkEntry.queries(name)
+        def run(): Unit =
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+        run()
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      for (q <- Seq("pack_offsets", "pack_chunks")) {
+        val t01 = timeNoop(q, q01)
+        val t1 = timeNoop(q, q1)
+        val t10 = timeNoop(q, out10)
+        println(f"PROBEPACK $q sf0.1=$t01%.2f s sf1=$t1%.2f s sf10=$t10%.2f s " +
+          f"ratio10=${t1 / t01}%.1f ratio100=${t10 / t01}%.1f")
+      }
+      spark.stop()
+      return
+    }
+
     // RepScan A/B mode (`runMain graft.ScaleProbe repscan`): the
     // split-free suite kernel vs the composed split + 9×RepScan form it
     // replaced, side by side per the bench-methodology rule (warm pass,

@@ -112,6 +112,40 @@ object Relational {
       .drop("__pid", "__lrk", "__off")
   }
 
+  /** Distributed EXCLUSIVE prefix sum over a total order — the sibling
+    * of [[globalRank]] for running totals (sequence packing's global
+    * token offset): range-partition on the keys, one bounded window per
+    * partition for the local running sum, and a partition-total offsets
+    * frame that is SHUFFLE-PARTITION-COUNT-sized (model-sized at any
+    * corpus size — unlike a key-bucketing scheme whose offset frame
+    * grows with the data), broadcast back. Same determinism caveat as
+    * [[globalRank]]: the frame is computed twice (offsets + locals) and
+    * must re-evaluate identically, which range repartitioning of a
+    * deterministic input guarantees.
+    *
+    * @return input columns + `outCol` = sum of `valueCol` over all rows
+    *         STRICTLY BEFORE this row in key order (long)
+    */
+  def globalPrefixSum(df: DataFrame, keys: Seq[Column], valueCol: String,
+                      outCol: String, numParts: Int = 0): DataFrame = {
+    val p = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = df.repartitionByRange(p, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = base.withColumn("__lsum",
+      sum(col(valueCol)).over(Window.partitionBy("__pid").orderBy(keys: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = base.groupBy("__pid")
+      .agg(sum(col(valueCol)).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(outCol, (col("__off") + col("__lsum") - col(valueCol)).cast("long"))
+      .drop("__pid", "__lsum")
+  }
+
   /** CDC merge (upsert): rows of `changes` override base rows sharing
     * their key ROW-WISE — a matched change row replaces every payload
     * column, including columns it carries as NULL (the Delta/Iceberg

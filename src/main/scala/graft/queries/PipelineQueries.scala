@@ -83,11 +83,6 @@ object PipelineQueries {
   /** Fixed sequence length for the concat-then-chunk packing pair. */
   val SeqLen = 512
 
-  /** Stage-1 bucket width for the distributed prefix sum (doc_ids per
-    * bucket — each within-bucket window sorts at most this many rows).
-    */
-  private val PackBucket = 256L
-
   /** The doc-level half of GPT-style sequence packing (`pack_offsets`):
     * the corpus is one GLOBAL token stream in doc_id order, cut into
     * fixed [[SeqLen]]-token training sequences; a document may straddle
@@ -99,16 +94,15 @@ object PipelineQueries {
     * batching, docs never split): packing WASTES no tokens — every
     * sequence is exactly full except the last.
     *
-    * Scale shape: the global prefix sum is TWO-PASS, not a global
-    * window — stage 1 sums tokens per doc_id-range bucket (one shuffle,
-    * [[PackBucket]] rows per group), the bucket-offset frame (corpus /
-    * PackBucket rows) takes its own small running sum, and stage 2
-    * joins offsets back by bucket and ranks only WITHIN buckets
-    * (bounded windows). At extreme corpus sizes the bucket-offset frame
-    * recurses through the same two-pass trick (buckets of buckets);
-    * one level is shown here, which already keeps every sort under
-    * [[PackBucket]] rows on the data path. The oracle proves the
-    * two-pass result cell-identical to the window-prefix definition.
+    * Scale shape: the global token offset is
+    * [[graft.operators.Relational.globalPrefixSum]] — range-partition
+    * on doc_id, per-partition local running sums, and a
+    * SHUFFLE-PARTITION-COUNT-sized offsets frame broadcast back (the
+    * distributed-rank construction `globalRank` already uses; the
+    * offsets frame is model-sized at ANY corpus size, so nothing
+    * recurses and no global data window exists anywhere). The oracle
+    * proves the distributed result cell-identical to the window-prefix
+    * definition.
     */
   def packOffsets(spark: SparkSession, dir: String): DataFrame =
     packOffsetFrame(spark, dir).orderBy("doc_id")
@@ -117,22 +111,8 @@ object PipelineQueries {
     val toks = docs(spark, dir)
       .select(col("doc_id"),
         size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("__bucket", (col("doc_id") / PackBucket).cast("long"))
-    // stage 1: per-bucket totals, then the running offset of each
-    // bucket over the SMALL bucket frame (corpus/PackBucket rows)
-    val bucketOff = toks.groupBy("__bucket")
-      .agg(sum("n_tok").as("__btok"))
-      .withColumn("__boff",
-        coalesce(sum("__btok").over(Window.orderBy("__bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bucket"), col("__boff"))
-    // stage 2: within-bucket running sum (bounded window) + bucket offset
-    val within = Window.partitionBy("__bucket").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks.join(bucketOff, Seq("__bucket"))
-      .withColumn("__cum", sum("n_tok").over(within))
-      .select(col("doc_id"), col("n_tok"),
-        (col("__boff") + col("__cum") - col("n_tok")).as("start_off"))
+    graft.operators.Relational
+      .globalPrefixSum(toks, Seq(col("doc_id")), "n_tok", "start_off")
       .select(col("doc_id"), col("n_tok"), col("start_off"),
         (col("start_off") / SeqLen).cast("long").as("chunk_first"),
         ((col("start_off") + col("n_tok") - 1) / SeqLen).cast("long")
