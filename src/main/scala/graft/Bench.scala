@@ -65,12 +65,20 @@ object Bench {
       val qs = entries
         .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      // total sums SUCCESSES only — folding the -1 sentinels in would
+      // make the headline number quietly IMPROVE when a slow query
+      // breaks; nfail carries the failure count explicitly
+      val total = results.values.filter(_ >= 0).sum
+      val nfail = results.values.count(_ < 0)
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"nfail":$nfail,"queries":$qs,"sf":"$sfDir"}"""
     }
     val ascending = results.toSeq.sortBy { case (_, v) => v }
     val line = renderLine(ascending) // full line → file artifacts
-    val stdoutLine = renderLine(ascending.takeRight(80))
+    // stdout: every FAILURE (the -1 sentinels sort first and would be
+    // the exact rows takeRight drops) + the slowest 80 successes — a
+    // breaking query must never vanish from the line the harness parses
+    val stdoutLine = renderLine(
+      ascending.filter(_._2 < 0) ++ ascending.filter(_._2 >= 0).takeRight(80))
     // full per-query artifact committed to the repo each round so
     // regression tracking covers ALL queries regardless of how much of
     // the stdout line the harness retains. FULL runs only — a

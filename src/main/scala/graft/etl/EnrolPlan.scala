@@ -60,12 +60,18 @@ object EnrolPlan {
       enrolments.select("custkey", "course_id").distinct(),
       Seq("custkey", "course_id"), "left_anti")
     val seatW = Window.partitionBy("course_id").orderBy("username_final")
+    // LEFT join on the catalog: a candidate whose derived course has no
+    // catalog row must SURFACE as `unassigned` (null course/capacity),
+    // never vanish — every other exclusion in this planner is explicit
+    // (validator flags, the enrolment anti-join), and a silent
+    // inner-join drop would hide a catalog gap from the registrar.
     fresh
-      .join(broadcast(courses), Seq("course_id"))
+      .join(broadcast(courses), Seq("course_id"), "left")
       .withColumn("seat", row_number().over(seatW).cast("long"))
       .select(
         col("course_id"), col("course"), col("capacity"), col("seat"),
-        when(col("seat") <= col("capacity"), "enrolled")
+        when(col("capacity").isNull, "unassigned")
+          .when(col("seat") <= col("capacity"), "enrolled")
           .otherwise("waitlist").as("status"),
         col("username_final").as("username"),
         col("rut"), col("email"))

@@ -635,15 +635,22 @@ object Similarity {
   }
 
   /** Exact-cosine pass over a (q_id, n_id) candidate frame — the only
-    * place full vectors move in either retrieval shape. Candidates are
-    * broadcast (nQ·rerank or the admitted range set, both tiny next to
-    * the corpus) into one pass over the vector table.
+    * place full vectors move in either retrieval shape. The TOP-K path
+    * broadcasts the candidates (bounded at nQ·rerank rows by
+    * construction); the RANGE path must NOT (`broadcastCand = false`):
+    * its admission is an absolute ADC threshold, so at the shipped
+    * loose margin the admitted set is a CORPUS FRACTION (~half the
+    * probed rows), and forcing a broadcast would blow the driver at
+    * scale — it joins by shuffle on n_id instead (AQE may still choose
+    * a broadcast when the batch is genuinely small).
     */
   private def exactCosOnCandidates(queries: DataFrame, corpus: DataFrame,
-                                   cand: DataFrame): DataFrame = {
+                                   cand: DataFrame,
+                                   broadcastCand: Boolean): DataFrame = {
     val qv = broadcast(queries.select(col("id").as("q_id"),
       col("v").as("qv"), col("nrm").as("qn")))
-    corpus.join(broadcast(cand), col("id") === col("n_id"))
+    val c = if (broadcastCand) broadcast(cand) else cand
+    corpus.join(c, col("id") === col("n_id"))
       .join(qv, Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cos"))
@@ -660,7 +667,8 @@ object Similarity {
       .select(col("q_id"), col("n_id"))
     // exact re-rank, identical to knnPq's tail (candidates are already
     // predicate-satisfying in the filtered variant)
-    val scored = exactCosOnCandidates(queries, corpus, cand)
+    val scored = exactCosOnCandidates(queries, corpus, cand,
+      broadcastCand = true)
     Relational.topKPerGroup(scored, Seq("q_id"), col("cos"), col("n_id"), k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"), col("rk"))
   }
@@ -682,11 +690,14 @@ object Similarity {
     * and only recall is approximate (a true neighbor can hide in an
     * unprobed cell or under a >margin ADC underestimate).
     *
-    * Scale shape: identical to the top-k path — partition-pruned codes
-    * scan, candidate set bounded by the admitted fraction (the ADC
-    * threshold prunes BEFORE any shuffle), full vectors touched only
-    * for admitted pairs. No per-query state at all, so the operator is
-    * one scan regardless of batch size.
+    * Scale shape: partition-pruned codes scan like the top-k path, but
+    * the exact re-rank joins the admitted set back to the corpus BY
+    * SHUFFLE, not broadcast — the absolute admission keeps a corpus
+    * FRACTION (~half the probed rows at the shipped loose margin), not
+    * an nQ·rerank-bounded list, and that linear exact pass is the cost
+    * a thresholding user accepted when asking for every ball member.
+    * The ADC threshold still prunes before the shuffle, and no
+    * per-query state exists anywhere.
     */
   def rangeIvfPqOnCodes(queries: DataFrame, corpus: DataFrame,
                         codes: DataFrame, tau: Double, margin: Double,
@@ -718,7 +729,10 @@ object Similarity {
     val adc = ivfPqAdcScores(queries, codes, nProbe, coarse, subspaces, labCol)
     val cand = adc.filter(col("adc") >= tau - margin)
       .select(col("q_id"), col("n_id"))
-    exactCosOnCandidates(queries, corpus, cand)
+    // shuffle join, never a forced broadcast: at the shipped loose
+    // margin the admitted set is a fraction of the probed CORPUS, not
+    // an nQ·rerank-bounded list
+    exactCosOnCandidates(queries, corpus, cand, broadcastCand = false)
       .filter(col("cos") >= tau)
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cosine"))
   }

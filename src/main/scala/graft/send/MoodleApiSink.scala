@@ -87,31 +87,19 @@ object MoodleApiSink {
         def closeOnce(): Unit = if (!closed) { closed = true; api.close() }
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-        // one retry ladder per call site, shared constants with SmtpSink
-        def attemptCall(f: EnrolAction => Unit, a: EnrolAction): (Int, String) = {
-          var attempt = 0
-          var lastErr = ""
-          var done    = false
-          while (!done && attempt < policy.maxRetries) {
-            attempt += 1
-            try { f(a); done = true; lastErr = "" }
-            catch {
-              case e: Exception =>
-                lastErr = String.valueOf(e.getMessage)
-                if (attempt < policy.maxRetries)
-                  sleeper(policy.backoffMillisPerAttempt * attempt)
-            }
-          }
-          (attempt, lastErr)
-        }
+        // the SHARED retry ladder ([[Retry.attempt]]) — success is the
+        // done flag, so an empty-message exception or a zero-retry
+        // policy can never be misread as a landed call
         val out = rows.map { a =>
-          val (ua, uerr) = attemptCall(api.upsertUser, a)
+          val (ua, uok, uerr) =
+            Retry.attempt(policy, sleeper)(api.upsertUser(a))
           val res =
-            if (uerr.nonEmpty)
+            if (!uok)
               EnrolResult(a.course_id, a.username, "failed_user", ua, 0, uerr)
             else {
-              val (ea, eerr) = attemptCall(api.enrol, a)
-              if (eerr.nonEmpty)
+              val (ea, eok, eerr) =
+                Retry.attempt(policy, sleeper)(api.enrol(a))
+              if (!eok)
                 EnrolResult(a.course_id, a.username, "failed_enrol", ua, ea, eerr)
               else EnrolResult(a.course_id, a.username, "enrolled", ua, ea, "")
             }

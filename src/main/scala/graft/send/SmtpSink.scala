@@ -46,6 +46,35 @@ final case class SendPolicy(
     backoffMillisPerAttempt: Long = 2000L,
     throttleMillis: Long = 1000L)
 
+/** The one linear-backoff retry ladder both delivery sinks run
+  * ([[SmtpSink]] per message, [[MoodleApiSink]] per API call) — shared
+  * so the success test can never drift between them. Success is the
+  * DONE flag, never an error-message test: an exception with an empty
+  * message still counts as failure, and `maxRetries = 0` (zero
+  * attempts) reports failure rather than silently succeeding without a
+  * call.
+  */
+object Retry {
+  /** @return (attempts made, succeeded, last error message) */
+  def attempt(policy: SendPolicy, sleeper: Long => Unit)(f: => Unit)
+      : (Int, Boolean, String) = {
+    var attempt = 0
+    var done    = false
+    var lastErr = ""
+    while (!done && attempt < policy.maxRetries) {
+      attempt += 1
+      try { f; done = true } catch {
+        case e: Exception =>
+          lastErr = String.valueOf(e.getMessage)
+          if (attempt < policy.maxRetries)
+            sleeper(policy.backoffMillisPerAttempt * attempt)
+      }
+    }
+    if (!done && lastErr.isEmpty) lastErr = "no attempts made or empty error"
+    (attempt, done, lastErr)
+  }
+}
+
 /** S5/E1-E3 — the delivery sink (`send_all`, `app.py:328-377`),
   * re-expressed as a `mapPartitions` over an ordinal-sorted Dataset that
   * RETURNS a result DataFrame (status per message) instead of mutating a
@@ -84,21 +113,8 @@ object SmtpSink {
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         val out = rows.map { m =>
-          var attempt = 0
-          var done    = false
-          var lastErr = ""
-          while (!done && attempt < policy.maxRetries) {
-            attempt += 1
-            try {
-              transport.send(m)
-              done = true
-            } catch {
-              case e: Exception =>
-                lastErr = String.valueOf(e.getMessage)
-                if (attempt < policy.maxRetries)
-                  sleeper(policy.backoffMillisPerAttempt * attempt)
-            }
-          }
+          val (attempt, done, lastErr) =
+            Retry.attempt(policy, sleeper)(transport.send(m))
           if (policy.throttleMillis > 0) sleeper(policy.throttleMillis)
           if (done) SendResult(m.idx, m.email, "sent", attempt, "")
           else SendResult(m.idx, m.email, "failed", attempt, lastErr)

@@ -58,6 +58,24 @@ class EnrolPlanSpec extends AnyFunSuite {
       ("mia", 3L, "waitlist"), ("zoe", 4L, "waitlist")))
   }
 
+  test("a candidate whose course is missing from the catalog surfaces " +
+       "as unassigned instead of vanishing") {
+    val custkey = split(col("rut"), "-").getItem(0).cast("long")
+    val out = EnrolPlan(
+        validated(Seq(
+          (0L, 0L, "ana", "10-0", "a@x"),   // course 0 — catalogued
+          (0L, 0L, "bea", "13-0", "b@x"))), // course 1 — NOT in catalog
+        custkey % 2,
+        Seq.empty[(Long, Long)].toDF("custkey", "course_id"),
+        custkey, courses(Seq((0L, "C0", 5L))))
+      .orderBy("course_id")
+      .collect()
+    assert(out.map(r => (r.getAs[String]("username"),
+      r.getAs[String]("status"))).toSeq ==
+      Seq(("ana", "enrolled"), ("bea", "unassigned")))
+    assert(out(1).isNullAt(out(1).fieldIndex("capacity")))
+  }
+
   test("fixture wiring: both statuses fire at sf0.001, seats are dense") {
     val out = graft.queries.EtlQueries.enrolPlan(spark, "/root/testdata/sf0.001")
       .collect()

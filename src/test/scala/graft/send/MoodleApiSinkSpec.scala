@@ -45,6 +45,17 @@ class RecordingMoodleFactory extends MoodleApiFactory {
   }
 }
 
+/** Throws an EMPTY-message exception from the user phase — the ladder
+  * must report failure on the done flag, not an error-string test.
+  */
+class EmptyBoomFactory extends MoodleApiFactory {
+  def create(): MoodleApi = new MoodleApi {
+    def upsertUser(a: EnrolAction): Unit = throw new RuntimeException("")
+    def enrol(a: EnrolAction): Unit =
+      throw new IllegalStateException("enrol must not run after a failed upsert")
+  }
+}
+
 class MoodleApiSinkSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -101,6 +112,25 @@ class MoodleApiSinkSpec extends AnyFunSuite {
       sleeper = recordSleep).collect()
     assert(res.head.status == "failed_enrol" && res.head.user_attempts == 1
       && res.head.enrol_attempts == 2 && res.head.error == "enrol-boom-2")
+  }
+
+  test("an exception with an EMPTY message still reports failed_user — " +
+       "success is the done flag, not an error-string test") {
+    val res = MoodleApiSink.uploadAll(plan(1), new EmptyBoomFactory,
+      SendPolicy(maxRetries = 2, backoffMillisPerAttempt = 0, throttleMillis = 0),
+      sleeper = recordSleep).collect()
+    assert(res.head.status == "failed_user" && res.head.user_attempts == 2)
+    assert(res.head.error.nonEmpty) // the ladder substitutes a marker
+  }
+
+  test("maxRetries = 0 reports failure with zero attempts, never a " +
+       "phantom enrolment") {
+    FakeMoodle.reset()
+    val res = MoodleApiSink.uploadAll(plan(2), new RecordingMoodleFactory,
+      SendPolicy(maxRetries = 0, throttleMillis = 0),
+      sleeper = recordSleep).collect()
+    assert(res.forall(r => r.status == "failed_user" && r.user_attempts == 0))
+    assert(FakeMoodle.calls.isEmpty) // the API was never touched
   }
 
   test("duplicate-delivery replay: the done ledger keeps the API untouched") {
