@@ -270,6 +270,79 @@ object PipelineQueries {
     WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
     ORDER BY doc_id"""
 
+  /** `decon_chunks` — contamination mapped onto TRAINING SEQUENCES:
+    * the composition of the membership gate (`decontaminate`'s bad set:
+    * train docs sharing a [[DecontN]]-gram with the eval slice) with
+    * the packing layout (`pack_offsets`' doc→sequence spans). Per
+    * affected sequence: how many contaminated docs it contains and how
+    * many of its [[SeqLen]] tokens came from them — the artifact that
+    * lets a pipeline drop SEQUENCES instead of whole documents (a
+    * contaminated doc poisons only the sequences its tokens landed in;
+    * doc-level dropping over-deletes by the packing fan-out).
+    * `bad_frac` is quoted against the fixed sequence length — the
+    * training-relevant denominator — so the final partial sequence can
+    * read < its true fraction; training drops it anyway.
+    *
+    * Scale shape: the gate side is `decontaminate`'s broadcast
+    * eval-gram probe; the layout side is the [[packOffsets]] prefix
+    * sum; the rendezvous is one LEFT SEMI on doc_id plus the bounded
+    * span explode and one chunk-keyed aggregate.
+    */
+  def deconChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val evalGrams = contamGrams(d.filter(col("doc_id") % 97 === 0))
+      .select("gh").distinct()
+    val bad = contamGrams(d.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(evalGrams), "gh")
+      .select("doc_id").distinct()
+    packOffsetFrame(spark, dir)
+      .join(bad, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_tok"), col("start_off"),
+        explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk_id"))
+      .select(col("chunk_id"),
+        (least((col("chunk_id") + 1) * SeqLen, col("start_off") + col("n_tok"))
+          - greatest(col("chunk_id") * SeqLen, col("start_off"))).as("tok"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_bad_docs"), sum("tok").as("bad_tokens"))
+      .withColumn("bad_frac",
+        round(col("bad_tokens").cast("double") / SeqLen, 6))
+      .orderBy("chunk_id")
+  }
+
+  val deconChunksSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, md5(array_to_string(t[i+1:i+$DecontN], ' ')) AS gh
+      FROM toks, unnest(range(0, greatest(len(t) - $DecontN, 0) + 1)) AS u(i)),
+    ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0),
+    bad AS (SELECT DISTINCT doc_id FROM grams
+            WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM ev)),
+    n AS (SELECT doc_id, cast(len(t) AS BIGINT) AS n_tok FROM toks),
+    c AS (
+      SELECT doc_id, n_tok,
+        cast(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_off
+      FROM n),
+    spans AS (
+      SELECT doc_id, n_tok, start_off,
+        unnest(range(start_off // $SeqLen, (start_off + n_tok - 1) // $SeqLen + 1))
+          AS chunk_id
+      FROM c
+      WHERE doc_id IN (SELECT doc_id FROM bad)),
+    o AS (
+      SELECT chunk_id,
+        least((chunk_id + 1) * $SeqLen, start_off + n_tok)
+          - greatest(chunk_id * $SeqLen, start_off) AS tok
+      FROM spans)
+    SELECT cast(chunk_id AS BIGINT) AS chunk_id,
+      cast(count(*) AS BIGINT) AS n_bad_docs,
+      cast(sum(tok) AS BIGINT) AS bad_tokens,
+      round(CAST(sum(tok) AS DOUBLE) / $SeqLen, 6) AS bad_frac
+    FROM o GROUP BY 1
+    ORDER BY chunk_id"""
+
   /** `decon_spans` — SPAN-granular decontamination: which (train, eval)
     * doc pairs share winnowing fingerprints, and how much of each train
     * doc the overlap covers. The membership gate (`decontaminate`)
@@ -1094,6 +1167,7 @@ object PipelineQueries {
     "pii_scrub"        -> (piiScrub _),
     "decontaminate"    -> (decontaminate _),
     "decon_spans"      -> (deconSpans _),
+    "decon_chunks"     -> (deconChunks _),
     "repetition_ratio" -> (repetitionRatio _),
     "dedup_incremental" -> (dedupIncremental _),
     "mix_sample"       -> (mixSample _),
@@ -1117,6 +1191,7 @@ object PipelineQueries {
     "pii_scrub"        -> piiScrubSql,
     "decontaminate"    -> decontaminateSql,
     "decon_spans"      -> deconSpansSql,
+    "decon_chunks"     -> deconChunksSql,
     "repetition_ratio" -> repetitionRatioSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "mix_sample"       -> mixSampleSql,

@@ -28,6 +28,30 @@ class PackChunksSpec extends AnyFunSuite {
     }
   }
 
+  test("decon_chunks re-derives from the bad-doc set and the offset map") {
+    // independent bad set: train docs dropped by the membership gate
+    val trainIds = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 97 != 0).toSet
+    val kept = PipelineQueries.decontaminate(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val bad = trainIds -- kept
+    assert(bad.nonEmpty, "the planted contamination must fire")
+    val B = PipelineQueries.SeqLen.toLong
+    // expected per-chunk sums from the doc-level offsets of bad docs
+    val expect = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    offs.filter(r => bad(r.getLong(0))).foreach { r =>
+      val (s, n) = (r.getAs[Long]("start_off"), r.getAs[Long]("n_tok"))
+      (r.getAs[Long]("chunk_first") to r.getAs[Long]("chunk_last")).foreach { c =>
+        val tok = math.min((c + 1) * B, s + n) - math.max(c * B, s)
+        val (d, t) = expect.getOrElse(c, (0L, 0L))
+        expect(c) = (d + 1, t + tok)
+      }
+    }
+    val got = PipelineQueries.deconChunks(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect.toMap)
+  }
+
   test("every sequence is exactly full except the last; ids are dense") {
     val total = offs.map(_.getAs[Long]("n_tok")).sum
     val lastChunk = (total - 1) / PipelineQueries.SeqLen
