@@ -99,10 +99,14 @@ object Plans {
       "gopher_filter", "ccnet_buckets",
       // round-16 additions: the capacity-bounded enrolment plan (anti-
       // join on the enrolment ledger + broadcast catalog + per-course
-      // seat window, no global ordering) and the ε-ball range search
+      // seat window, no global ordering), the ε-ball range search
       // (partition-pruned codes scan → absolute ADC admission → exact
-      // re-rank — must show PartitionFilters on c_id, no top-k window)
-      "enrol_plan", "ann_range")
+      // re-rank — must show PartitionFilters on c_id, no top-k window),
+      // the distributed-prefix packing layout (range repartition +
+      // bounded windows + partition-count offsets — no global data
+      // window), and the contamination→sequence composition (broadcast
+      // gram probe + left-semi on the offset map + span explode)
+      "enrol_plan", "ann_range", "pack_offsets", "decon_chunks")
     val sb = new StringBuilder
     sb ++= "# PLANS - physical plans of flagship queries (sf0.01)\n\n"
     sb ++= "Generated by `sbt \"runMain graft.Plans\"`. What to look for:\n"
