@@ -619,13 +619,119 @@ object ScaleProbe {
           val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
         }.min
       }
-      for (q <- Seq("pack_offsets", "pack_chunks")) {
+      // decon_chunks joined round 17 (verdict item 5): the packing
+      // prefix-sum frame LEFT SEMI the broadcast eval-gram probe — both
+      // halves individually probed linear, this measures the composed op
+      for (q <- Seq("pack_offsets", "pack_chunks", "decon_chunks")) {
         val t01 = timeNoop(q, q01)
         val t1 = timeNoop(q, q1)
         val t10 = timeNoop(q, out10)
         println(f"PROBEPACK $q sf0.1=$t01%.2f s sf1=$t1%.2f s sf10=$t10%.2f s " +
           f"ratio10=${t1 / t01}%.1f ratio100=${t10 / t01}%.1f")
       }
+      spark.stop()
+      return
+    }
+
+    // SemDeDup k∝√N mode (`runMain graft.ScaleProbe semdedup`): the
+    // sem_dedup scaladoc prescribes growing the cell count with √N;
+    // this MEASURES the recipe across two decades of the embeddings
+    // replica corpus — k = 16 / 50 / 160 at sf0.1 / sf1 / sf10
+    // (16·√10 ≈ 50.6, 16·√100 = 160). Reported per decade: wall
+    // (1 Lloyd round + assignment + within-cell collapse), the
+    // pair-join work metric Σcell² (predicted ≈ N²/k, so N^1.5 at the
+    // √N operating point — k∝√N BALANCES assignment cost N·k against
+    // pair cost N²/k; both terms scale N^1.5, which is the architecture
+    // honestly stated, not linear), occupancy imbalance, and the drop
+    // rate — overall AND replica-0-only (replica copies are exact dups
+    // that colocate and collapse, so overall drop is trivially high;
+    // the replica-0 rate is the one comparable to the sf0.1 base run).
+    if (args.contains("semdedup")) {
+      import graft.operators.Similarity
+      val out10 = "target/scaledata/sf10"
+      if (!new java.io.File(s"$out10/embeddings.parquet").exists()) {
+        val reps = spark.range(0, 100).select(col("id").as("rep"))
+        spark.read.parquet(s"$src/embeddings.parquet").crossJoin(reps)
+          .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$out10/embeddings.parquet")
+        println("GENERATED sf10 embeddings (100 reps)")
+      }
+      for ((dir, k) <- Seq((src, 16), (out, 50), (out10, 160))) {
+        val prepped = Similarity.prep(
+          spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+        def run(): DataFrame = {
+          val cent = Similarity.kmeansCentroids(prepped, k = k, iters = 1)
+          Similarity.semDedup(prepped, cent, tau = 0.35)
+        }
+        run().count() // warm
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); run().count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val w = times.min
+        val cent = Similarity.kmeansCentroids(prepped, k = k, iters = 1)
+        val occ = Similarity.assignCells(prepped, cent)
+          .groupBy("c_id").count().select(col("count").cast("double"))
+          .collect().map(_.getDouble(0))
+        val n = occ.sum
+        val pairWork = occ.map(c => c * c).sum
+        val dedup = run().cache()
+        val drop = dedup.filter(!col("kept")).count() / n
+        val r0 = dedup.filter(col("vec_id") < 1000000L)
+        val drop0 = r0.filter(!col("kept")).count().toDouble / r0.count()
+        dedup.unpersist()
+        println(f"PROBESEMDEDUP $dir k=$k%d n=${n.toLong}%d wall=$w%.2f s " +
+          f"pairwork=${pairWork / 1e6}%.1f M (n2/k=${n * n / k / 1e6}%.1f M) " +
+          f"imbalance=${occ.max / (n / occ.length)}%.2f " +
+          f"drop=${100 * drop}%.1f%% drop_rep0=${100 * drop0}%.1f%%")
+      }
+      spark.stop()
+      return
+    }
+
+    // Round-16 newcomer mode (`runMain graft.ScaleProbe newcomers`):
+    // 10× probes for the operators that landed without one —
+    // enrol_plan/enrol_audit (roster-validation windows + ledger
+    // anti-join + broadcast catalog; needs a customer replica, built
+    // here with disjoint custkeys, and the dimension-sized nation
+    // copied verbatim) and the fixed-batch ann_range (replica-0
+    // queries against a 10× corpus — the deployment shape, same
+    // convention as the `ann` mode; the registered query's %-mod batch
+    // would grow with the corpus and measure batch×corpus instead).
+    // decon_chunks rides the `pack` mode (same corpora + noop sink).
+    if (args.contains("newcomers")) {
+      assertOffsetClear("customer", "c_custkey", 10000000L)
+      if (!new java.io.File(s"$out/customer.parquet").exists()) {
+        val reps = spark.range(0, 10).select(col("id").as("rep"))
+        spark.read.parquet(s"$src/customer.parquet").crossJoin(reps)
+          .withColumn("c_custkey", col("c_custkey") + col("rep") * 10000000L)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$out/customer.parquet")
+        println("GENERATED sf1 customer")
+      }
+      if (!new java.io.File(s"$out/nation.parquet").exists())
+        spark.read.parquet(s"$src/nation.parquet")
+          .write.mode("overwrite").parquet(s"$out/nation.parquet")
+      for (q <- Seq("enrol_plan", "enrol_audit")) {
+        val t01 = timeQ(q, src)
+        val t1 = timeQ(q, out)
+        println(f"PROBENEW $q sf0.1=$t01%.2f s sf1=$t1%.2f s ratio10=${t1 / t01}%.1f")
+      }
+      import graft.queries.ScaleQueries
+      val pred = col("id") % ScaleQueries.PqQueryMod === 0 && col("id") < 1000000L
+      def timedRange(dir: String): Double = {
+        def run(): Long = ScaleQueries.annRangeAt(spark, dir,
+          ScaleQueries.RangeMargin, ScaleQueries.RangeNProbe, pred).count()
+        run() // warm (builds the index for this corpus)
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val r01 = timedRange(src)
+      val r1 = timedRange(out)
+      println(f"PROBENEW ann_range(fixed-batch) sf0.1=$r01%.2f s sf1=$r1%.2f s " +
+        f"ratio10=${r1 / r01}%.1f")
       spark.stop()
       return
     }

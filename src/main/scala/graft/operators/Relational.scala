@@ -123,6 +123,14 @@ object Relational {
     * must re-evaluate identically, which range repartitioning of a
     * deterministic input guarantees.
     *
+    * UNIQUE-KEY REQUIREMENT: `keys` must be a total order with NO ties.
+    * The exclusive prefix is derived as `off + lsum - value`, and the
+    * ROWS frame gives tied-key rows an arbitrary relative order — each
+    * tied row's prefix would then depend on intra-partition order, i.e.
+    * be nondeterministic across runs. Callers with non-unique keys must
+    * append a tiebreaker column (e.g. a unique id) to `keys`; all
+    * current callers key on unique doc_id.
+    *
     * @return input columns + `outCol` = sum of `valueCol` over all rows
     *         STRICTLY BEFORE this row in key order (long)
     */

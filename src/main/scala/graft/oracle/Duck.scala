@@ -162,10 +162,28 @@ ORDER BY contrasena"""
     * dirty-roster fixture, orders-as-enrolments ledger, nation-as-course
     * catalog). The validation CTEs are the same text as
     * [[rosterValidateSql]]'s; the anti-join is a NOT EXISTS (DuckDB-1.0
-    * dialect-safe spelling of LEFT ANTI).
+    * dialect-safe spelling of LEFT ANTI). The catalog join is a LEFT
+    * join mirroring `EnrolPlan`'s — a candidate whose derived course_id
+    * has no catalog row (`nCatalog` < `nCourses`, the deliberate
+    * catalog-gap fixture) surfaces as `unassigned` with null
+    * course/capacity, so the gate verifies all three statuses.
     */
-  def enrolPlanSql(nCourses: Int, capExpr: String): String =
-    s"""WITH roster AS (${Fixtures.rosterDirtySql}),
+  def enrolPlanSql(nCourses: Int, nCatalog: Int, capExpr: String): String =
+    s"""WITH ${enrolCtes(nCourses, nCatalog, capExpr)}
+SELECT course_id, course, capacity, seat,
+  CASE WHEN capacity IS NULL THEN 'unassigned'
+       WHEN seat <= capacity THEN 'enrolled' ELSE 'waitlist' END AS status,
+  username, rut, email
+FROM seated
+ORDER BY course_id, seat"""
+
+  /** The shared CTE chain `roster → staged → flagged → cand → fresh →
+    * courses → seated` used by both [[enrolPlanSql]] and
+    * [[enrolAuditSql]] (identical text, so the audit provably rolls up
+    * the same plan the gate verifies row-wise).
+    */
+  private def enrolCtes(nCourses: Int, nCatalog: Int, capExpr: String): String =
+    s"""roster AS (${Fixtures.rosterDirtySql}),
 staged AS (
   SELECT rut, nombres, apellidos, email,
     (rut IS NULL OR nombres IS NULL) AS miss,
@@ -195,18 +213,59 @@ fresh AS (
 courses AS (
   SELECT cast(n_nationkey AS BIGINT) AS course_id, n_name AS course,
     cast($capExpr AS BIGINT) AS capacity
-  FROM nation WHERE n_nationkey < $nCourses),
+  FROM nation WHERE n_nationkey < $nCatalog),
 seated AS (
   SELECT course_id, course, capacity,
     cast(row_number() OVER (PARTITION BY course_id ORDER BY username_final)
       AS BIGINT) AS seat,
     username_final AS username, rut, email
-  FROM fresh JOIN courses USING (course_id))
-SELECT course_id, course, capacity, seat,
-  CASE WHEN seat <= capacity THEN 'enrolled' ELSE 'waitlist' END AS status,
-  username, rut, email
-FROM seated
-ORDER BY course_id, seat"""
+  FROM fresh LEFT JOIN courses USING (course_id))"""
+
+  /** Per-course audit rollup over the SAME plan CTEs as
+    * [[enrolPlanSql]]: every roster row's final outcome
+    * (enrolled/waitlist/unassigned from the seating plan, `already` =
+    * anti-joined-out candidates, `invalid` = validator-rejected) counted
+    * per course, catalog re-joined for capacity utilization. Invalid
+    * rows whose rut derives no course land in the `-1` bucket (coalesce,
+    * not NULL — NULL grouping would order differently in DuckDB vs
+    * Spark).
+    */
+  def enrolAuditSql(nCourses: Int, nCatalog: Int, capExpr: String): String =
+    s"""WITH ${enrolCtes(nCourses, nCatalog, capExpr)},
+planned AS (
+  SELECT course_id,
+    CASE WHEN capacity IS NULL THEN 'unassigned'
+         WHEN seat <= capacity THEN 'enrolled' ELSE 'waitlist' END AS status
+  FROM seated),
+already AS (
+  SELECT course_id, 'already' AS status FROM cand c
+  WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE cast(o.o_custkey AS BIGINT) = c.custkey
+      AND cast(o.o_orderkey AS BIGINT) % $nCourses = c.course_id)),
+invalid AS (
+  -- nullif: DuckDB split_part(NULL,...) yields '' (not NULL), and a
+  -- strict cast('') errors; Spark's split(null)[0] is null -> -1 bucket
+  SELECT coalesce(cast(nullif(split_part(rut, '-', 1), '') AS BIGINT)
+      % $nCourses, -1) AS course_id, 'invalid' AS status
+  FROM flagged WHERE miss OR dup),
+outcomes AS (
+  SELECT * FROM planned
+  UNION ALL SELECT * FROM already
+  UNION ALL SELECT * FROM invalid),
+rollup AS (
+  SELECT course_id,
+    cast(sum(CASE WHEN status = 'enrolled'   THEN 1 ELSE 0 END) AS BIGINT) AS n_enrolled,
+    cast(sum(CASE WHEN status = 'waitlist'   THEN 1 ELSE 0 END) AS BIGINT) AS n_waitlist,
+    cast(sum(CASE WHEN status = 'unassigned' THEN 1 ELSE 0 END) AS BIGINT) AS n_unassigned,
+    cast(sum(CASE WHEN status = 'already'    THEN 1 ELSE 0 END) AS BIGINT) AS n_already,
+    cast(sum(CASE WHEN status = 'invalid'    THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
+  FROM outcomes GROUP BY course_id)
+SELECT course_id, course, capacity,
+  n_enrolled, n_waitlist, n_unassigned, n_already, n_invalid,
+  round(cast(n_enrolled AS DOUBLE) / capacity, 6) AS utilization
+FROM rollup LEFT JOIN courses USING (course_id)
+ORDER BY course_id"""
 
   /** W1 — ordinal send plan with remaining-count over the old-dialect users. */
   def sendPlanSql: String =

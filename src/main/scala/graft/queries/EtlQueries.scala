@@ -74,12 +74,16 @@ object EtlQueries {
       .orderBy("idx")
 
   /** Course-count and per-course capacity for the enrolment fixture.
-    * 7 courses (nation keys 0-6 as the catalog) and capacities 2/4/6 by
-    * course_id % 3 — sized so BOTH statuses (enrolled + waitlist) fire
-    * at sf0.001 AND sf0.01 after the orders-ledger anti-join thins the
-    * candidate set.
+    * 7 derived courses, but the catalog carries only nation keys 0-5
+    * ([[EnrolCatalog]] = 6) — a DELIBERATE catalog gap so course_id 6
+    * candidates exercise `EnrolPlan`'s LEFT-join `unassigned` branch at
+    * the gate (round-17 advice: the old INNER-join oracle could never
+    * verify it). Capacities 2/4/6 by course_id % 3 — sized so all three
+    * statuses (enrolled + waitlist + unassigned) fire at sf0.001 AND
+    * sf0.01 after the orders-ledger anti-join thins the candidate set.
     */
   val EnrolCourses = 7
+  val EnrolCatalog = 6
   val EnrolCapacitySql = "2 + (n_nationkey % 3) * 2"
 
   /** Enrolment execution plan (the reference's roadmap bullets
@@ -89,26 +93,81 @@ object EtlQueries {
     * capacity-bounded per-course seating with a deterministic ordinal.
     * The delivery side of the plan is [[graft.send.MoodleApiSink]].
     */
-  def enrolPlan(spark: SparkSession, dir: String): DataFrame = {
-    val validated = graft.etl.RosterValidate(Fixtures.rosterDirty(spark, dir))
-    val custkey = split(col("rut"), "-").getItem(0).cast("long")
-    val enrolments = spark.read.parquet(s"$dir/orders.parquet")
+  private def enrolCustkey = split(col("rut"), "-").getItem(0).cast("long")
+
+  private def enrolLedger(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_custkey").cast("long").as("custkey"),
         (col("o_orderkey").cast("long") % EnrolCourses).as("course_id"))
-    val courses = spark.read.parquet(s"$dir/nation.parquet")
-      .filter(col("n_nationkey") < EnrolCourses)
+
+  private def enrolCatalog(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet")
+      .filter(col("n_nationkey") < EnrolCatalog)
       .select(col("n_nationkey").cast("long").as("course_id"),
         col("n_name").as("course"),
         (lit(2) + (col("n_nationkey") % 3) * 2).cast("long").as("capacity"))
-    graft.etl.EnrolPlan(validated, custkey % EnrolCourses,
-      enrolments, custkey, courses)
+
+  def enrolPlan(spark: SparkSession, dir: String): DataFrame = {
+    val validated = graft.etl.RosterValidate(Fixtures.rosterDirty(spark, dir))
+    graft.etl.EnrolPlan(validated, enrolCustkey % EnrolCourses,
+      enrolLedger(spark, dir), enrolCustkey, enrolCatalog(spark, dir))
       .orderBy("course_id", "seat")
+  }
+
+  /** Per-course enrolment audit — the last reference-roadmap noun
+    * (`/root/reference/README.md:74`: "auditoría, métricas y reporte de
+    * resultados"). One row per course (plus the catalog-gap course and
+    * the `-1` bucket for invalid rows whose rut derives no course),
+    * rolling every roster row's final outcome into counts:
+    * enrolled/waitlist/unassigned from the seating plan, `already` =
+    * candidates the idempotency anti-join excluded, `invalid` =
+    * validator-rejected rows; `utilization` = enrolled/capacity (null
+    * for the catalog gap). The registrar's one-page answer to "what did
+    * the enrolment run actually do".
+    *
+    * Scale shape: three branch frames each linear in roster size, one
+    * union, one course-keyed aggregation (course-count-sized output),
+    * catalog re-joined via broadcast.
+    */
+  def enrolAudit(spark: SparkSession, dir: String): DataFrame = {
+    val validated = graft.etl.RosterValidate(Fixtures.rosterDirty(spark, dir))
+    val invalid = validated
+      .filter(col("missing_required") === 1L || col("duplicate_rut") === 1L)
+      .select(coalesce(enrolCustkey % EnrolCourses, lit(-1L)).as("course_id"),
+        lit("invalid").as("status"))
+    val candidates = validated
+      .filter(col("missing_required") === 0L && col("duplicate_rut") === 0L)
+      .select((enrolCustkey % EnrolCourses).as("course_id"),
+        enrolCustkey.as("custkey"))
+    val already = candidates
+      .join(enrolLedger(spark, dir).distinct(), Seq("custkey", "course_id"),
+        "left_semi")
+      .select(col("course_id"), lit("already").as("status"))
+    val planned = graft.etl.EnrolPlan(validated, enrolCustkey % EnrolCourses,
+        enrolLedger(spark, dir), enrolCustkey, enrolCatalog(spark, dir))
+      .select(col("course_id"), col("status"))
+    planned.unionByName(already).unionByName(invalid)
+      .groupBy("course_id")
+      .agg(
+        sum(when(col("status") === "enrolled", 1L).otherwise(0L)).as("n_enrolled"),
+        sum(when(col("status") === "waitlist", 1L).otherwise(0L)).as("n_waitlist"),
+        sum(when(col("status") === "unassigned", 1L).otherwise(0L)).as("n_unassigned"),
+        sum(when(col("status") === "already", 1L).otherwise(0L)).as("n_already"),
+        sum(when(col("status") === "invalid", 1L).otherwise(0L)).as("n_invalid"))
+      .join(broadcast(enrolCatalog(spark, dir)), Seq("course_id"), "left")
+      .select(col("course_id"), col("course"), col("capacity"),
+        col("n_enrolled"), col("n_waitlist"), col("n_unassigned"),
+        col("n_already"), col("n_invalid"),
+        round(col("n_enrolled").cast("double") / col("capacity"), 6)
+          .as("utilization"))
+      .orderBy("course_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "moodle_normalize"    -> (moodleNormalize _),
     "roster_validate"     -> (rosterValidate _),
     "enrol_plan"          -> (enrolPlan _),
+    "enrol_audit"         -> (enrolAudit _),
     "mail_users_old"      -> (mailUsersOld _),
     "mail_users_moodle"   -> (mailUsersMoodle _),
     "mail_users_fallback" -> (mailUsersFallback _),
@@ -118,7 +177,8 @@ object EtlQueries {
   val oracle: Map[String, String] = Map(
     "moodle_normalize"    -> Duck.moodleNormalizeSql(Cfg),
     "roster_validate"     -> Duck.rosterValidateSql,
-    "enrol_plan"          -> Duck.enrolPlanSql(EnrolCourses, EnrolCapacitySql),
+    "enrol_plan"          -> Duck.enrolPlanSql(EnrolCourses, EnrolCatalog, EnrolCapacitySql),
+    "enrol_audit"         -> Duck.enrolAuditSql(EnrolCourses, EnrolCatalog, EnrolCapacitySql),
     "mail_users_old"      -> Duck.mailUsersOldSql,
     "mail_users_moodle"   -> Duck.mailUsersMoodleSql(Cfg),
     "mail_users_fallback" -> Duck.mailUsersFallbackSql,

@@ -139,6 +139,21 @@ object PipelineQueries {
     FROM c
     ORDER BY doc_id"""
 
+  /** The [chunk_first, chunk_last] span as an array, guarded for the
+    * degenerate n_tok = 0 doc landing exactly on a sequence boundary:
+    * there chunk_last = chunk_first - 1 and Spark's `sequence` would
+    * emit a DESCENDING 2-element span while DuckDB's `range()` is empty
+    * — spurious chunk rows and an engine/oracle split. The guard
+    * returns an empty array (row drops at explode), which is exactly
+    * `range()`'s semantics for every input. wordTokens currently
+    * guarantees n_tok >= 1 ([""] for empty text), so this is a
+    * future-proofing invariant, not a live-data fix.
+    */
+  private def chunkSpan: Column =
+    when(col("chunk_last") >= col("chunk_first"),
+      sequence(col("chunk_first"), col("chunk_last")))
+      .otherwise(array().cast("array<long>"))
+
   /** The sequence-level half (`pack_chunks`): per training sequence,
     * how many documents it contains, their id range, and its token
     * fill — exactly [[SeqLen]] everywhere but the final sequence (the
@@ -149,7 +164,7 @@ object PipelineQueries {
   def packChunks(spark: SparkSession, dir: String): DataFrame =
     packOffsetFrame(spark, dir)
       .select(col("doc_id"), col("n_tok"), col("start_off"),
-        explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk_id"))
+        explode(chunkSpan).as("chunk_id"))
       .select(col("chunk_id"), col("doc_id"),
         (least((col("chunk_id") + 1) * SeqLen, col("start_off") + col("n_tok"))
           - greatest(col("chunk_id") * SeqLen, col("start_off"))).as("tok"))
@@ -298,7 +313,7 @@ object PipelineQueries {
     packOffsetFrame(spark, dir)
       .join(bad, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("n_tok"), col("start_off"),
-        explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk_id"))
+        explode(chunkSpan).as("chunk_id"))
       .select(col("chunk_id"),
         (least((col("chunk_id") + 1) * SeqLen, col("start_off") + col("n_tok"))
           - greatest(col("chunk_id") * SeqLen, col("start_off"))).as("tok"))

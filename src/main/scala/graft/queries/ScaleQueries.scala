@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Logistic, Materialize, Multimodal, Pca, Similarity, TextAnalysis}
 
@@ -1219,9 +1219,11 @@ object ScaleQueries {
 
   private[graft] def annRangeAt(spark: SparkSession, dir: String,
                                 margin: Double,
-                                nProbe: Int = RangeNProbe): DataFrame = {
+                                nProbe: Int = RangeNProbe,
+                                pred: Column = col("id") % PqQueryMod === 0)
+      : DataFrame = {
     val prepped = Similarity.prep(embs(spark, dir), "vec_id", "embedding")
-    val queries = prepped.filter(col("id") % PqQueryMod === 0)
+    val queries = prepped.filter(pred)
     val (codes, coarse, subs) = annIndexParts(spark, dir)
     Similarity.rangeIvfPqOnCodes(queries, prepped,
         prunedIndexCodes(queries, codes, coarse, nProbe),

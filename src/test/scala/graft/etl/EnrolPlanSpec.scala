@@ -76,20 +76,24 @@ class EnrolPlanSpec extends AnyFunSuite {
     assert(out(1).isNullAt(out(1).fieldIndex("capacity")))
   }
 
-  test("fixture wiring: both statuses fire at sf0.001, seats are dense") {
+  test("fixture wiring: all three statuses fire at sf0.001, seats are dense") {
     val out = graft.queries.EtlQueries.enrolPlan(spark, "/root/testdata/sf0.001")
       .collect()
     assert(out.nonEmpty)
     val statuses = out.map(_.getAs[String]("status")).toSet
-    assert(statuses == Set("enrolled", "waitlist"),
-      s"both statuses must fire; got $statuses")
+    // course_id 6 is the deliberate catalog gap (EnrolCatalog = 6 < 7
+    // derived courses), so the unassigned branch must fire here too
+    assert(statuses == Set("enrolled", "waitlist", "unassigned"),
+      s"all three statuses must fire; got $statuses")
     // per-course seats are a dense 1..n sequence, none past seat order
     out.groupBy(_.getAs[Long]("course_id")).foreach { case (cid, rows) =>
       val seats = rows.map(_.getAs[Long]("seat")).sorted.toSeq
       assert(seats == (1L to seats.length.toLong), s"course $cid seats")
       rows.foreach { r =>
-        val expect = if (r.getAs[Long]("seat") <= r.getAs[Long]("capacity"))
-          "enrolled" else "waitlist"
+        val expect =
+          if (r.isNullAt(r.fieldIndex("capacity"))) "unassigned"
+          else if (r.getAs[Long]("seat") <= r.getAs[Long]("capacity"))
+            "enrolled" else "waitlist"
         assert(r.getAs[String]("status") == expect)
       }
     }

@@ -185,4 +185,50 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$name: cartesian")
     }
   }
+
+  /** The logical joins whose condition references EXACTLY {id, n_id} —
+    * the exact-cosine re-rank join corpus⋈candidates in Similarity's
+    * search tails (`exactCosOnCandidates`'s `id === n_id`). The ADC
+    * scoring join also mentions n_id but carries the code/affinity
+    * columns in its condition, and the qv join keys on q_id, so the
+    * exact reference set isolates the re-rank.
+    */
+  private def rerankJoins(name: String) = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      .collect { case j: Join if j.condition.exists(
+        _.references.map(_.name).toSet == Set("id", "n_id")) => j }
+  }
+
+  private def hasBroadcastHint(j: org.apache.spark.sql.catalyst.plans.logical.Join) = {
+    import org.apache.spark.sql.catalyst.plans.logical.HintInfo
+    def b(h: Option[HintInfo]) = h.exists(_.strategy.exists(
+      _.toString.toUpperCase.contains("BROADCAST")))
+    b(j.hint.leftHint) || b(j.hint.rightHint)
+  }
+
+  test("ε-ball re-rank joins by SHUFFLE (no broadcast hint on the " +
+       "candidate side): the admitted set is a corpus fraction at the " +
+       "loose margin, and a forced broadcast would OOM at scale " +
+       "(round-16 fix, Similarity.rangeCore)") {
+    for (name <- Seq("ann_range", "ann_range_filtered")) {
+      val joins = rerankJoins(name)
+      assert(joins.nonEmpty, s"$name: no n_id-keyed join found")
+      joins.foreach { j =>
+        assert(!hasBroadcastHint(j),
+          s"$name: re-rank join regressed to a forced broadcast: $j")
+      }
+    }
+  }
+
+  test("bounded top-k re-rank (knn_pq / knn_ivfpq) keeps its BROADCAST " +
+       "hint: candidates are nQ·rerank-bounded, and losing the hint " +
+       "would shuffle the corpus against a model-sized list") {
+    for (name <- Seq("knn_pq", "knn_ivfpq")) {
+      val joins = rerankJoins(name)
+      assert(joins.nonEmpty, s"$name: no n_id-keyed join found")
+      assert(joins.exists(hasBroadcastHint),
+        s"$name: bounded re-rank lost its broadcast hint")
+    }
+  }
 }

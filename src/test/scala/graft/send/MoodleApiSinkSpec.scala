@@ -13,6 +13,12 @@ object FakeMoodle {
   val sleeps: ConcurrentLinkedQueue[Long]  = new ConcurrentLinkedQueue[Long]()
   @volatile var failUserFirstN: Map[String, Int]  = Map.empty
   @volatile var failEnrolFirstN: Map[String, Int] = Map.empty
+  /** usernames whose first N enrol calls throw a fatal Error (task
+    * death, not a retryable call failure) — with TestSpark's
+    * `local[4, 2]` (2 task attempts), N = 1 exercises Spark's own task
+    * retry and N = 2 kills the job. */
+  @volatile var fatalEnrolFirstN: Map[String, Int] = Map.empty
+  val fatalFired = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   val userAttempts  = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   val enrolAttempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   @volatile var opened = 0
@@ -22,6 +28,7 @@ object FakeMoodle {
     calls.clear(); sleeps.clear()
     userAttempts.clear(); enrolAttempts.clear()
     failUserFirstN = failUser; failEnrolFirstN = failEnrol
+    fatalEnrolFirstN = Map.empty; fatalFired.clear()
     opened = 0; closedCount = 0
   }
 }
@@ -37,6 +44,11 @@ class RecordingMoodleFactory extends MoodleApiFactory {
       FakeMoodle.calls.add(s"user:${a.username}")
     }
     def enrol(a: EnrolAction): Unit = {
+      if (FakeMoodle.fatalEnrolFirstN.getOrElse(a.username, 0) > 0) {
+        val f = FakeMoodle.fatalFired.merge(a.username, 1, (x, y) => x + y)
+        if (f <= FakeMoodle.fatalEnrolFirstN(a.username))
+          throw new Error(s"partition-killed-at-${a.username}-$f")
+      }
       val n = FakeMoodle.enrolAttempts.merge(a.username, 1, (x, y) => x + y)
       if (n <= FakeMoodle.failEnrolFirstN.getOrElse(a.username, 0))
         throw new RuntimeException(s"enrol-boom-$n")
@@ -155,5 +167,79 @@ class MoodleApiSinkSpec extends AnyFunSuite {
       SendPolicy(throttleMillis = 0), sleeper = recordSleep).collect()
     assert(third.map(_.username).toSeq == Seq("user3")
       && third.head.status == "enrolled")
+  }
+
+  test("partition killed by Spark task retry: the re-attempt replays the " +
+       "partition (at-least-once within a run), the result frame stays " +
+       "consistent") {
+    // ONE fatal Error on user3's enrol: attempt 1 dies mid-partition
+    // AFTER user1/user2 fully landed; TestSpark's local[4, 2] re-runs
+    // the task from the start — user1/user2's API calls land TWICE.
+    // That duplication is Spark's task-retry at-least-once, the exact
+    // exposure the seam's idempotence contract exists for.
+    FakeMoodle.reset()
+    FakeMoodle.fatalEnrolFirstN = Map("user3" -> 1)
+    val res = MoodleApiSink.uploadAll(plan(5), new RecordingMoodleFactory,
+      SendPolicy(throttleMillis = 0), sleeper = recordSleep).collect()
+    // the retried attempt completes: one result row per action, no dups
+    assert(res.map(_.username).sorted.toSeq == (1 to 5).map(i => s"user$i"))
+    assert(res.forall(_.status == "enrolled"))
+    val enrols = FakeMoodle.calls.toArray.toSeq.collect {
+      case s: String if s.startsWith("enrol:") => s }
+    assert(enrols.count(_ == "enrol:3:user1") == 2) // replayed rows
+    assert(enrols.count(_ == "enrol:3:user3") == 1)
+  }
+
+  test("partition killed mid-batch on BOTH attempts (job death): the " +
+       "ledger-guarded rerun is exactly-once-per-ledger, at-least-once " +
+       "only on the ambiguous row") {
+    // Both task attempts die with a fatal Error on user3's enrol — an
+    // executor death, NOT a retryable call failure (Error bypasses
+    // Retry's Exception catch) — so the JOB fails (local[4, 2] = 2
+    // attempts). Server-side state at the crash: user1/user2 landed
+    // (twice, once per attempt), user3's upsert landed but its enrol
+    // did not, user4/user5 untouched (seat order).
+    FakeMoodle.reset()
+    FakeMoodle.fatalEnrolFirstN = Map("user3" -> 2)
+    val boom = intercept[Throwable] {
+      MoodleApiSink.uploadAll(plan(5), new RecordingMoodleFactory,
+        SendPolicy(throttleMillis = 0), sleeper = recordSleep).collect()
+    }
+    assert(Iterator.iterate(boom)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(t => String.valueOf(t.getMessage).contains("partition-killed")),
+      s"job must die on the planted Error, got: $boom")
+    val landedEnrols = FakeMoodle.calls.toArray.toSeq.collect {
+      case s: String if s.startsWith("enrol:") => s }
+    assert(landedEnrols.toSet == Set("enrol:3:user1", "enrol:3:user2"))
+    val enrolCountsAfterCrash =
+      (1 to 5).map(i => s"user$i" -> landedEnrols.count(_.endsWith(s"user$i")))
+    // The rerun ledger is what the registrar can actually reconstruct:
+    // the server's landed ENROLMENTS (run 1's result frame died with
+    // the job). user3 is NOT in it — its outcome is ambiguous, so it
+    // MUST be retried: the documented at-least-once exposure, made safe
+    // by the seam's idempotent upsert + no-op re-enrol contract.
+    import spark.implicits._
+    val ledger = landedEnrols.distinct.map { s =>
+      val p = s.split(":"); (p(1).toLong, p(2)) }
+      .toDF("course_id", "username")
+    val second = MoodleApiSink.uploadAllDeduped(plan(5),
+      new RecordingMoodleFactory, ledger,
+      SendPolicy(throttleMillis = 0), sleeper = recordSleep).collect()
+    assert(second.map(_.username).sorted.toSeq == Seq("user3", "user4", "user5"))
+    assert(second.forall(_.status == "enrolled"))
+    // exactly-once-per-ledger: rows in the ledger were NEVER re-touched
+    // by the rerun (their enrol counts did not move), and every
+    // un-ledgered action landed exactly once in run 2
+    val finalEnrols = FakeMoodle.calls.toArray.toSeq.collect {
+      case s: String if s.startsWith("enrol:") => s }
+    for ((u, c) <- enrolCountsAfterCrash if c > 0)
+      assert(finalEnrols.count(_.endsWith(u)) == c,
+        s"ledgered row $u was re-touched on rerun")
+    for (u <- Seq("user3", "user4", "user5"))
+      assert(finalEnrols.count(_.endsWith(u)) == 1, s"$u must land exactly once")
+    // the one at-least-once row: user3's upsert ran in run 1 (both
+    // attempts) AND run 2; user4/user5 were never reached in run 1
+    assert(FakeMoodle.userAttempts.get("user3") == 3)
+    assert(Seq("user4", "user5").forall(u => FakeMoodle.userAttempts.get(u) == 1))
   }
 }
