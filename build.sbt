@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Static SQL conf (must exist before the first SparkSession): the
+  // whole-stage-codegen class cache holds 100 entries by default, but
+  // one pass over the 331-query surface generates >1500 distinct
+  // codegen units — every pass recompiled everything through janino.
+  // Sized to hold the full surface so warm passes actually warm
+  // codegen; ~8k compiled classes ≈ low hundreds of MB metaspace,
+  // fine under the 8g driver and on any production driver. Not
+  // scale-dependent: compilation cost is per-plan, not per-byte.
+  "-Dspark.sql.codegen.cache.maxEntries=8192",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -650,9 +650,17 @@ object Multimodal {
     * every candidate is verified with the exact 64-bit Hamming accept.
     */
   private def hammingVerifiedPairs(banded: DataFrame, maxHamming: Int): DataFrame = {
-    val right = banded.select(col("doc_id").as("b_id"), col("h64").as("b_hash"),
+    // Materialize before the self-join: without it BOTH join sides
+    // re-evaluate the full upstream plan — for every media near-dup
+    // query that plan is the payload synth + decode + DSP signature
+    // pass, i.e. the dominant cost of the family, paid twice per run
+    // (guide §1.2: fix the algorithm before the per-task work). The
+    // banded frame is signature-sized (3-4 rows/doc of (id, h64, band,
+    // key)), never payload-sized, so nothing heavy is pinned.
+    val mat = Materialize(banded)
+    val right = mat.select(col("doc_id").as("b_id"), col("h64").as("b_hash"),
       col("band").as("b_band"), col("key").as("b_key"))
-    banded.join(right,
+    mat.join(right,
         col("band") === col("b_band") && col("key") === col("b_key") &&
           col("doc_id") < col("b_id"))
       .select(col("doc_id").as("a_id"), col("b_id"),
@@ -737,8 +745,9 @@ object Multimodal {
     */
   private[graft] def hashedNearDupGroups(hashed: DataFrame,
       maxHamming: Int): DataFrame = {
-    val groups = hashed.groupBy("h64")
-      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+    // same four-consumer shape as the audio groups: one decode pass
+    val groups = Materialize(hashed.groupBy("h64")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs")))
     val exact = groups.filter(col("n_docs") >= 2)
       .select(col("rep_id").as("a_id"), col("rep_id").as("b_id"),
         lit(0).as("hamming"), col("n_docs").as("n_a"), col("n_docs").as("n_b"),
@@ -1235,7 +1244,9 @@ object Multimodal {
     * 7-cell arrays, distinct on the pair.
     */
   def audioCoverMatches(withPayloads: DataFrame): DataFrame = {
-    val sig = audioSignatureFrame(withPayloads)
+    // decode + FFT once: the banded frame self-joins below, and without
+    // materialization each side would re-run the full signature pass
+    val sig = Materialize(audioSignatureFrame(withPayloads))
     val bands = Seq(0 -> Seq(0, 1, 2), 1 -> Seq(2, 3, 4), 2 -> Seq(4, 5, 6))
     val banded = sig.select(col("doc_id"), col("c"),
         explode(array(bands.map { case (b, idx) =>
@@ -1277,8 +1288,11 @@ object Multimodal {
     */
   private[graft] def audioNearDupGroupsFromSignatures(sig: DataFrame,
       maxHamming: Int): DataFrame = {
-    val groups = sig.groupBy("h64", "c")
-      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+    // groups feeds FOUR consumers (exact families, the rep frame behind
+    // the banded self-join, and the two size joins); materialize it so
+    // the decode+FFT upstream runs once, not once per consumer
+    val groups = Materialize(sig.groupBy("h64", "c")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs")))
     val exact = groups.filter(col("n_docs") >= 2)
       .select(col("rep_id").as("a_id"), col("rep_id").as("b_id"),
         lit(0).as("hamming"), col("n_docs").as("n_a"), col("n_docs").as("n_b"),

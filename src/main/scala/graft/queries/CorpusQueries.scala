@@ -1255,10 +1255,13 @@ object CorpusQueries {
     * three families' SQL mirrors.
     */
   private[graft] def dedupConsensusOn(d: DataFrame): DataFrame = {
-    val prov = consensusEdges(d)
+    // prov feeds both the component solve and the final provenance
+    // join; materialized, the three evidence families (each its own
+    // banded/capped pipeline over the corpus) run once, not per consumer
+    val prov = Materialize(consensusEdges(d)
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).cast("long").as("n_modalities"),
-        array_join(array_sort(collect_set(col("modality"))), ",").as("modalities"))
+        array_join(array_sort(collect_set(col("modality"))), ",").as("modalities")))
     val comp = graft.operators.DupClusters.connectedComponents(
       d.select(col("doc_id").as("id")),
       prov.select(col("a_id").as("src"), col("b_id").as("dst")),

@@ -1557,7 +1557,12 @@ object ScaleQueries {
         dims.map(j => element_at(col("embedding"), j).cast("double").as(s"r$j")): _*)
     val statCols = dims.flatMap(j => Seq(
       avg(col(s"r$j")).as(s"m$j"), stddev_pop(col(s"r$j")).as(s"s$j")))
-    val st = raw.agg(statCols.head, statCols.tail: _*)
+    // Materialized: the stats row is 1×(2·ProbeDims) doubles, but its
+    // plan is a FULL corpus aggregation — and the feature frame is
+    // re-evaluated once per GD step by Logistic.train plus once by the
+    // scoring/loss pass, so an unmaterialized stats subtree would rerun
+    // that corpus pass 7× per probe query (2 passes/step instead of 1)
+    val st = Materialize(raw.agg(statCols.head, statCols.tail: _*))
     // s=0 guard mirrors textProbeStandardize (and the CASE WHEN in
     // probeTrainCtes): a constant feature dimension standardizes to 0
     // in BOTH engines instead of Spark-NULL-vs-DuckDB-inf divergence
@@ -4312,9 +4317,13 @@ object ScaleQueries {
   }
 
   private def precisionRow(truth: DataFrame, found: DataFrame, minPct: Int): DataFrame = {
-    val hits = found.join(truth, Seq("a_id", "b_id"), "left_semi")
+    // found is referenced twice (semi-join probe + n_found count); the
+    // callers pass full detection pipelines, so materialize the tiny
+    // verified pair set instead of replaying the pipeline tail per use
+    val foundM = Materialize(found)
+    val hits = foundM.join(truth, Seq("a_id", "b_id"), "left_semi")
     truth.agg(count(lit(1)).as("n_true"))
-      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(foundM.agg(count(lit(1)).as("n_found")))
       .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
       .select(col("n_true").cast("long").as("n_true"),
         (col("n_hit") * 100 >= col("n_found") * minPct).cast("long").as("precision_ok"))
