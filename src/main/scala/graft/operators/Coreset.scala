@@ -56,15 +56,30 @@ object Coreset {
       .select(col(idCol).cast("long"), col(vecCol)).head()
     val seedVec = seed.getSeq[Float](1).map(_.toDouble).toArray
     var chosen = Vector(Center(1, seed.getLong(0), 0.0, seedVec))
-    var minD: Column = distTo(vecCol, seedVec, d)
+    // Incremental min-distance CARRIED AS DATA: round r folds only the
+    // newly chosen center into the running minimum (one O(d) distTo per
+    // row) instead of re-evaluating every previous center's distance
+    // from scratch (O(r·d) per row, O(k²·d) total — and a Catalyst tree
+    // that grew by 64 sqrt terms per round). Exactness: min over
+    // doubles is associative and error-free, and each center's distTo
+    // is the identical expression either way, so every __dmin value —
+    // and therefore every argmax pick and reported selection distance —
+    // is bit-identical to the unrolled form. Under Materialize `none`
+    // (plan-only consumers) the chain stays lazy and evaluates exactly
+    // like the old unrolled expression.
+    var cur = e.select(col(idCol), col(vecCol),
+      distTo(vecCol, seedVec, d).as("__dmin"))
     for (r <- 2 to k) {
-      val best = e
-        .agg(max(struct(minD.as("d"), (-col(idCol)).cast("long").as("nid"),
+      cur = Materialize(cur)
+      val best = cur
+        .agg(max(struct(col("__dmin").as("d"), (-col(idCol)).cast("long").as("nid"),
           col(vecCol).as("v"))).as("b"))
         .select(col("b.d"), col("b.nid"), col("b.v")).head()
       val vec = best.getSeq[Float](2).map(_.toDouble).toArray
       chosen :+= Center(r, -best.getLong(1), best.getDouble(0), vec)
-      minD = least(minD, distTo(vecCol, vec, d))
+      if (r < k)
+        cur = cur.select(col(idCol), col(vecCol),
+          least(col("__dmin"), distTo(vecCol, vec, d)).as("__dmin"))
     }
     chosen
   }

@@ -524,6 +524,11 @@ object QualityQueries {
     val s3 = keep3.agg(
       count(lit(1)).as("docs3"),
       coalesce(sum("kept_tok"), lit(0L)).as("toks3"))
+    // NOT materialized (measured 2.5 -> 3.0 s): the three presentation
+    // selects re-evaluate the four stage aggregates, but those run as
+    // parallel subtrees of one job over the already-materialized stage
+    // frames (and ReuseExchange dedups the aggregate exchanges);
+    // checkpointing the 1-row summary serializes the DAG for nothing
     val all = s0.crossJoin(s1).crossJoin(s2).crossJoin(s3)
     val rows = Seq(
       (1L, "rep_filter", "docs0", "docs1", "toks0", "toks1"),
