@@ -184,6 +184,25 @@ object Relational {
           when(col("__c").isNotNull, col("__c")(n)).otherwise(col(n)).as(n)): _*)
   }
 
+  /** Fan a scan-side frame across the session's cores BEFORE heavy
+    * per-row map work (tokenize/gram explode, hashing, decode) when the
+    * source provides fewer partitions than cores. The test corpora are
+    * one parquet row group per table, so every scan is ONE partition
+    * and all narrow work above it single-threaded until the first
+    * exchange. Scale-adaptive by construction (guide §2): at cluster
+    * scale a real table yields >= cores scan partitions and this is the
+    * identity — no constant tuned for local mode, no extra shuffle in
+    * production. Round-robin repartition is deterministic
+    * (sort-before-repartition is on), so downstream results are
+    * unchanged; callers whose downstream folds doubles still pass the
+    * oracle hash gate because partial-aggregate grouping was already
+    * partitioning-dependent.
+    */
+  def spreadToCores(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
   /** Gap-based sessionization: assign a per-key session ordinal that
     * increments whenever the gap between consecutive rows (by `orderCol`,
     * must be unique per key) exceeds `gapMicros` on `tsMicros`.

@@ -85,7 +85,12 @@ object ScaleQueries {
   }
 
   private[queries] def kmGramFrame(d: DataFrame): DataFrame =
-    d.select(col("doc_id").as("id"), explode(kmGramArray(col("text"))).as("gh"))
+    // spreadToCores: gram STRINGS + two md5s per gram is the heaviest
+    // text map stage on the surface; single-row-group scans ran it on
+    // one core (identity at scale — see Relational.spreadToCores)
+    graft.operators.Relational.spreadToCores(
+        d.select(col("doc_id").as("id"), col("text")))
+      .select(col("id"), explode(kmGramArray(col("text"))).as("gh"))
       .withColumn("h1", conv(substring(md5(col("gh")), 1, 8), 16, 10).cast("long"))
       .withColumn("h2", conv(substring(md5(col("gh")), 9, 8), 16, 10).cast("long"))
 
@@ -3039,9 +3044,20 @@ object ScaleQueries {
     * vibrato 77 %, both-sided chord 93 %, plain 92 %). Corpus recall
     * floors stay ≥ 70 (`audio_neardup_recall`).
     */
+  /** The corpus ids spread over the session's cores BEFORE the heavy
+    * per-row synth+decode mapPartitions: the sf parquet files are one
+    * row group each, so the scan is ONE partition and everything narrow
+    * above it — including the whole media decode — ran on a single
+    * core. The exchange moves ids only (the payload is synthesized
+    * after), so at cluster scale it stays a trivial linear shuffle;
+    * round-robin is deterministic (sort-before-repartition is on).
+    */
+  private def spreadIds(spark: SparkSession, d: DataFrame): DataFrame =
+    d.repartition(spark.sparkContext.defaultParallelism)
+
   private def audioPayloads(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, dir).select(col("doc_id")).as[Long]
+    spreadIds(spark, docs(spark, dir).select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         val dup = id % 7 == 3 && id >= 3
         val seed = if (dup) id - 3 else id
@@ -3244,7 +3260,7 @@ object ScaleQueries {
     */
   private def imagePayloads(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, dir).select(col("doc_id")).as[Long]
+    spreadIds(spark, docs(spark, dir).select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         val dup = id % 7 == 3 && id >= 3
         val seed = if (dup) id - 3 else id
@@ -3346,7 +3362,7 @@ object ScaleQueries {
     */
   private def videoPayloads(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, dir).select(col("doc_id")).as[Long]
+    spreadIds(spark, docs(spark, dir).select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         val dup = id % 7 == 3 && id >= 3
         val seed = if (dup) id - 3 else id
