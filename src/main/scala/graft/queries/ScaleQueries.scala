@@ -1255,11 +1255,14 @@ object ScaleQueries {
     val queries = prepped.filter(col("id") % PqQueryMod === 0)
     val qv = broadcast(queries.select(col("id").as("q_id"),
       col("v").as("qv"), col("nrm").as("qn")))
-    val brute = prepped.join(qv, col("id") =!= col("q_id"))
+    // both pair sets are referenced three times each (hit probe,
+    // precision probe, denominator counts); materialized, the brute
+    // ball join and the whole index pipeline run once
+    val brute = Materialize(prepped.join(qv, col("id") =!= col("q_id"))
       .filter(Similarity.cosine(col("qv"), col("qn"),
         col("v"), col("nrm")) >= RangeTau)
-      .select(col("q_id"), col("id").as("n_id"))
-    val found = annRange(spark, dir).select("q_id", "n_id")
+      .select(col("q_id"), col("id").as("n_id")))
+    val found = Materialize(annRange(spark, dir).select("q_id", "n_id"))
     val hits = brute.join(found, Seq("q_id", "n_id"), "left_semi")
     val prec = found.join(brute, Seq("q_id", "n_id"), "left_semi")
     brute.agg(count(lit(1)).as("n_brute"))
@@ -1315,12 +1318,14 @@ object ScaleQueries {
     val queries = prepped.filter(col("id") % PqQueryMod === 0)
     val qv = broadcast(queries.select(col("id").as("q_id"),
       col("label").as("qlab"), col("v").as("qv"), col("nrm").as("qn")))
-    val brute = prepped.join(qv,
+    // same three-consumer shape as annRangeRecall: materialize both
+    val brute = Materialize(prepped.join(qv,
         col("id") =!= col("q_id") && col("label") === col("qlab"))
       .filter(Similarity.cosine(col("qv"), col("qn"),
         col("v"), col("nrm")) >= RangeTau)
-      .select(col("q_id"), col("id").as("n_id"))
-    val found = annRangeFiltered(spark, dir).select("q_id", "n_id")
+      .select(col("q_id"), col("id").as("n_id")))
+    val found = Materialize(
+      annRangeFiltered(spark, dir).select("q_id", "n_id"))
     val hits = brute.join(found, Seq("q_id", "n_id"), "left_semi")
     val prec = found.join(brute, Seq("q_id", "n_id"), "left_semi")
     brute.agg(count(lit(1)).as("n_brute"))
@@ -1941,6 +1946,10 @@ object ScaleQueries {
     //    Quality therefore lives in its own per-doc projection, joined
     //    on doc_id AFTER the aggregation (two doc-sized frames, one
     //    equi-join — the scale-safe shape regardless).
+    // spreadToCores measured a wash here (2.09 -> 2.14 s): the md5
+    // bucket hash per token looked kmGramFrame-shaped, but this query's
+    // cost is the GD steps + AUC window over the materialized frame,
+    // not the single-threaded map stage — left unspread
     val toks = docs(spark, dir).select(
       col("doc_id"),
       explode(TextAnalysis.wordTokens(lower(col("text")))).as("tok"))
