@@ -29,6 +29,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.sources.Tables.NanosFlag, "true")
+      // NOT set: mapreduce.fileoutputcommitter.algorithm.version=2 —
+      // measured ~1.8x SLOWER on the persisted-artifact writers here
+      // (dedup_ledger_build 5.0 -> 9.0 s, ann_index_build 2.5 -> 3.5 s
+      // at sf0.1): on this local fs the v1 job-commit rename pass is
+      // cheap and v2's per-task direct commits serialize against the
+      // many tiny partition directories. Revisit only with an object
+      // store profile.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
