@@ -15,6 +15,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogHygiene.quietBoundedWindowWarn()
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (comma-separated names); the driver never
     // sets it, so the gate always runs the full surface.

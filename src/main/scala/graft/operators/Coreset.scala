@@ -69,18 +69,29 @@ object Coreset {
     // like the old unrolled expression.
     var cur = e.select(col(idCol), col(vecCol),
       distTo(vecCol, seedVec, d).as("__dmin"))
+    // Superseded rounds are UNPERSISTED (guide §5): each round pins one
+    // corpus-sized (id, vec, __dmin) checkpoint, and round r-1's blocks
+    // are dead the moment round r's checkpoint has materialized — the
+    // release runs after the argmax action (which is what materializes
+    // a LAZY checkpoint), so storage stays O(1) frames for the whole
+    // greedy run instead of O(k). The final round's frame is released
+    // too: kCenter returns only driver-sized state.
+    var releasePrev: () => Unit = () => ()
     for (r <- 2 to k) {
       cur = Materialize(cur)
+      val release = Materialize.releaseHandle(cur)
       val best = cur
         .agg(max(struct(col("__dmin").as("d"), (-col(idCol)).cast("long").as("nid"),
           col(vecCol).as("v"))).as("b"))
         .select(col("b.d"), col("b.nid"), col("b.v")).head()
+      releasePrev(); releasePrev = release
       val vec = best.getSeq[Float](2).map(_.toDouble).toArray
       chosen :+= Center(r, -best.getLong(1), best.getDouble(0), vec)
       if (r < k)
         cur = cur.select(col(idCol), col(vecCol),
           least(col("__dmin"), distTo(vecCol, vec, d)).as("__dmin"))
     }
+    releasePrev()
     chosen
   }
 

@@ -31,6 +31,13 @@ object DupClusters {
     *                propagation hops each); convergence past it throws
     *                rather than silently returning a half-propagated
     *                labeling
+    * @param edgesStable caller's guarantee that `edges` is already
+    *                     materialized (or otherwise cheap and stable to
+    *                     re-read — e.g. a projection over a checkpointed
+    *                     frame): skips the loop's own edge checkpoint,
+    *                     which would copy the same rows into a second
+    *                     pinned RDD for nothing. Default false keeps the
+    *                     safe behavior for arbitrary edge plans.
     * @param smallGraphMaxEdges edge-count ceiling for the driver-side
     *                union-find fast path. Driver cost is explicit and
     *                linear: collect() materializes one boxed (Long,Long)
@@ -46,13 +53,20 @@ object DupClusters {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 25,
-                          smallGraphMaxEdges: Long = 100_000L): DataFrame = {
+                          smallGraphMaxEdges: Long = 100_000L,
+                          edgesStable: Boolean = false): DataFrame = {
     // materialize the (possibly expensive) edge plan ONCE — the
     // direction-swapped union below references it twice, and an
     // unmaterialized plan would be fully recomputed per reference.
     // No distinct(): min() is idempotent, so duplicate edges cannot
     // change the labeling — skipping the dedup saves a setup shuffle.
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // Callers whose edge frame is ALREADY materialized skip the copy.
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (edgesStable) e0 else e0.localCheckpoint(true)
+    // the edge checkpoint is dead once a RESULT frame exists that no
+    // longer references it (guide §5): the small-graph path after its
+    // collect, the loop after its final labels checkpoint
+    val releaseEdges = if (edgesStable) () => () else Materialize.releaseHandle(e)
 
     // Size gate on the CHECKPOINTED edges (the count is a cheap cached
     // scan): small graphs pay ~10 Spark jobs of pure scheduling overhead
@@ -61,8 +75,13 @@ object DupClusters {
     val integralIds = e.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
-    if (integralIds && smallGraphMaxEdges > 0 && e.count() <= smallGraphMaxEdges)
-      return smallGraphComponents(nodes, e)
+    if (integralIds && smallGraphMaxEdges > 0 && e.count() <= smallGraphMaxEdges) {
+      // the fast path's collect is the last read of e; the returned
+      // frame is nodes ⋈ a driver-built broadcast map
+      val out = smallGraphComponents(nodes, e)
+      releaseEdges()
+      return out
+    }
 
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
 
@@ -97,10 +116,11 @@ object DupClusters {
 
     var labels = nodes.select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint(true)
+    var releasePrev = Materialize.releaseHandle(labels)
     var prevSum = labelSum(labels)
     // sum() over zero rows is NULL: an empty node set is already at its
     // (empty) fixpoint
-    if (prevSum == null) return labels
+    if (prevSum == null) { releaseEdges(); return labels }
     var round = 0
     while (round < maxIter) {
       // two hops per materialization: round-trip cost in local/driver
@@ -108,12 +128,23 @@ object DupClusters {
       // halving the checkpoint count near-halves wall-clock while the
       // plan stays a fixed two joins deep
       val next = jump(hop(hop(labels))).localCheckpoint(true)
+      // round r-1's label blocks are dead once round r's checkpoint has
+      // materialized (eager): unpersist so storage stays O(1) frames
+      // for the loop instead of O(rounds) — the 100 TB OOM/disk fix
+      releasePrev(); releasePrev = Materialize.releaseHandle(next)
       val nextSum = labelSum(next)
       labels = next
       round += 1
-      if (nextSum.compareTo(prevSum) == 0) return labels
+      if (nextSum.compareTo(prevSum) == 0) {
+        // converged: the returned frame is the final checkpoint (kept
+        // persisted — the consumer reads it); the edge checkpoint has
+        // no remaining reader
+        releaseEdges()
+        return labels
+      }
       prevSum = nextSum
     }
+    releaseEdges()
     throw new IllegalStateException(
       s"components did not converge within $maxIter rounds")
   }

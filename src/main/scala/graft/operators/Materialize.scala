@@ -46,6 +46,57 @@ object Materialize {
       case _         => df.localCheckpoint(true)
     }
 
+  /** Release handle for a frame returned by [[apply]] (or a bare
+    * `localCheckpoint`): a thunk that unpersists the checkpoint's
+    * pinned blocks. Iterative operators ([[Coreset.kCenter]],
+    * [[DupClusters.connectedComponents]]) re-materialize a corpus-sized
+    * frame every round; without an explicit release every superseded
+    * round's blocks stay pinned in the block manager for the session
+    * lifetime — k corpus-sized RDDs per call at 100 TB (guide §5:
+    * unpersist when done). Callers must invoke the thunk only once the
+    * frame is DEAD (a localCheckpointed frame has no lineage left to
+    * recompute from). No-op for plans that pin nothing (`none`,
+    * `parquet`, or any non-checkpoint frame).
+    */
+  def releaseHandle(df: DataFrame): () => Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        () => { lr.rdd.unpersist(blocking = false); () }
+      case _ => () => ()
+    }
+
+  /** Evaluate two INDEPENDENT frame-building thunks concurrently and
+    * return both results — guide §2.6 (overlap independent jobs): an
+    * audit query whose truth side and found side are separate blocking
+    * materialization chains otherwise runs them back to back, leaving
+    * the cluster idle through each chain's scheduling tail. The second
+    * thunk runs on a fresh driver thread (created HERE, so Spark's
+    * inheritable thread-locals — active session, job group/description —
+    * carry over from the caller); the first runs on the caller's
+    * thread. Results are unchanged: each chain computes exactly the
+    * frames it computed serially, and Spark's scheduler interleaves
+    * their jobs' tasks. Exceptions from either thunk propagate (the
+    * background one first, after both finish — never swallowed).
+    *
+    * Use ONLY for thunks with no data dependency on each other; a
+    * dependent pair would still be correct (lazy frames) but would
+    * silently serialize and pay the thread for nothing.
+    */
+  def par2[A, B](a: => A, b: => B): (A, B) = {
+    val boxB = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, B]]
+    val t = new Thread(() => boxB.set(
+      try Right(b) catch { case e: Throwable => Left(e) }),
+      "graft-materialize-par2")
+    t.setDaemon(true)
+    t.start()
+    val ra = a
+    t.join()
+    boxB.get() match {
+      case Right(rb) => (ra, rb)
+      case Left(e)   => throw e
+    }
+  }
+
   private def viaParquet(df: DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft-mat")
     // best-effort cleanup at JVM exit (a long session would otherwise

@@ -197,6 +197,13 @@ object Relational {
     * unchanged; callers whose downstream folds doubles still pass the
     * oracle hash gate because partial-aggregate grouping was already
     * partitioning-dependent.
+    *
+    * CONTRACT: pass SCAN-SIDE frames only (a projection/filter over a
+    * source scan, no Exchange in the plan). The partition-count probe
+    * below goes through `df.rdd`, which forces physical planning — and
+    * under AQE would EXECUTE any upstream shuffle stages just to read a
+    * partition count. Every current caller passes a scan-only
+    * projection, where the probe is planning-only and cheap.
     */
   def spreadToCores(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism

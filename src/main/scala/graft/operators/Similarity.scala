@@ -202,24 +202,27 @@ object Similarity {
     */
   def kmeansCentroidsL2Multi(corpus: DataFrame, slices: Seq[Column],
                              k: Int, iters: Int): Seq[DataFrame] = {
-    import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
     val nS = slices.length
     // init: the k lowest-id rows carry EVERY subspace's init centroid —
-    // one collect; cn via the same norm kernel as the per-slice path
+    // one collect; cn via the same norm kernel as the per-slice path.
+    // c_id is the row's POSITION in the id-sorted collect (the
+    // TakeOrderedAndProject output is ordered by the sort key), not a
+    // global window: the k-row row_number() window planned a
+    // single-partition WindowExec — value-identical, but a partition-
+    // less window node in every training plan and a warning per run
     val initRows = corpus.orderBy("id").limit(k)
-      .withColumn("c_id", row_number().over(Window.orderBy("id")).cast("long") - 1)
-      .select(col("c_id"), array(slices: _*).as("svs"),
+      .select(array(slices: _*).as("svs"),
         array(slices.map(norm): _*).as("cns"))
       .collect()
     // .toVector: Row.getSeq hands back mutable ArraySeq, which the
     // local-relation encoder (toDF below) refuses — force immutable
     var banks: Seq[Seq[(Long, Seq[Double], Double)]] = (0 until nS).map { s =>
-      initRows.toSeq.map { r =>
-        (r.getLong(0),
-          r.getSeq[scala.collection.Seq[Double]](1)(s).toVector: Seq[Double],
-          r.getSeq[Double](2)(s))
+      initRows.toSeq.zipWithIndex.map { case (r, i) =>
+        (i.toLong,
+          r.getSeq[scala.collection.Seq[Double]](0)(s).toVector: Seq[Double],
+          r.getSeq[Double](1)(s))
       }
     }
     val ex = corpus.select(posexplode(array(slices: _*)).as(Seq("s", "sv")))
@@ -294,12 +297,15 @@ object Similarity {
 
   private def lloyd(corpus: DataFrame, k: Int, iters: Int,
                     assign: Seq[(Long, Seq[Double], Double)] => Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents = centArrays(corpus.orderBy("id").limit(k)
-      .withColumn("c_id", row_number().over(Window.orderBy("id")).cast("long") - 1)
-      .select(col("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+    // c_id = position in the id-sorted collect (same ids, same order as
+    // the former k-row row_number() window — minus its single-partition
+    // WindowExec node and warning)
+    var cents = corpus.orderBy("id").limit(k)
+      .select(col("v").cast("array<double>"), col("nrm"))
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0), r.getDouble(1)) }
     for (_ <- 0 until iters) {
       val assigned = corpus.select(
         assign(cents).as("c_id"), col("v"))

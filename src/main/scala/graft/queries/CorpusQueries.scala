@@ -1265,7 +1265,8 @@ object CorpusQueries {
     val comp = graft.operators.DupClusters.connectedComponents(
       d.select(col("doc_id").as("id")),
       prov.select(col("a_id").as("src"), col("b_id").as("dst")),
-      smallGraphMaxEdges = 2_000_000L) // same opt-in bound as dup_clusters
+      smallGraphMaxEdges = 2_000_000L, // same opt-in bound as dup_clusters
+      edgesStable = true) // prov is Materialized above — skip the copy
     prov.join(comp.select(col("id").as("a_id"), col("cluster_id")), "a_id")
       .select(col("a_id"), col("b_id"), col("n_modalities"),
         col("modalities"), col("cluster_id"))

@@ -1257,12 +1257,15 @@ object ScaleQueries {
       col("v").as("qv"), col("nrm").as("qn")))
     // both pair sets are referenced three times each (hit probe,
     // precision probe, denominator counts); materialized, the brute
-    // ball join and the whole index pipeline run once
-    val brute = Materialize(prepped.join(qv, col("id") =!= col("q_id"))
-      .filter(Similarity.cosine(col("qv"), col("qn"),
-        col("v"), col("nrm")) >= RangeTau)
-      .select(col("q_id"), col("id").as("n_id")))
-    val found = Materialize(annRange(spark, dir).select("q_id", "n_id"))
+    // ball join and the whole index pipeline run once — and the two
+    // materializations are independent chains, so they overlap on two
+    // driver threads (guide §2.6)
+    val (brute, found) = Materialize.par2(
+      Materialize(prepped.join(qv, col("id") =!= col("q_id"))
+        .filter(Similarity.cosine(col("qv"), col("qn"),
+          col("v"), col("nrm")) >= RangeTau)
+        .select(col("q_id"), col("id").as("n_id"))),
+      Materialize(annRange(spark, dir).select("q_id", "n_id")))
     val hits = brute.join(found, Seq("q_id", "n_id"), "left_semi")
     val prec = found.join(brute, Seq("q_id", "n_id"), "left_semi")
     brute.agg(count(lit(1)).as("n_brute"))
@@ -1318,14 +1321,16 @@ object ScaleQueries {
     val queries = prepped.filter(col("id") % PqQueryMod === 0)
     val qv = broadcast(queries.select(col("id").as("q_id"),
       col("label").as("qlab"), col("v").as("qv"), col("nrm").as("qn")))
-    // same three-consumer shape as annRangeRecall: materialize both
-    val brute = Materialize(prepped.join(qv,
-        col("id") =!= col("q_id") && col("label") === col("qlab"))
-      .filter(Similarity.cosine(col("qv"), col("qn"),
-        col("v"), col("nrm")) >= RangeTau)
-      .select(col("q_id"), col("id").as("n_id")))
-    val found = Materialize(
-      annRangeFiltered(spark, dir).select("q_id", "n_id"))
+    // same three-consumer shape as annRangeRecall: materialize both,
+    // overlapped on two driver threads (guide §2.6)
+    val (brute, found) = Materialize.par2(
+      Materialize(prepped.join(qv,
+          col("id") =!= col("q_id") && col("label") === col("qlab"))
+        .filter(Similarity.cosine(col("qv"), col("qn"),
+          col("v"), col("nrm")) >= RangeTau)
+        .select(col("q_id"), col("id").as("n_id"))),
+      Materialize(
+        annRangeFiltered(spark, dir).select("q_id", "n_id")))
     val hits = brute.join(found, Seq("q_id", "n_id"), "left_semi")
     val prec = found.join(brute, Seq("q_id", "n_id"), "left_semi")
     brute.agg(count(lit(1)).as("n_brute"))
@@ -3023,10 +3028,21 @@ object ScaleQueries {
     ORDER BY rk"""
   }
 
-  /** Cross-modal join: text-side quality metadata joined with the
-    * vector-side norm for the overlapping ids — the shape of a curation
-    * pass that gates on BOTH text quality and embedding sanity.
+  /** The corpus ids spread over the session's cores BEFORE the heavy
+    * per-row synth+decode mapPartitions: the sf parquet files are one
+    * row group each, so the scan is ONE partition and everything narrow
+    * above it — including the whole media decode — ran on a single
+    * core. The exchange moves ids only (the payload is synthesized
+    * after), so at cluster scale it stays a trivial linear shuffle;
+    * round-robin is deterministic (sort-before-repartition is on).
+    * Delegates to [[graft.operators.Relational.spreadToCores]] for the
+    * ≥cores identity guard: at cluster scale, where the id scan already
+    * yields more partitions than defaultParallelism, the repartition
+    * would otherwise SHRINK parallelism and always pay a shuffle.
     */
+  private def spreadIds(spark: SparkSession, d: DataFrame): DataFrame =
+    graft.operators.Relational.spreadToCores(d)
+
   /** Synthesized audio corpus for the near-dup surface: every doc gets
     * a deterministic WAV clip ([[graft.operators.Multimodal.synthToneWav]]
     * — the corpus parquet carries no real audio; the RIFF/PCM decode
@@ -3053,17 +3069,6 @@ object ScaleQueries {
     * vibrato 77 %, both-sided chord 93 %, plain 92 %). Corpus recall
     * floors stay ≥ 70 (`audio_neardup_recall`).
     */
-  /** The corpus ids spread over the session's cores BEFORE the heavy
-    * per-row synth+decode mapPartitions: the sf parquet files are one
-    * row group each, so the scan is ONE partition and everything narrow
-    * above it — including the whole media decode — ran on a single
-    * core. The exchange moves ids only (the payload is synthesized
-    * after), so at cluster scale it stays a trivial linear shuffle;
-    * round-robin is deterministic (sort-before-repartition is on).
-    */
-  private def spreadIds(spark: SparkSession, d: DataFrame): DataFrame =
-    d.repartition(spark.sparkContext.defaultParallelism)
-
   private def audioPayloads(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spreadIds(spark, docs(spark, dir).select(col("doc_id"))).as[Long]
@@ -3424,6 +3429,10 @@ object ScaleQueries {
 
   val videoNearDupGroupsRecallSql: String = videoNearDupRecallSql
 
+  /** Cross-modal join: text-side quality metadata joined with the
+    * vector-side norm for the overlapping ids — the shape of a curation
+    * pass that gates on BOTH text quality and embedding sanity.
+    */
   def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("lang"),
       length(col("text")).cast("long").as("n_chars_m"))
@@ -4311,6 +4320,15 @@ object ScaleQueries {
     * the whole truth build would replay per reference.
     */
   private[graft] def raregramTruth(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val grams = raregramGrams(spark, dir)
+    (grams, raregramTruthFrom(grams))
+  }
+
+  /** The capped rare-gram frame, materialized. Split from
+    * [[raregramTruth]] so audits can overlap the truth build with their
+    * detection pipeline ([[Materialize.par2]], guide §2.6).
+    */
+  private def raregramGrams(spark: SparkSession, dir: String): DataFrame = {
     // raw gram frame materialized FIRST: capGramDocFreq reads its input
     // twice (hot-count aggregate + anti-join), and an unmaterialized
     // input re-runs the whole gram build per read (the dedup_ngram
@@ -4319,13 +4337,19 @@ object ScaleQueries {
     // tokenize+hash pass over the full text twice dominates one linear
     // gram-frame write
     val raw = Materialize(Dedup.explodedNgrams(docs(spark, dir), "doc_id", "text"))
-    val grams = Materialize(Dedup.capGramDocFreq(raw, maxDocFreq = 20))
+    Materialize(Dedup.capGramDocFreq(raw, maxDocFreq = 20))
+  }
+
+  /** Exact rare-gram J ≥ 0.5 truth pairs over a capped gram frame —
+    * the second half of [[raregramTruth]].
+    */
+  private def raregramTruthFrom(grams: DataFrame): DataFrame = {
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).cast("double").as("n"))
     val na = sizes.select(col("id").as("na_id"), col("n").as("na_n"))
     val nb = sizes.select(col("id").as("nb_id"), col("n").as("nb_n"))
     val byGram = grams.groupBy("gh").agg(collect_set(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
-    val truth = Materialize(byGram
+    Materialize(byGram
       .select(col("ids"), explode(col("ids")).as("a_id"))
       .select(col("a_id"), explode(col("ids")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
@@ -4335,7 +4359,6 @@ object ScaleQueries {
       .join(nb, col("b_id") === col("nb_id"))
       .filter(col("inter") / (col("na_n") + col("nb_n") - col("inter")) >= 0.5)
       .select(col("a_id"), col("b_id")))
-    (grams, truth)
   }
 
   private def recallRow(truth: DataFrame, found: DataFrame, minPct: Int): DataFrame = {
@@ -4346,11 +4369,18 @@ object ScaleQueries {
         (col("n_hit") * 100 >= col("n_true") * minPct).cast("long").as("recall_ok"))
   }
 
-  private def precisionRow(truth: DataFrame, found: DataFrame, minPct: Int): DataFrame = {
+  private def precisionRow(truth: DataFrame, found: DataFrame, minPct: Int): DataFrame =
     // found is referenced twice (semi-join probe + n_found count); the
     // callers pass full detection pipelines, so materialize the tiny
     // verified pair set instead of replaying the pipeline tail per use
-    val foundM = Materialize(found)
+    precisionRowOn(truth, Materialize(found), minPct)
+
+  /** [[precisionRow]] over an ALREADY-materialized found set — the
+    * entry for callers that materialize it on a [[Materialize.par2]]
+    * thread so the truth chain overlaps the detection pipeline.
+    */
+  private def precisionRowOn(truth: DataFrame, foundM: DataFrame,
+                             minPct: Int): DataFrame = {
     val hits = foundM.join(truth, Seq("a_id", "b_id"), "left_semi")
     truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(foundM.agg(count(lit(1)).as("n_found")))
@@ -4365,11 +4395,16 @@ object ScaleQueries {
     * regeneration, not expected variance.
     */
   def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    val (grams, truth) = raregramTruth(spark, dir)
-    recallRow(truth,
+    val grams = raregramGrams(spark, dir)
+    // truth and detection both read the MATERIALIZED gram frame and are
+    // otherwise independent — their blocking chains (truth pair build vs
+    // banded-signature checkpoint) overlap on two driver threads
+    // (guide §2.6); each chain computes exactly what it computed serially
+    val (truth, found) = Materialize.par2(
+      raregramTruthFrom(grams),
       Dedup.minhashNearDupsFromGrams(grams, threshold = 0.5)
-        .select(col("a_id"), col("b_id")),
-      minPct = 80)
+        .select(col("a_id"), col("b_id")))
+    recallRow(truth, found, minPct = 80)
   }
 
   /** SimHash recall against the same rare-gram Jaccard truth set. Unlike
@@ -4383,12 +4418,15 @@ object ScaleQueries {
     * inputs are xxhash64-seed-fixed — the flag is a constant per SF.
     */
   def simhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    val (_, truth) = raregramTruth(spark, dir)
-    recallRow(truth,
+    // truth chain (raw grams → cap → pair build, three checkpoints) and
+    // the simhash pipeline (signature checkpoint) share only the doc
+    // scan — overlapped on two driver threads (guide §2.6)
+    val (truth, found) = Materialize.par2(
+      raregramTruth(spark, dir)._2,
       Dedup.simhashNearDups(docs(spark, dir), "doc_id", "text",
           maxHamming = SimhashMaxHamming)
-        .select(col("a_id"), col("b_id")),
-      minPct = 40)
+        .select(col("a_id"), col("b_id")))
+    recallRow(truth, found, minPct = 40)
   }
 
   /** Precision companion to [[simhashRecall]]: the share of simhash-
@@ -4403,12 +4441,14 @@ object ScaleQueries {
     * quantity, the audit-row contract used by every recall query.
     */
   def simhashPrecision(spark: SparkSession, dir: String): DataFrame = {
-    val (_, truth) = raregramTruth(spark, dir)
-    precisionRow(truth,
-      Dedup.simhashNearDups(docs(spark, dir), "doc_id", "text",
+    // same overlap as simhashRecall; the found side is materialized
+    // inside the background thunk (precisionRow reads it twice)
+    val (truth, foundM) = Materialize.par2(
+      raregramTruth(spark, dir)._2,
+      Materialize(Dedup.simhashNearDups(docs(spark, dir), "doc_id", "text",
           maxHamming = SimhashMaxHamming)
-        .select(col("a_id"), col("b_id")),
-      minPct = 60)
+        .select(col("a_id"), col("b_id"))))
+    precisionRowOn(truth, foundM, minPct = 60)
   }
 
   private val minhashRecallSqlBase: String = """

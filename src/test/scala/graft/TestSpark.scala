@@ -23,6 +23,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    LogHygiene.quietBoundedWindowWarn()
     s
   }
 }
