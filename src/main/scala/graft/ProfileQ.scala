@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Measurement tool (guide §1): splits a query's wall-clock into
@@ -38,6 +38,16 @@ object ProfileQ {
           }
         }
       }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        if (collect) {
+          val si = e.stageInfo
+          val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+            yield (a - b) / 1e3).getOrElse(-1.0)
+          val cpu = si.taskMetrics.executorRunTime / 1e3
+          sb.synchronized {
+            sb.append(f"      stage ${si.stageId}%4d wall=$wall%7.3f s cpu=$cpu%8.3f s tasks=${si.numTasks}%4d  ${si.name.take(90)}%n")
+          }
+        }
     })
     for (name <- names) {
       val fn = SparkEntry.queries(name)

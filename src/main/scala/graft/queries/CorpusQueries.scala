@@ -1230,14 +1230,30 @@ object CorpusQueries {
     * columnar concat, no shuffle of its own.
     */
   private[graft] def consensusEdges(d: DataFrame): DataFrame = {
+    // grams NOT spread across cores (measured round 18, ProfileQ warm
+    // single-run: consensus 3.9 -> 6.1 s, keep_best 3.2 -> 5.6 s with
+    // spreadToCores(d) before the gram build): even though the
+    // composite runs six downstream aggregations over this frame whose
+    // map sides are single-task at 1 partition, fanning the frame makes
+    // every one of those stages pay 32-task scheduling + exchange
+    // overhead that exceeds the serial map work — the Dedup.scala
+    // rejection (cheap xxhash gram pipelines don't amortize a spread)
+    // holds for the composite too.
     val grams = Materialize(Dedup.explodedNgrams(d, "doc_id", "text", n = 3))
-    val jac = prefixPairsFromGrams(grams)
-      .select(col("a_id"), col("b_id"), lit("jaccard").as("modality"))
-    val con = containmentPairsFromGrams(grams)
-      .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"),
-        lit("containment").as("modality"))
-      .distinct() // both containment directions collapse to one edge
+    // the two set-overlap families' construction each blocks on an
+    // internal prefix-frame checkpoint (PPJoin prefix / containment
+    // rare set) — independent given the materialized gram frame, so
+    // they overlap on two driver threads (guide §2.6). The edit family
+    // stays lazy: it has no blocking step, and its stages already run
+    // concurrently inside the union consumer's one job.
+    val (jac, con) = graft.operators.Materialize.par2(
+      prefixPairsFromGrams(grams)
+        .select(col("a_id"), col("b_id"), lit("jaccard").as("modality")),
+      containmentPairsFromGrams(grams)
+        .select(least(col("a_id"), col("b_id")).as("a_id"),
+          greatest(col("a_id"), col("b_id")).as("b_id"),
+          lit("containment").as("modality"))
+        .distinct()) // both containment directions collapse to one edge
     val edit = TextQueries.editPairs(d)
       .select(col("a_id"), col("b_id"), lit("edit").as("modality"))
     jac.union(con).union(edit)

@@ -247,8 +247,18 @@ object ScaleQueries {
     // is the compaction lever the round-14 manifest measurement named
     // (probe cost past pruning is per-file opens). The extra exchange
     // is one linear shuffle of the banded frame.
+    // numPartitions is PINNED to the directory count (KmBands × kb):
+    // left keyless, AQE coalesced the small post-shuffle stage to ONE
+    // partition, and that lone task wrote all bands×kb directories
+    // serially — measured 4.26 s of the build's 4.9 s wall was this
+    // single-task write stage (256 sequential parquet file opens).
+    // Pinned, every (band, kb) group still lands in exactly one task
+    // (hash on the full partition key), the one-file-per-directory
+    // invariant holds, and the writes spread across the cluster. This
+    // is the scale shape too: at 100 TB each directory is ~1/(bands·kb)
+    // of the corpus and wants its own writer.
     banded.select(col("id"), col("key"), col("band"), col("kb"))
-      .repartition(col("band"), col("kb"))
+      .repartition(KmBands * kb, col("band"), col("kb"))
       .write.mode("overwrite").partitionBy("band", "kb")
       .parquet(new java.io.File(root, "buckets").toString)
     writeLedgerManifest(root)
@@ -4174,7 +4184,12 @@ object ScaleQueries {
     // denominator), but it is a broadcast-query map-only scan whose
     // exchange stages AQE reuses within the one job — bench-methodology
     // A/B at sf0.1 showed eager checkpointing serializes the DAG for
-    // no gain (within the ±0.5 s noise band, trending worse)
+    // no gain (round 17, within the ±0.5 s noise band trending worse);
+    // round 18 re-tried it OVERLAPPED with the index chain on a second
+    // driver thread (Materialize.par2) and it still regressed (5-query
+    // knn-recall subset 8.58 -> 9.19 s): ReuseExchange already dedups
+    // the brute scan inside the one final job, so the checkpoint only
+    // adds a job and pins blocks.
     val brute = Similarity.knnBrute(queries, prepped, k = 5)
       .select(col("q_id"), col("n_id"))
     val hits = brute.join(approx(queries, prepped).select(col("q_id"), col("n_id")),
