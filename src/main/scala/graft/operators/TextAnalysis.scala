@@ -83,7 +83,15 @@ object TextAnalysis {
     */
   def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
                          textCol: String, n: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
-    val toks = df.select(col(idCol).as("id"), wordTokens(col(textCol)).as("t"))
+    // input spread over cores before the per-position md5 pass
+    // (identity at cluster scale): winnowing is the expensive-per-row
+    // md5 regime where the spread pays — A/B round 18 over the six
+    // winnow consumers: fingerprint_winnow 0.93 -> 0.35 s, decon_spans
+    // 2.37 -> 1.68, cross_source_overlap 1.79 -> 1.14, dup_clusters
+    // 1.81 -> 1.33, cluster_rep 2.10 -> 1.78, dup_cluster_sizes
+    // 1.91 -> 1.53 (same-window subset bench), oracle-green
+    val toks = Relational.spreadToCores(df)
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("t"))
     // gram hashes at every start position 0..max(L-n,0); slice clamps at
     // the tail exactly like the skipped-null concat of out-of-range gets
     val grams = transform(

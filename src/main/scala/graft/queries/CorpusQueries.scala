@@ -46,6 +46,12 @@ object CorpusQueries {
     * reconstruct the span).
     */
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    // NOT spread (A/B round 18: dup_spans flat, and the same spread on
+    // spanDedupCore regressed span_dedup_text 0.26 -> 0.54 s and
+    // hygiene_funnel 3.5 -> 4.6 s): the gh-keyed shuffle right above
+    // re-partitions everything anyway, so the extra exchange only adds
+    // cost — unlike winnowFingerprints, whose consumers aggregate the
+    // fingerprints without a second corpus-wide shuffle
     val toks = docs(spark, dir)
       .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"), col("t"))

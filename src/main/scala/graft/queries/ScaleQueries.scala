@@ -188,7 +188,7 @@ object ScaleQueries {
     * measured flatter scan growth (2.3× vs 5.0× across 100× history)
     * into flat wall-clock.
     */
-  private val LedgerKb = 32
+  private[graft] val LedgerKb = 32
 
   /** The probe batch: an id-hash slice (doc_id % 10 = 3) standing in
     * for a day's arrivals. Deliberately NOT `source = 'src19'` (the
@@ -1051,7 +1051,11 @@ object ScaleQueries {
     val subs = ivfPqSubspaces(prepped, coarse)
     val marker = new java.io.File(root, "_GRAFT_INDEX_COMPLETE")
     marker.delete()
+    // one writer task per cell directory (pinned — the ledger-write
+    // lesson: keyless/absent repartition left the 16-directory write
+    // on a single task), one file per directory preserved
     Similarity.ivfPqCodes(prepped, coarse, subs, keep = Seq("label"))
+      .repartition(kCells, col("c_id"))
       .write.mode("overwrite").partitionBy("c_id")
       .parquet(new java.io.File(root, "codes").toString)
     coarse.write.mode("overwrite")

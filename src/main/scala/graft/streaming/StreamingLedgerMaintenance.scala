@@ -90,7 +90,14 @@ object StreamingLedgerMaintenance {
         col("kb").cast("long").as("kb"))
     val merged = base.unionByName(deltaBuckets(spark, deltaDir, base))
     marker.delete() // a crash mid-swap must read as "no ledger", never half
-    merged.repartition(col("band"), col("kb"))
+    // partition count pinned to the directory count, like the builder
+    // (ScaleQueries.dedupLedgerBuildAt): keyless, AQE coalesced the
+    // small post-shuffle stage to ONE task that wrote every (band, kb)
+    // directory serially; pinned, each directory still lands in exactly
+    // one task (hash on the full partition key) and writes spread
+    merged.repartition(
+        graft.queries.ScaleQueries.KmBands * graft.queries.ScaleQueries.LedgerKb,
+        col("band"), col("kb"))
       .write.mode("overwrite").partitionBy("band", "kb")
       .parquet(tmp.toString)
     rmTree(buckets)
